@@ -1,0 +1,100 @@
+"""Engine-portable deterministic expressions (Spark SQL + DuckDB SQL).
+
+The LLM-pipeline operators (MinHash, SimHash, fingerprinting) need a
+hash that BOTH engines compute identically so the DuckDB oracle can
+verify the Spark result value-for-value. Engine-native hashes
+(Spark murmur3 ``hash()``, DuckDB ``hash()``) differ, so we define a
+character-level polynomial rolling hash in pure integer SQL:
+
+    h(s) = fold over chars c of s:  acc <- (acc * 31 + ascii(c)) mod P
+
+with P = 1e9+7 (keeps ``acc*31+c`` far below 2**63 — no overflow in
+either engine). Both engines evaluate it via higher-order array
+functions, JVM/vectorized-native — no Python UDF in the path.
+
+Dialect notes (empirically verified):
+- Spark ``aggregate(xs, 0L, f)`` ≡ DuckDB ``list_reduce(list_prepend(0, xs), f)``
+  (DuckDB's list_reduce has no init arg — it folds from the first element).
+- Spark ``element_at(a, i)`` ≡ DuckDB ``a[i]`` (both 1-based).
+- Spark ``sequence(1, n)`` ≡ DuckDB ``range(1, n+1)`` (range is end-exclusive).
+
+Helpers take *expression strings* (usually a column name already bound
+by a subquery) and return dialect expression strings; queries inline
+them into full SQL on both sides so the two pipelines stay visibly
+parallel.
+"""
+
+from __future__ import annotations
+
+MOD_P = 1_000_000_007
+
+
+def dsum(x: str, scale: int = 6) -> str:
+    """Exact decimal sum of a double column, emitted as DOUBLE.
+
+    Engine ``round()`` on doubles diverges at decimal-5 boundaries
+    (Spark: shortest-repr HALF_UP via BigDecimal; DuckDB: true-value
+    decimal rounding) and double summation order varies, so float sums
+    can never hash-match reliably. Instead: cast each value to
+    DECIMAL (exact for this data — all money columns carry ≤2
+    decimals; verified both engines cast double→decimal identically),
+    sum exactly, convert the exact result to DOUBLE. Identical SQL in
+    both dialects.
+    """
+    return f"CAST(sum(CAST({x} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def davg(x: str, scale: int = 6) -> str:
+    """Exact-sum-based average: deterministic double division of the
+    exact decimal sum by the non-null count. Identical in both dialects."""
+    return f"({dsum(x, scale)} / count({x}))"
+
+
+def spark_char_hash(expr: str) -> str:
+    """Rolling char hash of a string expression — Spark SQL dialect."""
+    return (
+        f"aggregate(transform(sequence(1, length({expr})), "
+        f"i -> bigint(ascii(substring({expr}, i, 1)))), 0L, "
+        f"(acc, c) -> (acc * 31 + c) % {MOD_P})"
+    )
+
+
+def duck_char_hash(expr: str) -> str:
+    """Rolling char hash of a string expression — DuckDB dialect."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> ascii(substr({expr}, i, 1))::BIGINT)), "
+        f"(acc, c) -> (acc * 31 + c) % {MOD_P})"
+    )
+
+
+def spark_words(expr: str) -> str:
+    """Whitespace tokens with empties removed — Spark SQL dialect."""
+    return f"filter(split({expr}, ' '), t -> t <> '')"
+
+
+def duck_words(expr: str) -> str:
+    return f"list_filter(string_split({expr}, ' '), t -> t <> '')"
+
+
+def spark_shingles(w: str, n: int = 3) -> str:
+    """Word n-gram shingles (space-joined) from a bound word-array column
+    ``w`` — Spark SQL dialect. Empty array when len(w) < n."""
+    parts = ", ' ', ".join(f"element_at({w}, i + {k})" for k in range(n))
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short
+    # arrays need an explicit empty-array branch (DuckDB's end-exclusive
+    # range(1, 1) is already empty).
+    return (
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(sequence(1, size({w}) - {n - 1}), i -> concat({parts})) "
+        f"ELSE array() END"
+    )
+
+
+def duck_shingles(w: str, n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"{w}[i + {k}]" for k in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({w}) - {n - 1}, 0) + 1), "
+        f"i -> {parts})"
+    )

@@ -1,0 +1,36 @@
+"""Portable vector math over array<float> embedding columns.
+
+Both dialects accumulate the dot product left-to-right in DOUBLE over
+float32 element products — bit-identical across engines (verified:
+same IEEE ops in the same order), so cosine similarities hash-match
+after a round(…, 6).
+
+Spark-first note: these are JVM higher-order functions (no Python in
+the row path). For the 100 TB path the same expressions vectorize per
+partition; a Pandas-UDF BLAS variant is a drop-in swap where net win
+is proven (see operators/similarity.py docstring).
+"""
+
+from __future__ import annotations
+
+
+def spark_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def spark_norm(a: str) -> str:
+    return f"sqrt({spark_dot(a, a)})"
+
+
+def duck_norm(a: str) -> str:
+    return f"sqrt({duck_dot(a, a)})"

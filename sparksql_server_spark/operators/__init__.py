@@ -1,0 +1,22 @@
+"""Operator corpus: every declared query from SURVEY.md §2 / FIXTURES.md §2.
+
+Importing this package populates the registry (``QUERIES`` / ``ORACLES``)
+by importing each operator module for its registration side effects.
+"""
+
+from sparksql_server_spark.operators.registry import QUERIES, ORACLES, query  # noqa: F401
+
+# Import for side effects: each module registers its queries.
+from sparksql_server_spark.operators import (  # noqa: F401, E402
+    relational,
+    joins,
+    aggregates,
+    windows,
+    setops,
+    scalar_funcs,
+    events_windows,
+    dedup,
+    similarity,
+    text_analysis,
+    multimodal,
+)

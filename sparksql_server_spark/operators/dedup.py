@@ -1,0 +1,284 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup (north-star set, BASELINE.json).
+
+Every variant is a *relational* pipeline (explode → hash → group →
+self-join) rather than nested driver loops, so each one distributes:
+the only shuffles are on (shingle) / (doc_id, j) / (band, band_sig) —
+all fine-grained keys that spread evenly at 100 TB. Hashing uses the
+engine-portable polynomial hash (functions/portable.py) so the DuckDB
+oracle verifies values exactly; swapping in Spark's native ``hash()``
+/ pyspark.ml MinHashLSH is a one-line change where oracle parity is
+not required.
+
+Scale notes per operator are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.operators.registry import query
+from sparksql_server_spark.functions.portable import (
+    MOD_P,
+    duck_char_hash,
+    duck_shingles,
+    duck_words,
+    spark_char_hash,
+    spark_shingles,
+    spark_words,
+)
+from sparksql_server_spark.functions.vector import duck_norm, duck_dot, spark_norm, spark_dot
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_DUCK = """
+SELECT md5(text) AS text_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY text
+ORDER BY keep_id
+"""
+
+_EXACT_SPARK = """
+SELECT md5(cast(text AS BINARY)) AS text_md5,
+       count(*) AS n_copies,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY text
+ORDER BY keep_id
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_DUCK)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text, keep min doc_id.
+
+    Scale: one shuffle keyed by text hash; with pre-hashing
+    (md5 before the shuffle) the shuffled key is 16 bytes, not the
+    document body. Spark's partial aggregation handles the group-by.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_EXACT_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_MH_K = 16  # signature length
+_MH_R = 4  # rows per band -> 4 bands
+# polynomial weights 31^(j % r) for the band signature combine
+_POW31 = "CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END"
+
+
+def _minhash_spark() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle
+       FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle),
+h AS (SELECT doc_id, {spark_char_hash('shingle')} AS h FROM sh),
+mh AS (SELECT doc_id, j,
+              min(((2 * j + 1) * h + (7 + 13 * j)) % {MOD_P}) AS mh
+       FROM h LATERAL VIEW explode(sequence(0, {_MH_K - 1})) s AS j
+       GROUP BY doc_id, j),
+bs AS (SELECT doc_id, j DIV {_MH_R} AS band,
+              sum(mh * ({_POW31})) % {MOD_P} AS band_sig
+       FROM mh GROUP BY doc_id, j DIV {_MH_R}),
+pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bs a JOIN bs b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id)
+SELECT d1, d2 FROM pairs ORDER BY d1, d2 LIMIT 1000
+"""
+
+
+def _minhash_duck() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle FROM
+         (SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)),
+h AS (SELECT doc_id, {duck_char_hash('shingle')} AS h FROM sh),
+mh AS (SELECT doc_id, j,
+              min(((2 * j + 1) * h + (7 + 13 * j)) % {MOD_P}) AS mh
+       FROM h CROSS JOIN (SELECT unnest(range(0, {_MH_K})) AS j)
+       GROUP BY doc_id, j),
+bs AS (SELECT doc_id, j // {_MH_R} AS band,
+              CAST(sum(mh * ({_POW31})) % {MOD_P} AS BIGINT) AS band_sig
+       FROM mh GROUP BY doc_id, j // {_MH_R}),
+pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bs a JOIN bs b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id)
+SELECT d1, d2 FROM pairs ORDER BY d1, d2 LIMIT 1000
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_duck())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → K=16 minhashes →
+    4-row bands → bucket-join on (band, band_sig).
+
+    Scale: no all-pairs work anywhere — the self-join is on band
+    signatures, so cost is Σ bucket², concentrated only on genuinely
+    similar docs. The K minhash permutations ride one explode (16×
+    row inflation of the doc-shingle table, map-side only).
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_minhash_spark())
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit portable variant)
+# ---------------------------------------------------------------------------
+
+_SH_BITS = 16
+
+
+def _simhash_spark() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
+tok AS (SELECT DISTINCT doc_id, tok FROM w LATERAL VIEW explode(w) t AS tok),
+th AS (SELECT doc_id, {spark_char_hash('tok')} AS h FROM tok),
+bits AS (SELECT doc_id, b,
+                sum(CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END) AS wgt
+         FROM th LATERAL VIEW explode(sequence(0, {_SH_BITS - 1})) s AS b
+         GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN wgt > 0 THEN shiftleft(1, b) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _simhash_duck() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
+tok AS (SELECT DISTINCT doc_id, tok FROM
+          (SELECT doc_id, unnest(w) AS tok FROM w)),
+th AS (SELECT doc_id, {duck_char_hash('tok')} AS h FROM tok),
+bits AS (SELECT doc_id, b,
+                sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS wgt
+         FROM th CROSS JOIN (SELECT unnest(range(0, {_SH_BITS})) AS b)
+         GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN wgt > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_duck())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature per document (16-bit portable variant; the
+    production path widens to 64-bit by swapping the hash — the plan
+    shape is identical).
+
+    Scale: token explode → two keyed aggregations; near-dup candidates
+    then group by simhash value (hamming-0) or by rotated prefixes for
+    hamming<=k — never all-pairs.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_simhash_spark())
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_spark() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle
+       FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING count(*) >= 2)
+SELECT d1, d2,
+       round(shared / (ca.n + cb.n - shared), 6) AS jaccard
+FROM inter
+JOIN counts ca ON d1 = ca.doc_id
+JOIN counts cb ON d2 = cb.doc_id
+ORDER BY jaccard DESC, d1, d2
+LIMIT 500
+"""
+
+
+def _jaccard_duck() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle FROM
+         (SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING count(*) >= 2)
+SELECT d1, d2,
+       round(shared / (ca.n + cb.n - shared), 6) AS jaccard
+FROM inter
+JOIN counts ca ON d1 = ca.doc_id
+JOIN counts cb ON d2 = cb.doc_id
+ORDER BY jaccard DESC, d1, d2
+LIMIT 500
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_jaccard_duck())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard over candidate pairs that
+    share ≥2 shingles — top pairs by similarity.
+
+    Scale: the shingle self-join is the hot spot (Σ per-shingle
+    bucket²); at 100 TB you cap bucket width by dropping ultra-common
+    shingles (document-frequency cutoff) before the join — the MinHash
+    variant above is the preferred scale path, this is the exact
+    verifier run on its candidates.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_jaccard_spark())
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _embdup_spark() -> str:
+    return f"""
+WITH n AS (SELECT vec_id, label, embedding, {spark_norm('embedding')} AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round({spark_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cos DESC, d1, d2
+LIMIT 500
+"""
+
+
+def _embdup_duck() -> str:
+    return f"""
+WITH n AS (SELECT vec_id, label, embedding, {duck_norm('embedding')} AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round({duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cos DESC, d1, d2
+LIMIT 500
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_embdup_duck())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: label-blocked pairwise cosine, top
+    pairs. Blocking key (label — in production: coarse cluster / LSH
+    bucket) turns all-pairs O(N²) into Σ block²; the pairwise work
+    shuffles once on the blocking key.
+    """
+    register_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(_embdup_spark())

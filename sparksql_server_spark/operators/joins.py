@@ -1,0 +1,212 @@
+"""Join operators — inner/left/right/full/semi/anti/theta equi-joins.
+
+The reference's own workloads contain no joins (SURVEY.md §2: clients
+could submit any Spark 1.3.1 job, so the surface is ambient); FIXTURES.md
+§2 declares the coverage. Spark-first notes:
+
+- Dimension tables (region, nation) are explicitly ``broadcast()``-hinted:
+  at 100 TB the fact side never shuffles for a dim join.
+- customer/orders joins shuffle on the key; AQE handles skew at scale.
+- Semi/anti joins are planned as LeftSemi/LeftAnti (no row duplication,
+  no payload columns shuffled from the right side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksql_server_spark.catalog import table
+from sparksql_server_spark.operators.registry import query
+
+
+@query(
+    "join_inner_4way",
+    oracle="""
+    SELECT r_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def join_inner_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region — revenue per region.
+
+    nation/region broadcast (tiny dims); orders⋈customer shuffles on the
+    customer key. At scale, AQE converts to broadcast when the post-filter
+    side fits under the threshold.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            # exact decimal sum -> double: engine round() on float sums
+            # can't hash-match (see functions/portable.dsum)
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with their order count, keeping zero-order customers."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE)
+             AS total_spend
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), F.lit(0))
+            .cast("double")
+            .alias("total_spend")
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(cn, sn) AS nationkey,
+           CAST(coalesce(nc, 0) AS BIGINT) AS n_customers,
+           CAST(coalesce(ns, 0) AS BIGINT) AS n_suppliers
+    FROM (SELECT c_nationkey AS cn, count(*) AS nc FROM customer GROUP BY c_nationkey) a
+    FULL JOIN (SELECT s_nationkey AS sn, count(*) AS ns FROM supplier GROUP BY s_nationkey) b
+      ON cn = sn
+    ORDER BY nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer vs supplier counts, keeping nations present on
+    only one side (full outer join of two pre-aggregations)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cn"))
+        .agg(F.count("*").alias("nc"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sn"))
+        .agg(F.count("*").alias("ns"))
+    )
+    return (
+        c.join(s, c.cn == s.sn, "full")
+        .select(
+            F.coalesce("cn", "sn").alias("nationkey"),
+            F.coalesce("nc", F.lit(0)).cast("long").alias("n_customers"),
+            F.coalesce("ns", F.lit(0)).cast("long").alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 100000)
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join: no duplication, right side reduced to keys."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + range theta predicate (ship > order date + 60 days).
+
+    The range predicate is applied post-join as a filter — Catalyst keeps
+    the equi-part as the join key so the plan stays a hash/sort-merge
+    join, not a cartesian.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_lines"))
+        .orderBy("o_orderpriority")
+    )

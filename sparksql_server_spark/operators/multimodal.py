@@ -1,0 +1,121 @@
+"""Multimodal columns — binary payloads with typed metadata (north-star).
+
+Images/audio/video are opaque ``BinaryType`` columns plus typed
+metadata. The container has no decode libraries (PIL/ffmpeg), so the
+decode step is a clearly-marked deterministic fake behind the REAL
+Spark plumbing: binary column construction, Arrow batch transfer,
+``mapInPandas`` signature, schema enforcement. Swapping the fake for a
+real decoder changes only the inside of ``_decode_batch``.
+
+Scale: mapInPandas streams Arrow batches partition-by-partition —
+no collect, no driver involvement; binary payloads never shuffle
+(map-only), and the output is narrow typed metadata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksql_server_spark.catalog import register_tables, table
+from sparksql_server_spark.operators.registry import query
+
+try:  # real decoders are not in this environment — gate behind import-try
+    import PIL.Image  # noqa: F401
+
+    HAVE_IMAGE_LIBS = True
+except ImportError:
+    HAVE_IMAGE_LIBS = False
+
+
+def decode_image(payload: bytes) -> "PIL.Image.Image":
+    """Real image decode — requires PIL, absent in this container."""
+    if not HAVE_IMAGE_LIBS:
+        raise NotImplementedError(
+            "image decode requires PIL; this environment ships none — "
+            "the pipeline uses the deterministic fake in _decode_batch"
+        )
+    import io
+
+    return PIL.Image.open(io.BytesIO(payload))
+
+
+_DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, n_frames int, checksum long"
+)
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """DETERMINISTIC FAKE decode: derives image-like metadata from the
+    payload bytes. Real decoders slot in here (see decode_image)."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n,
+                "width": (n % 640 + 16).astype("int32"),
+                "height": (n % 480 + 16).astype("int32"),
+                "n_frames": (n % 30 + 1).astype("int32"),
+                "checksum": (n * 31 + first).astype("int64"),
+            }
+        )
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text)                                  AS content_md5,
+           CAST(ascii(substr(text, 1, 1)) AS INT)     AS first_byte
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: utf-8 payload + typed metadata (byte
+    length, content hash, first byte) — all JVM-side."""
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CAST(length(cast(text AS BINARY)) AS BIGINT) AS n_bytes,
+               md5(cast(text AS BINARY))                    AS content_md5,
+               CAST(ascii(substring(text, 1, 1)) AS INT)    AS first_byte
+        FROM documents
+        ORDER BY doc_id
+        """
+    )
+
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT)           AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 16 AS INT)   AS width,
+           CAST(octet_length(encode(text)) % 480 + 16 AS INT)   AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INT)     AS n_frames,
+           CAST(octet_length(encode(text)) * 31
+                + ascii(substr(text, 1, 1)) AS BIGINT)          AS checksum
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode / feature-extract via mapInPandas (Arrow batches).
+
+    The Spark side runs the real multimodal plumbing — binary column →
+    Arrow batch → Pandas UDF → typed metadata; the oracle replicates
+    the deterministic fake arithmetic in SQL.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return d.mapInPandas(_decode_batch, schema=_DECODE_SCHEMA).orderBy("doc_id")

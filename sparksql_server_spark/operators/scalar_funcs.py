@@ -1,0 +1,146 @@
+"""Scalar-function families — string, date, math, array, JSON.
+
+All JVM-side built-ins (whole-stage codegen; no Python in the row path).
+DuckDB dialect mapping is per-query in the oracle strings:
+  substring/substr, datediff ↔ date_diff('day', …), size ↔ len,
+  element_at ↔ 1-based [] indexing, get_json_object ↔ json_extract_string,
+  floor → BIGINT (Spark) vs DOUBLE (DuckDB) → cast both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksql_server_spark.catalog import table
+from sparksql_server_spark.operators.registry import query
+
+
+@query(
+    "str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 8)                 AS name_prefix,
+           upper(p_brand)                       AS brand_upper,
+           trim(concat(p_brand, ' / ', p_type)) AS brand_type,
+           CAST(length(p_name) AS INT)          AS name_len
+    FROM part
+    WHERE p_type LIKE '%a%'
+    ORDER BY p_partkey
+    """,
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("%a%"))
+        .select(
+            "p_partkey",
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.trim(F.concat("p_brand", F.lit(" / "), "p_type")).alias("brand_type"),
+            F.length("p_name").cast("int").alias("name_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                    AS order_year,
+           CAST(month(o_orderdate) AS INT)                   AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE)    AS order_month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT)
+             AS days_to_1998
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_1998"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           abs(l_discount - l_tax)              AS disc_tax_gap,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kbucket
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw double arithmetic is bit-identical across engines; no round
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("disc_tax_gap"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_kbucket"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT)                          AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4)               AS first_val,
+           CAST(len(list_filter(embedding, x -> x > CAST(0.1 AS DOUBLE))) AS INT) AS n_big,
+           list_contains([0, 1, 2], label)                      AS low_label
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.size(F.filter("embedding", lambda x: x > 0.1)).cast("int").alias("n_big"),
+        F.array_contains(F.array(F.lit(0), F.lit(1), F.lit(2)), F.col("label")).alias(
+            "low_label"
+        ),
+    ).orderBy("vec_id")
+
+
+@query(
+    "json_funcs",
+    oracle="""
+    SELECT k_bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, value
+          FROM events)
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the events.props JSON column, bucketed."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators — language ID, quality scoring, token
+counting, document fingerprinting (north-star set).
+
+All map-only expressions over documents (no shuffle except the final
+presentation sort) — at 100 TB these run at scan speed, pipelined into
+whatever consumes them. Everything is JVM-side built-ins / higher-order
+functions; no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.operators.registry import query
+from sparksql_server_spark.functions.portable import (
+    duck_char_hash,
+    duck_words,
+    spark_char_hash,
+    spark_words,
+)
+
+# tiny stopword lexicons for the n-gram/stopword language heuristic
+_LEX = {
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "la", "de", "los", "que"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "fr": ("le", "les", "des", "et", "une"),
+}
+
+
+def _score(dialect: str, lang: str) -> str:
+    terms = ", ".join(f"'{t}'" for t in _LEX[lang])
+    if dialect == "spark":
+        return f"size(filter(w, t -> t IN ({terms})))"
+    return f"len(list_filter(w, t -> t IN ({terms})))"
+
+
+def _langid_sql(dialect: str, words_expr: str) -> str:
+    s = {lang: _score(dialect, lang) for lang in _LEX}
+    cast_int = "CAST({} AS INT)".format
+    return f"""
+WITH w AS (SELECT doc_id, {words_expr} AS w FROM documents),
+scores AS (SELECT doc_id,
+                  {cast_int(s['en'])} AS s_en,
+                  {cast_int(s['es'])} AS s_es,
+                  {cast_int(s['de'])} AS s_de,
+                  {cast_int(s['fr'])} AS s_fr
+           FROM w)
+SELECT doc_id,
+       CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+            WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'unk' END AS pred_lang,
+       s_en, s_es, s_de, s_fr
+FROM scores
+ORDER BY doc_id
+"""
+
+
+@query("text_langid", oracle=_langid_sql("duck", duck_words("text")))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit scoring with a fixed priority
+    tie-break (en > es > de > fr > unk). A real deployment swaps the
+    lexicons for char-n-gram profiles; the plan shape (map-only
+    scoring, no shuffle) is the same."""
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_langid_sql("spark", spark_words("text")))
+
+
+def _quality_sql(dialect: str) -> str:
+    if dialect == "spark":
+        words = spark_words("text")
+        sum_len = "aggregate(transform(w, t -> bigint(length(t))), 0L, (a, v) -> a + v)"
+        n_stop = _score("spark", "en")
+    else:
+        words = duck_words("text")
+        sum_len = (
+            "list_reduce(list_prepend(0::BIGINT, "
+            "list_transform(w, t -> length(t)::BIGINT)), (a, v) -> a + v)"
+        )
+        n_stop = _score("duck", "en")
+    size_w = "size(w)" if dialect == "spark" else "len(w)"
+    return f"""
+WITH w AS (SELECT doc_id, text, n_chars, {words} AS w FROM documents)
+SELECT doc_id,
+       CAST({size_w} AS BIGINT)                          AS n_words,
+       round({sum_len} / {size_w}, 4)                    AS avg_word_len,
+       round({n_stop} / {size_w}, 4)                     AS stopword_ratio,
+       CAST(length(text) AS BIGINT)                      AS n_chars_measured,
+       length(text) = n_chars                            AS n_chars_ok
+FROM w
+WHERE {size_w} > 0
+ORDER BY doc_id
+"""
+
+
+@query("text_quality", oracle=_quality_sql("duck"))
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: word count, mean word length, stopword ratio,
+    char-count consistency — the standard pre-training filter features."""
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_quality_sql("spark"))
+
+
+def _tokens_sql(dialect: str) -> str:
+    if dialect == "spark":
+        ws = f"size({spark_words('text')})"
+        bpe = "size(filter(split(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
+    else:
+        ws = f"len({duck_words('text')})"
+        bpe = "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
+    return f"""
+SELECT doc_id,
+       CAST({ws} AS BIGINT)  AS n_ws_tokens,
+       CAST({bpe} AS BIGINT) AS n_re_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("text_token_count", oracle=_tokens_sql("duck"))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish alnum-run
+    tokenizer (regex split) — the cheap token-budget estimator."""
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_tokens_sql("spark"))
+
+
+def _fingerprint_sql(dialect: str) -> str:
+    ch = spark_char_hash if dialect == "spark" else duck_char_hash
+    prefix = "substring(text, 1, 64)" if dialect == "spark" else "substr(text, 1, 64)"
+    return f"""
+SELECT doc_id,
+       {ch('text')} AS fingerprint,
+       {ch(prefix)} AS prefix_fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("text_fingerprint", oracle=_fingerprint_sql("duck"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: rolling polynomial hash of the full text
+    plus a 64-char-prefix fingerprint (cheap near-head dedup key)."""
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_fingerprint_sql("spark"))

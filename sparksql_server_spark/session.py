@@ -1,0 +1,66 @@
+"""SparkSession factory — the engine's single shared session.
+
+The reference boots one SparkContext + SQLContext and serves every
+client from it (``sparksql-server/src/main/scala/.../SparkSQLServer.scala:30-81``).
+We do the same with one SparkSession, configured for:
+
+- AQE on (runtime coalescing, skew-join handling, dynamic broadcast) —
+  the scale path for 100 TB inputs.
+- Shuffle partitions sized to local cores for tests; on a real cluster
+  AQE's coalescing makes the initial number a ceiling, not a target.
+- Arrow enabled so the Pandas-UDF operators (dedup, multimodal) get
+  vectorized batch transfer.
+- UTC session timezone so results hash-match the DuckDB oracle.
+- FAIR scheduling so the work-sharing scheduler can run a batch of
+  queries in parallel pools (reference: FIFOStrategy.scala:107-111
+  spawns raw threads; FAIR pools are the principled version).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_session(
+    app_name: str = "sparksql_server_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``local[cpus]`` in this environment; on a cluster the master URL
+    comes from spark-submit and everything else carries over.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # -- parallelism / shuffle sizing --------------------------------
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")  # 128 MiB
+        # -- adaptive execution: the 100 TB posture ----------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- python/arrow interop ----------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- determinism for the oracle ----------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- work-sharing scheduler: FAIR pools --------------------------
+        .config("spark.scheduler.mode", "FAIR")
+        # -- quiet local runs --------------------------------------------
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,36 @@
+"""The local correctness gate: every registered query vs its DuckDB
+oracle at sf0.001 (the driver repeats this at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparksql_server_spark.operators import ORACLES, QUERIES
+from tests.conftest import SF_DIR
+from tests.oracle_compare import compare
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    fn = QUERIES[name]
+    sdf = fn(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+    assert len(spark_rows) >= 0  # smoke: query executes
+
+    if name not in ORACLES:
+        pytest.skip(f"{name}: no oracle (rows-only check)")
+
+    rel = duck.sql(ORACLES[name])
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+
+    problems = compare(spark_cols, spark_rows, duck_cols, duck_rows)
+    assert not problems, f"{name}:\n" + "\n".join(problems)
+
+
+def test_all_queries_have_oracles():
+    """Every query should be oracle-checked unless explicitly exempt."""
+    exempt = set()  # add names here only with a documented reason
+    missing = set(QUERIES) - set(ORACLES) - exempt
+    assert not missing, f"queries without oracle: {sorted(missing)}"
