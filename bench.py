@@ -1,0 +1,99 @@
+"""Benchmark harness — runs the query corpus at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (computes every
+output column, no driver transfer). Also measures the work-sharing
+claim from BASELINE.md: N same-scan queries batched through the
+server (shared cache + concurrent FAIR pools) vs the same N run
+back-to-back independently — reported as shared_scan_separate /
+shared_scan_batched pseudo-queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparksql_server_spark import get_session
+from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.operators import QUERIES
+from sparksql_server_spark.server import BatchExecutor, CacheManager, QueryJob
+from sparksql_server_spark.server.server import source_view_map
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# the work-sharing workload: N filter-aggregate queries over one hot scan
+# (the modern WordCount×N of the reference's evaluation, report.pdf ch.5)
+SHARED_SCAN_QUERIES = [
+    "SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q"
+    " FROM lineitem GROUP BY l_returnflag",
+    "SELECT l_linestatus, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev"
+    " FROM lineitem GROUP BY l_linestatus",
+    "SELECT count(*) AS n FROM lineitem WHERE l_discount > 0.05",
+    "SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey ORDER BY n DESC LIMIT 10",
+    "SELECT max(l_shipdate) AS latest, min(l_shipdate) AS earliest FROM lineitem",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_session("bench", cpus=CPUS)
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen paths once so per-query times are steady-state
+    register_tables(spark, SF_DIR)
+    _force(spark.sql("SELECT count(*) AS n FROM region"))
+
+    for name in sorted(QUERIES):
+        t0 = time.monotonic()
+        _force(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # --- work-sharing: separate vs batched (BASELINE.md claim #1) -------
+    spark.catalog.clearCache()
+    t0 = time.monotonic()
+    for q in SHARED_SCAN_QUERIES:
+        _force(spark.sql(q))
+    timings["shared_scan_separate"] = round(time.monotonic() - t0, 3)
+
+    executor = BatchExecutor(
+        spark,
+        cache=CacheManager(spark, budget_bytes=8 << 30),
+        source_views=source_view_map(SF_DIR),
+    )
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(SHARED_SCAN_QUERIES)]
+    t0 = time.monotonic()
+    executor.run_batch(jobs)
+    timings["shared_scan_batched"] = round(time.monotonic() - t0, 3)
+    executor.cache.clear()
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

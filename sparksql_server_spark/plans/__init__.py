@@ -1,1 +1,3 @@
-"""(populated in later milestones this round)"""
+"""Plan introspection utilities."""
+
+from sparksql_server_spark.plans.analysis import scan_fingerprints  # noqa: F401

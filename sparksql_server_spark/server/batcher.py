@@ -1,0 +1,68 @@
+"""Query queue + window batcher.
+
+The honest rebuild of DAGQueue + the WorksharingExecutor poll loop:
+- FIFO queue of pending jobs (DAGQueue.scala:30-53);
+- drain a batch when ≥ window_size jobs are waiting (the reference's
+  trigger, ServerConstants.scala:31-33: window=2, poll=5 s), OR when
+  the oldest job has waited ≥ max_wait — the documented-but-
+  unimplemented elapsed-time trigger (PROJECT-INTERNALS.md:52-53),
+  closing the reference's known gap where a single query could wait
+  forever (SURVEY.md §7 hard-part #4).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+
+from sparksql_server_spark.server.model import QueryJob
+
+
+class WindowBatcher:
+    """Thread-safe FIFO queue with (size OR age) batch trigger."""
+
+    def __init__(
+        self,
+        window_size: int = 2,
+        max_wait: float = 5.0,
+        poll_interval: float = 0.05,
+    ) -> None:
+        self.window_size = window_size
+        self.max_wait = max_wait
+        self.poll_interval = poll_interval
+        self._queue: deque[QueryJob] = deque()
+        self._lock = threading.Lock()
+        self._wakeup = threading.Event()
+
+    def submit(self, job: QueryJob) -> None:
+        with self._lock:
+            self._queue.append(job)
+            if len(self._queue) >= self.window_size:
+                self._wakeup.set()
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._queue)
+
+    def next_batch(self, block: bool = True) -> list[QueryJob]:
+        """Return the next ready batch ([] when non-blocking and none).
+
+        FIFO fairness: the whole waiting queue drains as one batch (the
+        reference drains window-many; draining all preserves order and
+        lets the detector find larger sharing groups).
+        """
+        while True:
+            with self._lock:
+                ready = len(self._queue) >= self.window_size or (
+                    self._queue
+                    and time.monotonic() - self._queue[0].submitted_at >= self.max_wait
+                )
+                if ready:
+                    batch = list(self._queue)
+                    self._queue.clear()
+                    self._wakeup.clear()
+                    return batch
+            if not block:
+                return []
+            self._wakeup.wait(timeout=self.poll_interval)

@@ -1,0 +1,80 @@
+"""Core datatypes of the work-sharing server.
+
+Modern forms of the reference's containers:
+- ``QueryJob``   ≙ DAGContainer + DAGMetadata (SRV/container/DAGContainer.scala:28-65):
+  one client job = SQL text + properties (OUTPUT path etc.) + status.
+- ``SharingBag`` ≙ AnalysedBag/OptimizedBag (SRV/container/AnalysedBag.scala:28-41):
+  a group of jobs that share scanned sources, plus the chosen rewrite.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+
+class JobStatus(str, Enum):
+    QUEUED = "queued"
+    RUNNING = "running"
+    DONE = "done"
+    ERROR = "error"
+
+
+@dataclass
+class QueryJob:
+    """One queued query (the reference's DAGContainer equivalent)."""
+
+    job_id: int
+    sql: str
+    # piggybacked metadata, the DAGMetadata descriptor analogue:
+    # recognised keys: "output" (parquet sink path), "pool" (FAIR pool)
+    props: dict[str, Any] = field(default_factory=dict)
+    status: JobStatus = JobStatus.QUEUED
+    submitted_at: float = field(default_factory=time.monotonic)
+    # filled during execution
+    error: str | None = None
+    rows: list[tuple] | None = None
+    columns: list[str] | None = None
+    n_rows: int | None = None
+    elapsed: float | None = None
+    fingerprints: frozenset[str] = frozenset()
+    done_event: threading.Event = field(default_factory=threading.Event, repr=False)
+
+    def result(self) -> dict[str, Any]:
+        out: dict[str, Any] = {
+            "id": self.job_id,
+            "status": self.status.value,
+            "elapsed": self.elapsed,
+        }
+        if self.error is not None:
+            out["error"] = self.error
+        if self.columns is not None:
+            out["columns"] = self.columns
+        if self.n_rows is not None:
+            out["n_rows"] = self.n_rows
+        if self.rows is not None:
+            out["rows"] = self.rows
+        if "output" in self.props:
+            out["output"] = self.props["output"]
+        return out
+
+
+class RewriteKind(str, Enum):
+    """Rewrite decision per bag (reference: OptimizedBag label —
+    CACHING / MRSHARE / NOOP; MRSHARE intentionally not built, see
+    SURVEY.md §2 B8/B11)."""
+
+    CACHING = "caching"
+    NOOP = "noop"
+
+
+@dataclass
+class SharingBag:
+    """Jobs grouped by transitive scan overlap + the rewrite decision."""
+
+    jobs: list[QueryJob]
+    shared_sources: frozenset[str] = frozenset()
+    rewrite: RewriteKind = RewriteKind.NOOP

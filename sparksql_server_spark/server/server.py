@@ -1,0 +1,156 @@
+"""The SQL gateway — sockets in, JSON out.
+
+Modern form of the reference's two-socket intake (JarListener :9992 +
+DAGListener :9991, SRV/listener/*.scala): ONE line-delimited-JSON TCP
+endpoint accepting SQL text. Protocol (the modern
+``df__table__sql__input__output__metadata`` marker string,
+DAGListener.scala:104):
+
+    request : {"sql": "...", "output": "path"?, "props": {...}?,
+               "wait": true?}
+    response: {"id": N, "status": "queued"}            (wait=false)
+              {"id": N, "status": "done", "columns": [...],
+               "rows": [[...], ...], "n_rows": N, "elapsed": s}
+              {"id": N, "status": "error", "error": "..."}
+
+Security note (SURVEY.md §7): the reference accepted serialized JVM
+objects + jars over the wire and deserialized them with a custom
+classloader (ClassLoaderOIS — RCE by design). We accept only SQL
+text; no code crosses the boundary.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from sparksql_server_spark.catalog import TABLES, register_tables
+from sparksql_server_spark.server.batcher import WindowBatcher
+from sparksql_server_spark.server.cache import CacheManager
+from sparksql_server_spark.server.model import QueryJob
+from sparksql_server_spark.server.scheduler import BatchExecutor
+
+import os
+
+
+def source_view_map(sf_dir: str) -> dict[str, str]:
+    """fingerprint (table root path) -> view name, for the cache rewrite."""
+    return {os.path.join(sf_dir, f"{t}.parquet"): t for t in TABLES}
+
+
+class WorkSharingServer:
+    """One SparkSession + queue + batch loop + TCP front-end."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        window_size: int = 2,
+        max_wait: float = 1.0,
+        cache_budget_bytes: int = 4 << 30,
+    ) -> None:
+        self.spark = spark
+        register_tables(spark, sf_dir)
+        self.batcher = WindowBatcher(window_size=window_size, max_wait=max_wait)
+        self.executor = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=cache_budget_bytes),
+            source_views=source_view_map(sf_dir),
+        )
+        self._next_id = 0
+        self._id_lock = threading.Lock()
+        self._jobs: dict[int, QueryJob] = {}
+        self._stop = threading.Event()
+        self._loop_thread = threading.Thread(target=self._run_loop, daemon=True)
+
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                for line in self.rfile:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        reply = outer.handle_request(json.loads(line))
+                    except Exception as exc:
+                        reply = {"status": "error", "error": f"{type(exc).__name__}: {exc}"}
+                    self.wfile.write((json.dumps(reply, default=str) + "\n").encode())
+                    self.wfile.flush()
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._tcp = Server((host, port), Handler)
+        self.address = self._tcp.server_address
+        self._tcp_thread = threading.Thread(target=self._tcp.serve_forever, daemon=True)
+
+    # -- lifecycle --------------------------------------------------------
+
+    def start(self) -> "WorkSharingServer":
+        self._loop_thread.start()
+        self._tcp_thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._tcp.shutdown()
+        self._tcp.server_close()
+        self._loop_thread.join(timeout=30)
+
+    def _run_loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self.batcher.next_batch(block=False)
+            if not batch:
+                self._stop.wait(0.05)
+                continue
+            self.executor.run_batch(batch)
+
+    # -- request handling -------------------------------------------------
+
+    def submit(self, sql: str, props: dict[str, Any] | None = None) -> QueryJob:
+        with self._id_lock:
+            self._next_id += 1
+            job = QueryJob(job_id=self._next_id, sql=sql, props=props or {})
+        self._jobs[job.job_id] = job
+        self.batcher.submit(job)
+        return job
+
+    def handle_request(self, req: dict[str, Any]) -> dict[str, Any]:
+        if "status" in req:  # {"status": id} -> poll a submitted job
+            job = self._jobs.get(int(req["status"]))
+            if job is None:
+                return {"status": "error", "error": "unknown job id"}
+            return job.result()
+        sql = req.get("sql")
+        if not isinstance(sql, str) or not sql.strip():
+            return {"status": "error", "error": "missing 'sql'"}
+        props = dict(req.get("props") or {})
+        if "output" in req:
+            props["output"] = req["output"]
+        job = self.submit(sql, props)
+        if req.get("wait", True):
+            job.done_event.wait()
+            return job.result()
+        return {"id": job.job_id, "status": job.status.value}
+
+
+def client_request(address: tuple[str, int], req: dict[str, Any]) -> dict[str, Any]:
+    """Minimal client: one request, one JSON reply."""
+    with socket.create_connection(address, timeout=300) as sock:
+        sock.sendall((json.dumps(req) + "\n").encode())
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = sock.recv(1 << 20)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode())

@@ -1,0 +1,190 @@
+"""Work-sharing server tests: detection semantics, cache-equivalence
+(BASELINE.md claim: batched/cached results == independent results),
+window batching, and the TCP protocol."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from sparksql_server_spark.server import (
+    BatchExecutor,
+    CacheManager,
+    JobStatus,
+    QueryJob,
+    RewriteKind,
+    WindowBatcher,
+    WorkSharingServer,
+    client_request,
+    detect_sharing,
+)
+from sparksql_server_spark.server.server import source_view_map
+from sparksql_server_spark.catalog import register_tables
+from tests.conftest import SF_DIR
+
+
+def _job(i, sql, fps=()):
+    j = QueryJob(job_id=i, sql=sql)
+    j.fingerprints = frozenset(fps)
+    return j
+
+
+class TestDetector:
+    def test_groups_by_shared_source(self):
+        jobs = [
+            _job(1, "", {"A"}),
+            _job(2, "", {"A"}),
+            _job(3, "", {"B"}),
+        ]
+        bags = detect_sharing(jobs)
+        sizes = sorted(len(b.jobs) for b in bags)
+        assert sizes == [1, 2]
+
+    def test_transitive_bridging(self):
+        # the reference's fixpoint semantics (ScanSharing.scala:95-119):
+        # {A}, {A,B}, {B} all end up in ONE bag
+        jobs = [_job(1, "", {"A"}), _job(2, "", {"A", "B"}), _job(3, "", {"B"})]
+        bags = detect_sharing(jobs)
+        assert len(bags) == 1 and len(bags[0].jobs) == 3
+        assert bags[0].shared_sources == {"A", "B"}
+
+    def test_singletons_pass_through(self):
+        jobs = [_job(1, "", {"A"}), _job(2, "", {"B"})]
+        bags = detect_sharing(jobs)
+        assert all(len(b.jobs) == 1 and not b.shared_sources for b in bags)
+
+
+class TestBatcher:
+    def test_size_trigger(self):
+        b = WindowBatcher(window_size=2, max_wait=60)
+        b.submit(_job(1, "x"))
+        assert b.next_batch(block=False) == []
+        b.submit(_job(2, "y"))
+        assert [j.job_id for j in b.next_batch(block=False)] == [1, 2]
+
+    def test_timeout_trigger_single_query(self):
+        # the reference's documented gap: a lone query must still run
+        b = WindowBatcher(window_size=5, max_wait=0.1)
+        b.submit(_job(1, "x"))
+        time.sleep(0.15)
+        assert [j.job_id for j in b.next_batch(block=False)] == [1]
+
+
+QUERIES = [
+    "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "SELECT l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q"
+    " FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus",
+    "SELECT count(*) AS n FROM lineitem WHERE l_discount > 0.05",
+    "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY 1",
+]
+
+
+class TestBatchExecutor:
+    @pytest.fixture()
+    def executor(self, spark):
+        register_tables(spark, SF_DIR)
+        ex = BatchExecutor(
+            spark,
+            # min_bytes=0: sf0.001 tables are tiny; tests exercise the
+            # caching path that production admission reserves for big scans
+            cache=CacheManager(spark, budget_bytes=1 << 30, min_bytes=0),
+            source_views=source_view_map(SF_DIR),
+        )
+        yield ex
+        ex.cache.clear()
+
+    def test_shared_batch_matches_independent(self, spark, executor):
+        # independent runs (no server, no cache)
+        expected = [
+            [tuple(r) for r in spark.sql(q).collect()] for q in QUERIES
+        ]
+        jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(QUERIES)]
+        bags = executor.run_batch(jobs)
+        # lineitem is shared by 3 jobs -> its bag must take the caching path
+        caching_bags = [b for b in bags if b.rewrite is RewriteKind.CACHING]
+        assert len(caching_bags) == 1 and len(caching_bags[0].jobs) == 3
+        for job, exp in zip(jobs, expected):
+            assert job.status is JobStatus.DONE, job.error
+            assert job.rows == exp
+
+    def test_analysis_error_is_job_error(self, executor):
+        jobs = [QueryJob(job_id=1, sql="SELECT * FROM no_such_table")]
+        executor.run_batch(jobs)
+        assert jobs[0].status is JobStatus.ERROR
+        assert "no_such_table" in (jobs[0].error or "")
+
+    def test_small_scans_not_admitted(self, spark):
+        """Default admission refuses scans below min_bytes — caching a
+        10 MB table costs more than it saves (measured; the reference's
+        own MRShare rewrite regressed the same way)."""
+        register_tables(spark, SF_DIR)
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=1 << 30),  # default min_bytes
+            source_views=source_view_map(SF_DIR),
+        )
+        jobs = [QueryJob(job_id=i, sql=QUERIES[i]) for i in range(2)]
+        bags = ex.run_batch(jobs)
+        assert all(b.rewrite is RewriteKind.NOOP for b in bags)
+        assert all(j.status is JobStatus.DONE for j in jobs)
+        assert not ex.cache.cached_sources
+
+    def test_output_sink(self, tmp_path, spark, executor):
+        out = str(tmp_path / "out.parquet")
+        jobs = [
+            QueryJob(job_id=1, sql=QUERIES[0], props={"output": out}),
+            QueryJob(job_id=2, sql=QUERIES[1]),
+        ]
+        executor.run_batch(jobs)
+        assert jobs[0].status is JobStatus.DONE
+        assert [tuple(r) for r in spark.read.parquet(out).orderBy("l_returnflag").collect()] == [
+            tuple(r) for r in spark.sql(QUERIES[0]).collect()
+        ]
+
+
+class TestServerTCP:
+    @pytest.fixture()
+    def server(self, spark):
+        srv = WorkSharingServer(
+            spark, SF_DIR, window_size=2, max_wait=0.2
+        ).start()
+        yield srv
+        srv.shutdown()
+        srv.executor.cache.clear()
+
+    def test_round_trip(self, spark, server):
+        reply = client_request(
+            server.address,
+            {"sql": "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"},
+        )
+        assert reply["status"] == "done", reply
+        expected = [list(r) for r in spark.sql(
+            "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+        ).collect()]
+        assert reply["rows"] == expected
+        assert reply["columns"] == ["r_regionkey", "r_name"]
+
+    def test_error_reply(self, server):
+        reply = client_request(server.address, {"sql": "SELECT broken FROM nowhere"})
+        assert reply["status"] == "error" and "nowhere" in reply["error"]
+
+    def test_missing_sql(self, server):
+        reply = client_request(server.address, {"wat": 1})
+        assert reply["status"] == "error"
+
+    def test_async_submit_and_poll(self, server):
+        reply = client_request(
+            server.address,
+            {"sql": "SELECT count(*) AS n FROM nation", "wait": False},
+        )
+        assert reply["status"] in ("queued", "running", "done")
+        job_id = reply["id"]
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            poll = client_request(server.address, {"status": job_id})
+            if poll["status"] == "done":
+                assert poll["rows"] == [[25]] or poll["n_rows"] == 1
+                return
+            time.sleep(0.1)
+        raise AssertionError("job never finished")
