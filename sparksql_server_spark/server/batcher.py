@@ -50,7 +50,8 @@ class WindowBatcher:
 
         FIFO fairness: the whole waiting queue drains as one batch (the
         reference drains window-many; draining all preserves order and
-        lets the detector find larger sharing groups).
+        lets the detector find larger sharing groups). Before returning,
+        the batch passes through the pre-scheduler ordering.
         """
         while True:
             with self._lock:
@@ -62,7 +63,22 @@ class WindowBatcher:
                     batch = list(self._queue)
                     self._queue.clear()
                     self._wakeup.clear()
-                    return batch
+                    return preschedule(batch)
             if not block:
                 return []
             self._wakeup.wait(timeout=self.poll_interval)
+
+
+def preschedule(batch: list[QueryJob]) -> list[QueryJob]:
+    """Pre-scheduler (≙ SRV/scheduler/prescheduler/PreScheduler.scala:31-46).
+
+    The reference ships only the identity DummyStrategy with
+    user-constraint ordering envisioned (PROJECT-INTERNALS.md:55-56).
+    We implement the envisioned version: stable sort by descending
+    ``props["priority"]`` (default 0), FIFO within equal priority —
+    identical to DummyStrategy when no job sets a priority.
+    """
+    return sorted(
+        batch,
+        key=lambda j: (-float(j.props.get("priority", 0)), j.submitted_at, j.job_id),
+    )

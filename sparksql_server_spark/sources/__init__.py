@@ -1,1 +1,15 @@
-"""(populated in later milestones this round)"""
+"""Sources and sinks (reference surface: SURVEY.md §2 A1/A11/A12, §1.2)."""
+
+from sparksql_server_spark.sources.readers import (  # noqa: F401
+    read_any,
+    read_binary,
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text,
+)
+from sparksql_server_spark.sources.sinks import (  # noqa: F401
+    write_demux,
+    write_parquet,
+    write_text,
+)

@@ -1,0 +1,44 @@
+"""Sinks — the reference's output surface, Spark-first.
+
+- ``write_text``   ≙ A11 ``saveAsTextFile`` (FIFOStrategy.scala:70,92,102;
+  WordCount.scala:98,113): rows serialized to delimited lines.
+- ``write_demux``  ≙ A12 multi-output demultiplex sink
+  (WordCountInputTagging/.../WordCount.scala:45-95: a custom
+  MultipleTextOutputFormat routing records by tag to ``...-jobId``
+  files). Spark-native: ``partitionBy(tag)`` — one job, N output
+  directories, routing handled by the file committer, scaling to
+  arbitrary tag cardinality without a custom OutputFormat.
+- ``write_parquet``: the engine's default columnar sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_text(df: DataFrame, path: str, sep: str = "\t", mode: str = "overwrite") -> None:
+    """Serialize every row to one delimited line (A11).
+
+    Columns are cast to string and concat'd JVM-side; null becomes the
+    empty string (same as Hadoop TextOutputFormat's behavior for the
+    reference's (word, count) pairs).
+    """
+    line = F.concat_ws(sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns])
+    df.select(line.alias("value")).write.mode(mode).text(path)
+
+
+def write_demux(
+    df: DataFrame, path: str, tag_col: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """One job, N outputs routed by ``tag_col`` (A12).
+
+    Output layout: ``{path}/{tag_col}={value}/part-*`` — the modern
+    equivalent of the reference's ``output-jobId`` file naming.
+    """
+    writer = df.write.mode(mode).partitionBy(tag_col)
+    getattr(writer, fmt)(path)

@@ -1,0 +1,117 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY.md §1.3 — its only stream is the
+incoming-job queue), so this module is north-star surface, not parity:
+the same event-time analytics the batch operators compute
+(operators/events_windows.py), expressed as streams with watermarks,
+plus a custom stateful operator via applyInPandasWithState.
+
+Scale notes: file-source streams feed from a directory listing —
+at 100 TB that becomes a real bus (Kafka etc.) with identical query
+code; state is partitioned by the grouping key and checkpointed, so
+the stateful operator scales with the key cardinality, not the input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events.parquet carries TIMESTAMP(NANOS): read ts as long + convert
+# (same approach as catalog.table)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file-source; glob on the file)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-source stream wants a directory: feed it sf_dir with a
+    # glob so only the events file matches
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling event-time aggregation — the streaming twin
+    of operators/events_windows.events_tumbling_hour."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+# --- custom stateful operator: running per-user counters ----------------
+
+_STATE_SCHEMA = "n_events LONG, total_value DOUBLE"
+_OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def _track_user(
+    key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update fn: accumulate per-user totals
+    across micro-batches; emits the running value each batch."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (reference has none; SURVEY.md
+    §7 north star): exact running totals per user via
+    applyInPandasWithState, state checkpointed per key."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _track_user,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    spark: SparkSession, streaming_df: DataFrame, name: str, output_mode: str = "update"
+) -> DataFrame:
+    """Drive a streaming query over the available files to completion
+    (memory sink; test/dev harness)."""
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,89 @@
+"""Physical-plan quality gates — the 100 TB posture, made testable.
+
+Each assertion pins a plan property that matters at scale; a
+regression here means a query silently became cluster-hostile even
+though its results still match the oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparksql_server_spark.operators import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = plan_of(spark, "a2_filter_project")
+    assert "PushedFilters" in plan
+    assert "c_acctbal" in plan.split("PushedFilters")[1].splitlines()[0]
+    # projection pruning: the scan must not read all 5 customer columns
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "c_name" in read_schema and "c_mktsegment" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "join_inner_4way")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region never shuffle
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in plan_of(spark, "join_semi")
+    assert "LeftAnti" in plan_of(spark, "join_anti")
+
+
+def test_q1_two_phase_aggregation(spark):
+    plan = plan_of(spark, "agg_q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
+
+
+def test_global_topk_avoids_full_sort(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "topk_global")
+
+
+def test_per_group_topk_uses_group_limit(spark):
+    # Spark 3.5+/4 pushes rn<=k into the sort as WindowGroupLimit
+    assert "WindowGroupLimit" in plan_of(spark, "topk_per_group")
+
+
+def test_bruteforce_knn_broadcasts_query_side(spark):
+    # the 8-row probe set must broadcast; the corpus must not shuffle
+    assert "BroadcastNestedLoopJoin" in plan_of(spark, "sim_topk_bruteforce")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_product_anywhere(spark, name):
+    """No query in the corpus may fall back to CartesianProduct — at
+    100 TB that's a non-terminating plan. (Deliberate small cross joins
+    plan as BroadcastNestedLoopJoin.)"""
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "agg_q1_pricing_summary",
+        "join_inner_4way",
+        "a3_wordcount",
+        "dedup_minhash_lsh",
+        "text_fingerprint",
+    ],
+)
+def test_hot_paths_are_codegen(spark, name):
+    """The hot operators must run inside whole-stage codegen (no
+    row-at-a-time Python in the plan). AQE only reveals codegen stages
+    in the finalized plan, so execute first, then read the final plan's
+    ``*(n)`` codegen-stage markers."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # AQE hides codegen pre-run
+    try:
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "*(" in plan  # WholeStageCodegen stage markers
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs

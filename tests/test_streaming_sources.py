@@ -1,0 +1,122 @@
+"""Streaming, sources, sinks, and pre-scheduler tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparksql_server_spark.catalog import table
+from sparksql_server_spark.server.batcher import preschedule
+from sparksql_server_spark.server.model import QueryJob
+from sparksql_server_spark.sources import (
+    read_any,
+    read_binary,
+    read_csv,
+    read_json,
+    write_demux,
+    write_text,
+)
+from sparksql_server_spark.streaming import (
+    events_stream,
+    run_to_memory_sink,
+    tumbling_counts,
+    user_totals_stateful,
+)
+from tests.conftest import SF_DIR
+
+
+class TestStreaming:
+    def test_tumbling_counts_match_batch(self, spark):
+        """Stream over the same files == the batch aggregation."""
+        stream = tumbling_counts(events_stream(spark, SF_DIR), window="1 hour")
+        got = run_to_memory_sink(spark, stream, "t_tumbling", output_mode="complete")
+        batch = (
+            table(spark, SF_DIR, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        )
+        key = ["window_start", "event_type"]
+        assert sorted(map(tuple, got.select(*key, "n_events").collect())) == sorted(
+            map(tuple, batch.select(*key, "n_events").collect())
+        )
+
+    def test_stateful_user_totals(self, spark):
+        stream = user_totals_stateful(events_stream(spark, SF_DIR))
+        got = run_to_memory_sink(spark, stream, "t_state", output_mode="update")
+        batch = (
+            table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        got_counts = {r.user_id: r.n_events for r in got.collect()}
+        for r in batch.collect():
+            assert got_counts[r.user_id] == r.n_events
+
+
+class TestSources:
+    def test_csv_people(self, spark, tmp_path):
+        p = tmp_path / "people.txt"
+        p.write_text("Michael, 29\nAndy, 30\nJustin, 19\n")
+        df = read_csv(spark, str(p), schema="name string, age int")
+        assert sorted(map(tuple, df.collect())) == [
+            ("Andy", 30),
+            ("Justin", 19),
+            ("Michael", 29),
+        ]
+
+    def test_json_people(self, spark, tmp_path):
+        p = tmp_path / "people.json"
+        p.write_text('{"name":"Michael"}\n{"name":"Andy","age":30}\n')
+        df = read_json(spark, str(p), schema="name string, age bigint")
+        rows = {r.name: r.age for r in df.collect()}
+        assert rows == {"Michael": None, "Andy": 30}
+
+    def test_binary_reader(self, spark, tmp_path):
+        (tmp_path / "img1.bin").write_bytes(b"\x89fakepng")
+        df = read_binary(spark, str(tmp_path), glob="*.bin")
+        row = df.select("length", "content").collect()[0]
+        assert row.length == 8 and bytes(row.content) == b"\x89fakepng"
+
+    def test_read_any_dispatch_error(self, spark):
+        with pytest.raises(ValueError, match="unknown format"):
+            read_any(spark, "avro", "/nope")
+
+
+class TestSinks:
+    def test_write_text_roundtrip(self, spark, tmp_path):
+        out = str(tmp_path / "wc_out")
+        df = table(spark, SF_DIR, "region").select("r_regionkey", "r_name")
+        write_text(df, out)
+        lines = sorted(r.value for r in spark.read.text(out).collect())
+        assert lines[0].split("\t")[1] == "AFRICA"
+        assert len(lines) == 5
+
+    def test_write_demux(self, spark, tmp_path):
+        """A12: one job, N outputs routed by tag."""
+        out = str(tmp_path / "demux")
+        df = table(spark, SF_DIR, "documents").select("doc_id", "lang")
+        write_demux(df, out, tag_col="lang")
+        langs = {r.lang for r in df.select("lang").distinct().collect()}
+        import os
+
+        dirs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")}
+        assert dirs == langs
+        back = spark.read.parquet(out)
+        assert back.count() == df.count()
+
+
+class TestPreScheduler:
+    def test_priority_order_stable(self):
+        jobs = [
+            QueryJob(job_id=1, sql="a"),
+            QueryJob(job_id=2, sql="b", props={"priority": 5}),
+            QueryJob(job_id=3, sql="c"),
+            QueryJob(job_id=4, sql="d", props={"priority": 5}),
+        ]
+        assert [j.job_id for j in preschedule(jobs)] == [2, 4, 1, 3]
+
+    def test_identity_without_priorities(self):
+        jobs = [QueryJob(job_id=i, sql="x") for i in range(4)]
+        assert [j.job_id for j in preschedule(jobs)] == [0, 1, 2, 3]
