@@ -9,6 +9,7 @@ from sparksql_server_spark.operators.registry import QUERIES, ORACLES, query  # 
 # Import for side effects: each module registers its queries.
 from sparksql_server_spark.operators import (  # noqa: F401, E402
     relational,
+    relational_ext,
     joins,
     aggregates,
     windows,

@@ -1,0 +1,315 @@
+"""Extended relational coverage — pivot/unpivot, percentiles,
+subqueries, conditional logic, extra string/date families, union-by-
+name, and the point-in-time (as-of) window pattern.
+
+These widen the FIXTURES.md §2 "standard categories" beyond the
+first pass; everything stays JVM-side and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksql_server_spark.catalog import register_tables, table
+from sparksql_server_spark.functions.portable import dsum
+from sparksql_server_spark.operators.registry import query
+
+
+@query(
+    "pivot_status_by_flag",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot operator; the oracle is the equivalent conditional
+    aggregation (pivot compiles to exactly that)."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(qty)
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "unpivot_acctbal",
+    oracle="""
+    SELECT nationkey, kind, n FROM (
+      SELECT c_nationkey AS nationkey, 'customers' AS kind,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey
+      UNION ALL
+      SELECT s_nationkey, 'suppliers', CAST(count(*) AS BIGINT)
+      FROM supplier GROUP BY s_nationkey)
+    ORDER BY nationkey, kind
+    """,
+)
+def unpivot_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of a two-metric table (Spark's unpivot/melt);
+    oracle is the UNION ALL form it desugars to."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("suppliers"))
+    )
+    wide = c.join(s, "nationkey", "full").select(
+        "nationkey",
+        F.coalesce("customers", F.lit(0)).alias("customers"),
+        F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+    )
+    long = wide.unpivot("nationkey", ["customers", "suppliers"], "kind", "n")
+    # UNION-ALL oracle has no zero rows for absent sides; drop them here too
+    return long.filter(F.col("n") > 0).orderBy("nationkey", "kind")
+
+
+@query(
+    "percentiles_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_custkey, 0.25) AS p25,
+           quantile_cont(o_custkey, 0.50) AS p50,
+           quantile_cont(o_custkey, 0.75) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. Quartiles over integer keys keep
+    the interpolation arithmetic exact in binary (a + f·(b−a), f ∈
+    {.25,.5,.75}), so both engines produce identical doubles.
+    (approx_percentile / engine sketches can't cross-check; they're
+    exercised in tests instead.)"""
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile(o_custkey, 0.25) AS p25,
+               percentile(o_custkey, 0.50) AS p50,
+               percentile(o_custkey, 0.75) AS p75
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    ORDER BY o_orderkey
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "subquery_scalar_correlated",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey = c_custkey)
+             AS n_orders
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into a
+    left outer aggregate join (no per-row re-execution)."""
+    register_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey = c_custkey)
+                 AS n_orders
+        FROM customer
+        ORDER BY c_custkey
+        """
+    )
+
+
+_CASE_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 200000 THEN 'large'
+            WHEN o_totalprice >= 50000  THEN 'medium'
+            ELSE 'small' END                          AS size_bucket,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'open')   AS status_label,
+       (o_orderstatus = 'F') AND (o_totalprice > 100000) AS big_finished
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@query("case_null_logic", oracle=_CASE_SQL)
+def case_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / NULLIF / COALESCE / boolean algebra (dialect-portable SQL)."""
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_CASE_SQL)
+
+
+@query(
+    "string_funcs_ext",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1)        AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')  AS devoweled,
+           split_part(p_type, ' ', 1)                   AS type_head,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')        AS size_padded,
+           levenshtein(p_brand, 'Brand#00')             AS brand_dist
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def string_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp extract/replace, split_part, lpad, levenshtein — all
+    JVM built-ins (Spark's regexp_replace is global by default; DuckDB
+    needs the 'g' flag)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).alias("brand_dist"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "date_funcs_ext",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           last_day(CAST(o_orderdate AS DATE))                        AS month_end,
+           CAST(quarter(o_orderdate) AS INT)                          AS qtr,
+           CAST(dayofmonth(o_orderdate) AS INT)                       AS dom
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def date_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_months/last_day/quarter/day (both engines clamp month-end
+    identically: Jan 31 + 1 month = Feb 29)."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "conditional_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT)       AS n_discounted,
+           CAST(count_if(l_quantity >= 25) AS BIGINT)        AS n_bulk,
+           {dsum("CASE WHEN l_tax > 0.04 THEN l_extendedprice END")} AS taxed_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if + filtered sums (one scan, one aggregation)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+            F.sum(
+                F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("taxed_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT party, nationkey, acctbal FROM (
+      SELECT 'customer' AS party, c_nationkey AS nationkey, c_acctbal AS acctbal
+      FROM customer
+      UNION ALL BY NAME
+      SELECT s_acctbal AS acctbal, s_nationkey AS nationkey, 'supplier' AS party
+      FROM supplier)
+    ORDER BY party, nationkey, acctbal
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: positional-order-independent union."""
+    c = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("party"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("party"),
+    )
+    return c.unionByName(s).orderBy("party", "nationkey", "acctbal")
+
+
+_ASOF_SQL = """
+SELECT event_id, user_id,
+       CAST(date_trunc('second', last_err_ts) AS TIMESTAMP) AS last_error_at
+FROM (
+  SELECT event_id, user_id,
+         max(CASE WHEN event_type = 'error' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_err_ts
+  FROM events)
+ORDER BY event_id
+"""
+
+
+@query("asof_last_error", oracle=_ASOF_SQL)
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) association: for every event, the most
+    recent STRICTLY PRIOR error of the same user — the window form of
+    an as-of join (one shuffle on the key, no range join needed when
+    both sides share a table; for two-table as-of, union the sides
+    then apply this same window). Output second-truncated: the raw
+    column is nanosecond-precision parquet which engines surface at
+    different precisions."""
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_ASOF_SQL)
