@@ -10,6 +10,7 @@ from sparksql_server_spark.operators.registry import QUERIES, ORACLES, query  # 
 from sparksql_server_spark.operators import (  # noqa: F401, E402
     relational,
     relational_ext,
+    tpch,
     joins,
     aggregates,
     windows,
