@@ -11,6 +11,9 @@ from sparksql_server_spark.operators import (  # noqa: F401, E402
     relational,
     relational_ext,
     tpch,
+    windows_ext,
+    collections_hof,
+    sampling,
     joins,
     aggregates,
     windows,

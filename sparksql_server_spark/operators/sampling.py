@@ -1,0 +1,114 @@
+"""Deterministic sampling operators — hash-Bernoulli, stratified
+fixed-size, and a seeded sampled aggregate.
+
+Training-data pipelines sample constantly (eval splits, QA draws,
+curriculum mixes). Engine-native TABLESAMPLE is nondeterministic
+across engines/partitionings, so these operators sample by *key
+hash*: reproducible, re-runnable, cross-engine identical, and — the
+scale property — evaluated as a pushed-down filter on a map-only
+pass, never a shuffle or a driver RNG.
+
+Knuth multiplicative hashing: mix(k) = (k * 2654435761) % 2^31, then
+take a residue band. Max key (~6M at sf0.1) × 2654435761 ≈ 1.6e16 —
+far inside BIGINT on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparksql_server_spark.catalog import table
+from sparksql_server_spark.functions.portable import dsum
+from sparksql_server_spark.operators.registry import query
+
+_MIX = "((({k}) * 2654435761) % 2147483648)"
+
+
+def _mix_col(k: str) -> F.Column:
+    return (F.col(k) * F.lit(2654435761)) % F.lit(2147483648)
+
+
+@query(
+    "sample_bernoulli_hash",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE {_MIX.format(k='o_orderkey')} % 100 < 10
+    ORDER BY o_orderkey
+    """,
+)
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample of orders, keyed on o_orderkey. The
+    predicate is a deterministic row-local filter: map-only, safe to
+    re-run, and stable when the table is rewritten/repartitioned."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter(_mix_col("o_orderkey") % 100 < 10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "sample_stratified_fixed",
+    oracle=f"""
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                     ORDER BY {_MIX.format(k='c_custkey')}, c_custkey) AS rn
+          FROM customer)
+    WHERE rn <= 50
+    ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def sample_stratified_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50-per-segment stratified sample: rank rows inside each
+    stratum by key hash (a deterministic shuffle order) and keep the
+    first 50 — the reproducible analogue of reservoir sampling.
+
+    Scale: one shuffle on the stratum key; Spark plans the rn<=k
+    filter as WindowGroupLimit, so each partition keeps only 50 rows
+    before the window sort.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        _mix_col("c_custkey").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@query(
+    "sample_estimate_vs_exact",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT)  AS n_sampled,
+           {dsum('l_extendedprice')} AS sampled_revenue
+    FROM lineitem
+    WHERE {_MIX.format(k='l_orderkey * 8 + l_linenumber')} % 100 < 5
+    """,
+)
+def sample_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled aggregate over a ~5% line-level sample (composite key:
+    orderkey*8+linenumber so lines of one order draw independently).
+    The 20× extrapolation is the caller's: this pins the sample's
+    exact content."""
+    li = table(spark, sf_dir, "lineitem")
+    composite = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    return li.filter(
+        ((composite * F.lit(2654435761)) % F.lit(2147483648)) % 100 < 5
+    ).agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sampled_revenue"),
+    )

@@ -141,6 +141,61 @@ ORDER BY q_id, rank
 """
 
 
+_N_CELLS = 16  # IVF coarse centroids: vec_id ∈ [100, 116)
+_N_PROBE = 2  # cells searched per query
+
+
+def _ivf_sql(dot, norm) -> str:
+    """IVF-Flat shared across dialects: a coarse quantizer (16 fixed
+    centroid vectors), nearest-cell assignment for the corpus, and
+    nprobe=2 cell search for the queries."""
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {norm('embedding')} AS nrm FROM embeddings),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+      WHERE vec_id >= 100 AND vec_id < {100 + _N_CELLS}),
+assign AS (
+  SELECT vec_id, embedding, nrm, c_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+  FROM (SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+               round({dot('n.embedding', 'c_emb')} / (n.nrm * c_nrm), 6) AS cos
+        FROM n CROSS JOIN c)),
+cell AS (SELECT vec_id, embedding, nrm, c_id FROM assign WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, c_id
+  FROM assign WHERE vec_id < {_N_QUERIES} AND rn <= {_N_PROBE}),
+scored AS (
+  SELECT q_id, cell.vec_id AS neighbor_id,
+         round({dot('q_emb', 'cell.embedding')} / (q_nrm * cell.nrm), 6) AS cos
+  FROM qprobe JOIN cell ON qprobe.c_id = cell.c_id AND q_id <> cell.vec_id),
+ranked AS (
+  SELECT q_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT q_id, neighbor_id, cos, rank FROM ranked
+WHERE rank <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+@query("sim_topk_ivf", oracle=_ivf_sql(duck_dot, duck_norm))
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF-Flat: 16 coarse centroid vectors
+    partition the corpus into cells (nearest-centroid assignment);
+    each query searches only its nprobe=2 nearest cells.
+
+    Scale: centroids broadcast (map-only assignment over the corpus —
+    at 100 TB the assignment is written once as a partition column and
+    reused); the probe is an equi-join on cell id, so pairwise work is
+    |Q| × (corpus / cells) × nprobe instead of |Q| × corpus. Recall
+    trades via nprobe with no plan-shape change. Centroids here are
+    fixed corpus vectors so the oracle reproduces them; a real build
+    would k-means them offline and broadcast the table.
+    """
+    register_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(_ivf_sql(spark_dot, spark_norm))
+
+
 @query("sim_topk_lsh", oracle=_lsh_duck())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH (8 planes → 256 buckets),
