@@ -56,6 +56,45 @@ def test_bruteforce_knn_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" in plan_of(spark, "sim_topk_bruteforce")
 
 
+def test_q6_all_predicates_pushed(spark):
+    """TPC-H Q6: every predicate (dates, discount band, quantity) must
+    reach the parquet reader — the query is a pure scan+reduce."""
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q3_filters_above_no_scan_of_extra_columns(spark):
+    """TPC-H Q3: the segment filter pushes into the customer scan, and
+    the customer scan reads only the join key + filter column."""
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "c_mktsegment" in plan.split("PushedFilters")[1].splitlines()[0]
+    assert "TakeOrderedAndProject" in plan  # top-10, not a full sort
+
+
+def test_q14_q19_part_side_broadcasts(spark):
+    """lineitem⋈part joins must broadcast the part side — the fact
+    table never shuffles for these."""
+    for name in ("tpch_q14_promo_effect", "tpch_q19_discounted_revenue"):
+        assert "BroadcastHashJoin" in plan_of(spark, name), name
+
+
+def test_bernoulli_sample_is_scan_local(spark):
+    """Hash-Bernoulli sampling must stay a map-side filter: no shuffle
+    (Exchange) before the filter, i.e. the plan's only exchange is the
+    final order/collect."""
+    plan = plan_of(spark, "sample_bernoulli_hash")
+    # Scan -> Filter -> Project; sorting for output is the only exchange
+    assert plan.count("Exchange") <= 2  # range-partition for orderBy only
+
+
+def test_stratified_sample_uses_group_limit(spark):
+    """rn <= 50 must push into the window sort as WindowGroupLimit so
+    partitions retain 50 rows per stratum, not the whole stratum."""
+    assert "WindowGroupLimit" in plan_of(spark, "sample_stratified_fixed")
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_cartesian_product_anywhere(spark, name):
     """No query in the corpus may fall back to CartesianProduct — at
