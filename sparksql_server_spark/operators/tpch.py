@@ -145,7 +145,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(
-            s2,
+            F.broadcast(s2),
             (li.l_suppkey == s2.s_suppkey) & (c.c_nationkey == s2.s_nationkey),
         )
         .groupBy("n_name")

@@ -1,0 +1,67 @@
+"""Scale-strategy tests: bucketed joins eliminate the shuffle,
+salted joins preserve results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparksql_server_spark.catalog import table
+from sparksql_server_spark.plans.scale import bucketed_join, salted_join, write_bucketed
+from tests.conftest import SF_DIR
+
+
+def _final_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed on the join key -> sort-merge join with zero
+    Exchange: the write-time shuffle is reused."""
+    o = table(spark, SF_DIR, "orders")
+    c = table(spark, SF_DIR, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    write_bucketed(o, "orders_b", ["o_custkey"], n_buckets=8)
+    write_bucketed(c, "customer_b", ["o_custkey"], n_buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bucketed_join(spark, "orders_b", "customer_b", on=["o_custkey"])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and the result matches the plain (shuffling) join
+        plain = o.join(c, "o_custkey")
+        assert df.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting + replication is result-transparent: same multiset of
+    rows as the straight inner join."""
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    salted = salted_join(o, c, key="o_custkey", n_salts=8)
+    plain = o.join(c, "o_custkey")
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A fully-skewed left side (every row the same key) must spread
+    across multiple salt shards."""
+    left = (
+        table(spark, SF_DIR, "orders")
+        .select("o_orderkey")
+        .withColumn("k", F.lit(1))
+    )
+    right = spark.range(1, 2).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    l_salted = left.withColumn("__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)))
+    n_shards = l_salted.select("__salt").distinct().count()
+    assert n_shards == 8
+    joined = salted_join(left, right, key="k", n_salts=8)
+    assert joined.count() == left.count()
