@@ -14,6 +14,7 @@ from sparksql_server_spark.operators import (  # noqa: F401, E402
     windows_ext,
     collections_hof,
     sampling,
+    stats,
     joins,
     aggregates,
     windows,

@@ -1,0 +1,145 @@
+"""Statistical aggregates — variance/stddev, correlation/covariance,
+fixed-bin histograms, and ordered string aggregation.
+
+Float accumulation order makes engine-native ``stddev``/``corr``
+non-reproducible across engines, so these compute the classical
+moment sums exactly in DECIMAL (input columns carry ≤2 decimals →
+products carry ≤4 — exact), then derive the statistics with
+IEEE-deterministic double arithmetic from the exact moments. The same
+SQL text runs on both engines. Spark's native stddev/corr agree with
+these to float tolerance (pinned by a unit test, tests/test_oracle.py
+family); the moment form is what lets t2 hash-match.
+
+Scale: each query is one scan + one partial/final aggregation —
+moments are algebraic, so map-side combine applies (same property
+Spark's own ImperativeAggregates exploit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksql_server_spark.catalog import register_tables, table
+from sparksql_server_spark.operators.registry import query
+
+
+def _m(x: str, scale: int = 6) -> str:
+    """Exact decimal sum of a ≤4-decimal product term, as double."""
+    return f"CAST(sum(CAST({x} AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+_MOMENTS_SQL = f"""
+SELECT c_mktsegment,
+       CAST(n AS BIGINT)                                   AS n,
+       sx / n                                              AS mean_bal,
+       (sxx - sx * sx / n) / (n - 1)                       AS var_bal,
+       sqrt((sxx - sx * sx / n) / (n - 1))                 AS stddev_bal
+FROM (
+  SELECT c_mktsegment, count(*) AS n,
+         {_m('c_acctbal')}                AS sx,
+         {_m('c_acctbal * c_acctbal', 4)} AS sxx
+  FROM customer GROUP BY c_mktsegment)
+ORDER BY c_mktsegment
+"""
+
+
+@query("stats_var_stddev", oracle=_MOMENTS_SQL)
+def stats_var_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev of account balance per segment via exact
+    decimal moments (x carries 2 decimals, x² exactly 4)."""
+    register_tables(spark, sf_dir, ("customer",))
+    return spark.sql(_MOMENTS_SQL)
+
+
+_CORR_SQL = f"""
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       (sxy - sx * sy / n)
+         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price,
+       (sxy - sx * sy / n) / (n - 1)                           AS covar_qty_price
+FROM (
+  SELECT l_returnflag, count(*) AS n,
+         {_m('l_quantity')}                          AS sx,
+         {_m('l_extendedprice')}                     AS sy,
+         {_m('l_quantity * l_extendedprice', 4)}     AS sxy,
+         {_m('l_quantity * l_quantity', 4)}          AS sxx,
+         {_m('l_extendedprice * l_extendedprice', 4)} AS syy
+  FROM lineitem GROUP BY l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
+@query("stats_corr_covar", oracle=_CORR_SQL)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of quantity vs extended
+    price per return flag, from the five exact moment sums — one scan,
+    one aggregation, all map-side combinable."""
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_CORR_SQL)
+
+
+@query(
+    "stats_histogram",
+    oracle="""
+    SELECT CAST(least(greatest(floor((c_acctbal + 1000.0) / 1100.0), 0), 9) AS INT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(c_acctbal) AS DOUBLE) AS lo,
+           CAST(max(c_acctbal) AS DOUBLE) AS hi
+    FROM customer
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of account balance (10 bins over
+    [-1000, 10000), clamped): the distributed histogram primitive —
+    bucket arithmetic is a deterministic row-local expression, so the
+    whole thing is one hash aggregation."""
+    c = table(spark, sf_dir, "customer")
+    bucket = F.least(
+        F.greatest(F.floor((F.col("c_acctbal") + 1000.0) / 1100.0), F.lit(0)),
+        F.lit(9),
+    ).cast("int")
+    return (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "stats_string_agg",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS segments,
+           CAST(count(DISTINCT c_mktsegment) AS INT) AS n_segments
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    ORDER BY n_nationkey
+    """,
+)
+def stats_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): distinct market segments
+    per nation as a sorted CSV. Spark side builds it as
+    array_join(array_sort(collect_set(...))) — same value, and the
+    sort makes the result deterministic on both engines."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
+        )
+        .orderBy("n_nationkey")
+    )
