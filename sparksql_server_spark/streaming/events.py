@@ -63,6 +63,52 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window counts: each event lands in
+    window/slide overlapping windows. State size scales with
+    (keys × windows-in-watermark), independent of input volume."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-based, per user): the streaming twin of the
+    batch sessionization operator (operators/events_windows.
+    events_sessionize). Sessions close when the watermark passes the
+    gap, so state is bounded by active sessions only."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event stream from an at-least-once source:
+    watermarked drop-duplicates on the event id. State holds only ids
+    within the watermark horizon — the streaming form of the exact
+    dedup operator (operators/dedup.dedup_exact)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
 # --- custom stateful operator: running per-user counters ----------------
 
 _STATE_SCHEMA = "n_events LONG, total_value DOUBLE"

@@ -23,6 +23,11 @@ from sparksql_server_spark.streaming import (
     tumbling_counts,
     user_totals_stateful,
 )
+from sparksql_server_spark.streaming.events import (
+    dedup_stream,
+    session_counts,
+    sliding_counts,
+)
 from tests.conftest import SF_DIR
 
 
@@ -41,6 +46,44 @@ class TestStreaming:
         assert sorted(map(tuple, got.select(*key, "n_events").collect())) == sorted(
             map(tuple, batch.select(*key, "n_events").collect())
         )
+
+    def test_sliding_counts_match_batch(self, spark):
+        """Sliding stream windows == the identical batch window spec."""
+        stream = sliding_counts(events_stream(spark, SF_DIR))
+        got = run_to_memory_sink(spark, stream, "t_sliding", output_mode="complete")
+        batch = (
+            table(spark, SF_DIR, "events")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    def test_session_counts_match_batch(self, spark):
+        """Gap-based session windows: stream == batch session_window."""
+        stream = session_counts(events_stream(spark, SF_DIR), gap="30 minutes")
+        got = run_to_memory_sink(spark, stream, "t_sessions", output_mode="complete")
+        batch = (
+            table(spark, SF_DIR, "events")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        key = lambda r: (r.session_start, r.user_id)  # noqa: E731
+        got_rows = sorted((r.session_start, r.user_id, r.n_events) for r in got.collect())
+        batch_rows = sorted(
+            (r.w.start, r.user_id, r.n_events) for r in batch.collect()
+        )
+        assert got_rows == batch_rows
+
+    def test_dedup_stream_removes_duplicates(self, spark):
+        """Union of the stream with itself -> watermarked dropDuplicates
+        restores exactly the distinct event set."""
+        doubled = events_stream(spark, SF_DIR).union(events_stream(spark, SF_DIR))
+        got = run_to_memory_sink(
+            spark, dedup_stream(doubled), "t_dedup", output_mode="append"
+        )
+        n_distinct = table(spark, SF_DIR, "events").count()
+        assert got.count() == n_distinct
 
     def test_stateful_user_totals(self, spark):
         stream = user_totals_stateful(events_stream(spark, SF_DIR))
