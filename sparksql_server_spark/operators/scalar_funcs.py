@@ -144,3 +144,31 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+@query(
+    "json_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT)          AS k,
+           CAST(json_extract(props, '$.k') AS INT) % 7 = 0  AS k_div7,
+           json_valid(props)                                AS is_valid
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing: from_json into a typed struct (vs
+    json_funcs' path extraction), plus validity probing. At scale the
+    struct parse is one pass per row and prunes to the referenced
+    fields."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k INT").alias("p"), "props"
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 7 == 0).alias("k_div7"),
+        (F.from_json("props", "k INT").isNotNull()).alias("is_valid"),
+    ).orderBy("event_id")

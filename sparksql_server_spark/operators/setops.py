@@ -97,3 +97,42 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .subtract(_supp_nations(spark, sf_dir))
         .orderBy("nationkey")
     )
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier)
+    ORDER BY nationkey
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: keeps surplus duplicates (a nation with 40
+    customers and 3 suppliers survives 37 times)."""
+    return (
+        _cust_nations(spark, sf_dir)
+        .exceptAll(_supp_nations(spark, sf_dir))
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier)
+    ORDER BY nationkey
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection: min(multiplicity) per value."""
+    return (
+        _cust_nations(spark, sf_dir)
+        .intersectAll(_supp_nations(spark, sf_dir))
+        .orderBy("nationkey")
+    )
