@@ -65,3 +65,20 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_shards == 8
     joined = salted_join(left, right, key="k", n_salts=8)
     assert joined.count() == left.count()
+
+
+def test_partitioned_write_prunes_at_read(spark, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must prune directories (PartitionFilters), reading only matching
+    files — the other half of pushdown (which handles row groups)."""
+    out = str(tmp_path / "events_by_type")
+    ev = table(spark, SF_DIR, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    part = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "event_type" in part
+    # pruning is semantic too: counts match the unpartitioned filter
+    assert df.count() == ev.filter(F.col("event_type") == "click").count()
