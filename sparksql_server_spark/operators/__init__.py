@@ -15,6 +15,7 @@ from sparksql_server_spark.operators import (  # noqa: F401, E402
     collections_hof,
     sampling,
     stats,
+    grouped_pandas,
     joins,
     aggregates,
     windows,
