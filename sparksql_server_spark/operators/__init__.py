@@ -16,6 +16,7 @@ from sparksql_server_spark.operators import (  # noqa: F401, E402
     sampling,
     stats,
     grouped_pandas,
+    asof_band,
     joins,
     aggregates,
     windows,
