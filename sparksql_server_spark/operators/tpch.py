@@ -334,6 +334,146 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         {_REV} AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7_volume_shipping", oracle=_Q7_SQL)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: bilateral trade volume by year between two nations
+    (canonical FRANCE/GERMANY mapped to this data's NATION_1/2). The two
+    nation legs broadcast; the nation-pair disjunction prunes after
+    the dim joins, and Catalyst pushes the date band to the scan."""
+    register_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    return spark.sql(_Q7_SQL)
+
+
+_Q8_SQL = f"""
+SELECT o_year,
+       CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume END)
+            AS DOUBLE) / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         {_REV} AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("tpch_q8_market_share", oracle=_Q8_SQL)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's share of regional market volume per year — the
+    8-way join (canonical p_type 'ECONOMY ANODIZED STEEL' re-expressed
+    on this schema's single-word types). Every dimension side is
+    broadcast-sized; only lineitem⋈orders shuffles at scale.
+    Conditional-over-total shares divide two exactly-summed doubles."""
+    register_tables(
+        spark, sf_dir,
+        ("part", "lineitem", "orders", "customer", "nation", "region", "supplier"),
+    )
+    return spark.sql(_Q8_SQL)
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("tpch_q13_customer_distribution", oracle=_Q13_SQL)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of per-customer order counts (canonical
+    comment-pattern exclusion re-expressed as a priority exclusion
+    inside the join condition — the LEFT JOIN must keep zero-order
+    customers, so the filter cannot move to WHERE). Two aggregations,
+    both map-side combinable."""
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q13_SQL)
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(sum({_REV}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("tpch_q15_top_supplier", oracle=_Q15_SQL)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with the quarter's max revenue — CTE reused
+    twice (Spark plans it once under CTE dedup when beneficial); the
+    max is a one-row broadcast back against the same aggregate."""
+    register_tables(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_Q15_SQL)
+
+
+_Q17_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#11'
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(l_quantity))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("tpch_q17_small_quantity", oracle=_Q17_SQL)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue lost to small-quantity orders of one brand
+    (canonical container predicate dropped — no p_container column).
+    The correlated per-part average decorrelates into an aggregate
+    join on l_partkey; the brand filter prunes part before the join.
+    The average uses the exact-decimal mean so both engines compare
+    l_quantity against the identical double threshold."""
+    register_tables(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q17_SQL)
+
+
 _Q22_SQL = f"""
 SELECT c_nationkey,
        CAST(count(*) AS BIGINT) AS numcust,
