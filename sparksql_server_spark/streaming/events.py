@@ -109,6 +109,45 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def purchase_click_stream_join(
+    events: DataFrame, max_gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to clicks of the
+    same user within a bounded look-back window.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time gap, so each side's state store holds only rows inside
+    the watermark+gap horizon — the requirement for unbounded
+    stream-stream joins to run with finite state.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user = c_user
+            AND click_ts <= purchase_ts
+            AND click_ts >= purchase_ts - INTERVAL {max_gap}"""
+        ),
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts")
+
+
 # --- custom stateful operator: running per-user counters ----------------
 
 _STATE_SCHEMA = "n_events LONG, total_value DOUBLE"

@@ -25,6 +25,7 @@ from sparksql_server_spark.streaming import (
 )
 from sparksql_server_spark.streaming.events import (
     dedup_stream,
+    purchase_click_stream_join,
     session_counts,
     sliding_counts,
 )
@@ -74,6 +75,37 @@ class TestStreaming:
             (r.w.start, r.user_id, r.n_events) for r in batch.collect()
         )
         assert got_rows == batch_rows
+
+    def test_stream_stream_join_matches_batch(self, spark):
+        """Watermarked stream-stream interval join == the same join in
+        batch over the same files."""
+        got = run_to_memory_sink(
+            spark,
+            purchase_click_stream_join(events_stream(spark, SF_DIR)),
+            "t_ssjoin",
+            output_mode="append",
+        )
+        ev = table(spark, SF_DIR, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        batch = purchases.join(
+            clicks,
+            F.expr(
+                """p_user = c_user AND click_ts <= purchase_ts
+                AND click_ts >= purchase_ts - INTERVAL 30 minutes"""
+            ),
+        ).select("purchase_id", "click_id")
+        assert sorted(map(tuple, got.select("purchase_id", "click_id").collect())) == sorted(
+            map(tuple, batch.collect())
+        )
 
     def test_dedup_stream_removes_duplicates(self, spark):
         """Union of the stream with itself -> watermarked dropDuplicates
