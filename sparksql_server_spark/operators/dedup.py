@@ -282,3 +282,93 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("embeddings",))
     return spark.sql(_embdup_spark())
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: connected components over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_CC_EDGE_SPARK = f"""
+WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle
+       FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle),
+h AS (SELECT doc_id, {spark_char_hash('shingle')} AS h FROM sh),
+mh AS (SELECT doc_id, j,
+              min(((2 * j + 1) * h + (7 + 13 * j)) % {MOD_P}) AS mh
+       FROM h LATERAL VIEW explode(sequence(0, {_MH_K - 1})) s AS j
+       GROUP BY doc_id, j),
+bs AS (SELECT doc_id, j DIV {_MH_R} AS band,
+              sum(mh * ({_POW31})) % {MOD_P} AS band_sig
+       FROM mh GROUP BY doc_id, j DIV {_MH_R})
+SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+FROM bs a JOIN bs b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id <> b.doc_id
+"""
+
+_CC_DUCK = f"""
+WITH RECURSIVE
+w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle FROM
+         (SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)),
+h AS (SELECT doc_id, {duck_char_hash('shingle')} AS h FROM sh),
+mh AS (SELECT doc_id, j,
+              min(((2 * j + 1) * h + (7 + 13 * j)) % {MOD_P}) AS mh
+       FROM h CROSS JOIN (SELECT unnest(range(0, {_MH_K})) AS j)
+       GROUP BY doc_id, j),
+bs AS (SELECT doc_id, j // {_MH_R} AS band,
+              CAST(sum(mh * ({_POW31})) % {MOD_P} AS BIGINT) AS band_sig
+       FROM mh GROUP BY doc_id, j // {_MH_R}),
+edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM bs a JOIN bs b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id <> b.doc_id),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
+SELECT node AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+@query("dedup_clusters", oracle=_CC_DUCK)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    MinHash-band near-dup graph, labeling every document with the min
+    doc_id of its component (the canonical copy a training pipeline
+    keeps).
+
+    Pair queries (above) only emit *edges*; real dedup needs the
+    transitive closure — A~B and B~C must collapse A,B,C together
+    even when A,C never share a bucket. Spark side: iterative min-
+    label propagation (the dataframe form of large-star/small-star),
+    one shuffle per round, lineage cut with localCheckpoint each
+    round, terminating when a round changes nothing — rounds taken =
+    graph diameter, not size. Oracle: recursive-CTE transitive
+    closure computing the same min-reachable label.
+    """
+    from pyspark.sql import functions as F
+
+    register_tables(spark, sf_dir, ("documents",))
+    edges = spark.sql(_CC_EDGE_SPARK)  # symmetric: both directions present
+    labels = spark.sql("SELECT doc_id, doc_id AS cluster_id FROM documents")
+    for _ in range(20):  # cap >> any real duplicate-graph diameter
+        msgs = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .select(F.col("src").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)  # cut lineage between rounds
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
