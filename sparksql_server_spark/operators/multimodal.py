@@ -119,3 +119,60 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return d.mapInPandas(_decode_batch, schema=_DECODE_SCHEMA).orderBy("doc_id")
+
+
+_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame_px int"
+_FRAME_STRIDE = 10  # sample every 10th frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """DETERMINISTIC FAKE frame sampler: emits one row per sampled
+    frame (indices 0, 10, 20, … below the fake frame count), with a
+    byte offset and a fake per-frame pixel stat derived from the
+    payload — the 1→N row shape of real video frame extraction.
+    A real decoder (ffmpeg) slots in here unchanged."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_px": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_frames = n % 30 + 1
+            for idx in range(0, n_frames, _FRAME_STRIDE):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_off"].append(idx * n // max(n_frames, 1))
+                out["frame_px"].append(payload[idx % n] if n else 0)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((i - 1) * {_FRAME_STRIDE} AS INT)                     AS frame_idx,
+           CAST(((i - 1) * {_FRAME_STRIDE} * n) // n_frames AS BIGINT) AS frame_off,
+           CAST(ascii(substr(text, ((i - 1) * {_FRAME_STRIDE}) % n + 1, 1)) AS INT)
+             AS frame_px
+    FROM (SELECT doc_id, text, octet_length(encode(text)) AS n,
+                 octet_length(encode(text)) % 30 + 1 AS n_frames
+          FROM documents),
+         range(1, 4) t(i)
+    WHERE (i - 1) * {_FRAME_STRIDE} < n_frames
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 10th frame of each video-like payload,
+    one output row per sampled frame — the 1→N mapInPandas shape
+    (decode → sample → per-frame features). The oracle unrolls the
+    same arithmetic with an index join (documents are ASCII, so byte
+    offsets == char offsets; fake frame count ≤ 30 ⇒ ≤ 3 samples).
+
+    Scale: map-only over the payload partition — frames never pass
+    through the driver, and the output is narrow typed rows.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return d.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )

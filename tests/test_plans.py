@@ -95,6 +95,25 @@ def test_stratified_sample_uses_group_limit(spark):
     assert "WindowGroupLimit" in plan_of(spark, "sample_stratified_fixed")
 
 
+def test_asof_join_single_key_shuffle(spark):
+    """The union-window as-of join must shuffle on the key exactly
+    once (plus the output sort) — no range join, no per-row probe."""
+    plan = plan_of(spark, "asof_join_purchase_click")
+    assert plan.count("hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_band_join_is_equi_join(spark):
+    """The time-bucket trick must produce a hash/sort-merge equi-join
+    on the manufactured bucket key — never a nested-loop over the
+    band inequality."""
+    plan = plan_of(spark, "band_join_nearby_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_cartesian_product_anywhere(spark, name):
     """No query in the corpus may fall back to CartesianProduct — at
