@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from sparksql_server_spark.catalog import table
+from sparksql_server_spark.catalog import register_tables, table
 from sparksql_server_spark.operators.registry import query
 
 
@@ -115,3 +115,56 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_RESAMPLE_SPARK = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+grid AS (
+  SELECT explode(sequence(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY date_trunc('hour', ts))
+SELECT g.hour,
+       CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+       coalesce(h.total_value, CAST(0.0 AS DOUBLE)) AS total_value
+FROM grid g LEFT JOIN hourly h ON g.hour = h.hour
+ORDER BY g.hour
+"""
+
+_RESAMPLE_DUCK = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+grid AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP)
+           AS hour
+  FROM bounds),
+hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1)
+SELECT g.hour,
+       CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+       coalesce(h.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN hourly h ON g.hour = h.hour
+ORDER BY g.hour
+"""
+
+
+@query("events_resample_gapfill", oracle=_RESAMPLE_DUCK)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with gap fill — the continuous-aggregate
+    ("hypertable rollup") shape: a generated time grid left-joined to
+    the hourly aggregate, zeros for silent hours.
+
+    Scale: the grid is hours-between-bounds (tiny — broadcast side);
+    the aggregate is one map-side-combinable pass over events. The
+    join never touches raw events, only the hourly rollup.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_RESAMPLE_SPARK)
