@@ -350,25 +350,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     register_tables(spark, sf_dir, ("documents",))
-    edges = spark.sql(_CC_EDGE_SPARK)  # symmetric: both directions present
-    labels = spark.sql("SELECT doc_id, doc_id AS cluster_id FROM documents")
+    # materialize the edge set ONCE — the loop must iterate over rows,
+    # not re-run the MinHash pipeline every round
+    edges = spark.sql(_CC_EDGE_SPARK).localCheckpoint(eager=True)
+    # only nodes with edges need propagation; isolated docs are their
+    # own cluster and skip the loop entirely (at 100 TB the duplicate
+    # subgraph is a small fraction of the corpus)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0] or 0
     for _ in range(20):  # cap >> any real duplicate-graph diameter
         msgs = (
             edges.join(labels, edges.dst == labels.doc_id)
             .select(F.col("src").alias("doc_id"), "cluster_id")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)  # cut lineage between rounds
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-            .filter(F.col("cluster_id") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # min-label sums decrease monotonically; a stable sum == fixpoint
+        # (one aggregate action per round, no join-and-compare pass)
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0] or 0
+        if cur_sum == prev_sum:
             break
-    return labels.orderBy("doc_id")
+        prev_sum = cur_sum
+    singletons = (
+        spark.table("documents")
+        .select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labels.unionByName(singletons).orderBy("doc_id")
