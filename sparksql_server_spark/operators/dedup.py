@@ -71,8 +71,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MH_K = 16  # signature length
 _MH_R = 4  # rows per band -> 4 bands
-# polynomial weights 31^(j % r) for the band signature combine
-_POW31 = "CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END"
+# one min() aggregate per permutation j, computed in a single GROUP BY
+# pass (the explode-by-j formulation inflates the shingle-hash table
+# K× before aggregating; this computes identical values with zero row
+# blowup). Band signatures combine each band's 4 minima polynomially.
+_MH_MINS = ", ".join(
+    f"min(((2 * {j} + 1) * h + (7 + 13 * {j})) % {MOD_P}) AS m{j}"
+    for j in range(_MH_K)
+)
+_W31 = (1, 31, 961, 29791)
+
+
+def _band_sig(b: int) -> str:
+    terms = " + ".join(f"m{b * _MH_R + r} * {_W31[r]}" for r in range(_MH_R))
+    return f"({terms}) % {MOD_P}"
+
+
+_STACK_ARGS = ", ".join(
+    f"{b}, {_band_sig(b)}" for b in range(_MH_K // _MH_R)
+)
+_DUCK_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, CAST({_band_sig(b)} AS BIGINT) AS band_sig FROM mh"
+    for b in range(_MH_K // _MH_R)
+)
 
 
 def _minhash_spark() -> str:
@@ -81,13 +102,9 @@ WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, shingle
        FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle),
 h AS (SELECT doc_id, {spark_char_hash('shingle')} AS h FROM sh),
-mh AS (SELECT doc_id, j,
-              min(((2 * j + 1) * h + (7 + 13 * j)) % {MOD_P}) AS mh
-       FROM h LATERAL VIEW explode(sequence(0, {_MH_K - 1})) s AS j
-       GROUP BY doc_id, j),
-bs AS (SELECT doc_id, j DIV {_MH_R} AS band,
-              sum(mh * ({_POW31})) % {MOD_P} AS band_sig
-       FROM mh GROUP BY doc_id, j DIV {_MH_R}),
+mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
+bs AS (SELECT doc_id, band, band_sig FROM mh
+       LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig),
 pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           FROM bs a JOIN bs b
             ON a.band = b.band AND a.band_sig = b.band_sig
@@ -102,13 +119,8 @@ WITH w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, shingle FROM
          (SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)),
 h AS (SELECT doc_id, {duck_char_hash('shingle')} AS h FROM sh),
-mh AS (SELECT doc_id, j,
-              min(((2 * j + 1) * h + (7 + 13 * j)) % {MOD_P}) AS mh
-       FROM h CROSS JOIN (SELECT unnest(range(0, {_MH_K})) AS j)
-       GROUP BY doc_id, j),
-bs AS (SELECT doc_id, j // {_MH_R} AS band,
-              CAST(sum(mh * ({_POW31})) % {MOD_P} AS BIGINT) AS band_sig
-       FROM mh GROUP BY doc_id, j // {_MH_R}),
+mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
+bs AS ({_DUCK_BANDS}),
 pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           FROM bs a JOIN bs b
             ON a.band = b.band AND a.band_sig = b.band_sig
@@ -124,8 +136,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: no all-pairs work anywhere — the self-join is on band
     signatures, so cost is Σ bucket², concentrated only on genuinely
-    similar docs. The K minhash permutations ride one explode (16×
-    row inflation of the doc-shingle table, map-side only).
+    similar docs. All K=16 minhash permutations are computed as
+    parallel min() aggregates in one pass over the shingle hashes —
+    no row inflation anywhere.
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_minhash_spark())
@@ -293,13 +306,9 @@ WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, shingle
        FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle),
 h AS (SELECT doc_id, {spark_char_hash('shingle')} AS h FROM sh),
-mh AS (SELECT doc_id, j,
-              min(((2 * j + 1) * h + (7 + 13 * j)) % {MOD_P}) AS mh
-       FROM h LATERAL VIEW explode(sequence(0, {_MH_K - 1})) s AS j
-       GROUP BY doc_id, j),
-bs AS (SELECT doc_id, j DIV {_MH_R} AS band,
-              sum(mh * ({_POW31})) % {MOD_P} AS band_sig
-       FROM mh GROUP BY doc_id, j DIV {_MH_R})
+mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
+bs AS (SELECT doc_id, band, band_sig FROM mh
+       LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig)
 SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
 FROM bs a JOIN bs b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id <> b.doc_id
@@ -311,13 +320,8 @@ w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, shingle FROM
          (SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)),
 h AS (SELECT doc_id, {duck_char_hash('shingle')} AS h FROM sh),
-mh AS (SELECT doc_id, j,
-              min(((2 * j + 1) * h + (7 + 13 * j)) % {MOD_P}) AS mh
-       FROM h CROSS JOIN (SELECT unnest(range(0, {_MH_K})) AS j)
-       GROUP BY doc_id, j),
-bs AS (SELECT doc_id, j // {_MH_R} AS band,
-              CAST(sum(mh * ({_POW31})) % {MOD_P} AS BIGINT) AS band_sig
-       FROM mh GROUP BY doc_id, j // {_MH_R}),
+mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
+bs AS ({_DUCK_BANDS}),
 edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
           FROM bs a JOIN bs b
             ON a.band = b.band AND a.band_sig = b.band_sig
