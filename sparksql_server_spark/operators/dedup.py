@@ -149,6 +149,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SH_BITS = 16
+# per-bit signed sums as parallel aggregates (single GROUP BY pass; the
+# explode-by-bit form inflates the token-hash table 16x), then combine
+# the 16 signs into the signature integer.
+_SH_SUMS_SPARK = ", ".join(
+    f"sum(CASE WHEN shiftright(h, {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
+    for b in range(16)
+)
+_SH_SUMS_DUCK = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
+    for b in range(16)
+)
+_SH_COMBINE = " + ".join(
+    f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+)
 
 
 def _simhash_spark() -> str:
@@ -156,14 +170,9 @@ def _simhash_spark() -> str:
 WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
 tok AS (SELECT DISTINCT doc_id, tok FROM w LATERAL VIEW explode(w) t AS tok),
 th AS (SELECT doc_id, {spark_char_hash('tok')} AS h FROM tok),
-bits AS (SELECT doc_id, b,
-                sum(CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END) AS wgt
-         FROM th LATERAL VIEW explode(sequence(0, {_SH_BITS - 1})) s AS b
-         GROUP BY doc_id, b)
-SELECT doc_id,
-       CAST(sum(CASE WHEN wgt > 0 THEN shiftleft(1, b) ELSE 0 END) AS BIGINT)
-         AS simhash
-FROM bits GROUP BY doc_id ORDER BY doc_id
+bits AS (SELECT doc_id, {_SH_SUMS_SPARK} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({_SH_COMBINE} AS BIGINT) AS simhash
+FROM bits ORDER BY doc_id
 """
 
 
@@ -173,13 +182,9 @@ WITH w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
 tok AS (SELECT DISTINCT doc_id, tok FROM
           (SELECT doc_id, unnest(w) AS tok FROM w)),
 th AS (SELECT doc_id, {duck_char_hash('tok')} AS h FROM tok),
-bits AS (SELECT doc_id, b,
-                sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS wgt
-         FROM th CROSS JOIN (SELECT unnest(range(0, {_SH_BITS})) AS b)
-         GROUP BY doc_id, b)
-SELECT doc_id,
-       CAST(sum(CASE WHEN wgt > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id ORDER BY doc_id
+bits AS (SELECT doc_id, {_SH_SUMS_DUCK} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({_SH_COMBINE} AS BIGINT) AS simhash
+FROM bits ORDER BY doc_id
 """
 
 
@@ -248,10 +253,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     share ≥2 shingles — top pairs by similarity.
 
     Scale: the shingle self-join is the hot spot (Σ per-shingle
-    bucket²); at 100 TB you cap bucket width by dropping ultra-common
-    shingles (document-frequency cutoff) before the join — the MinHash
+    bucket²); at 100 TB, pre-hash the shingle to an 8-byte join key in
+    a materialized intermediate and cap bucket width by dropping
+    ultra-common shingles (document-frequency cutoff) — the MinHash
     variant above is the preferred scale path, this is the exact
-    verifier run on its candidates.
+    verifier run on its candidates. (Pre-hashing inside this single
+    statement is a net loss: the CTE inlines and the hash evaluates
+    once per reference.)
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_jaccard_spark())
