@@ -30,6 +30,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from sparksql_server_spark.catalog import TABLES, register_tables
+from sparksql_server_spark.functions.udfs import register_udfs
 from sparksql_server_spark.server.batcher import WindowBatcher
 from sparksql_server_spark.server.cache import CacheManager
 from sparksql_server_spark.server.model import QueryJob
@@ -58,6 +59,7 @@ class WorkSharingServer:
     ) -> None:
         self.spark = spark
         register_tables(spark, sf_dir)
+        register_udfs(spark)  # the vetted UDF surface (no code over the wire)
         self.batcher = WindowBatcher(window_size=window_size, max_wait=max_wait)
         self.executor = BatchExecutor(
             spark,

@@ -169,6 +169,16 @@ class TestServerTCP:
         reply = client_request(server.address, {"sql": "SELECT broken FROM nowhere"})
         assert reply["status"] == "error" and "nowhere" in reply["error"]
 
+    def test_udf_through_gateway(self, server):
+        """The vetted UDF surface is callable through the gateway."""
+        reply = client_request(
+            server.address,
+            {"sql": "SELECT slugify(c_mktsegment) AS s FROM customer "
+                    "GROUP BY c_mktsegment ORDER BY s LIMIT 1"},
+        )
+        assert reply["status"] == "done", reply
+        assert reply["rows"][0][0] == "automobile"
+
     def test_missing_sql(self, server):
         reply = client_request(server.address, {"wat": 1})
         assert reply["status"] == "error"
@@ -188,3 +198,37 @@ class TestServerTCP:
                 return
             time.sleep(0.1)
         raise AssertionError("job never finished")
+
+
+class TestRegisteredUDFs:
+    """The vetted server-side UDF surface (the safe replacement for the
+    reference's jar intake — SURVEY §2 UDF row)."""
+
+    def test_udfs_callable_from_sql(self, spark):
+        from sparksql_server_spark.functions.udfs import register_udfs
+
+        register_udfs(spark)
+        row = spark.sql(
+            "SELECT slugify('Hello, World! 42') AS slug,"
+            "       token_count_re('a b,c;d') AS n"
+        ).collect()[0]
+        assert row.slug == "hello-world-42"
+        assert row.n == 4
+
+    def test_l2_norm_matches_jvm_expression(self, spark):
+        from sparksql_server_spark.functions.udfs import register_udfs
+        from sparksql_server_spark.catalog import register_tables
+        from tests.conftest import SF_DIR
+
+        register_udfs(spark)
+        register_tables(spark, SF_DIR, ("embeddings",))
+        rows = spark.sql(
+            """SELECT abs(l2_norm(embedding)
+                 - sqrt(aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),
+                                           CAST(embedding AS ARRAY<DOUBLE>),
+                                           (x, y) -> x * y),
+                                  0D, (acc, v) -> acc + v))) AS diff
+               FROM embeddings"""
+        ).collect()
+        # both sides fold float64 products left-to-right -> bit-identical
+        assert all(r.diff == 0.0 for r in rows)
