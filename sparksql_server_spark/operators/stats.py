@@ -143,3 +143,36 @@ def stats_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "stats_bool_bit_agg",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1)   AS all_discount_capped,
+           bool_or(l_tax > 0.07)         AS any_high_tax,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS ln_and,
+           CAST(bit_or(l_linenumber)  AS BIGINT) AS ln_or,
+           CAST(bit_xor(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS key_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def stats_bool_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (every/any) and bitwise (AND/OR/XOR) aggregates — all
+    order-insensitive, so engine-portable with no decimal tricks."""
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               every(l_discount <= 0.1)  AS all_discount_capped,
+               some(l_tax > 0.07)        AS any_high_tax,
+               CAST(bit_and(l_linenumber) AS BIGINT) AS ln_and,
+               CAST(bit_or(l_linenumber)  AS BIGINT) AS ln_or,
+               CAST(bit_xor(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS key_xor
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

@@ -232,3 +232,27 @@ class TestRegisteredUDFs:
         ).collect()
         # both sides fold float64 products left-to-right -> bit-identical
         assert all(r.diff == 0.0 for r in rows)
+
+
+class TestConcurrentClients:
+    def test_many_clients_one_server(self, spark):
+        """N clients submitting simultaneously all get correct replies
+        (queue + batch loop under real contention)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        srv = WorkSharingServer(spark, SF_DIR, window_size=3, max_wait=0.2).start()
+        try:
+            sqls = [
+                f"SELECT count(*) AS n FROM lineitem WHERE l_linenumber = {i % 7 + 1}"
+                for i in range(12)
+            ]
+            expected = [spark.sql(q).collect()[0].n for q in sqls]
+            with ThreadPoolExecutor(max_workers=12) as pool:
+                replies = list(
+                    pool.map(lambda q: client_request(srv.address, {"sql": q}), sqls)
+                )
+            assert [r["status"] for r in replies] == ["done"] * 12
+            assert [r["rows"][0][0] for r in replies] == expected
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
