@@ -32,16 +32,27 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # the work-sharing workload: N filter-aggregate queries over one hot scan
-# (the modern WordCount×N of the reference's evaluation, report.pdf ch.5)
-SHARED_SCAN_QUERIES = [
-    "SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q"
-    " FROM lineitem GROUP BY l_returnflag",
-    "SELECT l_linestatus, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev"
-    " FROM lineitem GROUP BY l_linestatus",
-    "SELECT count(*) AS n FROM lineitem WHERE l_discount > 0.05",
-    "SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey ORDER BY n DESC LIMIT 10",
-    "SELECT max(l_shipdate) AS latest, min(l_shipdate) AS earliest FROM lineitem",
-]
+# (the modern WordCount×N of the reference's evaluation, report.pdf ch.5 —
+# measured at the thesis's window sizes 2/5/10, BASELINE.md)
+def shared_scan_queries(n: int) -> list[str]:
+    base = [
+        "SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q"
+        " FROM lineitem GROUP BY l_returnflag",
+        "SELECT l_linestatus, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev"
+        " FROM lineitem GROUP BY l_linestatus",
+        "SELECT count(*) AS n FROM lineitem WHERE l_discount > 0.05",
+        "SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey ORDER BY n DESC LIMIT 10",
+        "SELECT max(l_shipdate) AS latest, min(l_shipdate) AS earliest FROM lineitem",
+    ]
+    # beyond 5, vary a filter so every query stays distinct work
+    extra = [
+        f"SELECT count(*) AS n FROM lineitem WHERE l_linenumber = {i % 8 + 1}"
+        for i in range(max(0, n - len(base)))
+    ]
+    return (base + extra)[:n]
+
+
+WINDOW_SIZES = (2, 5, 10)
 
 
 def _force(df) -> None:
@@ -61,23 +72,29 @@ def main() -> None:
         _force(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
 
-    # --- work-sharing: separate vs batched (BASELINE.md claim #1) -------
-    spark.catalog.clearCache()
-    t0 = time.monotonic()
-    for q in SHARED_SCAN_QUERIES:
-        _force(spark.sql(q))
-    timings["shared_scan_separate"] = round(time.monotonic() - t0, 3)
-
+    # --- work-sharing: separate vs batched at the thesis's window sizes
+    # (BASELINE.md claim #1; report.pdf ch.5 measured N = 2, 5, 10) ------
     executor = BatchExecutor(
         spark,
         cache=CacheManager(spark, budget_bytes=8 << 30),
         source_views=source_view_map(SF_DIR),
     )
-    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(SHARED_SCAN_QUERIES)]
-    t0 = time.monotonic()
-    executor.run_batch(jobs)
-    timings["shared_scan_batched"] = round(time.monotonic() - t0, 3)
-    executor.cache.clear()
+    for n in WINDOW_SIZES:
+        queries = shared_scan_queries(n)
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        for q in queries:
+            _force(spark.sql(q))
+        timings[f"shared_scan_separate_n{n}"] = round(time.monotonic() - t0, 3)
+
+        jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(queries)]
+        t0 = time.monotonic()
+        executor.run_batch(jobs)
+        timings[f"shared_scan_batched_n{n}"] = round(time.monotonic() - t0, 3)
+        executor.cache.clear()
+    # keep the legacy pair for cross-round comparability (n=5 values)
+    timings["shared_scan_separate"] = timings["shared_scan_separate_n5"]
+    timings["shared_scan_batched"] = timings["shared_scan_batched_n5"]
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
