@@ -36,7 +36,7 @@ def a1_scan_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2_filter_project",
     oracle="""
     SELECT c_name FROM customer
-    WHERE c_acctbal >= 13 AND c_acctbal <= 19
+    WHERE c_acctbal >= 1300 AND c_acctbal <= 1900
     ORDER BY c_name
     """,
 )
@@ -48,7 +48,7 @@ def a2_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = table(spark, sf_dir, "customer")
     return (
-        c.filter((F.col("c_acctbal") >= 13) & (F.col("c_acctbal") <= 19))
+        c.filter((F.col("c_acctbal") >= 1300) & (F.col("c_acctbal") <= 1900))
         .select("c_name")
         .orderBy("c_name")
     )

@@ -25,14 +25,14 @@ from sparksql_server_spark.operators.registry import query
            trim(concat(p_brand, ' / ', p_type)) AS brand_type,
            CAST(length(p_name) AS INT)          AS name_len
     FROM part
-    WHERE p_type LIKE '%a%'
+    WHERE p_type LIKE '%O%'
     ORDER BY p_partkey
     """,
 )
 def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     return (
-        p.filter(F.col("p_type").like("%a%"))
+        p.filter(F.col("p_type").like("%O%"))
         .select(
             "p_partkey",
             F.substring("p_name", 1, 8).alias("name_prefix"),

@@ -34,3 +34,16 @@ def test_all_queries_have_oracles():
     exempt = set()  # add names here only with a documented reason
     missing = set(QUERIES) - set(ORACLES) - exempt
     assert not missing, f"queries without oracle: {sorted(missing)}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_is_not_vacuous(spark, name):
+    """Every query must return rows at some test scale — an oracle
+    match on empty-vs-empty proves nothing. Cheap check at sf0.001;
+    queries legitimately empty at that scale re-check at sf0.01 (the
+    driver's correctness scale)."""
+    if QUERIES[name](spark, SF_DIR).count() > 0:
+        return
+    assert QUERIES[name](spark, "/root/testdata/sf0.01").count() > 0, (
+        f"{name} returns 0 rows at sf0.01 — its oracle comparison is vacuous"
+    )
