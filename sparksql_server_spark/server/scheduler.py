@@ -108,7 +108,13 @@ class BatchExecutor:
             df = self.spark.sql(job.sql)
             output = job.props.get("output")
             if output:
-                df.write.mode("overwrite").parquet(output)
+                writer = df.write.mode(job.props.get("output_mode", "overwrite"))
+                part_by = job.props.get("partition_by")
+                if part_by:  # demux sink (A12): route rows by column value
+                    cols = [part_by] if isinstance(part_by, str) else list(part_by)
+                    writer = writer.partitionBy(*cols)
+                fmt = job.props.get("output_format", "parquet")
+                writer.format(fmt).save(output)
                 job.columns = list(df.columns)
                 job.n_rows = None  # not counted; sink write is the result
             else:

@@ -256,3 +256,31 @@ class TestConcurrentClients:
         finally:
             srv.shutdown()
             srv.executor.cache.clear()
+
+
+class TestPartitionedOutput:
+    def test_partitioned_sink_through_gateway(self, spark, tmp_path):
+        """props.partition_by routes output rows into per-value
+        directories (the A12 demux sink, driven over the wire)."""
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        out = str(tmp_path / "by_status")
+        try:
+            reply = client_request(
+                srv.address,
+                {
+                    "sql": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+                    "output": out,
+                    "props": {"partition_by": "o_orderstatus"},
+                },
+            )
+            assert reply["status"] == "done", reply
+            got = spark.read.parquet(out)
+            assert got.count() == spark.sql("SELECT count(*) FROM orders").collect()[0][0]
+            # hive-style layout: one directory per status value
+            import os
+
+            dirs = {d for d in os.listdir(out) if d.startswith("o_orderstatus=")}
+            assert dirs == {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
