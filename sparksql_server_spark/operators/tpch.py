@@ -498,3 +498,255 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a keys-only, date-filtered orders projection."""
     register_tables(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_Q22_SQL)
+
+
+_Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(min(l_extendedprice / l_quantity) AS DOUBLE) AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+FROM part
+JOIN supply   ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(ps_supplycost)
+    FROM supply
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE ps_partkey = p_partkey AND r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("tpch_q2_min_cost_supplier", oracle=_Q2_SQL)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: minimum-cost supplier per part in a region.
+
+    No partsupp table in this schema, so the supply relation is derived:
+    distinct (part, supplier) pairs observed in lineitem, with supply
+    cost = the minimum observed unit price (exact double division, both
+    engines IEEE-identical; canonical ps_supplycost,
+    `/root/reference/SimpleAppClient` clients could issue the same via
+    Spark SQL). Keeps the canonical shape: region-filtered join tree +
+    correlated MIN subquery over the same supply relation.
+
+    Scale: the supply CTE is one map-side-combinable aggregation of
+    lineitem, reused by both branches (Spark CTE dedup); nation⋈region
+    broadcasts; the correlated min decorrelates into an aggregate +
+    self-join on ps_partkey, so lineitem is scanned once per branch,
+    never N².
+    """
+    register_tables(spark, sf_dir, ("part", "lineitem", "supplier", "nation", "region"))
+    return spark.sql(_Q2_SQL)
+
+
+_Q9_SQL = f"""
+SELECT nation, o_year,
+       CAST(sum(rev) AS DOUBLE) - CAST(sum(cost) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS INT) AS o_year,
+         {_REV} AS rev,
+         CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS cost
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE 'red%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("tpch_q9_product_profit", oracle=_Q9_SQL)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: profit per supplier-nation per year for one product family
+    (canonical '%green%' parts → this data's 'red%'; ps_supplycost →
+    p_retailprice as the unit-cost column that exists). Revenue and
+    cost are summed as exact decimals separately, then subtracted as
+    doubles — identical in both engines, unlike sum(rev - cost) whose
+    mixed-scale decimal promotion rules differ.
+
+    Scale: part('red%') prunes 1/6 of parts before the fact join;
+    part/supplier/nation broadcast; only lineitem⋈orders shuffles.
+    """
+    register_tables(spark, sf_dir, ("part", "lineitem", "supplier", "orders", "nation"))
+    return spark.sql(_Q9_SQL)
+
+
+_Q11_SQL = """
+WITH supval AS (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(12,2)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+SELECT l_partkey AS ps_partkey,
+       CAST(sum(val) AS DOUBLE) AS part_value
+FROM supval
+GROUP BY l_partkey
+HAVING CAST(sum(val) AS DOUBLE) >
+       (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM supval)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+@query("tpch_q11_important_stock", oracle=_Q11_SQL)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts representing a significant share of one region's
+    supplied value (canonical GERMANY → region ASIA so the filter is
+    non-vacuous at every test scale; partsupp value → lineitem
+    extendedprice). Keeps the canonical shape: group-sum filtered
+    against a scalar-subquery fraction of the global sum.
+
+    Scale: the CTE aggregates once; the scalar global sum is a one-row
+    broadcast into the HAVING — no recomputation of the base join
+    (Spark CTE dedup), no per-group subquery execution.
+    """
+    register_tables(spark, sf_dir, ("lineitem", "supplier", "nation", "region"))
+    return spark.sql(_Q11_SQL)
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@query("tpch_q12_late_lines_by_priority", oracle=_Q12_SQL)
+def tpch_q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: late lineitems split into high/low order priority per class
+    (canonical l_shipmode → l_linestatus; the receipt>commit lateness
+    predicate → ship > order + 60 days on the columns that exist).
+    Keeps the canonical CASE-pivot aggregation over a fact-fact join.
+
+    Scale: the ship-date band pushes to the lineitem scan; the
+    join-only-then-aggregate shape keeps one shuffle on orderkey plus
+    a 2-group final aggregate.
+    """
+    register_tables(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q12_SQL)
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 15, 22, 28, 35, 42)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16_supplier_part_kinds", oracle=_Q16_SQL)
+def tpch_q16_supplier_part_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: how many suppliers can furnish each surviving part kind
+    (partsupp → observed lineitem pairs; the canonical
+    'Customer Complaints' supplier exclusion → negative account
+    balance, the complaint signal this schema has). Keeps the shape:
+    anti-membership subquery + COUNT(DISTINCT) over three group keys.
+
+    Scale: brand/type/size predicates prune part before the join;
+    the NOT IN subquery is a broadcast null-aware anti-join (supplier
+    is tiny); distinct-aggregation expands to the standard two-phase
+    partial-distinct plan.
+    """
+    register_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 30.0)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'AMERICA')
+ORDER BY s_suppkey
+"""
+
+
+@query("tpch_q20_part_promotion", oracle=_Q20_SQL)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: suppliers in one region who moved significant volume of a
+    product family in a year (canonical "excess stock vs half of
+    availqty" → volume above a threshold, since there is no partsupp
+    availqty; CANADA → region AMERICA for non-vacuity at small SF).
+    Keeps the canonical nested-IN shape: part-family IN inside a
+    grouped-HAVING IN, plus the nation membership filter.
+
+    Scale: both IN subqueries plan as semi-joins — the part family
+    broadcasts into the lineitem scan (date band pushed down), and the
+    grouped supplier set broadcasts back against the tiny supplier dim.
+    """
+    register_tables(spark, sf_dir, ("supplier", "lineitem", "part", "nation", "region"))
+    return spark.sql(_Q20_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderstatus = 'F'
+  AND r_name = 'ASIA'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@query("tpch_q21_suppliers_kept_waiting", oracle=_Q21_SQL)
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: suppliers who were the sole late shipper on finished
+    multi-supplier orders (canonical receipt>commit lateness → ship >
+    order + 60 days; SAUDI ARABIA → region ASIA). Keeps the canonical
+    double-correlation: EXISTS another supplier's line, NOT EXISTS
+    another supplier's *late* line — the NOT EXISTS correlates on both
+    l1.l_orderkey and the outer o_orderdate.
+
+    Scale: both correlated subqueries decorrelate to semi/anti joins
+    on l_orderkey over a keys-only lineitem projection; the status
+    filter prunes orders before its join.
+    """
+    register_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "nation", "region"))
+    return spark.sql(_Q21_SQL)
