@@ -313,3 +313,31 @@ def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     different precisions."""
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_ASOF_SQL)
+
+
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < TIMESTAMP '2001-07-01 00:00:00')
+SELECT m AS month_start,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+ORDER BY m
+"""
+
+
+@query("recursive_month_spine", oracle=_RECURSIVE_SPINE_SQL)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, native since Spark 4.0): generate
+    a monthly calendar spine and left-join per-month order counts —
+    the iterative-series SQL shape the reference's Spark 1.3.1 surface
+    could never express, gap-filling months with zero orders.
+
+    Scale: the recursion is driver-tiny (80 rows); the spine broadcasts
+    into one pass over orders."""
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_SPINE_SQL)

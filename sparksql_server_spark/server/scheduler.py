@@ -37,7 +37,7 @@ class BatchExecutor:
         self,
         spark: SparkSession,
         cache: CacheManager | None = None,
-        max_concurrency: int = 8,
+        max_concurrency: int = 16,
         source_views: dict[str, str] | None = None,
     ) -> None:
         self.spark = spark

@@ -2,11 +2,14 @@
 
 from sparksql_server_spark.sources.readers import (  # noqa: F401
     read_any,
+    read_avro,
     read_binary,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     read_text,
+    read_xml,
 )
 from sparksql_server_spark.sources.sinks import (  # noqa: F401
     write_demux,

@@ -10,6 +10,9 @@ Modern mapping, schema-explicit (no inferSchema in production paths):
     csv     -> spark.read.csv(schema=...)
     json    -> spark.read.json(schema=...)
     parquet -> spark.read.parquet         (self-describing)
+    orc     -> spark.read.orc             (self-describing)
+    xml     -> spark.read.format('xml')   (native since Spark 4.0)
+    avro    -> spark.read.format('avro')  (gated: spark-avro not bundled)
     binary  -> spark.read.format('binaryFile')  (multimodal payloads)
 
 ``read_any`` dispatches on format name — the sources half of the
@@ -57,6 +60,40 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """XML rows (native datasource since Spark 4.0 — no external jar)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro (the reference bundles user.avsc fixtures — SURVEY.md §5).
+
+    The spark-avro datasource module is not bundled with PyPI pyspark;
+    raise a clear error if absent rather than a Java stack trace.
+    """
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - env-dependent
+        if "Failed to find" in str(exc) or "AVRO" in str(exc).upper():
+            raise NotImplementedError(
+                "avro datasource not on the classpath; add the "
+                "org.apache.spark:spark-avro package to use it"
+            ) from exc
+        raise
+
+
 def read_binary(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Opaque file payloads: (path, modificationTime, length, content) —
     the ingest point for multimodal columns (SURVEY.md §7 north star)."""
@@ -71,6 +108,9 @@ _READERS = {
     "csv": read_csv,
     "json": read_json,
     "parquet": read_parquet,
+    "orc": read_orc,
+    "xml": read_xml,
+    "avro": read_avro,
     "binary": read_binary,
 }
 

@@ -14,6 +14,7 @@ from sparksql_server_spark.sources import (
     read_binary,
     read_csv,
     read_json,
+    read_xml,
     write_demux,
     write_text,
 )
@@ -154,9 +155,27 @@ class TestSources:
         row = df.select("length", "content").collect()[0]
         assert row.length == 8 and bytes(row.content) == b"\x89fakepng"
 
+    def test_orc_roundtrip(self, spark, tmp_path):
+        out = str(tmp_path / "region_orc")
+        table(spark, SF_DIR, "region").write.orc(out)
+        df = read_any(spark, "orc", out)
+        assert sorted(r.r_name for r in df.collect())[0] == "AFRICA"
+        assert df.count() == 5
+
+    def test_xml_rows(self, spark, tmp_path):
+        p = tmp_path / "people.xml"
+        p.write_text(
+            "<people>"
+            "<person><name>Michael</name><age>29</age></person>"
+            "<person><name>Andy</name><age>30</age></person>"
+            "</people>"
+        )
+        df = read_xml(spark, str(p), row_tag="person", schema="name string, age int")
+        assert sorted(map(tuple, df.collect())) == [("Andy", 30), ("Michael", 29)]
+
     def test_read_any_dispatch_error(self, spark):
         with pytest.raises(ValueError, match="unknown format"):
-            read_any(spark, "avro", "/nope")
+            read_any(spark, "feather", "/nope")
 
 
 class TestSinks:
