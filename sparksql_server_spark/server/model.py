@@ -41,6 +41,12 @@ class QueryJob:
     n_rows: int | None = None
     elapsed: float | None = None
     fingerprints: frozenset[str] = frozenset()
+    # isolated client session (spark.newSession()); None = server root.
+    # The reference's per-client state was the shipped jar + re-registered
+    # temp tables (DAGListener.scala:155-162); ours is a Spark session
+    # sharing one SparkContext — temp views/conf isolate, the plan cache
+    # and InMemoryRelations stay shared, so work-sharing crosses sessions.
+    session: Any = field(default=None, repr=False)
     done_event: threading.Event = field(default_factory=threading.Event, repr=False)
 
     def result(self) -> dict[str, Any]:

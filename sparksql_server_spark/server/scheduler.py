@@ -48,9 +48,24 @@ class BatchExecutor:
 
     # -- analysis ---------------------------------------------------------
 
+    @staticmethod
+    def _is_query(sql: str) -> bool:
+        """True for plan-producing statements. Commands (DDL/DML —
+        CREATE/INSERT/DROP/CACHE/SET…) execute EAGERLY at ``sql()``
+        time in Spark, so fingerprinting them in analyze() would run
+        them twice; they also never share scans, so they skip detection
+        and execute exactly once in ``_run_job``."""
+        head = sql.lstrip().lstrip("(").split(None, 1)
+        return bool(head) and head[0].lower() in (
+            "select", "with", "values", "from", "table",
+        )
+
     def analyze(self, job: QueryJob) -> None:
         """Resolve the job's plan (no execution) and fingerprint its scans."""
-        df = self.spark.sql(job.sql)
+        if not self._is_query(job.sql):
+            job.fingerprints = frozenset()
+            return
+        df = (job.session or self.spark).sql(job.sql)
         job.fingerprints = scan_fingerprints(df)
 
     # -- execution --------------------------------------------------------
@@ -105,7 +120,7 @@ class BatchExecutor:
         job.status = JobStatus.RUNNING
         start = time.monotonic()
         try:
-            df = self.spark.sql(job.sql)
+            df = (job.session or self.spark).sql(job.sql)
             output = job.props.get("output")
             if output:
                 writer = df.write.mode(job.props.get("output_mode", "overwrite"))

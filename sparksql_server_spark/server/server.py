@@ -7,11 +7,22 @@ endpoint accepting SQL text. Protocol (the modern
 DAGListener.scala:104):
 
     request : {"sql": "...", "output": "path"?, "props": {...}?,
-               "wait": true?}
+               "wait": true?, "session": "client-id"?}
     response: {"id": N, "status": "queued"}            (wait=false)
               {"id": N, "status": "done", "columns": [...],
                "rows": [[...], ...], "n_rows": N, "elapsed": s}
               {"id": N, "status": "error", "error": "..."}
+
+    request : {"explain": "formatted"|"simple"|..., "sql": "...",
+               "session": ...?}               (plan only, never queued)
+    response: {"status": "done", "plan": "..."}
+
+``session`` names an isolated client session (temp views and SQL conf
+private; created on first use via ``spark.newSession()`` over the ONE
+shared SparkContext). The reference isolated clients by jar +
+re-registered temp tables (DAGListener.scala:155-162,190-199); the
+shared context keeps the plan cache and InMemoryRelations common, so
+scan sharing still works ACROSS sessions.
 
 Security note (SURVEY.md §7): the reference accepted serialized JVM
 objects + jars over the wire and deserialized them with a custom
@@ -69,6 +80,9 @@ class WorkSharingServer:
         self._next_id = 0
         self._id_lock = threading.Lock()
         self._jobs: dict[int, QueryJob] = {}
+        self._sf_dir = sf_dir
+        self._sessions: dict[str, SparkSession] = {}
+        self._session_lock = threading.Lock()
         self._stop = threading.Event()
         self._loop_thread = threading.Thread(target=self._run_loop, daemon=True)
 
@@ -118,10 +132,31 @@ class WorkSharingServer:
 
     # -- request handling -------------------------------------------------
 
-    def submit(self, sql: str, props: dict[str, Any] | None = None) -> QueryJob:
+    def session_for(self, session_id: str | None) -> SparkSession:
+        """Root session, or a named isolated client session (lazily
+        created; base tables + the vetted UDFs registered once)."""
+        if session_id is None:
+            return self.spark
+        with self._session_lock:
+            sess = self._sessions.get(session_id)
+            if sess is None:
+                sess = self.spark.newSession()
+                register_tables(sess, self._sf_dir)
+                register_udfs(sess)
+                self._sessions[session_id] = sess
+        return sess
+
+    def submit(
+        self,
+        sql: str,
+        props: dict[str, Any] | None = None,
+        session: SparkSession | None = None,
+    ) -> QueryJob:
         with self._id_lock:
             self._next_id += 1
-            job = QueryJob(job_id=self._next_id, sql=sql, props=props or {})
+            job = QueryJob(
+                job_id=self._next_id, sql=sql, props=props or {}, session=session
+            )
         self._jobs[job.job_id] = job
         self.batcher.submit(job)
         return job
@@ -135,10 +170,18 @@ class WorkSharingServer:
         sql = req.get("sql")
         if not isinstance(sql, str) or not sql.strip():
             return {"status": "error", "error": "missing 'sql'"}
+        session = self.session_for(req.get("session"))
+        if "explain" in req:  # plan introspection: immediate, never queued
+            mode = req["explain"] if isinstance(req["explain"], str) else "formatted"
+            df = session.sql(sql)
+            plan = df._jdf.queryExecution().explainString(
+                session._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+            )
+            return {"status": "done", "plan": plan}
         props = dict(req.get("props") or {})
         if "output" in req:
             props["output"] = req["output"]
-        job = self.submit(sql, props)
+        job = self.submit(sql, props, session=None if session is self.spark else session)
         if req.get("wait", True):
             job.done_event.wait()
             return job.result()

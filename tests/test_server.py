@@ -284,3 +284,45 @@ class TestPartitionedOutput:
         finally:
             srv.shutdown()
             srv.executor.cache.clear()
+
+
+class TestSessions:
+    def test_temp_view_isolation_and_explain(self, spark):
+        """Named sessions isolate temp views (the modern form of the
+        reference's per-client temp-table re-registration,
+        DAGListener.scala:155-162); EXPLAIN returns a plan without
+        queueing; DDL executes exactly ONCE (a bare CREATE TEMP VIEW
+        would fail on double execution)."""
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            # same view name, different definitions, two sessions
+            r = client_request(
+                srv.address,
+                {"sql": "CREATE TEMP VIEW mine AS SELECT 1 AS v", "session": "alice"},
+            )
+            assert r["status"] == "done", r
+            r = client_request(
+                srv.address,
+                {"sql": "CREATE TEMP VIEW mine AS SELECT 2 AS v", "session": "bob"},
+            )
+            assert r["status"] == "done", r
+            a = client_request(srv.address, {"sql": "SELECT v FROM mine", "session": "alice"})
+            b = client_request(srv.address, {"sql": "SELECT v FROM mine", "session": "bob"})
+            assert a["rows"] == [[1]] and b["rows"] == [[2]]
+            # root session never saw 'mine'
+            root = client_request(srv.address, {"sql": "SELECT v FROM mine"})
+            assert root["status"] == "error"
+            # sessions still see the shared base catalog
+            n = client_request(
+                srv.address, {"sql": "SELECT count(*) AS n FROM region", "session": "alice"}
+            )
+            assert n["rows"] == [[5]]
+            # explain: immediate plan, not queued
+            ex = client_request(
+                srv.address,
+                {"explain": "formatted", "sql": "SELECT count(*) FROM lineitem", "session": "alice"},
+            )
+            assert ex["status"] == "done" and "Physical Plan" in ex["plan"]
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
