@@ -326,3 +326,28 @@ class TestSessions:
         finally:
             srv.shutdown()
             srv.executor.cache.clear()
+
+
+class TestClientLibrary:
+    def test_client_end_to_end(self, spark):
+        """SparkSQLClient: persistent connection, session pinning,
+        sync sql, async submit/poll, explain."""
+        from sparksql_server_spark.server import SparkSQLClient
+
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            with SparkSQLClient(srv.address, session="carol") as c:
+                r = c.sql("CREATE TEMP VIEW mine AS SELECT 41 + 1 AS v")
+                assert r["status"] == "done", r
+                assert c.sql("SELECT v FROM mine")["rows"] == [[42]]
+                job_id = c.submit("SELECT count(*) AS n FROM region")
+                for _ in range(100):
+                    r = c.poll(job_id)
+                    if r["status"] in ("done", "error"):
+                        break
+                    time.sleep(0.05)
+                assert r["status"] == "done" and r["rows"] == [[5]]
+                assert "Physical Plan" in c.explain("SELECT 1")
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
