@@ -45,3 +45,56 @@ def shares_scan(a: frozenset[str], b: frozenset[str]) -> bool:
     """True when two fingerprint sets overlap (reference:
     ``ScanSharing.check``, ScanSharing.scala:84-92)."""
     return not a.isdisjoint(b)
+
+
+def _top_level_fields(struct_body: str) -> int:
+    """Count top-level fields of a ``struct<...>`` body (commas inside
+    nested ``<>`` don't count)."""
+    if not struct_body.strip():
+        return 0
+    depth = 0
+    n = 1
+    for ch in struct_body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
+
+
+def scan_read_columns(df: DataFrame) -> dict[str, int]:
+    """Per scanned source root: how many top-level columns the query
+    actually READS (the scan's pruned ReadSchema — what column pruning
+    left, not the table width). Parsed from the formatted physical
+    plan; planning only, no execution.
+
+    Feeds the cache-admission cost model: a full-table cache build
+    decodes every column, but a narrow query only saves its own
+    ReadSchema's worth of scan work — at 100 TB the difference decides
+    whether caching pays (SURVEY.md §4.3 item 4, the honest B7).
+    Self-joins (same source scanned twice) keep the widest scan.
+    """
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    text = jqe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    out: dict[str, int] = {}
+    location: str | None = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if line.startswith("Location:"):
+            # "Location: InMemoryFileIndex [file:/path, ...]"
+            inner = line.split("[", 1)[-1].rstrip("]")
+            path = inner.split(",", 1)[0].strip()
+            if path.startswith("file:"):
+                path = "/" + path.removeprefix("file:").lstrip("/")
+            location = path
+        elif line.startswith("ReadSchema:") and location is not None:
+            body = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            n = _top_level_fields(body)
+            out[location] = max(out.get(location, 0), n)
+            location = None
+    return out

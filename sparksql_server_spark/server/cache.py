@@ -59,10 +59,19 @@ class CacheManager:
         budget_bytes: int = 4 << 30,
         min_sharers: int = 2,
         min_bytes: int = 64 << 20,
+        benefit_factor: float = 1.2,
     ) -> None:
         self.spark = spark
         self.budget = budget_bytes
         self.min_sharers = min_sharers
+        # Read-fraction benefit bar: building the InMemoryRelation
+        # decodes ALL columns (cost ≈ 1 full scan), while each sharer
+        # only saves its own pruned ReadSchema's worth of scan work —
+        # so caching pays when Σ_jobs read_fraction exceeds the build
+        # cost with margin. Ten single-column COUNT queries over a
+        # 20-column table sum to 0.5 full scans saved: cheaper to let
+        # each read its one column from parquet than to decode 20.
+        self.benefit_factor = benefit_factor
         # Admission floor: below this, building the InMemoryRelation
         # costs more than re-decoding parquet ever will (measured: at a
         # 10 MB scan the cache build tripled batch latency while pure
@@ -73,12 +82,24 @@ class CacheManager:
         self.min_bytes = min_bytes
         self._entries: dict[str, CacheEntry] = {}  # keyed by source fingerprint
 
-    def should_cache(self, source: str, n_sharers: int) -> bool:
-        """Admission: enough sharers and a scan big enough to pay for
-        its own materialization, small enough to fit the budget."""
+    def should_cache(
+        self,
+        source: str,
+        n_sharers: int,
+        read_fractions: list[float] | None = None,
+    ) -> bool:
+        """Admission: enough sharers, a scan big enough to pay for its
+        own materialization, small enough to fit the budget, and —
+        when the scheduler supplies per-job pruned-ReadSchema widths —
+        enough total column-read work saved to beat the full-width
+        cache build (``benefit_factor``)."""
         if n_sharers < self.min_sharers:
             return False
-        return self.min_bytes <= _dir_bytes(source) <= self.budget
+        if not self.min_bytes <= _dir_bytes(source) <= self.budget:
+            return False
+        if read_fractions is not None:
+            return sum(read_fractions) >= self.benefit_factor
+        return True
 
     def ensure_cached(self, source: str, view: str) -> bool:
         """Cache ``view`` (a registered temp view over ``source``) if

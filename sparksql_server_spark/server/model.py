@@ -41,6 +41,9 @@ class QueryJob:
     n_rows: int | None = None
     elapsed: float | None = None
     fingerprints: frozenset[str] = frozenset()
+    # per scanned source: how many columns this job's plan reads
+    # (pruned ReadSchema width — cache-admission cost model input)
+    read_cols: dict[str, int] = field(default_factory=dict)
     # isolated client session (spark.newSession()); None = server root.
     # The reference's per-client state was the shipped jar + re-registered
     # temp tables (DAGListener.scala:155-162); ours is a Spark session

@@ -22,7 +22,7 @@ from concurrent.futures import ThreadPoolExecutor, wait
 
 from pyspark.sql import SparkSession
 
-from sparksql_server_spark.plans.analysis import scan_fingerprints
+from sparksql_server_spark.plans.analysis import scan_fingerprints, scan_read_columns
 from sparksql_server_spark.server.cache import CacheManager
 from sparksql_server_spark.server.detector import detect_sharing
 from sparksql_server_spark.server.model import JobStatus, QueryJob, RewriteKind, SharingBag
@@ -67,6 +67,7 @@ class BatchExecutor:
             return
         df = (job.session or self.spark).sql(job.sql)
         job.fingerprints = scan_fingerprints(df)
+        job.read_cols = scan_read_columns(df)
 
     # -- execution --------------------------------------------------------
 
@@ -108,10 +109,29 @@ class BatchExecutor:
             view = self.source_views.get(source)
             if view is None:
                 continue
-            if self.cache.should_cache(source, n_sharers=len(bag.jobs)):
+            fractions = self._read_fractions(source, view, bag.jobs)
+            if self.cache.should_cache(
+                source, n_sharers=len(fractions), read_fractions=fractions
+            ):
                 cached_any |= self.cache.ensure_cached(source, view)
         if cached_any:
             bag.rewrite = RewriteKind.CACHING
+
+    def _read_fractions(
+        self, source: str, view: str, jobs: list[QueryJob]
+    ) -> list[float]:
+        """Per sharing job: the fraction of the table's columns its plan
+        reads from ``source`` (1.0 when unknown — conservative toward
+        the pre-cost-model behavior)."""
+        try:
+            total = len(self.spark.table(view).columns) or 1
+        except Exception:
+            total = 1
+        return [
+            min(1.0, job.read_cols.get(source, total) / total)
+            for job in jobs
+            if source in job.fingerprints
+        ]
 
     def _run_job(self, job: QueryJob, pool_name: str) -> None:
         """Execute one job in the calling thread, inside a FAIR pool."""

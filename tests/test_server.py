@@ -351,3 +351,59 @@ class TestClientLibrary:
         finally:
             srv.shutdown()
             srv.executor.cache.clear()
+
+
+class TestReadFractionCostModel:
+    def test_scan_read_columns_sees_pruning(self, spark):
+        """The pruned ReadSchema width reaches the cost model: a
+        single-column COUNT reads 1 of lineitem's 11 columns."""
+        from sparksql_server_spark.plans.analysis import scan_read_columns
+
+        register_tables(spark, SF_DIR)
+        narrow = spark.sql("SELECT count(*) AS n FROM lineitem WHERE l_discount > 0.05")
+        cols = scan_read_columns(narrow)
+        src = next(p for p in cols if p.endswith("lineitem.parquet"))
+        assert cols[src] == 1
+        # note: max(x) FROM (SELECT *) would NOT be wide — Catalyst
+        # prunes through subqueries; only a full-row output reads all
+        wide = spark.sql("SELECT * FROM lineitem")
+        assert scan_read_columns(wide)[src] >= 11
+
+    def test_narrow_bag_not_admitted_wide_bag_admitted(self, spark):
+        """Σ read-fraction decides: ten 1-of-11-column queries save
+        less than one full-width cache build; two full-width queries
+        clear the bar (min_bytes floored to 0 to isolate the
+        fraction term)."""
+        register_tables(spark, SF_DIR)
+        src = SF_DIR + "/lineitem.parquet"
+        cm = CacheManager(spark, budget_bytes=1 << 30, min_bytes=0)
+        assert not cm.should_cache(src, n_sharers=10, read_fractions=[1 / 11] * 10)
+        assert cm.should_cache(src, n_sharers=2, read_fractions=[1.0, 1.0])
+
+    def test_executor_wires_fractions_through(self, spark):
+        """End-to-end: a batch of narrow counts over one hot table
+        stays NOOP even with no size floor; a batch of full-width
+        scans flips to CACHING."""
+        register_tables(spark, SF_DIR)
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=1 << 30, min_bytes=0),
+            source_views=source_view_map(SF_DIR),
+        )
+        narrow = [
+            QueryJob(job_id=i, sql=f"SELECT count(*) AS n FROM lineitem WHERE l_linenumber = {i+1}")
+            for i in range(3)
+        ]
+        bags = ex.run_batch(narrow)
+        assert all(b.rewrite is RewriteKind.NOOP for b in bags)
+        assert not ex.cache.cached_sources
+        wide = [
+            QueryJob(job_id=10 + i, sql="SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5")
+            for i in range(2)
+        ]
+        bags = ex.run_batch(wide)
+        try:
+            assert any(b.rewrite is RewriteKind.CACHING for b in bags)
+            assert ex.cache.cached_sources
+        finally:
+            ex.cache.clear()
