@@ -146,3 +146,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a 64-char-prefix fingerprint (cheap near-head dedup key)."""
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_fingerprint_sql("spark"))
+
+
+def _pipeline_sql(dialect: str) -> str:
+    """The capstone composite: quality gate -> language gate ->
+    exact dedup (keep min doc_id per text) -> token budget."""
+    if dialect == "spark":
+        words = spark_words("text")
+        size_w = "size(w)"
+        n_stop = _score("spark", "en")
+        re_tokens = "size(filter(split(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
+    else:
+        words = duck_words("text")
+        size_w = "len(w)"
+        n_stop = _score("duck", "en")
+        re_tokens = "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
+    return f"""
+WITH w AS (SELECT doc_id, text, source, lang, {words} AS w FROM documents),
+feat AS (SELECT doc_id, text, source, lang,
+                CAST({size_w} AS BIGINT)              AS n_words,
+                round({n_stop} / {size_w}, 4)         AS stopword_ratio,
+                CAST({re_tokens} AS BIGINT)           AS n_re_tokens
+         FROM w
+         WHERE {size_w} > 0),
+gated AS (SELECT * FROM feat
+          WHERE n_words >= 5 AND stopword_ratio >= 0.05),
+canon AS (SELECT text, min(doc_id) AS keep_id FROM gated GROUP BY text)
+SELECT g.doc_id, g.source, g.lang, g.n_words, g.stopword_ratio, g.n_re_tokens
+FROM gated g JOIN canon c ON g.doc_id = c.keep_id
+ORDER BY g.doc_id
+"""
+
+
+@query("pipeline_training_data", oracle=_pipeline_sql("duck"))
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composite: quality features →
+    gate (min length, stopword ratio) → exact dedup keeping the
+    canonical (min doc_id) copy → per-doc token budget. One pass over
+    documents + one groupBy on text for the canonical choice — at
+    100 TB the dedup groupBy is the only shuffle, keyed on full text
+    (swap in the fingerprint column to shuffle 8 bytes instead of
+    documents when texts are large; same plan shape)."""
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_pipeline_sql("spark"))
