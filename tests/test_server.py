@@ -86,9 +86,12 @@ class TestBatchExecutor:
         register_tables(spark, SF_DIR)
         ex = BatchExecutor(
             spark,
-            # min_bytes=0: sf0.001 tables are tiny; tests exercise the
-            # caching path that production admission reserves for big scans
-            cache=CacheManager(spark, budget_bytes=1 << 30, min_bytes=0),
+            # min_bytes=0 + benefit_factor=0: sf0.001 tables are tiny and
+            # the queries narrow; tests exercise the caching path that
+            # production admission reserves for big, wide-enough scans
+            cache=CacheManager(
+                spark, budget_bytes=1 << 30, min_bytes=0, benefit_factor=0.0
+            ),
             source_views=source_view_map(SF_DIR),
         )
         yield ex
