@@ -172,3 +172,37 @@ def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p.k") % 7 == 0).alias("k_div7"),
         (F.from_json("props", "k INT").isNotNull()).alias("is_valid"),
     ).orderBy("event_id")
+
+
+@query(
+    "json_variant",
+    oracle="""
+    SELECT k_parity, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 2 AS k_parity, props
+          FROM events)
+    GROUP BY k_parity
+    ORDER BY k_parity
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (native since Spark 4.0):
+    parse_json into a VARIANT column, then typed variant_get
+    extraction — the open-schema ingestion shape (store once, type at
+    query time) that per-field string extraction (json_funcs) can't
+    batch. DuckDB oracle uses its JSON type for identical semantics.
+
+    Scale: parse_json is one vectorized pass; variant_get on a
+    binary-encoded variant avoids re-tokenizing the JSON text per
+    field."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    return (
+        v.select(
+            (F.try_variant_get("v", "$.k", "bigint") % 2).alias("k_parity"),
+            F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        )
+        .groupBy("k_parity")
+        .agg(F.count("*").alias("n"), F.max("k").alias("max_k"))
+        .orderBy("k_parity")
+    )
