@@ -145,3 +145,28 @@ def test_hot_paths_are_codegen(spark, name):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(" in plan  # WholeStageCodegen stage markers
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+
+
+def test_q2_supply_cte_scans_lineitem_exactly_twice(spark):
+    """Q2's correlated-min decorrelates into two aggregate branches
+    over the supply CTE — lineitem must be scanned exactly twice (once
+    per branch), never once-per-part (correlated re-execution) nor a
+    third time."""
+    plan = plan_of(spark, "tpch_q2_min_cost_supplier")
+    n = sum("lineitem.parquet" in line for line in plan.splitlines()
+            if line.strip().startswith("Location:"))
+    assert n == 2, f"expected 2 lineitem scans, saw {n}"
+
+
+def test_q21_double_correlation_decorrelates_to_semi_anti(spark):
+    """Q21's EXISTS/NOT EXISTS pair must plan as one LeftSemi and one
+    LeftAnti join (no correlated re-execution, no cartesian)."""
+    plan = plan_of(spark, "tpch_q21_suppliers_kept_waiting")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q16_not_in_plans_as_anti_join(spark):
+    """Q16's NOT IN subquery must become a (null-aware) anti join
+    against the tiny supplier dim."""
+    plan = plan_of(spark, "tpch_q16_supplier_part_kinds")
+    assert "LeftAnti" in plan
