@@ -1,5 +1,6 @@
-"""TPC-H-shaped headline queries (Q3/Q4/Q5/Q6/Q10/Q14/Q18/Q19/Q22),
-adapted to the driver's star schema.
+"""TPC-H-shaped headline queries — the complete suite Q2–Q22 (Q1 lives
+in operators/aggregates.py as agg_q1_pricing_summary), adapted to the
+driver's star schema.
 
 The reference's client surface is "any Spark SQL query"
 (`/root/reference/SimpleAppClient/src/main/scala/SimpleAppClient.scala:62-72`
