@@ -82,3 +82,26 @@ def test_partitioned_write_prunes_at_read(spark, tmp_path):
     assert "event_type" in part
     # pruning is semantic too: counts match the unpartitioned filter
     assert df.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_hll_sketches_merge_like_partial_aggregates(spark):
+    """DataSketches HLL (Spark ≥ 3.5): per-partition sketches merged
+    with hll_union_agg must estimate the same cardinality as one
+    global sketch — the mergeability that lets distinct-count roll up
+    map-side at 100 TB (no oracle-corpus entry: DuckDB's HLL is a
+    different implementation, estimates can't hash-match)."""
+    from sparksql_server_spark.catalog import register_tables
+    from tests.conftest import SF_DIR
+
+    register_tables(spark, SF_DIR)
+    merged, direct, exact = spark.sql(
+        """
+        SELECT (SELECT hll_sketch_estimate(hll_union_agg(s))
+                FROM (SELECT l_returnflag, hll_sketch_agg(l_partkey) AS s
+                      FROM lineitem GROUP BY l_returnflag)),
+               (SELECT hll_sketch_estimate(hll_sketch_agg(l_partkey)) FROM lineitem),
+               (SELECT count(DISTINCT l_partkey) FROM lineitem)
+        """
+    ).collect()[0]
+    assert merged == direct  # same sketch state either way
+    assert abs(merged - exact) / exact < 0.05
