@@ -168,3 +168,30 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_RESAMPLE_SPARK)
+
+
+_SCD2_SQL = """
+SELECT user_id,
+       CAST(value AS DOUBLE) AS bal,
+       CAST(date_trunc('second', ts) AS TIMESTAMP) AS valid_from,
+       CAST(date_trunc('second',
+            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            AS TIMESTAMP) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         IS NULL AS is_current
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY user_id, valid_from, event_id
+"""
+
+
+@query("scd2_intervals", oracle=_SCD2_SQL)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 interval building: each change
+    event opens a version valid until the user's next change
+    (half-open [valid_from, valid_to)), latest row flagged current —
+    one window pass, one shuffle on user_id. Second-truncated output:
+    the raw column is nanosecond parquet surfaced at different
+    precisions by the two engines."""
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_SCD2_SQL)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparksql_server_spark.catalog import table
+from sparksql_server_spark.catalog import register_tables, table
 from sparksql_server_spark.operators.registry import query
 
 
@@ -215,3 +215,49 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_late_lines"))
         .orderBy("o_orderpriority")
     )
+
+
+_MERGE_SQL = """
+WITH updates AS (
+  SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 200000
+              ELSE o_custkey END                         AS c_custkey,
+         CAST(max(o_totalprice) AS DOUBLE)               AS new_bal
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+  GROUP BY 1),
+merged AS (
+  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+         'kept' AS merge_action
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+  UNION ALL
+  SELECT u.c_custkey,
+         coalesce(c.c_name, 'NEW')            AS c_name,
+         coalesce(c.c_nationkey, -1)          AS c_nationkey,
+         u.new_bal                            AS c_acctbal,
+         coalesce(c.c_mktsegment, 'UNKNOWN')  AS c_mktsegment,
+         CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+              ELSE 'updated' END              AS merge_action
+  FROM updates u LEFT JOIN customer c ON u.c_custkey = c.c_custkey)
+SELECT * FROM merged
+ORDER BY c_custkey
+"""
+
+
+@query("merge_upsert", oracle=_MERGE_SQL)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / MERGE INTO emulation on plain parquet relations
+    (Spark's MERGE statement needs a v2 table — Delta/Iceberg): base
+    rows not touched by the change set survive via anti-join, matched
+    keys take updated values, unknown keys insert with defaults — the
+    classic anti-join + outer-join + union rewrite. The change set
+    here is derived deterministically from orders (latest 2000H2+
+    total per customer; every 7th key shifted to an unseen id to
+    exercise the INSERT branch).
+
+    Scale: both branches join on c_custkey only; the anti and outer
+    joins share the updates build side (broadcast when small), and no
+    branch rescans more than one pass of either input.
+    """
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_MERGE_SQL)
