@@ -63,6 +63,10 @@ class SparkSQLClient:
     def poll(self, job_id: int) -> dict[str, Any]:
         return self.request({"status": job_id})
 
+    def cancel(self, job_id: int) -> bool:
+        reply = self.request({"cancel": job_id})
+        return bool(reply.get("cancelled"))
+
     def explain(self, sql: str, mode: str = "formatted") -> str:
         reply = self.request({"explain": mode, "sql": sql})
         if reply.get("status") != "done":

@@ -17,6 +17,7 @@ RewriteExecutor → FIFOStrategy):
 
 from __future__ import annotations
 
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor, wait
 
@@ -133,14 +134,51 @@ class BatchExecutor:
             if source in job.fingerprints
         ]
 
+    def cancel(self, job: QueryJob) -> bool:
+        """Cancel a running job's Spark jobs (its job group); queued
+        jobs are marked cancelled before they start. Returns whether
+        anything was cancelled."""
+        if job.status is JobStatus.QUEUED:
+            job.status = JobStatus.ERROR
+            job.error = "cancelled"
+            job.done_event.set()
+            return True
+        if job.status is JobStatus.RUNNING:
+            job.props["cancel_requested"] = True
+            group = f"job{job.job_id}"
+            sc = self.spark.sparkContext
+            # ...AndFutureJobs (SPARK-44194) fails jobs submitted after
+            # the cancel, but only when cancelled-group tracking is on
+            # (spark.scheduler.numCancelledJobGroupsToTrack; our session
+            # sets it, an externally built one may not) — so ALSO re-kill
+            # active jobs until the query actually dies: a multi-job
+            # statement (AQE stages) can land jobs between cancel calls.
+            sc._jsc.sc().cancelJobGroupAndFutureJobs(group)
+
+            def reaper() -> None:
+                for _ in range(240):  # ≤ 60 s of escort
+                    if job.done_event.wait(0.25):
+                        return
+                    sc.cancelJobGroup(group)
+
+            threading.Thread(target=reaper, daemon=True).start()
+            return True
+        return False
+
     def _run_job(self, job: QueryJob, pool_name: str) -> None:
         """Execute one job in the calling thread, inside a FAIR pool."""
+        if job.status is not JobStatus.QUEUED:  # e.g. cancelled while queued
+            return
         sc = self.spark.sparkContext
         sc.setLocalProperty("spark.scheduler.pool", pool_name)
+        # its own job group so a client can cancel mid-flight
+        sc.setJobGroup(f"job{job.job_id}", job.sql[:100], interruptOnCancel=True)
         job.status = JobStatus.RUNNING
         start = time.monotonic()
         try:
             df = (job.session or self.spark).sql(job.sql)
+            if job.props.get("cancel_requested"):  # cancelled during planning
+                raise RuntimeError("cancelled")
             output = job.props.get("output")
             if output:
                 writer = df.write.mode(job.props.get("output_mode", "overwrite"))

@@ -17,6 +17,9 @@ DAGListener.scala:104):
                "session": ...?}               (plan only, never queued)
     response: {"status": "done", "plan": "..."}
 
+    request : {"cancel": id}    (cancel a queued or running job)
+    response: {"id": N, "cancelled": true|false}
+
 ``session`` names an isolated client session (temp views and SQL conf
 private; created on first use via ``spark.newSession()`` over the ONE
 shared SparkContext). The reference isolated clients by jar +
@@ -167,6 +170,11 @@ class WorkSharingServer:
             if job is None:
                 return {"status": "error", "error": "unknown job id"}
             return job.result()
+        if "cancel" in req:  # {"cancel": id} -> cancel queued/running job
+            job = self._jobs.get(int(req["cancel"]))
+            if job is None:
+                return {"status": "error", "error": "unknown job id"}
+            return {"id": job.job_id, "cancelled": self.executor.cancel(job)}
         sql = req.get("sql")
         if not isinstance(sql, str) or not sql.strip():
             return {"status": "error", "error": "missing 'sql'"}

@@ -55,6 +55,9 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         # -- work-sharing scheduler: FAIR pools --------------------------
         .config("spark.scheduler.mode", "FAIR")
+        # track cancelled job groups so cancelJobGroupAndFutureJobs can
+        # fail a query's not-yet-submitted jobs (off by default)
+        .config("spark.scheduler.numCancelledJobGroupsToTrack", "1000")
         # -- quiet local runs --------------------------------------------
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

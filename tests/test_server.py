@@ -410,3 +410,52 @@ class TestReadFractionCostModel:
             assert ex.cache.cached_sources
         finally:
             ex.cache.clear()
+
+
+class TestCancellation:
+    def test_cancel_running_job(self, spark):
+        """{"cancel": id} interrupts a running job's Spark job group;
+        the job finishes as an error, the server stays healthy."""
+        from sparksql_server_spark.server import SparkSQLClient
+
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.05).start()
+        try:
+            with SparkSQLClient(srv.address) as c:
+                # per-row sleep: the arg must be column-dependent (a
+                # literal constant-folds to one call) and the column
+                # must be aggregated (count(*) prunes it away, deleting
+                # the reflect) — ~6k rows x 20 ms ≈ 2 min unless
+                # cancelled; interruptOnCancel breaks the sleep fast
+                job_id = c.submit(
+                    "SELECT count(z) AS n FROM "
+                    "(SELECT reflect('java.lang.Thread', 'sleep',"
+                    " CAST(19 + l_linenumber % 2 AS BIGINT)) AS z"
+                    " FROM lineitem)"
+                )
+                for _ in range(200):  # wait until it actually runs
+                    if c.poll(job_id)["status"] == "running":
+                        break
+                    time.sleep(0.05)
+                assert c.cancel(job_id)
+                for _ in range(200):
+                    r = c.poll(job_id)
+                    if r["status"] in ("done", "error"):
+                        break
+                    time.sleep(0.05)
+                assert r["status"] == "error", r
+                # server still serves after the cancellation
+                assert c.sql("SELECT 1 AS one")["rows"] == [[1]]
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
+
+    def test_cancel_queued_job_before_start(self, spark):
+        """A job cancelled while still queued never runs."""
+        from sparksql_server_spark.server import BatchExecutor
+
+        register_tables(spark, SF_DIR)
+        ex = BatchExecutor(spark, cache=CacheManager(spark), source_views={})
+        job = QueryJob(job_id=999, sql="SELECT count(*) AS n FROM region")
+        assert ex.cancel(job)
+        ex.run_batch([job])
+        assert job.status is JobStatus.ERROR and job.error == "cancelled"
