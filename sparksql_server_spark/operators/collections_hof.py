@@ -25,8 +25,10 @@ from sparksql_server_spark.operators.registry import query
     "hof_array_lambdas",
     oracle="""
     SELECT p_partkey,
-           list_transform(words, w -> CAST(length(w) AS INT))     AS word_lens,
-           list_filter(words, w -> length(w) > 5)                 AS long_words,
+           array_to_string(list_transform(words,
+                w -> CAST(length(w) AS VARCHAR)), ',')            AS word_lens,
+           coalesce(array_to_string(
+                list_filter(words, w -> length(w) > 5), ','), '') AS long_words,
            len(list_filter(words, w -> w LIKE '%a%')) > 0         AS has_a_word,
            len(list_filter(words, w -> length(w) < 20)) = len(words) AS all_short,
            CAST(list_reduce(list_prepend(0, list_transform(words,
@@ -37,15 +39,23 @@ from sparksql_server_spark.operators.registry import query
 )
 def hof_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform / filter / exists / forall / aggregate over the
-    tokenized part name — the full array-lambda family, all codegen."""
+    tokenized part name — the full array-lambda family, all codegen.
+
+    Array-valued intermediates are serialized with array_join before
+    output: the harness canonicalizer sorts result columns with pandas
+    and list cells are unhashable (round-1 err rows)."""
     p = table(spark, sf_dir, "part").select(
         "p_partkey", F.split("p_name", " ").alias("words")
     )
     w = F.col("words")
     return p.select(
         "p_partkey",
-        F.transform(w, lambda x: F.length(x)).alias("word_lens"),
-        F.filter(w, lambda x: F.length(x) > 5).alias("long_words"),
+        F.array_join(
+            F.transform(w, lambda x: F.length(x).cast("string")), ","
+        ).alias("word_lens"),
+        F.array_join(F.filter(w, lambda x: F.length(x) > 5), ",").alias(
+            "long_words"
+        ),
         F.exists(w, lambda x: x.like("%a%")).alias("has_a_word"),
         F.forall(w, lambda x: F.length(x) < 20).alias("all_short"),
         F.aggregate(
@@ -163,7 +173,7 @@ def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_set_ops",
     oracle="""
     SELECT o_orderkey,
-           list_sort(list_distinct(flags))                    AS distinct_flags,
+           array_to_string(list_sort(list_distinct(flags)), ',') AS distinct_flags,
            CAST(len(list_distinct(flags)) AS INT)             AS n_distinct,
            list_contains(flags, 'R')                          AS saw_return
     FROM (SELECT l_orderkey AS o_orderkey, list(l_returnflag) AS flags
@@ -174,14 +184,17 @@ def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list → array_distinct / array_sort / array_contains —
     set algebra on grouped arrays (order-insensitive: collected arrays
-    are normalized through distinct+sort before comparison)."""
+    are normalized through distinct+sort, then serialized with
+    array_join so the pandas canonicalizer never sees a list cell)."""
     li = table(spark, sf_dir, "lineitem")
     g = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.collect_list("l_returnflag").alias("flags")
     )
     return g.select(
         "o_orderkey",
-        F.array_sort(F.array_distinct("flags")).alias("distinct_flags"),
+        F.array_join(F.array_sort(F.array_distinct("flags")), ",").alias(
+            "distinct_flags"
+        ),
         F.size(F.array_distinct("flags")).alias("n_distinct"),
         F.array_contains("flags", "R").alias("saw_return"),
     ).orderBy("o_orderkey")

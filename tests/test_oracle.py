@@ -37,6 +37,27 @@ def test_all_queries_have_oracles():
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_output_is_atomic(spark, name):
+    """No query may emit array/map/struct output columns: the harness
+    canonicalizer sorts result columns with pandas, and list/dict cells
+    are unhashable (round-1 `err` rows on hof_array_lambdas and
+    array_set_ops). Serialize complex values with array_join/to_json in
+    BOTH dialects before returning them."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = QUERIES[name](spark, SF_DIR).schema
+    complex_cols = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} emits complex-typed columns {complex_cols} — the driver "
+        "canonicalizer cannot sort them; serialize to string/json first"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_is_not_vacuous(spark, name):
     """Every query must return rows at some test scale — an oracle
     match on empty-vs-empty proves nothing. Cheap check at sf0.001;
