@@ -1,9 +1,14 @@
 """Benchmark harness — runs the query corpus at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+ONE SHORT JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"<name>": sec, ...}, "sf": <sf>}
+     "queries": {"shared_scan_*": sec, "cached_scan_*": sec},
+     "sf": <sf>, "n_queries": N, "detail": "BENCH_DETAIL.json"}
+
+The full per-query timing map is written to BENCH_DETAIL.json next to
+this file (the stdout line holds only totals + the BASELINE-claim
+pseudo-queries so output-capture truncation can never lose it).
 
 Each query is forced end-to-end with the noop sink (computes every
 output column, no driver transfer). Also measures the work-sharing
@@ -57,11 +62,18 @@ WINDOW_SIZES = (2, 5, 10)
 # --- cache-admitted shared scan (reference Fig 5.1's caching claim) -----
 # The driver tables at sf0.1 sit under the 64 MiB admission floor, so the
 # window benches above exercise concurrency only. This workload scales
-# lineitem past the floor (×8 ≈ 90 MiB) and uses wide aggregates (7+ of
-# 11 columns) so the read-fraction cost model admits the cache; measured
-# three ways: back-to-back, concurrent-uncached, batched-with-cache.
+# lineitem ×8 and stores it as CSV — faithful to the reference's
+# evaluation corpus (text files, report.pdf ch.5) and the case where
+# caching genuinely pays: a row-text rescan repays a full parse, which
+# one cached build eliminates for the whole batch. (Parquet-backed
+# sharing is deliberately NOT the demo: its rescan is a vectorized
+# decode of page-cached bytes, measured barely slower than a warm
+# InMemoryRelation read, so the format-aware cost model declines it —
+# tests/test_server.py gates that decline.) Wide aggregates (7+ of 11
+# columns) clear the read-fraction bar; measured three ways:
+# back-to-back, concurrent-uncached, batched-with-cache.
 BIG_DIR = (
-    f"/tmp/sparkgraft_bench/{os.path.basename(SF_DIR.rstrip('/'))}_lineitem_x8.parquet"
+    f"/tmp/sparkgraft_bench/{os.path.basename(SF_DIR.rstrip('/'))}_lineitem_x8.csv"
 )
 
 
@@ -94,13 +106,27 @@ def ensure_big_table(spark) -> None:
         li = spark.table("lineitem")
         from pyspark.sql import functions as F
 
+        # Replicas get distinct keys; CSV doesn't RLE-collapse repeats
+        # (an earlier parquet ×8 compressed back to 19 MB — under the
+        # 64 MiB admission floor, so the caching leg measured nothing).
+        # repartition(32) gives every core a split at read time.
         (
             li.withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(8))))
+            .withColumn("l_orderkey", F.col("l_orderkey") * 8 + F.col("rep"))
             .drop("rep")
+            .repartition(32)
             .write.mode("overwrite")
-            .parquet(BIG_DIR)
+            .option("header", True)
+            .csv(BIG_DIR)
         )
-    spark.read.parquet(BIG_DIR).createOrReplaceTempView("lineitem_big")
+    # explicit schema: inferSchema would itself parse the file once
+    schema = spark.table("lineitem").schema
+    (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(BIG_DIR)
+        .createOrReplaceTempView("lineitem_big")
+    )
 
 
 def _force(df) -> None:
@@ -149,7 +175,8 @@ def main() -> None:
     # win — the Fig 5.1 analogue on a floor-clearing input) -------------
     ensure_big_table(spark)
     big_src = BIG_DIR
-    n_big = 4
+    n_big = 10  # the thesis's widest window (Fig 5.1) — the batch must
+    # be wide enough that one cached build amortizes over many parses
     queries = big_scan_queries(n_big)
     _force(spark.sql(queries[0]))  # warm codegen paths once
 
@@ -186,14 +213,36 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map goes to a file (the round-1 stdout line was
+    # tail-truncated by the capture harness — "parsed": null); stdout
+    # carries a SHORT line holding the totals and the BASELINE-claim
+    # pseudo-queries, small enough that no tail truncation can eat it.
+    detail = {
+        "metric": "corpus_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    headline = {
+        name: secs
+        for name, secs in timings.items()
+        if name.startswith(("shared_scan_", "cached_scan_"))
+    }
     print(
         json.dumps(
             {
                 "metric": "corpus_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": headline,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

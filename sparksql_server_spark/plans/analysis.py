@@ -64,28 +64,26 @@ def _top_level_fields(struct_body: str) -> int:
     return n
 
 
-def scan_read_columns(df: DataFrame) -> dict[str, int]:
-    """Per scanned source root: how many top-level columns the query
-    actually READS (the scan's pruned ReadSchema — what column pruning
-    left, not the table width). Parsed from the formatted physical
-    plan; planning only, no execution.
+def _scan_nodes(df: DataFrame) -> list[tuple[str, int | None, str | None]]:
+    """All file-scan nodes of ``df``'s formatted physical plan, as
+    (source root, pruned-ReadSchema width, file format) tuples.
+    Planning only, no execution."""
+    import re
 
-    Feeds the cache-admission cost model: a full-table cache build
-    decodes every column, but a narrow query only saves its own
-    ReadSchema's worth of scan work — at 100 TB the difference decides
-    whether caching pays (SURVEY.md §4.3 item 4, the honest B7).
-    Self-joins (same source scanned twice) keep the widest scan.
-    """
     jqe = df._jdf.queryExecution()
     jvm = df.sparkSession._jvm
     text = jqe.explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    out: dict[str, int] = {}
+    out: list[tuple[str, int | None, str | None]] = []
+    fmt: str | None = None
     location: str | None = None
     for raw in text.splitlines():
         line = raw.strip()
-        if line.startswith("Location:"):
+        header = re.match(r"\(\d+\) Scan (\w+)", line)
+        if header:
+            fmt = header.group(1).lower()
+        elif line.startswith("Location:"):
             # "Location: InMemoryFileIndex [file:/path, ...]"
             inner = line.split("[", 1)[-1].rstrip("]")
             path = inner.split(",", 1)[0].strip()
@@ -94,7 +92,40 @@ def scan_read_columns(df: DataFrame) -> dict[str, int]:
             location = path
         elif line.startswith("ReadSchema:") and location is not None:
             body = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
-            n = _top_level_fields(body)
-            out[location] = max(out.get(location, 0), n)
+            out.append((location, _top_level_fields(body), fmt))
             location = None
+            fmt = None
     return out
+
+
+def scan_read_columns(df: DataFrame) -> dict[str, int]:
+    """Per scanned source root: how many top-level columns the query
+    actually READS (the scan's pruned ReadSchema — what column pruning
+    left, not the table width).
+
+    Feeds the cache-admission cost model: a full-table cache build
+    decodes every column, but a narrow query only saves its own
+    ReadSchema's worth of scan work — at 100 TB the difference decides
+    whether caching pays (SURVEY.md §4.3 item 4, the honest B7).
+    Self-joins (same source scanned twice) keep the widest scan.
+    """
+    out: dict[str, int] = {}
+    for location, ncols, _ in _scan_nodes(df):
+        if ncols is not None:
+            out[location] = max(out.get(location, 0), ncols)
+    return out
+
+
+def scan_source_formats(df: DataFrame) -> dict[str, str]:
+    """Per scanned source root: the file format feeding it ("parquet",
+    "csv", "json", "orc", "text", …).
+
+    Cache admission is format-aware: rescanning columnar parquet/orc is
+    cheap (vectorized decode over page-cached bytes — measured: a warm
+    InMemoryRelation wave ran only ~1.2× faster than the uncached
+    concurrent wave), while rescanning row-text csv/json repays a full
+    parse every time, which is exactly what one cached build
+    eliminates. The reference's own evaluation corpus was text files
+    (report.pdf ch.5, Gutenberg), where caching shines.
+    """
+    return {loc: fmt for loc, _, fmt in _scan_nodes(df) if fmt is not None}

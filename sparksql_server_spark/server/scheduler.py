@@ -23,7 +23,11 @@ from concurrent.futures import ThreadPoolExecutor, wait
 
 from pyspark.sql import SparkSession
 
-from sparksql_server_spark.plans.analysis import scan_fingerprints, scan_read_columns
+from sparksql_server_spark.plans.analysis import (
+    scan_fingerprints,
+    scan_read_columns,
+    scan_source_formats,
+)
 from sparksql_server_spark.server.cache import CacheManager
 from sparksql_server_spark.server.detector import detect_sharing
 from sparksql_server_spark.server.model import JobStatus, QueryJob, RewriteKind, SharingBag
@@ -69,6 +73,7 @@ class BatchExecutor:
         df = (job.session or self.spark).sql(job.sql)
         job.fingerprints = scan_fingerprints(df)
         job.read_cols = scan_read_columns(df)
+        job.read_formats = scan_source_formats(df)
 
     # -- execution --------------------------------------------------------
 
@@ -111,10 +116,17 @@ class BatchExecutor:
             if view is None:
                 continue
             fractions = self._read_fractions(source, view, bag.jobs)
+            fmt = next(
+                (j.read_formats[source] for j in bag.jobs if source in j.read_formats),
+                None,
+            )
             if self.cache.should_cache(
-                source, n_sharers=len(fractions), read_fractions=fractions
+                source,
+                n_sharers=len(fractions),
+                read_fractions=fractions,
+                source_format=fmt,
             ):
-                cached_any |= self.cache.ensure_cached(source, view)
+                cached_any |= self.cache.ensure_cached(source, view, source_format=fmt)
         if cached_any:
             bag.rewrite = RewriteKind.CACHING
 
@@ -138,11 +150,17 @@ class BatchExecutor:
         """Cancel a running job's Spark jobs (its job group); queued
         jobs are marked cancelled before they start. Returns whether
         anything was cancelled."""
-        if job.status is JobStatus.QUEUED:
-            job.status = JobStatus.ERROR
-            job.error = "cancelled"
-            job.done_event.set()
-            return True
+        with job.state_lock:
+            # compare-and-set under the job lock: without it, cancel()
+            # could observe QUEUED and mark ERROR while _run_job is
+            # between its own QUEUED check and the RUNNING write — the
+            # write would overwrite the cancellation and the query
+            # would run to DONE after the client was told cancelled=true
+            if job.status is JobStatus.QUEUED:
+                job.status = JobStatus.ERROR
+                job.error = "cancelled"
+                job.done_event.set()
+                return True
         if job.status is JobStatus.RUNNING:
             job.props["cancel_requested"] = True
             group = f"job{job.job_id}"
@@ -167,13 +185,14 @@ class BatchExecutor:
 
     def _run_job(self, job: QueryJob, pool_name: str) -> None:
         """Execute one job in the calling thread, inside a FAIR pool."""
-        if job.status is not JobStatus.QUEUED:  # e.g. cancelled while queued
-            return
+        with job.state_lock:
+            if job.status is not JobStatus.QUEUED:  # e.g. cancelled while queued
+                return
+            job.status = JobStatus.RUNNING
         sc = self.spark.sparkContext
         sc.setLocalProperty("spark.scheduler.pool", pool_name)
         # its own job group so a client can cancel mid-flight
         sc.setJobGroup(f"job{job.job_id}", job.sql[:100], interruptOnCancel=True)
-        job.status = JobStatus.RUNNING
         start = time.monotonic()
         try:
             df = (job.session or self.spark).sql(job.sql)
