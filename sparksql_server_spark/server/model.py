@@ -44,6 +44,9 @@ class QueryJob:
     # per scanned source: how many columns this job's plan reads
     # (pruned ReadSchema width — cache-admission cost model input)
     read_cols: dict[str, int] = field(default_factory=dict)
+    # per scanned source: its file format ("parquet", "csv", …) —
+    # cache admission is format-aware (rescan cost differs ~10×)
+    read_formats: dict[str, str] = field(default_factory=dict)
     # isolated client session (spark.newSession()); None = server root.
     # The reference's per-client state was the shipped jar + re-registered
     # temp tables (DAGListener.scala:155-162); ours is a Spark session
@@ -51,6 +54,9 @@ class QueryJob:
     # and InMemoryRelations stay shared, so work-sharing crosses sessions.
     session: Any = field(default=None, repr=False)
     done_event: threading.Event = field(default_factory=threading.Event, repr=False)
+    # guards the QUEUED→RUNNING / QUEUED→cancelled transition so the
+    # runner and a concurrent cancel() can't both claim the job
+    state_lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def result(self) -> dict[str, Any]:
         out: dict[str, Any] = {
@@ -66,6 +72,11 @@ class QueryJob:
             out["n_rows"] = self.n_rows
         if self.rows is not None:
             out["rows"] = self.rows
+        if self.props.get("truncated"):
+            # inline results stop at the scheduler's MAX_INLINE_ROWS —
+            # without this flag a clipped result set is
+            # indistinguishable from a genuine one of the same size
+            out["truncated"] = True
         if "output" in self.props:
             out["output"] = self.props["output"]
         return out

@@ -131,7 +131,21 @@ class WorkSharingServer:
             if not batch:
                 self._stop.wait(0.05)
                 continue
-            self.executor.run_batch(batch)
+            try:
+                self.executor.run_batch(batch)
+            except Exception as exc:  # noqa: BLE001 — loop must survive
+                # run_batch guards per-job analyze/execute, but a fault
+                # in detection or the cache rewrite would otherwise kill
+                # this thread forever: every queued job would hang and
+                # all wait=True clients block on done_event. Fail the
+                # batch loudly instead and keep serving.
+                from sparksql_server_spark.server.model import JobStatus
+
+                for job in batch:
+                    if not job.done_event.is_set():
+                        job.status = JobStatus.ERROR
+                        job.error = f"batch failed: {type(exc).__name__}: {exc}"
+                        job.done_event.set()
 
     # -- request handling -------------------------------------------------
 
@@ -180,6 +194,17 @@ class WorkSharingServer:
             return {"status": "error", "error": "missing 'sql'"}
         session = self.session_for(req.get("session"))
         if "explain" in req:  # plan introspection: immediate, never queued
+            # only plan-producing statements: ``session.sql`` EXECUTES
+            # commands (DDL/DML) eagerly at plan time, so explaining an
+            # INSERT/DROP here would run the side effect — outside any
+            # job group, uncancellable, unaccounted. Commands must go
+            # through the queue as normal jobs.
+            if not BatchExecutor._is_query(sql):
+                return {
+                    "status": "error",
+                    "error": "explain accepts queries only "
+                    "(commands execute eagerly at plan time; submit them as jobs)",
+                }
             mode = req["explain"] if isinstance(req["explain"], str) else "formatted"
             df = session.sql(sql)
             plan = df._jdf.queryExecution().explainString(

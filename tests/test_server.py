@@ -86,11 +86,16 @@ class TestBatchExecutor:
         register_tables(spark, SF_DIR)
         ex = BatchExecutor(
             spark,
-            # min_bytes=0 + benefit_factor=0: sf0.001 tables are tiny and
-            # the queries narrow; tests exercise the caching path that
-            # production admission reserves for big, wide-enough scans
+            # min_bytes=0 + zero benefit bars: sf0.001 tables are tiny
+            # and the queries narrow; tests exercise the caching path
+            # that production admission reserves for big, wide-enough,
+            # expensive-to-rescan scans
             cache=CacheManager(
-                spark, budget_bytes=1 << 30, min_bytes=0, benefit_factor=0.0
+                spark,
+                budget_bytes=1 << 30,
+                min_bytes=0,
+                benefit_factor=0.0,
+                columnar_benefit_factor=0.0,
             ),
             source_views=source_view_map(SF_DIR),
         )
@@ -201,6 +206,70 @@ class TestServerTCP:
                 return
             time.sleep(0.1)
         raise AssertionError("job never finished")
+
+
+class TestGatewayHardening:
+    """Fault paths of the gateway: explain must not execute commands,
+    a batch-level fault must not kill the run loop, truncation must be
+    visible on the wire."""
+
+    @pytest.fixture()
+    def server(self, spark):
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.05).start()
+        yield srv
+        srv.shutdown()
+        srv.executor.cache.clear()
+
+    def test_explain_rejects_commands(self, spark, server):
+        """``spark.sql()`` executes DDL/DML EAGERLY at plan time, so an
+        {"explain": ..., "sql": "CREATE/DROP ..."} must be rejected —
+        not silently run outside any job group."""
+        reply = client_request(
+            server.address,
+            {"explain": "simple", "sql": "CREATE TEMP VIEW explain_leak AS SELECT 1 AS x"},
+        )
+        assert reply["status"] == "error"
+        # and the side effect really did NOT happen
+        assert not spark.catalog.tableExists("explain_leak")
+        # plain queries still explain fine
+        ok = client_request(
+            server.address, {"explain": "simple", "sql": "SELECT 1 AS one"}
+        )
+        assert ok["status"] == "done" and "plan" in ok
+
+    def test_batch_fault_does_not_kill_loop(self, server):
+        """An exception escaping run_batch (detector/cache-rewrite
+        faults are outside the per-job guards) must fail that batch's
+        jobs and leave the loop serving — round-1 behavior hung every
+        later client forever."""
+        original = server.executor.run_batch
+        calls = {"n": 0}
+
+        def boom(batch):
+            calls["n"] += 1
+            raise RuntimeError("injected batch fault")
+
+        server.executor.run_batch = boom
+        try:
+            reply = client_request(server.address, {"sql": "SELECT 1 AS x"})
+            assert reply["status"] == "error"
+            assert "injected batch fault" in reply["error"]
+            assert calls["n"] == 1
+        finally:
+            server.executor.run_batch = original
+        # loop still alive: next request succeeds
+        ok = client_request(server.address, {"sql": "SELECT 2 AS y"})
+        assert ok["status"] == "done" and ok["rows"] == [[2]]
+
+    def test_truncated_flag_on_wire(self):
+        """A clipped inline result says so — without the flag a
+        MAX_INLINE_ROWS result is indistinguishable from a genuine one
+        of the same size."""
+        job = QueryJob(job_id=1, sql="SELECT 1")
+        job.rows, job.n_rows, job.columns = [(1,)], 1, ["x"]
+        assert "truncated" not in job.result()
+        job.props["truncated"] = True
+        assert job.result()["truncated"] is True
 
 
 class TestRegisteredUDFs:
@@ -373,24 +442,46 @@ class TestReadFractionCostModel:
         assert scan_read_columns(wide)[src] >= 11
 
     def test_narrow_bag_not_admitted_wide_bag_admitted(self, spark):
-        """Σ read-fraction decides: ten 1-of-11-column queries save
-        less than one full-width cache build; two full-width queries
-        clear the bar (min_bytes floored to 0 to isolate the
-        fraction term)."""
+        """Σ read-fraction decides, with a format-aware bar: a cheap
+        columnar rescan (parquet) needs far more saved work than a
+        row-text rescan (csv) that repays a full parse per query
+        (min_bytes floored to 0 to isolate the fraction term)."""
         register_tables(spark, SF_DIR)
         src = SF_DIR + "/lineitem.parquet"
         cm = CacheManager(spark, budget_bytes=1 << 30, min_bytes=0)
-        assert not cm.should_cache(src, n_sharers=10, read_fractions=[1 / 11] * 10)
-        assert cm.should_cache(src, n_sharers=2, read_fractions=[1.0, 1.0])
+        # narrow queries never clear either bar
+        assert not cm.should_cache(
+            src, n_sharers=10, read_fractions=[1 / 11] * 10, source_format="csv"
+        )
+        # two full-width sharers clear the row-text bar (1.2) …
+        assert cm.should_cache(
+            src, n_sharers=2, read_fractions=[1.0, 1.0], source_format="csv"
+        )
+        # … but not the columnar bar (rescan is a cheap vectorized
+        # decode; measured batched 31.3 s vs concurrent 13.8 s when a
+        # parquet bag this narrow was admitted)
+        assert not cm.should_cache(
+            src, n_sharers=2, read_fractions=[1.0, 1.0], source_format="parquet"
+        )
+        # unknown format gets the conservative columnar bar
+        assert not cm.should_cache(src, n_sharers=2, read_fractions=[1.0, 1.0])
+        # a genuinely wide shared parquet workload still clears it
+        assert cm.should_cache(
+            src, n_sharers=8, read_fractions=[1.0] * 8, source_format="parquet"
+        )
 
     def test_executor_wires_fractions_through(self, spark):
         """End-to-end: a batch of narrow counts over one hot table
         stays NOOP even with no size floor; a batch of full-width
-        scans flips to CACHING."""
+        scans flips to CACHING. (columnar bar lowered to the row-text
+        bar here — this test gates the FRACTION wiring, not the
+        format economics, which test_narrow_bag… covers.)"""
         register_tables(spark, SF_DIR)
         ex = BatchExecutor(
             spark,
-            cache=CacheManager(spark, budget_bytes=1 << 30, min_bytes=0),
+            cache=CacheManager(
+                spark, budget_bytes=1 << 30, min_bytes=0, columnar_benefit_factor=1.2
+            ),
             source_views=source_view_map(SF_DIR),
         )
         narrow = [
@@ -410,6 +501,69 @@ class TestReadFractionCostModel:
             assert ex.cache.cached_sources
         finally:
             ex.cache.clear()
+
+
+class TestStorageAwareAdmission:
+    def test_scan_source_formats(self, spark, tmp_path):
+        """The analyzer reports each scanned source's file format —
+        the input the format-aware admission bar keys on."""
+        from sparksql_server_spark.plans.analysis import scan_source_formats
+
+        register_tables(spark, SF_DIR)
+        pq = spark.sql("SELECT count(*) AS n FROM lineitem")
+        fmts = scan_source_formats(pq)
+        src = next(p for p in fmts if p.endswith("lineitem.parquet"))
+        assert fmts[src] == "parquet"
+
+        csv_dir = str(tmp_path / "t.csv")
+        spark.table("region").write.option("header", True).csv(csv_dir)
+        cdf = spark.read.option("header", True).csv(csv_dir)
+        assert set(scan_source_formats(cdf).values()) == {"csv"}
+
+    def test_declines_when_build_exceeds_free_storage(self, spark):
+        """Round-1 regression gate: admission must observe the JVM's
+        REAL free storage memory, not just the configured budget — a
+        build that won't fit turns the batch slower than running it
+        uncached. A table whose estimated in-memory size exceeds free
+        storage is declined even though it clears every other bar."""
+        register_tables(spark, SF_DIR)
+        src = SF_DIR + "/lineitem.parquet"
+        cm = CacheManager(
+            spark,
+            budget_bytes=1 << 40,
+            min_bytes=0,
+            # absurd expansion estimate guarantees "won't fit" without
+            # needing a huge fixture table (columnar estimate — the
+            # row-text estimate is a constant ~1.2×)
+            mem_expansion=1e9,
+        )
+        assert cm._free_storage_bytes() is not None  # observable in local mode
+        assert not cm.should_cache(
+            src, n_sharers=8, read_fractions=[1.0] * 8, source_format="parquet"
+        )
+        # ensure_cached independently re-checks and blacklists
+        assert not cm.ensure_cached(src, "lineitem", source_format="parquet")
+        assert src in cm._rejected
+        # blacklisted sources are never retried, whatever the workload
+        cm.mem_expansion = 0.0
+        assert not cm.should_cache(
+            src, n_sharers=8, read_fractions=[1.0] * 8, source_format="parquet"
+        )
+
+    def test_build_fit_verification(self, spark):
+        """After a build, the block manager is consulted: a fully
+        memory-resident relation passes; the helper trusts unreadable
+        storage info."""
+        register_tables(spark, SF_DIR)
+        cm = CacheManager(spark, min_bytes=0)
+        sc = spark.sparkContext
+        before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        spark.catalog.cacheTable("region")
+        try:
+            spark.table("region").count()
+            assert cm._build_fit(before)
+        finally:
+            spark.catalog.uncacheTable("region")
 
 
 class TestCancellation:
