@@ -196,10 +196,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: token explode → two keyed aggregations; near-dup candidates
     then group by simhash value (hamming-0) or by rotated prefixes for
-    hamming<=k — never all-pairs.
+    hamming<=k — never all-pairs (dedup_simhash_pairs below).
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_simhash_spark())
+
+
+# hamming<=3 retrieval: split the 16-bit signature into 4 blocks of 4
+# bits; by pigeonhole, any pair within hamming 3 agrees EXACTLY on at
+# least one block, so candidates come from equi-joining on
+# (block index, block value) — never an all-pairs cross join.
+_SH_K = 3
+_SH_NBLOCKS = _SH_K + 1
+_SH_BLOCK_BITS = _SH_BITS // _SH_NBLOCKS
+
+
+def _simhash_pairs_spark() -> str:
+    sig = _simhash_spark().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sig AS ({sig}),
+blocks AS (
+  SELECT doc_id, simhash, b,
+         shiftright(simhash, b * {_SH_BLOCK_BITS}) & {(1 << _SH_BLOCK_BITS) - 1} AS blk
+  FROM sig
+  LATERAL VIEW explode(sequence(0, {_SH_NBLOCKS - 1})) t AS b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
+                  b.doc_id AS d2, b.simhash AS s2
+  FROM blocks a JOIN blocks b
+    ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id)
+SELECT d1, d2, hamming FROM (
+  SELECT d1, d2, CAST(bit_count(s1 ^ s2) AS INT) AS hamming FROM cand)
+WHERE hamming <= {_SH_K}
+ORDER BY hamming, d1, d2
+"""
+
+
+def _simhash_pairs_duck() -> str:
+    sig = _simhash_duck().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sig AS ({sig}),
+blocks AS (
+  SELECT doc_id, simhash, b,
+         (simhash >> (b * {_SH_BLOCK_BITS})) & {(1 << _SH_BLOCK_BITS) - 1} AS blk
+  FROM sig CROSS JOIN range(0, {_SH_NBLOCKS}) t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
+                  b.doc_id AS d2, b.simhash AS s2
+  FROM blocks a JOIN blocks b
+    ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id)
+SELECT d1, d2, hamming FROM (
+  SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming FROM cand)
+WHERE hamming <= {_SH_K}
+ORDER BY hamming, d1, d2
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_duck())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate retrieval: all pairs within hamming
+    distance 3, via 4-way block banding over the 16-bit signature
+    (reference behavior target: near-dup detection over the shared
+    corpus; completes the signature-only dedup_simhash into a
+    retriever).
+
+    Scale: candidates come from an equi-join on (block index, block
+    value) — cost Σ bucket², never N². With the production 64-bit
+    signature the blocks are 16-bit (65 536 buckets), so buckets stay
+    narrow even at 100 TB; the 16-bit portable variant here keeps the
+    DuckDB oracle exact. The exact hamming filter runs on the
+    candidate set only (bit_count over xor — pure codegen).
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_simhash_pairs_spark())
 
 
 # ---------------------------------------------------------------------------
