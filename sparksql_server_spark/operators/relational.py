@@ -33,6 +33,53 @@ def a1_scan_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a1_scan_kv_text",
+    oracle="""
+    SELECT CAST(key % 5 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(key) AS BIGINT) AS key_sum,
+           max(val) AS max_val
+    FROM (SELECT n_nationkey AS key, 'val_' || n_nationkey AS val FROM nation)
+    GROUP BY key % 5 ORDER BY bucket
+    """,
+)
+def a1_scan_kv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style ctrl-A-delimited kv text (A1 parity with the
+    reference's kv1.txt fixture — "238\\x01val_238" lines,
+    SimpleAppClient/examples/src/main/resources/kv1.txt): rows derived
+    from nation round-trip through the text sink and ``read_csv`` with
+    the \\x01 delimiter and an explicit ``key INT, value STRING``
+    schema, then aggregate. The oracle computes the same result from
+    the base table directly, so the comparison proves the sink → scan
+    round-trip is content-exact.
+
+    Scale: line-splitting CSV parse is splittable and schema-explicit
+    (no inferSchema pre-pass); one map-side-combinable aggregation.
+    """
+    import os
+
+    from sparksql_server_spark.sources.readers import read_csv
+    from sparksql_server_spark.sources.sinks import write_text
+
+    out = f"/tmp/sparkgraft_fixtures/{os.path.basename(sf_dir.rstrip('/'))}_kv1"
+    kv_src = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"),
+        F.concat(F.lit("val_"), F.col("n_nationkey")).alias("value"),
+    )
+    write_text(kv_src, out, sep="\x01")
+    kv = read_csv(spark, out, schema="key INT, value STRING", sep="\x01")
+    return (
+        kv.groupBy((F.col("key") % 5).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("key").alias("key_sum"),
+            F.max("value").alias("max_val"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "a2_filter_project",
     oracle="""
     SELECT c_name FROM customer

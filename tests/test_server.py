@@ -503,6 +503,91 @@ class TestReadFractionCostModel:
             ex.cache.clear()
 
 
+class TestWideBatch:
+    def test_fifty_query_mixed_batch(self, spark):
+        """Realistic window width: 50 jobs over many sources —
+        single-table queries, multi-source joins that bridge groups,
+        and DDL interleaved. Gates the detector's fixpoint semantics
+        (ScanSharing.analyse, ScanSharing.scala:95-119) at width: the
+        bags must partition the batch, bridged sources must coalesce
+        into one bag, and every job's rows must equal an independent
+        run."""
+        register_tables(spark, SF_DIR)
+        sqls: list[str] = []
+        # 22 lineitem variants + 10 orders variants (two hot scans)
+        for i in range(22):
+            sqls.append(
+                f"SELECT count(*) AS n FROM lineitem WHERE l_linenumber = {i % 7 + 1}"
+            )
+        for i in range(10):
+            sqls.append(
+                f"SELECT o_orderstatus, count(*) AS n FROM orders "
+                f"WHERE o_orderkey % 10 = {i} GROUP BY o_orderstatus ORDER BY 1"
+            )
+        # 5 bridging joins: lineitem+orders should merge both groups
+        for i in range(5):
+            sqls.append(
+                "SELECT count(*) AS n FROM lineitem l JOIN orders o "
+                f"ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey % 5 = {i}"
+            )
+        # 8 independent small-table queries (their own bags)
+        for t, k in [("region", "r_regionkey"), ("nation", "n_nationkey")]:
+            for i in range(4):
+                sqls.append(f"SELECT count(*) AS n FROM {t} WHERE {k} % 4 = {i}")
+        # 5 DDL commands interleaved: no fingerprints, run exactly once
+        for i in range(5):
+            sqls.append(f"CREATE OR REPLACE TEMP VIEW wide_batch_v{i} AS SELECT {i} AS x")
+        # dedupe-by-content would be wrong here: same-text queries are
+        # distinct jobs; shuffle deterministically to interleave kinds
+        import random
+
+        random.Random(7).shuffle(sqls)
+        assert len(sqls) == 50
+
+        expected = [
+            [tuple(r) for r in spark.sql(q).collect()] if q.lstrip().upper().startswith("SELECT") else None
+            for q in sqls
+        ]
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=1 << 30),  # default floors: NOOP expected
+            source_views=source_view_map(SF_DIR),
+        )
+        jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
+        bags = ex.run_batch(jobs)
+
+        # bags partition the batch
+        bag_job_ids = sorted(j.job_id for b in bags for j in b.jobs)
+        assert bag_job_ids == list(range(len(jobs)))
+        # transitive bridging: lineitem, orders and the joins share ONE bag
+        li_orders_bag = [
+            b for b in bags if any("JOIN orders" in j.sql for j in b.jobs)
+        ]
+        assert len(li_orders_bag) == 1
+        merged = li_orders_bag[0]
+        assert sum(1 for j in merged.jobs if "lineitem" in j.sql) == 27
+        assert sum(1 for j in merged.jobs if "FROM orders" in j.sql) == 10
+        assert len(merged.jobs) == 37
+        assert len(merged.shared_sources) == 2  # both hot scans marked shared
+        # region and nation stay separate bags
+        for t in ("region", "nation"):
+            t_bags = [b for b in bags if all(t in j.sql for j in b.jobs)]
+            assert len(t_bags) == 1 and len(t_bags[0].jobs) == 4
+        # DDL: singleton bags, no fingerprints
+        ddl_bags = [b for b in bags if any("CREATE" in j.sql for j in b.jobs)]
+        assert len(ddl_bags) == 5
+        assert all(len(b.jobs) == 1 and not b.shared_sources for b in ddl_bags)
+
+        # every job ran and matches its independent result
+        for job, exp in zip(jobs, expected):
+            assert job.status is JobStatus.DONE, (job.sql, job.error)
+            if exp is not None:
+                assert job.rows == exp, job.sql
+        # the DDL side effects happened (exactly-once is gated elsewhere)
+        for i in range(5):
+            assert spark.catalog.tableExists(f"wide_batch_v{i}")
+
+
 class TestStorageAwareAdmission:
     def test_scan_source_formats(self, spark, tmp_path):
         """The analyzer reports each scanned source's file format —
