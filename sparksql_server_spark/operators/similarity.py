@@ -196,6 +196,93 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ivf_sql(spark_dot, spark_norm))
 
 
+def _ivf_refine_sql(dot, norm, cell_elems: str, seed_elems: str) -> str:
+    """One distributed Lloyd (k-means) refinement of the IVF coarse
+    quantizer, shared across dialects. ``cell_elems``/``seed_elems``
+    are the dialect's 1-row-per-(vector, dimension) expansions of the
+    assigned corpus and the seed centroids.
+
+    Double determinism: per-dimension sums use the exact-DECIMAL
+    pattern (a binary float can never fall exactly halfway between two
+    decimal ticks — halfway points carry a factor 5^k no dyadic has —
+    so both engines' round-to-nearest casts agree tie-free), and every
+    remaining float op is IEEE-identical (division, sqrt, multiply).
+    """
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {norm('embedding')} AS nrm FROM embeddings),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+      WHERE vec_id >= 100 AND vec_id < {100 + _N_CELLS}),
+assign AS (
+  SELECT vec_id, embedding, c_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+  FROM (SELECT n.vec_id, n.embedding, c.c_id,
+               round({dot('n.embedding', 'c_emb')} / (n.nrm * c_nrm), 6) AS cos
+        FROM n CROSS JOIN c)),
+cell AS (SELECT vec_id, embedding, c_id FROM assign WHERE rn = 1),
+counts AS (SELECT c_id, count(*) AS n_members FROM cell GROUP BY c_id),
+elems AS ({cell_elems}),
+sums AS (SELECT c_id, i, CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) AS sx
+         FROM elems GROUP BY c_id, i),
+means AS (SELECT s.c_id, s.i, s.sx / cnt.n_members AS mu
+          FROM sums s JOIN counts cnt ON s.c_id = cnt.c_id),
+seed AS ({seed_elems}),
+refined AS (
+  SELECT m.c_id,
+         CAST(sum(CAST(m.mu * m.mu AS DECIMAL(18,12))) AS DOUBLE) AS mu_sq,
+         CAST(sum(CAST(m.mu * sd.sv AS DECIMAL(18,12))) AS DOUBLE) AS mu_dot_seed,
+         max(sd.c_nrm) AS c_nrm
+  FROM means m JOIN seed sd ON m.c_id = sd.c_id AND m.i = sd.i
+  GROUP BY m.c_id)
+SELECT r.c_id, cnt.n_members,
+       round(sqrt(r.mu_sq), 6) AS refined_norm,
+       round(r.mu_dot_seed / (sqrt(r.mu_sq) * r.c_nrm), 6) AS seed_cos
+FROM refined r JOIN counts cnt ON r.c_id = cnt.c_id
+ORDER BY r.c_id
+"""
+
+
+_REFINE_CELL_SPARK = """
+  SELECT c_id, i, CAST(element_at(embedding, i) AS DOUBLE) AS x
+  FROM cell LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"""
+_REFINE_SEED_SPARK = """
+  SELECT c_id, c_nrm, i, CAST(element_at(c_emb, i) AS DOUBLE) AS sv
+  FROM c LATERAL VIEW explode(sequence(1, size(c_emb))) t AS i"""
+_REFINE_CELL_DUCK = """
+  SELECT c_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT c_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i FROM cell)"""
+_REFINE_SEED_DUCK = """
+  SELECT c_id, c_nrm, i, CAST(c_emb[i] AS DOUBLE) AS sv
+  FROM (SELECT c_id, c_nrm, c_emb,
+               unnest(range(1, len(c_emb) + 1)) AS i FROM c)"""
+
+
+@query(
+    "sim_ivf_kmeans_refine",
+    oracle=_ivf_refine_sql(duck_dot, duck_norm, _REFINE_CELL_DUCK, _REFINE_SEED_DUCK),
+)
+def sim_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of the IVF coarse-quantizer build, fully
+    distributed: assign every corpus vector to its nearest seed
+    centroid, recompute each cell's mean element-wise, and report per
+    cell its member count, the refined centroid's norm, and the cosine
+    between refined and seed centroid (the convergence signal a
+    k-means driver loop would watch). Upgrades sim_topk_ivf's fixed
+    seed centroids into a real training step.
+
+    Scale: assignment is a broadcast (16 centroids) map-only pass; the
+    mean recompute is ONE shuffle keyed by (cell, dimension) — fine
+    granularity that spreads evenly; nothing is ever collected per
+    vector. Iterating = re-running with the refined table as the new
+    seed (same plan shape per round, like dedup's connected
+    components).
+    """
+    register_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(
+        _ivf_refine_sql(spark_dot, spark_norm, _REFINE_CELL_SPARK, _REFINE_SEED_SPARK)
+    )
+
+
 @query("sim_topk_lsh", oracle=_lsh_duck())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH (8 planes → 256 buckets),
