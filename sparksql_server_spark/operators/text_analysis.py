@@ -15,8 +15,10 @@ from sparksql_server_spark.catalog import register_tables
 from sparksql_server_spark.operators.registry import query
 from sparksql_server_spark.functions.portable import (
     duck_char_hash,
+    duck_shingles,
     duck_words,
     spark_char_hash,
+    spark_shingles,
     spark_words,
 )
 
@@ -189,3 +191,108 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents when texts are large; same plan shape)."""
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_pipeline_sql("spark"))
+
+
+def _decontaminate_sql(dialect: str) -> str:
+    """Benchmark decontamination, shared shape: flag training docs
+    whose 3-gram shingles overlap a held-out benchmark set. Distinct
+    from dedup — the relation is asymmetric (train vs benchmark) and
+    the output is a removal list, not canonical-copy clusters."""
+    if dialect == "spark":
+        words = spark_words("text")
+        explode = (
+            "SELECT DISTINCT doc_id, shingle FROM w "
+            f"LATERAL VIEW explode({spark_shingles('w')}) t AS shingle"
+        )
+    else:
+        words = duck_words("text")
+        explode = (
+            "SELECT DISTINCT doc_id, shingle FROM "
+            f"(SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)"
+        )
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+sh AS ({explode}),
+bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id < {_N_BENCH}),
+train AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= {_N_BENCH}),
+hits AS (SELECT t.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+         FROM train t JOIN bench b ON t.shingle = b.shingle
+         GROUP BY t.doc_id, b.doc_id
+         HAVING count(*) >= {_MIN_SHARED})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)     AS n_bench_hits,
+       CAST(max(n_shared) AS BIGINT) AS worst_overlap,
+       min(bench_id)                AS first_bench_id
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_N_BENCH = 20  # doc_id < 20 stands in for the held-out benchmark set
+_MIN_SHARED = 2  # shingles shared with one benchmark doc to flag
+
+
+@query("pipeline_decontaminate", oracle=_decontaminate_sql("duck"))
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing >= 2
+    3-gram shingles with any held-out benchmark document (here:
+    doc_id < 20 standing in for the eval set) are flagged with their
+    hit count and worst single-benchmark overlap.
+
+    Scale: one shuffle on shingle, join work is sum of per-shingle
+    bucket(train) x bucket(bench) — the benchmark side is tiny, so at
+    100 TB the planner broadcasts it and the pass is map-side; a
+    document-frequency cutoff on ultra-common shingles bounds the
+    worst bucket exactly as in dedup_ngram_jaccard.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_decontaminate_sql("spark"))
+
+
+_PACK_BUDGET = 256  # tokens per training context (demo-sized)
+
+
+def _pack_sql(dialect: str) -> str:
+    """Context packing, shared shape: assign documents (per language,
+    in doc_id order) to fixed token-budget packs by cumulative token
+    count. 256 divides binary-exactly, so the double division is safe
+    cross-engine."""
+    size_w = "size(w)" if dialect == "spark" else "len(w)"
+    words = spark_words("text") if dialect == "spark" else duck_words("text")
+    return f"""
+WITH t AS (SELECT doc_id, lang, CAST({size_w} AS BIGINT) AS n_tokens
+           FROM (SELECT doc_id, lang, {words} AS w FROM documents)),
+c AS (SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before_tokens
+      FROM t),
+packs AS (SELECT lang,
+                 CAST(floor(before_tokens / {_PACK_BUDGET}.0) AS INT) AS pack_id,
+                 doc_id, n_tokens
+          FROM c)
+SELECT lang, pack_id,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packs GROUP BY lang, pack_id
+ORDER BY lang, pack_id
+"""
+
+
+@query("pipeline_pack_contexts", oracle=_pack_sql("duck"))
+def pipeline_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context packing for training batches: per language, documents
+    are laid out in doc_id order and assigned to fixed token-budget
+    packs (256 tokens) by cumulative token count; the output audits
+    each pack's document count and token load. Documents may straddle
+    a boundary (fractional packing) — production splits the straddler
+    into the next pack, which changes per-pack loads but not the plan.
+
+    Scale: one window over (lang) — in production the partition key
+    becomes (lang, shard) so window state stays bounded — plus one
+    aggregation; both shuffle on the same key, and AQE coalesces the
+    tiny pack partitions.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_pack_sql("spark"))
