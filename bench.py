@@ -197,7 +197,8 @@ def main() -> None:
     ex_nocache.run_batch(jobs)
     timings["cached_scan_concurrent"] = round(time.monotonic() - t0, 3)
 
-    # full path: admission (size + read fraction) caches the hot scan
+    # full path: admission (size + read fraction + row-text rescan cost)
+    # caches the hot scan
     ex_cache = BatchExecutor(
         spark,
         cache=CacheManager(spark, budget_bytes=8 << 30),
@@ -210,6 +211,43 @@ def main() -> None:
     if not any(b.rewrite.value == "caching" for b in bags):
         print("WARN: cache not admitted in cached_scan_batched", file=sys.stderr)
     ex_cache.cache.clear()
+
+    # --- the honest negative: the SAME rows as parquet. A columnar
+    # rescan is a cheap vectorized decode, so the format-aware cost
+    # model must DECLINE caching — the measured property is "a batch
+    # never does worse than concurrent-uncached" (round-1 regression:
+    # blind admission made batched 1.4x slower than concurrent) -------
+    pq_dir = BIG_DIR.rsplit(".", 1)[0] + ".parquet"
+    import glob
+
+    if not glob.glob(pq_dir + "/_SUCCESS"):
+        spark.table("lineitem_big").write.mode("overwrite").parquet(pq_dir)
+    spark.read.parquet(pq_dir).createOrReplaceTempView("lineitem_bigp")
+    pq_queries = [q.replace("lineitem_big", "lineitem_bigp") for q in queries[:4]]
+    _force(spark.sql(pq_queries[0]))  # warm
+
+    ex_pq_nc = BatchExecutor(
+        spark,
+        cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+        source_views={pq_dir: "lineitem_bigp"},
+    )
+    jobs = [QueryJob(job_id=300 + i, sql=q) for i, q in enumerate(pq_queries)]
+    t0 = time.monotonic()
+    ex_pq_nc.run_batch(jobs)
+    timings["cached_scan_parquet_concurrent"] = round(time.monotonic() - t0, 3)
+
+    ex_pq = BatchExecutor(
+        spark,
+        cache=CacheManager(spark, budget_bytes=8 << 30),
+        source_views={pq_dir: "lineitem_bigp"},
+    )
+    jobs = [QueryJob(job_id=400 + i, sql=q) for i, q in enumerate(pq_queries)]
+    t0 = time.monotonic()
+    bags = ex_pq.run_batch(jobs)
+    timings["cached_scan_parquet_batched"] = round(time.monotonic() - t0, 3)
+    if any(b.rewrite.value == "caching" for b in bags):
+        print("WARN: parquet cache unexpectedly admitted", file=sys.stderr)
+    ex_pq.cache.clear()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -241,7 +279,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "sf": sf_val,
-                "n_queries": len(timings),
+                # corpus queries only — the shared/cached pseudo-queries
+                # are benchmark legs, not registry entries
+                "n_queries": len(timings) - len(headline),
                 "detail": "BENCH_DETAIL.json",
             }
         )

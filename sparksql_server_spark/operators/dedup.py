@@ -145,23 +145,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit portable variant)
+# SimHash (28-bit portable variant)
 # ---------------------------------------------------------------------------
 
-_SH_BITS = 16
+# 28 bits: the portable char hash is mod 1e9+7 (~2^30), so bits 0..27
+# are uniform; 28 = 4 blocks x 7 bits gives the pair retriever
+# 128-value bands (16-bit/4-bit blocks measured 27 s at sf0.1 — 16
+# bucket values per band make the candidate join quadratic-ish).
+_SH_BITS = 28
 # per-bit signed sums as parallel aggregates (single GROUP BY pass; the
-# explode-by-bit form inflates the token-hash table 16x), then combine
-# the 16 signs into the signature integer.
+# explode-by-bit form inflates the token-hash table 28x), then combine
+# the 28 signs into the signature integer.
 _SH_SUMS_SPARK = ", ".join(
     f"sum(CASE WHEN shiftright(h, {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
-    for b in range(16)
+    for b in range(_SH_BITS)
 )
 _SH_SUMS_DUCK = ", ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
-    for b in range(16)
+    for b in range(_SH_BITS)
 )
 _SH_COMBINE = " + ".join(
-    f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    f"(CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SH_BITS)
 )
 
 
@@ -190,7 +194,7 @@ FROM bits ORDER BY doc_id
 
 @query("dedup_simhash", oracle=_simhash_duck())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signature per document (16-bit portable variant; the
+    """SimHash signature per document (28-bit portable variant; the
     production path widens to 64-bit by swapping the hash — the plan
     shape is identical).
 
@@ -202,7 +206,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_spark())
 
 
-# hamming<=3 retrieval: split the 16-bit signature into 4 blocks of 4
+# hamming<=3 retrieval: split the 28-bit signature into 4 blocks of 7
 # bits; by pigeonhole, any pair within hamming 3 agrees EXACTLY on at
 # least one block, so candidates come from equi-joining on
 # (block index, block value) — never an all-pairs cross join.
@@ -211,24 +215,39 @@ _SH_NBLOCKS = _SH_K + 1
 _SH_BLOCK_BITS = _SH_BITS // _SH_NBLOCKS
 
 
+def _emit_once(block_expr_fmt: str) -> str:
+    """Join predicate implementing the LSH emit-once trick: a pair is
+    emitted only from its FIRST agreeing block, so no two bands
+    produce the same pair and no dedup shuffle is needed downstream.
+    ``block_expr_fmt`` formats a (signature expr, block index) pair to
+    the block value in the dialect."""
+    clauses = []
+    for e in range(_SH_NBLOCKS - 1):
+        a_blk = block_expr_fmt.format(sig="a.simhash", shift=e * _SH_BLOCK_BITS)
+        b_blk = block_expr_fmt.format(sig="b.simhash", shift=e * _SH_BLOCK_BITS)
+        clauses.append(f"(a.band <= {e} OR ({a_blk}) <> ({b_blk}))")
+    return "\n   AND ".join(clauses)
+
+
+_MASK = (1 << _SH_BLOCK_BITS) - 1
+
+
 def _simhash_pairs_spark() -> str:
     sig = _simhash_spark().replace("ORDER BY doc_id", "")
     return f"""
 WITH sig AS ({sig}),
 blocks AS (
-  SELECT doc_id, simhash, b,
-         shiftright(simhash, b * {_SH_BLOCK_BITS}) & {(1 << _SH_BLOCK_BITS) - 1} AS blk
+  SELECT doc_id, simhash, band,
+         shiftright(simhash, band * {_SH_BLOCK_BITS}) & {_MASK} AS blk
   FROM sig
-  LATERAL VIEW explode(sequence(0, {_SH_NBLOCKS - 1})) t AS b),
-cand AS (
-  SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
-                  b.doc_id AS d2, b.simhash AS s2
-  FROM blocks a JOIN blocks b
-    ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id)
+  LATERAL VIEW explode(sequence(0, {_SH_NBLOCKS - 1})) t AS band)
 SELECT d1, d2, hamming FROM (
-  SELECT d1, d2, CAST(bit_count(s1 ^ s2) AS INT) AS hamming FROM cand)
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+  FROM blocks a JOIN blocks b
+    ON a.band = b.band AND a.blk = b.blk AND a.doc_id < b.doc_id
+   AND {_emit_once(f"shiftright({{sig}}, {{shift}}) & {_MASK}")})
 WHERE hamming <= {_SH_K}
-ORDER BY hamming, d1, d2
 """
 
 
@@ -237,18 +256,16 @@ def _simhash_pairs_duck() -> str:
     return f"""
 WITH sig AS ({sig}),
 blocks AS (
-  SELECT doc_id, simhash, b,
-         (simhash >> (b * {_SH_BLOCK_BITS})) & {(1 << _SH_BLOCK_BITS) - 1} AS blk
-  FROM sig CROSS JOIN range(0, {_SH_NBLOCKS}) t(b)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
-                  b.doc_id AS d2, b.simhash AS s2
-  FROM blocks a JOIN blocks b
-    ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id)
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {_SH_BLOCK_BITS})) & {_MASK} AS blk
+  FROM sig CROSS JOIN range(0, {_SH_NBLOCKS}) t(band))
 SELECT d1, d2, hamming FROM (
-  SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming FROM cand)
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM blocks a JOIN blocks b
+    ON a.band = b.band AND a.blk = b.blk AND a.doc_id < b.doc_id
+   AND {_emit_once(f"(({{sig}} >> {{shift}}) & {_MASK})")})
 WHERE hamming <= {_SH_K}
-ORDER BY hamming, d1, d2
 """
 
 
@@ -261,11 +278,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     retriever).
 
     Scale: candidates come from an equi-join on (block index, block
-    value) — cost Σ bucket², never N². With the production 64-bit
-    signature the blocks are 16-bit (65 536 buckets), so buckets stay
-    narrow even at 100 TB; the 16-bit portable variant here keeps the
-    DuckDB oracle exact. The exact hamming filter runs on the
-    candidate set only (bit_count over xor — pure codegen).
+    value) — cost Σ bucket², never N²; block entropy decides bucket
+    width (4-bit blocks = 16 values measured 27 s at sf0.1; 7-bit =
+    128 values; the production 64-bit signature uses 16-bit blocks).
+    The emit-once predicate (pair emitted only from its FIRST agreeing
+    block, checked bitwise from the two signatures in the join
+    condition) removes the dedup DISTINCT entirely, and there is no
+    presentation sort — on this self-similar corpus the result is
+    ~5 M pairs at sf0.1, and a global sort would re-execute the plan
+    for range sampling. After the (broadcastable) block join the query
+    is one codegen map: xor → bit_count → filter.
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_simhash_pairs_spark())

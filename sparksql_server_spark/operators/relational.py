@@ -56,17 +56,23 @@ def a1_scan_kv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: line-splitting CSV parse is splittable and schema-explicit
     (no inferSchema pre-pass); one map-side-combinable aggregation.
     """
+    import glob
     import os
 
     from sparksql_server_spark.sources.readers import read_csv
     from sparksql_server_spark.sources.sinks import write_text
 
     out = f"/tmp/sparkgraft_fixtures/{os.path.basename(sf_dir.rstrip('/'))}_kv1"
-    kv_src = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("key"),
-        F.concat(F.lit("val_"), F.col("n_nationkey")).alias("value"),
-    )
-    write_text(kv_src, out, sep="\x01")
+    # write-once: the fixture derives only from nation (stable per sf),
+    # and re-overwriting on every plan-only inspection of this query
+    # (schema gates, bench) would race a concurrent reader of the same
+    # path with FileNotFoundException mid-scan
+    if not glob.glob(out + "/_SUCCESS"):
+        kv_src = table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("key"),
+            F.concat(F.lit("val_"), F.col("n_nationkey")).alias("value"),
+        )
+        write_text(kv_src, out, sep="\x01")
     kv = read_csv(spark, out, schema="key INT, value STRING", sep="\x01")
     return (
         kv.groupBy((F.col("key") % 5).cast("int").alias("bucket"))

@@ -64,7 +64,7 @@ def _top_level_fields(struct_body: str) -> int:
     return n
 
 
-def _scan_nodes(df: DataFrame) -> list[tuple[str, int | None, str | None]]:
+def scan_nodes(df: DataFrame) -> list[tuple[str, int | None, str | None]]:
     """All file-scan nodes of ``df``'s formatted physical plan, as
     (source root, pruned-ReadSchema width, file format) tuples.
     Planning only, no execution."""
@@ -108,9 +108,11 @@ def scan_read_columns(df: DataFrame) -> dict[str, int]:
     ReadSchema's worth of scan work — at 100 TB the difference decides
     whether caching pays (SURVEY.md §4.3 item 4, the honest B7).
     Self-joins (same source scanned twice) keep the widest scan.
+    (Derivable from one ``scan_nodes`` call — the executor does that to
+    avoid rendering the formatted plan twice per job.)
     """
     out: dict[str, int] = {}
-    for location, ncols, _ in _scan_nodes(df):
+    for location, ncols, _ in scan_nodes(df):
         if ncols is not None:
             out[location] = max(out.get(location, 0), ncols)
     return out
@@ -128,4 +130,4 @@ def scan_source_formats(df: DataFrame) -> dict[str, str]:
     eliminates. The reference's own evaluation corpus was text files
     (report.pdf ch.5, Gutenberg), where caching shines.
     """
-    return {loc: fmt for loc, _, fmt in _scan_nodes(df) if fmt is not None}
+    return {loc: fmt for loc, _, fmt in scan_nodes(df) if fmt is not None}

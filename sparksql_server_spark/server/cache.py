@@ -46,7 +46,8 @@ def _dir_bytes(path: str) -> int:
 class CacheEntry:
     view: str
     source: str
-    bytes: int
+    bytes: int  # on-disk size of the source
+    mem_bytes: int = 0  # measured in-memory size of the built relation
     last_used: float = field(default_factory=time.monotonic)
 
 
@@ -162,8 +163,14 @@ class CacheManager:
         if not self.min_bytes <= size <= self.budget:
             return False
         free = self._free_storage_bytes()
-        if free is not None and size * self._expansion(source_format) > free * self.storage_headroom:
-            return False
+        if free is not None:
+            # memory held by OUR entries is reclaimable: ensure_cached
+            # evicts LRU entries before building, so admission counts
+            # it as free — otherwise the first table cached under tight
+            # storage would permanently lock out every later admission
+            evictable = sum(e.mem_bytes for e in self._entries.values())
+            if size * self._expansion(source_format) > (free + evictable) * self.storage_headroom:
+                return False
         if read_fractions is not None:
             return sum(read_fractions) >= self._benefit_bar(source_format)
         return True
@@ -190,10 +197,24 @@ class CacheManager:
         size = _dir_bytes(source)
         if size > self.budget:
             return False
+        est_mem = size * self._expansion(source_format)
         free = self._free_storage_bytes()
-        if free is not None and size * self._expansion(source_format) > free * self.storage_headroom:
-            self._rejected.add(source)
-            return False
+        if free is not None and est_mem > free * self.storage_headroom:
+            # evict LRU entries until the build fits, before giving up
+            for src, entry in sorted(
+                self._entries.items(), key=lambda kv: kv[1].last_used
+            ):
+                if est_mem <= free * self.storage_headroom:
+                    break
+                try:
+                    self.spark.catalog.uncacheTable(entry.view)
+                except Exception:
+                    pass
+                del self._entries[src]
+                free = self._free_storage_bytes() or (free + entry.mem_bytes)
+            if est_mem > free * self.storage_headroom:
+                self._rejected.add(source)
+                return False
         self._evict_until(self.budget - size)
         sc = self.spark.sparkContext
         before = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
@@ -202,21 +223,26 @@ class CacheManager:
         # warming count, WordCount.scala:73-77) so every job in the
         # batch — including the first — runs concurrently on warm cache
         self.spark.table(view).count()
-        if not self._build_fit(before):
+        fit, mem_bytes = self._build_fit(before)
+        if not fit:
             try:
                 self.spark.catalog.uncacheTable(view)
             except Exception:
                 pass
             self._rejected.add(source)
             return False
-        self._entries[source] = CacheEntry(view=view, source=source, bytes=size)
+        self._entries[source] = CacheEntry(
+            view=view, source=source, bytes=size, mem_bytes=mem_bytes
+        )
         return True
 
-    def _build_fit(self, rdd_ids_before: set[int]) -> bool:
+    def _build_fit(self, rdd_ids_before: set[int]) -> tuple[bool, int]:
         """Did the just-built InMemoryRelation actually land in memory?
-        True when every partition is cached and at least half the bytes
-        stayed on-heap (None-safe: unreadable storage info = trust the
-        pre-build estimate)."""
+        Returns (fit, measured in-memory bytes): fit when every
+        partition is cached and at least half the bytes stayed on-heap
+        (None-safe: unreadable storage info = trust the pre-build
+        estimate). The measured size feeds future evict-to-admit math."""
+        mem_total = 0
         try:
             new = [
                 info
@@ -224,14 +250,15 @@ class CacheManager:
                 if info.id() not in rdd_ids_before
             ]
         except Exception:
-            return True
+            return True, 0
         for info in new:
-            if info.numCachedPartitions() < info.numPartitions():
-                return False
             mem, disk = info.memSize(), info.diskSize()
+            mem_total += mem
+            if info.numCachedPartitions() < info.numPartitions():
+                return False, mem_total
             if disk > 0 and mem < disk:  # mostly spilled
-                return False
-        return True
+                return False, mem_total
+        return True, mem_total
 
     def touch(self, source: str) -> None:
         if source in self._entries:
@@ -253,13 +280,16 @@ class CacheManager:
 
     def clear(self) -> None:
         """The reference's clear-all (WorksharingExecutor.scala:72-75),
-        kept for tests and shutdown."""
+        kept for tests and shutdown. Also forgets rejections: they
+        record transient conditions (storage pressure at one instant),
+        and after a clear the memory landscape is new."""
         for entry in list(self._entries.values()):
             try:
                 self.spark.catalog.uncacheTable(entry.view)
             except Exception:
                 pass
         self._entries.clear()
+        self._rejected.clear()
 
     @property
     def cached_sources(self) -> set[str]:

@@ -23,11 +23,7 @@ from concurrent.futures import ThreadPoolExecutor, wait
 
 from pyspark.sql import SparkSession
 
-from sparksql_server_spark.plans.analysis import (
-    scan_fingerprints,
-    scan_read_columns,
-    scan_source_formats,
-)
+from sparksql_server_spark.plans.analysis import scan_fingerprints, scan_nodes
 from sparksql_server_spark.server.cache import CacheManager
 from sparksql_server_spark.server.detector import detect_sharing
 from sparksql_server_spark.server.model import JobStatus, QueryJob, RewriteKind, SharingBag
@@ -53,17 +49,43 @@ class BatchExecutor:
 
     # -- analysis ---------------------------------------------------------
 
-    @staticmethod
-    def _is_query(sql: str) -> bool:
+    def _is_query(self, sql: str) -> bool:
         """True for plan-producing statements. Commands (DDL/DML —
         CREATE/INSERT/DROP/CACHE/SET…) execute EAGERLY at ``sql()``
         time in Spark, so fingerprinting them in analyze() would run
         them twice; they also never share scans, so they skip detection
-        and execute exactly once in ``_run_job``."""
-        head = sql.lstrip().lstrip("(").split(None, 1)
-        return bool(head) and head[0].lower() in (
-            "select", "with", "values", "from", "table",
-        )
+        and execute exactly once in ``_run_job``.
+
+        Classification PARSES the statement (no analysis, no
+        execution) and checks the parsed plan against Catalyst's
+        ``Command`` / ``ParsedStatement`` markers, unwrapping CTE
+        nodes first. A keyword check is not enough — a CTE-led
+        ``WITH s AS (...) INSERT INTO ...`` starts with a query
+        keyword but is DML (round-1 bug: the old keyword whitelist
+        executed such statements twice, once in analyze and once in
+        the runner), and a leading comment hides the keyword entirely.
+        Unparseable text is treated as a query so the real error
+        surfaces from ``sql()`` in the normal path."""
+        try:
+            plan = (
+                self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+            )
+            # WITH wraps the main statement; classify what it wraps
+            for _ in range(3):
+                if plan.getClass().getSimpleName() in ("UnresolvedWith", "WithCTE"):
+                    plan = plan.children().head()
+                else:
+                    break
+            jcls = self.spark._jvm.java.lang.Class.forName
+            for marker in (
+                "org.apache.spark.sql.catalyst.plans.logical.Command",
+                "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
+            ):
+                if jcls(marker).isInstance(plan):
+                    return False
+            return True
+        except Exception:
+            return True
 
     def analyze(self, job: QueryJob) -> None:
         """Resolve the job's plan (no execution) and fingerprint its scans."""
@@ -72,8 +94,12 @@ class BatchExecutor:
             return
         df = (job.session or self.spark).sql(job.sql)
         job.fingerprints = scan_fingerprints(df)
-        job.read_cols = scan_read_columns(df)
-        job.read_formats = scan_source_formats(df)
+        # one formatted-plan render feeds both admission inputs
+        for location, ncols, fmt in scan_nodes(df):
+            if ncols is not None:
+                job.read_cols[location] = max(job.read_cols.get(location, 0), ncols)
+            if fmt is not None:
+                job.read_formats[location] = fmt
 
     # -- execution --------------------------------------------------------
 

@@ -199,7 +199,7 @@ class WorkSharingServer:
             # INSERT/DROP here would run the side effect — outside any
             # job group, uncancellable, unaccounted. Commands must go
             # through the queue as normal jobs.
-            if not BatchExecutor._is_query(sql):
+            if not self.executor._is_query(sql):
                 return {
                     "status": "error",
                     "error": "explain accepts queries only "

@@ -237,6 +237,31 @@ class TestGatewayHardening:
         )
         assert ok["status"] == "done" and "plan" in ok
 
+    def test_cte_led_dml_classified_and_runs_exactly_once(self, spark, server):
+        """``WITH s AS (...) INSERT ...`` starts with a query keyword
+        but is DML: the parser-based classifier must treat it as a
+        command (skip analyze, which would execute it a first time)
+        and reject it from explain. Gate: exactly ONE row lands."""
+        try:
+            r = client_request(
+                server.address,
+                {"sql": "CREATE TABLE IF NOT EXISTS once_t (x INT) USING parquet"},
+            )
+            assert r["status"] == "done", r
+            ins = "WITH s AS (SELECT 7 AS x) INSERT INTO once_t SELECT x FROM s"
+            # explain refuses it
+            ex = client_request(server.address, {"explain": "simple", "sql": ins})
+            assert ex["status"] == "error"
+            # submitted as a job it runs exactly once
+            r = client_request(server.address, {"sql": ins})
+            assert r["status"] == "done", r
+            n = client_request(
+                server.address, {"sql": "SELECT count(*) AS n FROM once_t"}
+            )
+            assert n["rows"] == [[1]], n
+        finally:
+            spark.sql("DROP TABLE IF EXISTS once_t")
+
     def test_batch_fault_does_not_kill_loop(self, server):
         """An exception escaping run_batch (detector/cache-rewrite
         faults are outside the per-job guards) must fail that batch's
