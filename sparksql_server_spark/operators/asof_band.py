@@ -41,7 +41,6 @@ _BAND_US = 120_000_000  # ±2 minutes, in microseconds
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND c.ts <= p.ts
-    ORDER BY p.event_id
     """,
 )
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +76,6 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.date_trunc("second", "last_click_ts").alias("last_click_at"),
         )
-        .orderBy("event_id")
     )
 
 

@@ -298,7 +298,6 @@ FROM (
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_err_ts
   FROM events)
-ORDER BY event_id
 """
 
 

@@ -29,27 +29,27 @@ from sparksql_server_spark.operators.registry import query
            CAST(dense_rank() OVER (PARTITION BY o_custkey
                  ORDER BY o_orderpriority) AS BIGINT) AS prio_dense_rank
     FROM orders
-    ORDER BY o_custkey, o_orderkey
     """,
 )
 def win_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No final ORDER BY: the correctness compare is order-insensitive,
+    and a presentational global sort over a full-table window output
+    is a range shuffle a 100 TB plan must not pay (the window's own
+    per-partition sorts are the semantic part and stay)."""
     o = table(spark, sf_dir, "orders")
     by_cust = W.partitionBy("o_custkey")
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            F.row_number()
-            .over(by_cust.orderBy(F.desc("o_totalprice"), "o_orderkey"))
-            .cast("long")
-            .alias("rn"),
-            F.rank().over(by_cust.orderBy("o_orderstatus")).cast("long").alias("status_rank"),
-            F.dense_rank()
-            .over(by_cust.orderBy("o_orderpriority"))
-            .cast("long")
-            .alias("prio_dense_rank"),
-        )
-        .orderBy("o_custkey", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(by_cust.orderBy(F.desc("o_totalprice"), "o_orderkey"))
+        .cast("long")
+        .alias("rn"),
+        F.rank().over(by_cust.orderBy("o_orderstatus")).cast("long").alias("status_rank"),
+        F.dense_rank()
+        .over(by_cust.orderBy("o_orderpriority"))
+        .cast("long")
+        .alias("prio_dense_rank"),
     )
 
 
@@ -63,11 +63,11 @@ def win_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_spend
     FROM orders
-    ORDER BY o_custkey, o_orderkey
     """,
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-customer spend (ROWS frame, total orderkey tiebreak)."""
+    """Running per-customer spend (ROWS frame, total orderkey tiebreak).
+    No final global sort — see win_rank_orders."""
     o = table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -83,7 +83,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("running_spend"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 @query(
@@ -94,10 +94,10 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(o_totalprice) OVER w - o_totalprice AS delta_next
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    ORDER BY o_custkey, o_orderkey
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No final global sort — see win_rank_orders."""
     o = table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     price = F.col("o_totalprice")
@@ -107,7 +107,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raw double subtraction is bit-identical across engines
         (price - F.lag(price).over(w)).alias("delta_prev"),
         (F.lead(price).over(w) - price).alias("delta_next"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 @query(

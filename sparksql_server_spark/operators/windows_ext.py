@@ -30,7 +30,6 @@ from sparksql_server_spark.operators.registry import query
            cume_dist() OVER w                 AS cdist
     FROM customer
     WINDOW w AS (ORDER BY c_acctbal, c_custkey)
-    ORDER BY c_custkey
     """,
 )
 def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +48,7 @@ def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdist"),
-    ).orderBy("c_custkey")
+    )
 
 
 @query(
@@ -62,7 +61,6 @@ def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    ORDER BY o_orderkey
     """,
 )
 def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,7 +80,7 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -94,7 +92,6 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-    ORDER BY o_orderkey
     """,
 )
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,7 +110,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
             / F.count("*").over(w)
         ).alias("moving_avg_4"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -126,7 +123,6 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT *, epoch(o_orderdate)::BIGINT AS ts_s FROM orders)
     WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_s
                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
-    ORDER BY o_orderkey
     """,
 )
 def win_range_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,6 +145,5 @@ def win_range_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT *, unix_timestamp(o_orderdate) AS ts_s FROM orders)
         WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_s
                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
-        ORDER BY o_orderkey
         """
     )
