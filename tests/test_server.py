@@ -660,6 +660,32 @@ class TestStorageAwareAdmission:
             src, n_sharers=8, read_fractions=[1.0] * 8, source_format="parquet"
         )
 
+    def test_admission_counts_evictable_entries(self, spark):
+        """Memory held by the manager's own LRU entries is reclaimable
+        (ensure_cached evicts before building), so admission must count
+        it as free — otherwise the first table cached under pressure
+        permanently locks out all later admissions."""
+        from sparksql_server_spark.server.cache import CacheEntry, _dir_bytes
+
+        register_tables(spark, SF_DIR)
+        src = SF_DIR + "/lineitem.parquet"
+        cm = CacheManager(spark, budget_bytes=1 << 40, min_bytes=0)
+        free = cm._free_storage_bytes()
+        assert free and free > 0
+        size = _dir_bytes(src)
+        # estimate lands between free and free+evictable (relative
+        # math — independent of this JVM's actual heap size)
+        cm.mem_expansion = (free * cm.storage_headroom * 1.5) / size
+        assert not cm.should_cache(
+            src, n_sharers=8, read_fractions=[1.0] * 8, source_format="parquet"
+        )
+        cm._entries["other"] = CacheEntry(
+            view="other", source="other", bytes=0, mem_bytes=free
+        )
+        assert cm.should_cache(
+            src, n_sharers=8, read_fractions=[1.0] * 8, source_format="parquet"
+        )
+
     def test_build_fit_verification(self, spark):
         """After a build, the block manager is consulted: a fully
         memory-resident relation passes; the helper trusts unreadable
