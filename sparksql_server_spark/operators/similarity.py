@@ -290,8 +290,51 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: bucket assignment is map-only; the probe is an equi-join on
     bucket id (broadcastable query side). Recall/cost trades via plane
-    count and multi-probe (flip one bit per probe) — both plan-shape
-    preserving.
+    count and multi-probe (sim_topk_lsh_multiprobe below) — both
+    plan-shape preserving.
     """
     register_tables(spark, sf_dir, ("embeddings",))
     return spark.sql(_lsh_spark())
+
+
+def _lsh_multiprobe_sql(base_sql: str, q_clause: str) -> str:
+    """Rewrite the single-bucket LSH query into 1+8 probe buckets: the
+    query's own bucket plus every one-bit flip. A query-side explode
+    multiplies only the tiny probe set (8 rows → 72); each corpus
+    vector still has exactly one bucket, so a (query, neighbor) pair
+    matches through at most one probe value and needs no dedup."""
+    original_q = (
+        "q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket FROM n\n"
+        f"      WHERE vec_id < {_N_QUERIES}),"
+    )
+    assert original_q in base_sql, "LSH base query shape changed"
+    return base_sql.replace(
+        original_q,
+        "q0 AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket FROM n\n"
+        f"      WHERE vec_id < {_N_QUERIES}),\n"
+        f"q AS ({q_clause}),",
+    )
+
+
+_FLIPS_SPARK = ", ".join(f"bucket ^ {1 << p}" for p in range(_LSH_PLANES))
+_FLIPS_DUCK = ", ".join(f"xor(bucket, {1 << p})" for p in range(_LSH_PLANES))
+_Q_MULTI_SPARK = (
+    "SELECT q_id, q_emb, q_nrm, probe AS bucket FROM q0 "
+    f"LATERAL VIEW explode(array(bucket, {_FLIPS_SPARK})) t AS probe"
+)
+_Q_MULTI_DUCK = (
+    f"SELECT q_id, q_emb, q_nrm, unnest([bucket, {_FLIPS_DUCK}]) AS bucket FROM q0"
+)
+
+
+@query("sim_topk_lsh_multiprobe", oracle=_lsh_multiprobe_sql(_lsh_duck(), _Q_MULTI_DUCK))
+def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query searches its own bucket plus the 8
+    one-bit-flip neighbors (the planes most likely to have misassigned
+    a near point). Standard recall booster: ~9× the candidates of
+    single-probe at the same plane count, with the same plan shape —
+    the explode touches only the 8-row query side, the corpus is still
+    scanned once and joined on bucket id.
+    """
+    register_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(_lsh_multiprobe_sql(_lsh_spark(), _Q_MULTI_SPARK))
