@@ -296,3 +296,45 @@ def pipeline_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_pack_sql("spark"))
+
+
+def _domain_mix_sql(dialect: str) -> str:
+    """Curriculum domain mixing, shared shape: per-source keep rates
+    applied via the deterministic hash-Bernoulli gate (the same Knuth
+    mix as operators/sampling.py, so mixes are reproducible and
+    re-runnable), audited per source."""
+    suffix = (
+        "CAST(substring(source, 4) AS INT)"
+        if dialect == "spark"
+        else "CAST(substr(source, 4) AS INT)"
+    )
+    return f"""
+WITH rated AS (
+  SELECT doc_id, source,
+         CASE WHEN {suffix} % 2 = 0 THEN 100 ELSE 25 END AS rate_pct,
+         ((doc_id * 2654435761) % 2147483648) % 100      AS band
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT)                               AS n_total,
+       CAST(count(CASE WHEN band < rate_pct THEN 1 END) AS BIGINT) AS n_kept,
+       round(CAST(count(CASE WHEN band < rate_pct THEN 1 END) AS DOUBLE)
+             / count(*), 4)                                   AS realized_rate,
+       CAST(min(rate_pct) AS INT)                             AS target_pct
+FROM rated GROUP BY source ORDER BY source
+"""
+
+
+@query("pipeline_domain_mix", oracle=_domain_mix_sql("duck"))
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / domain mixing: each source gets a target keep rate
+    (here even-numbered sources 100%, odd 25% — the stand-in for a
+    configured mixture) enforced by the deterministic hash-Bernoulli
+    gate, with a per-source audit of target vs realized rate.
+
+    Scale: the keep decision is a row-local pushed-down predicate
+    (map-only, reproducible across reruns and repartitions); the audit
+    is one map-side-combinable aggregation. Changing the mixture only
+    changes literals — no new plan shape.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_domain_mix_sql("spark"))
