@@ -195,3 +195,46 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     precisions by the two engines."""
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_SCD2_SQL)
+
+
+def _funnel_sql(sec_expr: str) -> str:
+    """Staged conversion funnel, shared shape: per user, the first
+    view, the first click strictly after it, the first purchase
+    strictly after that. Stage ordering compares epoch SECONDS on both
+    sides — the raw column is nanosecond parquet that Spark reads
+    micros-truncated, so sub-second orderings would be engine-relative;
+    at second granularity both engines see identical relations."""
+    return f"""
+WITH e AS (SELECT user_id, event_type, {sec_expr} AS s FROM events),
+v AS (SELECT user_id, min(s) AS t0 FROM e WHERE event_type = 'view'
+      GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.s) AS t1
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.s > v.t0 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.s) AS t2
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.s > c.t1 GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased,
+       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+             / (SELECT count(*) FROM v), 4)     AS view_to_click,
+       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+             / (SELECT count(*) FROM c), 4)     AS click_to_purchase
+"""
+
+
+@query("events_funnel", oracle=_funnel_sql("epoch(ts)::BIGINT"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over the event stream: users who viewed, then
+    clicked strictly after their first view, then purchased strictly
+    after that first click — stage counts plus conversion rates.
+
+    Scale: each stage is one aggregation plus one equi-join on
+    user_id, so the whole funnel shuffles on a single key; an N-stage
+    funnel chains N-1 such joins with no blowup (each stage's output
+    is <= distinct users). The scalar subqueries in the final SELECT
+    aggregate single numbers — no driver loops.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_funnel_sql("unix_timestamp(ts)"))
