@@ -340,3 +340,27 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one pass over orders."""
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+_SUGAR_SQL = """
+SELECT o_orderstatus, o_orderpriority, n,
+       CAST(n AS DOUBLE) / 1000 AS n_k,
+       n_k * 100                AS n_pct
+FROM (SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY ALL)
+ORDER BY ALL
+"""
+
+
+@query("sql_modern_sugar", oracle=_SUGAR_SQL)
+def sql_modern_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL sugar a migrating analytics user expects, identical
+    text in both dialects: GROUP BY ALL (group on every non-aggregate
+    select item), ORDER BY ALL, and lateral column aliases (``n_k``
+    referenced by ``n_pct`` in the same select list — kept in a
+    projection because Spark does not yet resolve lateral aliases
+    THROUGH a GROUP BY ALL). Sugar only: Catalyst resolves it to the
+    same aggregate plan as the explicit form.
+    """
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_SUGAR_SQL)

@@ -147,3 +147,34 @@ def win_range_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
         """
     )
+
+
+def _ignore_nulls_sql(dialect: str) -> str:
+    """IGNORE NULLS placement differs: Spark puts the modifier after
+    the call (``last_value(x) IGNORE NULLS OVER``), DuckDB inside the
+    parens (``last_value(x IGNORE NULLS) OVER``)."""
+    finished = "CASE WHEN o_orderstatus = 'F' THEN o_totalprice END"
+    if dialect == "spark":
+        last = f"last_value({finished}) IGNORE NULLS OVER w"
+        prev = f"lag({finished}) IGNORE NULLS OVER w"
+    else:
+        last = f"last_value({finished} IGNORE NULLS) OVER w"
+        prev = f"lag({finished} IGNORE NULLS) OVER w"
+    return f"""
+SELECT o_orderkey, o_custkey,
+       {last} AS last_finished_price,
+       {prev} AS prev_finished_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("win_ignore_nulls", oracle=_ignore_nulls_sql("duck"))
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics: per customer, the most recent
+    finished-order price at (last_value) and strictly before (lag)
+    each order — the gap-carrying idiom every event/CDC pipeline
+    needs. No final global sort (presentational only; compare is
+    order-insensitive)."""
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_ignore_nulls_sql("spark"))
