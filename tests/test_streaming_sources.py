@@ -214,3 +214,45 @@ class TestPreScheduler:
     def test_identity_without_priorities(self):
         jobs = [QueryJob(job_id=i, sql="x") for i in range(4)]
         assert [j.job_id for j in preschedule(jobs)] == [0, 1, 2, 3]
+
+
+class TestTransformWithState:
+    def test_user_profile_tws_matches_batch(self, spark):
+        """The transformWithState processor's final per-user profile
+        (count, distinct types, value total) equals the batch
+        aggregate — two typed state variables maintained exactly.
+        Skips (after asserting the informative gate) when protobuf is
+        absent: the TWS python worker speaks a protobuf protocol and
+        PyPI pyspark does not bundle it."""
+        import pytest
+
+        from sparksql_server_spark.streaming.events import (
+            events_stream,
+            run_to_memory_sink,
+            user_profile_tws,
+        )
+
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError, match="protobuf"):
+                user_profile_tws(events_stream(spark, SF_DIR))
+            pytest.skip("protobuf not in environment (gate verified)")
+
+        stream = user_profile_tws(events_stream(spark, SF_DIR))
+        got = run_to_memory_sink(spark, stream, "t_tws", output_mode="update")
+        batch = (
+            table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("event_type").alias("n_types"),
+                F.sum("value").alias("total_value"),
+            )
+        )
+        got_rows = {r.user_id: r for r in got.collect()}
+        for r in batch.collect():
+            g = got_rows[r.user_id]
+            assert g.n_events == r.n_events
+            assert g.n_types == r.n_types
+            assert abs(g.total_value - r.total_value) < 1e-6
