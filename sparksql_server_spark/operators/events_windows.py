@@ -203,7 +203,10 @@ def _funnel_sql(sec_expr: str) -> str:
     strictly after that. Stage ordering compares epoch SECONDS on both
     sides — the raw column is nanosecond parquet that Spark reads
     micros-truncated, so sub-second orderings would be engine-relative;
-    at second granularity both engines see identical relations."""
+    at second granularity both engines see identical relations. NB the
+    oracle must FLOOR DuckDB's epoch() (a DOUBLE whose ::BIGINT cast
+    rounds half-up) to match Spark's flooring unix_timestamp — ~half
+    of all events land on a different second otherwise."""
     return f"""
 WITH e AS (SELECT user_id, event_type, {sec_expr} AS s FROM events),
 v AS (SELECT user_id, min(s) AS t0 FROM e WHERE event_type = 'view'
@@ -224,7 +227,7 @@ SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
 """
 
 
-@query("events_funnel", oracle=_funnel_sql("epoch(ts)::BIGINT"))
+@query("events_funnel", oracle=_funnel_sql("CAST(floor(epoch(ts)) AS BIGINT)"))
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion funnel over the event stream: users who viewed, then
     clicked strictly after their first view, then purchased strictly

@@ -63,16 +63,25 @@ def a1_scan_kv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparksql_server_spark.sources.sinks import write_text
 
     out = f"/tmp/sparkgraft_fixtures/{os.path.basename(sf_dir.rstrip('/'))}_kv1"
-    # write-once: the fixture derives only from nation (stable per sf),
-    # and re-overwriting on every plan-only inspection of this query
-    # (schema gates, bench) would race a concurrent reader of the same
-    # path with FileNotFoundException mid-scan
+    # write-once, via atomic rename: the fixture derives only from
+    # nation (stable per sf). Writing straight to `out` would race —
+    # reader-vs-overwrite on later calls, and writer-vs-writer when two
+    # processes both see it missing — so each writer builds a private
+    # staging dir and renames it into place; rename is atomic and fails
+    # (harmlessly) for every writer but the first.
     if not glob.glob(out + "/_SUCCESS"):
         kv_src = table(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("key"),
             F.concat(F.lit("val_"), F.col("n_nationkey")).alias("value"),
         )
-        write_text(kv_src, out, sep="\x01")
+        staging = f"{out}.staging.{os.getpid()}"
+        write_text(kv_src, staging, sep="\x01")
+        try:
+            os.rename(staging, out)
+        except OSError:  # another writer won the rename
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     kv = read_csv(spark, out, schema="key INT, value STRING", sep="\x01")
     return (
         kv.groupBy((F.col("key") % 5).cast("int").alias("bucket"))

@@ -303,6 +303,8 @@ def _domain_mix_sql(dialect: str) -> str:
     applied via the deterministic hash-Bernoulli gate (the same Knuth
     mix as operators/sampling.py, so mixes are reproducible and
     re-runnable), audited per source."""
+    from sparksql_server_spark.operators.sampling import _MIX
+
     suffix = (
         "CAST(substring(source, 4) AS INT)"
         if dialect == "spark"
@@ -312,7 +314,7 @@ def _domain_mix_sql(dialect: str) -> str:
 WITH rated AS (
   SELECT doc_id, source,
          CASE WHEN {suffix} % 2 = 0 THEN 100 ELSE 25 END AS rate_pct,
-         ((doc_id * 2654435761) % 2147483648) % 100      AS band
+         {_MIX.format(k='doc_id')} % 100                 AS band
   FROM documents)
 SELECT source,
        CAST(count(*) AS BIGINT)                               AS n_total,

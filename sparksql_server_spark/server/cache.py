@@ -200,7 +200,16 @@ class CacheManager:
         est_mem = size * self._expansion(source_format)
         free = self._free_storage_bytes()
         if free is not None and est_mem > free * self.storage_headroom:
-            # evict LRU entries until the build fits, before giving up
+            # pre-check: if the build can't fit even after evicting
+            # EVERYTHING, reject without destroying the cache
+            evictable = sum(e.mem_bytes for e in self._entries.values())
+            if est_mem > (free + evictable) * self.storage_headroom:
+                self._rejected.add(source)
+                return False
+            # evict LRU entries until the build fits. Track reclaimed
+            # bytes ourselves: uncacheTable unpersists with
+            # blocking=false, so re-reading the memory manager here
+            # returns a STALE number that would make the loop over-evict
             for src, entry in sorted(
                 self._entries.items(), key=lambda kv: kv[1].last_used
             ):
@@ -211,10 +220,7 @@ class CacheManager:
                 except Exception:
                     pass
                 del self._entries[src]
-                free = self._free_storage_bytes() or (free + entry.mem_bytes)
-            if est_mem > free * self.storage_headroom:
-                self._rejected.add(source)
-                return False
+                free += entry.mem_bytes
         self._evict_until(self.budget - size)
         sc = self.spark.sparkContext
         before = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}

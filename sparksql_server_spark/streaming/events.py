@@ -209,33 +209,29 @@ _TWS_OUTPUT_SCHEMA = (
 )
 
 
-class _UserProfileProcessor:
-    """transformWithStateInPandas processor (Spark 4 arbitrary-state
-    API): TWO typed state variables per user — a ValueState with the
-    running (count, total) and a ListState of distinct event types
-    seen — which applyInPandasWithState's single state tuple cannot
-    express without manual encoding. State is keyed, checkpointed, and
-    (in production) TTL-able via the ttlDurationMs argument.
-
-    Defined lazily against pyspark.sql.streaming.stateful_processor so
-    importing this module never requires the streaming runtime.
-    """
-
-
 def user_profile_tws(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator on the transformWithState
-    API: per-user running event count, running value total (ValueState)
-    and distinct-event-type count (ListState), emitted every
-    micro-batch. Batch equivalence: groupBy(user).agg(count, sum,
+    API (Spark 4 arbitrary-state): per-user running event count and
+    value total in a ValueState plus distinct-event-type tracking in a
+    ListState — TWO typed state variables per key, which
+    applyInPandasWithState's single state tuple cannot express without
+    manual encoding; state is keyed, checkpointed, and TTL-able via
+    ttlDurationMs. The processor class is defined inside this function
+    so importing the module never requires the streaming runtime.
+    Batch equivalence: groupBy(user).agg(count, sum,
     count_distinct(event_type)).
+
+    NOTE this sets ``spark.sql.streaming.stateStore.providerClass`` to
+    RocksDB on the SESSION (the API requires it; provider choice is
+    read at query start). That is a visible side effect for later
+    streaming queries in the same session — benign, since every
+    stateful operator here also runs on RocksDB, and it is the
+    provider a production deployment wants anyway (state on local
+    disk, not executor heap).
 
     Scale: state partitions by user_id and lives in the state store —
     memory scales with keys, not input; the ListState holds at most
-    the 5 distinct event types. transformWithState REQUIRES the
-    RocksDB state store provider (the default HDFS-backed provider
-    crashes the worker), so it is set here; it is also the provider a
-    production deployment wants — state spills to local disk instead
-    of executor heap.
+    the 5 distinct event types.
 
     Environment gate: the transformWithState Python worker speaks a
     protobuf protocol to the JVM state server
