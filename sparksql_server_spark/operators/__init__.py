@@ -25,6 +25,8 @@ from sparksql_server_spark.operators import (  # noqa: F401, E402
     events_windows,
     dedup,
     similarity,
+    events_behavior,
+    quality_filters,
     text_analysis,
     multimodal,
 )

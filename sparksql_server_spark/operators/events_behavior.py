@@ -1,0 +1,146 @@
+"""Behavioral analytics over the events table — cohort retention,
+event-to-event transition matrix, rolling active users (DAU/WAU).
+
+All time arithmetic compares epoch SECONDS (Spark flooring
+`unix_timestamp` vs DuckDB `floor(epoch(ts))` — the events parquet is
+nanosecond-typed, so sub-second comparisons would be engine-relative;
+see events_windows._funnel_sql). Outputs are integer counts and single
+IEEE divisions — cross-engine deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.operators.registry import query
+
+_SPARK_SEC = "unix_timestamp(ts)"
+_DUCK_SEC = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+def _retention_sql(sec_expr: str) -> str:
+    """Shared shape: cohort week = each user's first active week;
+    retention cell (cohort_week, week_offset) counts distinct users
+    from that cohort active offset weeks later."""
+    return f"""
+WITH a AS (SELECT user_id,
+                  CAST(floor({sec_expr} / 604800) AS BIGINT) AS week
+           FROM events),
+cohort AS (SELECT user_id, min(week) AS cohort_week
+           FROM a GROUP BY user_id),
+cells AS (SELECT DISTINCT c.cohort_week, a.week - c.cohort_week AS week_offset,
+                 a.user_id
+          FROM a JOIN cohort c ON a.user_id = c.user_id)
+SELECT cohort_week,
+       week_offset,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(count(*) AS DOUBLE) /
+             max(CAST((SELECT count(*) FROM cohort c2
+                       WHERE c2.cohort_week = cells.cohort_week) AS DOUBLE)),
+             4) AS retention
+FROM cells
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query("events_retention_cohort", oracle=_retention_sql(_DUCK_SEC))
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are assigned to the week of
+    their first event; each (cohort_week, week_offset) cell counts the
+    cohort's users still active that many weeks later, with the
+    retention rate against cohort size.
+
+    Scale: two aggregations keyed on user_id (cohort assignment) and
+    one on (cohort, offset) — all map-side combinable; the cohort-size
+    correlated subquery decorrelates to a broadcast join against the
+    weeks-sized cohort table. No windows, no explode.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_retention_sql(_SPARK_SEC))
+
+
+def _transition_sql(sec_expr: str) -> str:
+    """Shared shape: per user, events ordered by (second, event_id);
+    count each (event_type -> next_event_type) step and its share of
+    all steps leaving the source type."""
+    return f"""
+WITH e AS (SELECT user_id, event_type, {sec_expr} AS s, event_id
+           FROM events),
+steps AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY s, event_id) AS to_type
+          FROM e),
+pairs AS (SELECT from_type, to_type, count(*) AS n
+          FROM steps WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type)
+SELECT from_type, to_type,
+       CAST(n AS BIGINT) AS n_steps,
+       CAST(n AS DOUBLE) /
+         CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p_transition
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
+@query("events_transition_matrix", oracle=_transition_sql(_DUCK_SEC))
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    consecutive event pair in a user's (second, event_id)-ordered
+    stream, the step count and the conditional probability of the next
+    event type given the current one.
+
+    Scale: one lead() window partitioned by user_id (the natural
+    shuffle key), then an aggregation to the |types|² matrix; the
+    normalizing window runs over that tiny matrix. The (s, event_id)
+    ordering is total and engine-identical, so lead() is deterministic.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_transition_sql(_SPARK_SEC))
+
+
+def _dau_wau_sql(dialect: str) -> str:
+    """Shared shape: distinct (user, day) activity; DAU per day; WAU
+    via the explode-to-window trick — each active (user, day)
+    contributes membership to the 7 trailing windows that contain it,
+    turning a rolling COUNT(DISTINCT) (which window frames cannot
+    express) into a plain groupBy-distinct."""
+    sec = _SPARK_SEC if dialect == "spark" else _DUCK_SEC
+    off = (
+        "LATERAL VIEW explode(sequence(0, 6)) t AS off"
+        if dialect == "spark"
+        else ", unnest(range(0, 7)) AS t(off)"
+    )
+    return f"""
+WITH a AS (SELECT DISTINCT user_id,
+                  CAST(floor({sec} / 86400) AS BIGINT) AS day
+           FROM events),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        FROM a GROUP BY day),
+cover AS (SELECT DISTINCT a.user_id, a.day + off AS day
+          FROM a {off}),
+wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+        FROM cover GROUP BY day)
+SELECT d.day, d.dau, w.wau,
+       round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day
+ORDER BY d.day
+"""
+
+
+@query("events_dau_wau", oracle=_dau_wau_sql("duck"))
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day active users with the DAU/WAU
+    stickiness ratio. A rolling COUNT(DISTINCT user) is inexpressible
+    as a window frame, so each active (user, day) is exploded to the 7
+    trailing windows containing it and de-duplicated — the standard
+    scale trick that keeps distinct-counting a plain aggregation.
+
+    Scale: the explode is a fixed ×7 on the *distinct* (user, day)
+    table (already ≪ raw events), and every aggregation is map-side
+    combinable on well-distributed keys. Swapping 7 → N only changes
+    the fan-out constant.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_dau_wau_sql("spark"))

@@ -1,0 +1,214 @@
+"""Pre-training corpus quality filters beyond the basic ratios in
+``text_analysis`` — repetition statistics (the Gopher-rules family),
+PII redaction, and TF-IDF salient-term extraction.
+
+All three are documents-table pipelines whose only shuffles are keyed
+on (doc_id, gram) / term — high-cardinality, well-distributed keys —
+so they hold at 100 TB; the scoring arithmetic is integer counts and
+single IEEE divisions/multiplications, which are bit-identical across
+engines (no order-dependent double sums anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.operators.registry import query
+from sparksql_server_spark.functions.portable import (
+    duck_shingles,
+    duck_words,
+    spark_shingles,
+    spark_words,
+)
+
+
+def _repetition_sql(dialect: str) -> str:
+    """Shared shape: explode word 2-grams and 3-grams per document,
+    count occurrences, then fold back to per-document repetition
+    fractions. Fractions are double divisions of exact BIGINT counts
+    — cross-engine deterministic."""
+    if dialect == "spark":
+        words = spark_words("text")
+        bi = (
+            "SELECT doc_id, gram FROM w "
+            f"LATERAL VIEW explode({spark_shingles('w', 2)}) t AS gram"
+        )
+        tri = (
+            "SELECT doc_id, gram FROM w "
+            f"LATERAL VIEW explode({spark_shingles('w', 3)}) t AS gram"
+        )
+    else:
+        words = duck_words("text")
+        bi = (
+            "SELECT doc_id, unnest("
+            f"{duck_shingles('w', 2)}) AS gram FROM w"
+        )
+        tri = (
+            "SELECT doc_id, unnest("
+            f"{duck_shingles('w', 3)}) AS gram FROM w"
+        )
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+bi AS (SELECT doc_id, gram, count(*) AS n
+       FROM ({bi}) g GROUP BY doc_id, gram),
+tri AS (SELECT doc_id, gram, count(*) AS n
+        FROM ({tri}) g GROUP BY doc_id, gram),
+bi_doc AS (SELECT doc_id,
+                  CAST(sum(n) AS BIGINT) AS n_bigrams,
+                  CAST(max(n) AS BIGINT) AS top_bigram_n
+           FROM bi GROUP BY doc_id),
+tri_doc AS (SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_trigrams,
+                   CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+                     AS dup_trigram_n
+            FROM tri GROUP BY doc_id)
+SELECT b.doc_id,
+       b.n_bigrams,
+       CAST(b.top_bigram_n AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+         AS top_bigram_frac,
+       t.n_trigrams,
+       CAST(t.dup_trigram_n AS DOUBLE) / CAST(t.n_trigrams AS DOUBLE)
+         AS dup_trigram_frac,
+       b.top_bigram_n >= 3 OR
+         CAST(t.dup_trigram_n AS DOUBLE) / CAST(t.n_trigrams AS DOUBLE) > 0.5
+         AS flagged_repetitive
+FROM bi_doc b JOIN tri_doc t ON b.doc_id = t.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@query("text_repetition_stats", oracle=_repetition_sql("duck"))
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals in the Gopher-rules style:
+    per-document top-bigram fraction (mass of the single most frequent
+    word 2-gram) and duplicated-3-gram fraction (mass of 3-grams that
+    occur more than once), plus a combined repetitive flag.
+
+    Scale: two explode → groupBy(doc_id, gram) passes. The grams of a
+    document are produced colocated, so the per-(doc, gram) count is a
+    well-distributed shuffle (no hot keys — the key includes doc_id);
+    the fold back to per-document stats shuffles on doc_id only. Both
+    aggregations are map-side combinable. No double sums — the
+    fractions divide exact BIGINT counts once.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_repetition_sql("spark"))
+
+
+# Deterministic synthetic PII: the corpus itself is PII-free, so the
+# query plants a contact line derived from doc_id, then scrubs it —
+# oracle-checkable end to end while exercising the real redaction
+# expressions a production scrubber runs over raw text.
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.]com"
+_PHONE_RE = "555-[0-9]{4}"
+_IP_RE = "10[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def _pii_sql(dialect: str) -> str:
+    g = ", 'g'" if dialect == "duck" else ""
+    substr = "substr" if dialect == "duck" else "substring"
+    count_m = (
+        (lambda pat: f"len(regexp_extract_all(raw, '{pat}'))")
+        if dialect == "duck"
+        else (lambda pat: f"size(regexp_extract_all(raw, '{pat}', 0))")
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         concat('contact user', CAST(doc_id AS BIGINT), '@mail',
+                CAST(doc_id % 7 AS BIGINT), '.com or 555-',
+                CAST(1000 + doc_id % 9000 AS BIGINT), ' at 10.0.',
+                CAST(doc_id % 256 AS BIGINT), '.',
+                CAST((doc_id * 37) % 256 AS BIGINT), ' :: ',
+                {substr}(text, 1, 80)) AS raw
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+           '{_EMAIL_RE}', '<EMAIL>'{g}),
+           '{_IP_RE}', '<IP>'{g}),
+           '{_PHONE_RE}', '<PHONE>'{g}) AS scrubbed,
+       CAST({count_m(_EMAIL_RE)} AS BIGINT) AS n_emails,
+       CAST({count_m(_PHONE_RE)} AS BIGINT) AS n_phones,
+       CAST({count_m(_IP_RE)} AS BIGINT)    AS n_ips
+FROM planted
+ORDER BY doc_id
+"""
+
+
+@query("text_pii_scrub", oracle=_pii_sql("duck"))
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regex-replace emails, phone numbers, and IPv4
+    addresses with typed placeholders, and count redactions per class
+    (regexp_extract_all, so the audit trail is exact). The corpus has
+    no real PII, so a deterministic contact line derived from doc_id
+    is planted first — the scrub expressions are the production ones.
+
+    Scale: pure map-only string expressions, whole-stage codegen, no
+    shuffle, no Python. IP is scrubbed before phone so the overlap
+    class (a phone-like suffix inside an address) is owned by one rule
+    deterministically.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_pii_sql("spark"))
+
+
+_TOP_TERMS = 3
+
+
+def _tfidf_sql(dialect: str) -> str:
+    """Shared shape: term frequencies per (doc, term), document
+    frequencies per term, linear-idf score tf * (N / df), top-k terms
+    per document by (score DESC, term ASC).
+
+    Linear idf (N/df, no log) keeps the score a product of one exact
+    int→double division and one multiplication — bit-identical across
+    engines, unlike ln() whose last-ulp rounding is not guaranteed to
+    agree. Ranking is order-isomorphic to log idf for fixed N.
+    """
+    if dialect == "spark":
+        words = spark_words("text")
+        ex = "SELECT doc_id, term FROM w LATERAL VIEW explode(w) t AS term"
+    else:
+        words = duck_words("text")
+        ex = "SELECT doc_id, unnest(w) AS term FROM w"
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+terms AS ({ex}),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         CAST(tf.tf AS DOUBLE) *
+           (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df, score
+FROM ranked WHERE rnk <= {_TOP_TERMS}
+ORDER BY doc_id, rnk
+"""
+
+
+@query("text_tfidf_topterms", oracle=_tfidf_sql("duck"))
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salient-term extraction: top-3 terms per document by TF-IDF
+    with a linear idf (tf * N/df) and a deterministic (score, term)
+    tie-break.
+
+    Scale: tf is an explode → groupBy(doc_id, term) (key includes
+    doc_id — well distributed); df aggregates tf's output (map-side
+    combinable, vocabulary-sized result) and joins back broadcast
+    (vocabulary ≪ corpus); the top-k window partitions by doc_id and
+    is WindowGroupLimit-prunable. The `n` side is a 1-row broadcast
+    cross join.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_tfidf_sql("spark"))
