@@ -226,28 +226,32 @@ def main() -> None:
     pq_queries = [q.replace("lineitem_big", "lineitem_bigp") for q in queries[:4]]
     _force(spark.sql(pq_queries[0]))  # warm
 
-    ex_pq_nc = BatchExecutor(
-        spark,
-        cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
-        source_views={pq_dir: "lineitem_bigp"},
-    )
-    jobs = [QueryJob(job_id=300 + i, sql=q) for i, q in enumerate(pq_queries)]
-    t0 = time.monotonic()
-    ex_pq_nc.run_batch(jobs)
-    timings["cached_scan_parquet_concurrent"] = round(time.monotonic() - t0, 3)
+    # best-of-2 in alternating order: both legs run the identical four
+    # queries, so a single-shot measurement is dominated by GC/JIT noise
+    # (one round-2 artifact showed batched 16% "slower" purely from
+    # ordering; an interleaved A/B measured them within 2%)
+    def _run_pq(full_admission: bool, base_id: int) -> float:
+        cache = (
+            CacheManager(spark, budget_bytes=8 << 30)
+            if full_admission
+            else CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40)
+        )
+        ex = BatchExecutor(spark, cache=cache, source_views={pq_dir: "lineitem_bigp"})
+        jobs = [QueryJob(job_id=base_id + i, sql=q) for i, q in enumerate(pq_queries)]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if full_admission and any(b.rewrite.value == "caching" for b in bags):
+            print("WARN: parquet cache unexpectedly admitted", file=sys.stderr)
+        ex.cache.clear()
+        return dt
 
-    ex_pq = BatchExecutor(
-        spark,
-        cache=CacheManager(spark, budget_bytes=8 << 30),
-        source_views={pq_dir: "lineitem_bigp"},
-    )
-    jobs = [QueryJob(job_id=400 + i, sql=q) for i, q in enumerate(pq_queries)]
-    t0 = time.monotonic()
-    bags = ex_pq.run_batch(jobs)
-    timings["cached_scan_parquet_batched"] = round(time.monotonic() - t0, 3)
-    if any(b.rewrite.value == "caching" for b in bags):
-        print("WARN: parquet cache unexpectedly admitted", file=sys.stderr)
-    ex_pq.cache.clear()
+    nc_times, full_times = [], []
+    for rep in range(2):
+        nc_times.append(_run_pq(False, 300 + 20 * rep))
+        full_times.append(_run_pq(True, 400 + 20 * rep))
+    timings["cached_scan_parquet_concurrent"] = round(min(nc_times), 3)
+    timings["cached_scan_parquet_batched"] = round(min(full_times), 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -261,3 +261,45 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_MERGE_SQL)
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join: events (hot user_ids — the driver's
+    events table concentrates all traffic on 150 users) joined to
+    customer through ``plans.scale.salted_join``, then aggregated per
+    market segment.
+
+    The salt splits each hot key into ``n_salts`` shuffle sub-keys
+    derived from a deterministic row attribute (event_id), and
+    replicates dim rows to every salt — same result set as the plain
+    equi-join (which is exactly what the oracle pins), with the
+    largest shuffle partition bounded by |hot key| / n_salts. At
+    100 TB this is the manual fallback when AQE's skew handling can't
+    see the skew (e.g. a first-stage join straight off the scan).
+    """
+    from sparksql_server_spark.plans.scale import salted_join
+
+    e = table(spark, sf_dir, "events").withColumnRenamed("user_id", "custkey")
+    c = table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    j = salted_join(e, c, "custkey", n_salts=8, salt_source="event_id")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -112,3 +112,49 @@ def sample_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sampled_revenue"),
     )
+
+
+@query(
+    "pipeline_shard_assignment",
+    oracle=f"""
+    SELECT shard,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id)                  AS min_id,
+           max(doc_id)                  AS max_id
+    FROM (SELECT doc_id, n_chars,
+                 {_MIX.format(k="doc_id")} % 16 AS shard
+          FROM documents)
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding: every document lands in one of 16
+    shards by multiplicative hash of its id, with a per-shard balance
+    audit (docs + bytes). This is the writer-side op for emitting a
+    100 TB corpus as N equal shards — the assignment is reproducible
+    across reruns/engines (portable arithmetic, not engine hash()),
+    so a re-run resumes into identical shard membership.
+
+    Scale: the shard column is row-local (map-only); the audit is one
+    map-side-combinable aggregation over 16 groups. The real write is
+    ``df.repartition(16, col).write.partitionBy(shard)`` reusing the
+    same column — one shuffle, already balanced by construction.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            (_mix_col("doc_id") % 16).alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("shard")
+    )

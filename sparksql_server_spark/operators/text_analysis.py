@@ -340,3 +340,45 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_domain_mix_sql("spark"))
+
+
+def _ngram_counts_sql(dialect: str) -> str:
+    """Corpus bigram counts — the n-gram language-model / contamination
+    table every training-data pipeline keeps. Tokens are the module's
+    whitespace words over lower(text); bigrams via the shared shingle
+    helpers (dedup's MinHash uses the same ones at n=3)."""
+    if dialect == "spark":
+        return f"""
+        WITH words AS (
+          SELECT {spark_words("lower(text)")} AS w FROM documents)
+        SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        FROM words LATERAL VIEW explode({spark_shingles("w", 2)}) t AS bigram
+        GROUP BY bigram
+        ORDER BY cnt DESC, bigram
+        LIMIT 20
+        """
+    return f"""
+    WITH words AS (
+      SELECT {duck_words("lower(text)")} AS w FROM documents),
+    bi AS (SELECT unnest({duck_shingles("w", 2)}) AS bigram FROM words)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM bi
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """
+
+
+@query("text_ngram_counts", oracle=_ngram_counts_sql("duck"))
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams with counts (deterministic cnt-then-term
+    tiebreak so the LIMIT boundary is stable across engines).
+
+    Scale: explode is map-only (no pre-shuffle); the count is one
+    hash aggregation with map-side partials over (corpus tokens)
+    rows, and the top-20 is a TakeOrdered — no global sort of the
+    full n-gram table. Vocabulary skew ("the the") is bounded by the
+    partial aggregation: each task emits one row per distinct bigram.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_ngram_counts_sql("spark"))
