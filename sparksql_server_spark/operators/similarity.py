@@ -338,3 +338,66 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("embeddings",))
     return spark.sql(_lsh_multiprobe_sql(_lsh_spark(), _Q_MULTI_SPARK))
+
+
+def _centroid_stats_sql(elems: str) -> str:
+    """Per-LABEL centroid norm and intra-class dispersion, shared
+    across dialects. ``elems`` is the dialect's 1-row-per-(vector,
+    dimension) expansion of the embeddings table.
+
+    Dispersion uses the one-pass identity E||x - c||^2 =
+    E||x||^2 - ||c||^2 — no second join of vectors against their
+    centroid. Double determinism: per-dimension and per-label sums go
+    through the exact-DECIMAL pattern; the remaining float ops
+    (division, multiply, sqrt, subtract) are IEEE-identical.
+    """
+    return f"""
+WITH dims AS ({elems}),
+per_dim AS (
+  SELECT label, i,
+         CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) AS sx,
+         count(*) AS n
+  FROM dims GROUP BY label, i),
+cent AS (
+  SELECT label,
+         CAST(max(n) AS BIGINT) AS n_vecs,
+         CAST(sum(CAST((sx / n) * (sx / n) AS DECIMAL(28,20))) AS DOUBLE) AS c_sq
+  FROM per_dim GROUP BY label),
+sq AS (
+  SELECT label,
+         CAST(sum(CAST(x * x AS DECIMAL(28,20))) AS DOUBLE) AS sxx
+  FROM dims GROUP BY label)
+SELECT c.label, c.n_vecs,
+       sqrt(c.c_sq)                  AS centroid_norm,
+       s.sxx / c.n_vecs              AS mean_sq_norm,
+       s.sxx / c.n_vecs - c.c_sq     AS dispersion
+FROM cent c JOIN sq s ON c.label = s.label
+ORDER BY c.label
+"""
+
+
+_CENTROID_ELEMS_SPARK = """
+  SELECT label, i, CAST(element_at(embedding, i) AS DOUBLE) AS x
+  FROM embeddings LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"""
+_CENTROID_ELEMS_DUCK = """
+  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT label, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)"""
+
+
+@query("emb_centroid_stats", oracle=_centroid_stats_sql(_CENTROID_ELEMS_DUCK))
+def emb_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid norm and intra-class dispersion
+    (mean squared distance to the centroid) — the cluster-quality /
+    class-separability report a training-data pipeline runs over its
+    embedding space before and after filtering.
+
+    Scale: one (label, dimension)-keyed shuffle for the centroid (the
+    same fine-grained key as the k-means refine — spreads evenly, no
+    hot label dominates a partition) and one label-keyed shuffle for
+    the second moment; both are map-side-combinable partial
+    aggregates. The dispersion identity avoids re-joining N vectors
+    against centroids entirely.
+    """
+    register_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(_centroid_stats_sql(_CENTROID_ELEMS_SPARK))

@@ -21,6 +21,15 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — one JSON object per row, splittable on read."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_text(df: DataFrame, path: str, sep: str = "\t", mode: str = "overwrite") -> None:
     """Serialize every row to one delimited line (A11).
 
