@@ -35,20 +35,41 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (parquet scan, pushdown-capable).
 
-    events.ts is written as parquet TIMESTAMP(NANOS), which Spark 4
-    refuses by default — read it as int64 nanos (legacy conf) and
-    convert to a microsecond TimestampType column.
+    events.ts is written as parquet TIMESTAMP(NANOS).  How Spark
+    surfaces that column depends on the runtime, so branch on the
+    dtype the reader actually produced rather than trusting any
+    version-specific conf:
+
+    - Spark 4.1+ reads NANOS natively as TIMESTAMP_NTZ (micros
+      truncation applied by the reader) — cast to TimestampType;
+      the session timezone is UTC so the instant is unchanged.
+    - Older runtimes honoring ``spark.sql.legacy.parquet.nanosAsLong``
+      surface int64 nanos — integer-divide to micros and convert.
+
+    Either path yields the same microsecond-truncated TimestampType
+    column, so every downstream query is runtime-independent.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _normalize_event_ts(df)
     return spark.read.parquet(path)
+
+
+def _normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce the events timestamp column to microsecond TimestampType
+    regardless of how the runtime's parquet reader surfaced NANOS."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dtype, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df  # already TimestampType
 
 
 def register_tables(

@@ -24,32 +24,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# events.parquet carries TIMESTAMP(NANOS): read ts as long + convert
-# (same approach as catalog.table)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (file-source; glob on the file)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over the events parquet (file-source; glob on the file).
+
+    events.parquet carries TIMESTAMP(NANOS); how the runtime surfaces
+    that (int64 nanos vs native TIMESTAMP_NTZ) is version-dependent, so
+    take the stream schema from a metadata-only batch read of the same
+    file and normalize ts exactly as catalog.table does.
+    """
+    import os
+
+    from ..catalog import _normalize_event_ts
+
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the file-source stream wants a directory: feed it sf_dir with a
     # glob so only the events file matches
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_event_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
