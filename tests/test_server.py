@@ -54,6 +54,56 @@ class TestDetector:
         bags = detect_sharing(jobs)
         assert all(len(b.jobs) == 1 and not b.shared_sources for b in bags)
 
+    def test_partition_matches_fixpoint_model(self):
+        """Property gate: detect_sharing (union-find) must produce the
+        SAME partition as an independently-written fixpoint closure —
+        the literal shape of the reference's ``analyse`` loop
+        (ScanSharing.scala:95-119: repeatedly merge groups whose source
+        sets intersect until nothing merges). Randomized over job/source
+        shapes incl. empty fingerprint sets (DDL) and long chains."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        def fixpoint_partition(fp_sets):
+            groups = [({i}, set(fps)) for i, fps in enumerate(fp_sets)]
+            changed = True
+            while changed:
+                changed = False
+                for a in range(len(groups)):
+                    for b in range(a + 1, len(groups)):
+                        if groups[a][1] & groups[b][1]:
+                            groups[a][0].update(groups[b][0])
+                            groups[a][1].update(groups[b][1])
+                            del groups[b]
+                            changed = True
+                            break
+                    if changed:
+                        break
+            return sorted(sorted(g[0]) for g in groups)
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.frozensets(st.sampled_from("ABCDEFGH"), max_size=4),
+                max_size=12,
+            )
+        )
+        def check(fp_sets):
+            jobs = [_job(i, "", fps) for i, fps in enumerate(fp_sets)]
+            bags = detect_sharing(jobs)
+            got = sorted(sorted(j.job_id for j in b.jobs) for b in bags)
+            assert got == fixpoint_partition(fp_sets)
+            # shared_sources = exactly the sources scanned by 2+ members
+            for b in bags:
+                counts: dict[str, int] = {}
+                for j in b.jobs:
+                    for s in j.fingerprints:
+                        counts[s] = counts.get(s, 0) + 1
+                expect = {s for s, c in counts.items() if c > 1} if len(b.jobs) > 1 else set()
+                assert set(b.shared_sources) == expect
+
+        check()
+
 
 class TestBatcher:
     def test_size_trigger(self):
@@ -611,6 +661,54 @@ class TestWideBatch:
         # the DDL side effects happened (exactly-once is gated elsewhere)
         for i in range(5):
             assert spark.catalog.tableExists(f"wide_batch_v{i}")
+
+    def test_three_hop_chain_bridging_under_load(self, spark):
+        """Transitive closure at depth: customer-only, orders-only and
+        lineitem-only jobs share NO direct source, but a customer⋈orders
+        job and an orders⋈lineitem job chain all three scans into ONE
+        bag (no customer⋈lineitem job exists — only the fixpoint hop
+        joins them, ScanSharing.scala:95-119). DDL stays outside. Every
+        job's rows must equal its independent run."""
+        register_tables(spark, SF_DIR)
+        sqls = (
+            [f"SELECT count(*) AS n FROM customer WHERE c_custkey % 4 = {i}" for i in range(4)]
+            + [f"SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = {i}" for i in range(4)]
+            + [f"SELECT count(*) AS n FROM lineitem WHERE l_linenumber = {i + 1}" for i in range(4)]
+            + [
+                "SELECT count(*) AS n FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey",
+                "SELECT count(*) AS n FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+            ]
+            + ["CREATE OR REPLACE TEMP VIEW chain_ddl_v AS SELECT 1 AS x"]
+        )
+        import random
+
+        random.Random(11).shuffle(sqls)
+        expected = [
+            [tuple(r) for r in spark.sql(q).collect()]
+            if q.lstrip().upper().startswith("SELECT")
+            else None
+            for q in sqls
+        ]
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=1 << 30),
+            source_views=source_view_map(SF_DIR),
+        )
+        jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
+        bags = ex.run_batch(jobs)
+
+        assert sorted(j.job_id for b in bags for j in b.jobs) == list(range(len(jobs)))
+        select_bags = [b for b in bags if any("FROM" in j.sql for j in b.jobs)]
+        assert len(select_bags) == 1, [len(b.jobs) for b in bags]
+        assert len(select_bags[0].jobs) == 14
+        # all three hot scans are multiply-read -> all shared
+        assert len(select_bags[0].shared_sources) == 3
+        ddl_bags = [b for b in bags if any("CREATE" in j.sql for j in b.jobs)]
+        assert len(ddl_bags) == 1 and len(ddl_bags[0].jobs) == 1
+        for job, exp in zip(jobs, expected):
+            assert job.status is JobStatus.DONE, (job.sql, job.error)
+            if exp is not None:
+                assert job.rows == exp, job.sql
 
 
 class TestStorageAwareAdmission:
