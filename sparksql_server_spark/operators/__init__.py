@@ -29,4 +29,6 @@ from sparksql_server_spark.operators import (  # noqa: F401, E402
     quality_filters,
     text_analysis,
     multimodal,
+    events_analytics,
+    graph,
 )

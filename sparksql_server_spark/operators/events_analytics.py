@@ -1,0 +1,225 @@
+"""Market/ops-style analytics over the events table: OHLC bars, decayed
+activity scores, per-window heavy hitters, anomaly flags.
+
+Beyond the reference's literal surface (clients could submit any SQL —
+SURVEY.md Layer-A note); these are the standard event-analytics shapes a
+user of a time-windowed SQL engine runs daily. All pure codegen SQL —
+no UDFs, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sparksql_server_spark.catalog import table
+from sparksql_server_spark.operators.registry import query
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+WITH b AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar_start, event_type, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events)
+SELECT bar_start, event_type,
+       CAST(max(CASE WHEN rn_open = 1 THEN value END) AS DOUBLE)  AS open,
+       CAST(max(value) AS DOUBLE)                                 AS high,
+       CAST(min(value) AS DOUBLE)                                 AS low,
+       CAST(max(CASE WHEN rn_close = 1 THEN value END) AS DOUBLE) AS close,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)          AS volume,
+       CAST(count(*) AS BIGINT)                                   AS n_events
+FROM b GROUP BY bar_start, event_type
+ORDER BY bar_start, event_type
+""",
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type: open/close via row_number from
+    either end of the bar (deterministic (ts, event_id) tiebreak), then
+    one hash aggregation.
+
+    Scale: the two window passes and the aggregate share one shuffle on
+    (hour-bucket, event_type) — the natural time-series partitioning; a
+    1000-executor run keys state by bucket so bars build map-side per
+    partition. Same shape as a hypertable continuous-aggregate rollup.
+    """
+    ev = table(spark, sf_dir, "events").withColumn(
+        "bar_start", F.date_trunc("hour", "ts").cast("timestamp")
+    )
+    asc = W.partitionBy("bar_start", "event_type").orderBy("ts", "event_id")
+    desc = W.partitionBy("bar_start", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn_open", F.row_number().over(asc))
+        .withColumn("rn_close", F.row_number().over(desc))
+        .groupBy("bar_start", "event_type")
+        .agg(
+            F.max(F.when(F.col("rn_open") == 1, F.col("value"))).cast("double").alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("value"))).cast("double").alias("close"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("bar_start", "event_type")
+    )
+
+
+@query(
+    "events_decayed_score",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, ts, event_id, value,
+         lag(value, 1) OVER w AS v1,
+         lag(value, 2) OVER w AS v2,
+         lag(value, 3) OVER w AS v3,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, ts AS last_ts,
+       CAST(
+         (8 * CAST(value AS DECIMAL(18,6))
+          + 4 * CAST(coalesce(v1, 0) AS DECIMAL(18,6))
+          + 2 * CAST(coalesce(v2, 0) AS DECIMAL(18,6))
+          + 1 * CAST(coalesce(v3, 0) AS DECIMAL(18,6))) AS DOUBLE)
+       / (8 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END
+            + CASE WHEN v2 IS NULL THEN 0 ELSE 2 END
+            + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END) AS score
+FROM lagged WHERE rn = 1 ORDER BY user_id
+""",
+)
+def events_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed activity score (bounded-horizon
+    EWMA: weights 8/4/2/1 over the 4 most recent events), reported at
+    each user's latest event.
+
+    Integer weights on exact DECIMAL values keep the arithmetic
+    engine-portable (a true infinite-horizon EWMA needs sequential
+    recursion — the bounded FIR form is the standard distributed
+    approximation and is one window pass).  Scale: single shuffle on
+    user_id; state per row is 3 lags, independent of history length.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    dec = lambda c: F.coalesce(c, F.lit(0)).cast("decimal(18,6)")  # noqa: E731
+    lagged = (
+        ev.withColumn("v1", F.lag("value", 1).over(w))
+        .withColumn("v2", F.lag("value", 2).over(w))
+        .withColumn("v3", F.lag("value", 3).over(w))
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+    )
+    wsum = (
+        F.lit(8)
+        + F.when(F.col("v1").isNull(), 0).otherwise(4)
+        + F.when(F.col("v2").isNull(), 0).otherwise(2)
+        + F.when(F.col("v3").isNull(), 0).otherwise(1)
+    )
+    num = (
+        8 * F.col("value").cast("decimal(18,6)")
+        + 4 * dec(F.col("v1"))
+        + 2 * dec(F.col("v2"))
+        + 1 * dec(F.col("v3"))
+    ).cast("double")
+    return lagged.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        (num / wsum).alias("score"),
+    ).orderBy("user_id")
+
+
+@query(
+    "events_heavy_hitters_daily",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY day, user_id),
+ranked AS (
+  SELECT day, user_id, n_events,
+         CAST(row_number() OVER (PARTITION BY day
+                ORDER BY n_events DESC, user_id) AS BIGINT) AS pos
+  FROM counts)
+SELECT day, pos, user_id, n_events FROM ranked
+WHERE pos <= 3 ORDER BY day, pos
+""",
+)
+def events_heavy_hitters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily heavy hitters: top-3 users by event count per day
+    (deterministic user_id tiebreak).
+
+    Scale: aggregate then per-day top-k — the rank filter compiles to
+    WindowGroupLimit, so each shuffle partition keeps only 3 rows per
+    day before the final exchange; never a global sort. At 100 TB the
+    exact count feeding it is one combinable aggregation; swap in a
+    count-min sketch only if per-day user cardinality itself explodes.
+    """
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    w = W.partitionBy("day").orderBy(F.col("n_events").desc(), "user_id")
+    return (
+        counts.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= 3)
+        .select("day", "pos", "user_id", "n_events")
+        .orderBy("day", "pos")
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, day),
+stats AS (
+  SELECT event_type,
+         avg(CAST(n_events AS DOUBLE))    AS mean_n,
+         stddev_samp(CAST(n_events AS DOUBLE)) AS sd_n
+  FROM daily GROUP BY event_type)
+SELECT d.event_type, d.day, d.n_events,
+       (d.n_events - s.mean_n) / nullif(s.sd_n, 0) AS z,
+       CASE WHEN abs((d.n_events - s.mean_n) / nullif(s.sd_n, 0)) > 2
+            THEN TRUE ELSE FALSE END AS is_anomaly
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+ORDER BY d.event_type, d.day
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event_type, day) count scored as
+    a z-score against that type's daily mean/stddev; |z| > 2 flagged.
+
+    Scale: the daily rollup is the only data-sized shuffle; the
+    per-type stats table is tiny (|event_types| rows), so Spark
+    broadcasts it back — an aggregate-then-broadcast-join pattern that
+    costs one pass regardless of input size. Integer daily counts make
+    avg/stddev cross-engine stable at the comparator's precision.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg(F.col("n_events").cast("double")).alias("mean_n"),
+        F.stddev_samp(F.col("n_events").cast("double")).alias("sd_n"),
+    )
+    z = (F.col("n_events") - F.col("mean_n")) / F.nullif(F.col("sd_n"), F.lit(0))
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            z.alias("z"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

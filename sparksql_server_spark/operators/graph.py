@@ -1,0 +1,175 @@
+"""Graph analytics over the order network (customers ↔ suppliers).
+
+Web-graph centrality is a standard quality signal in large-scale
+training-data curation (link-based page importance feeds crawl
+filtering), and the reference's engine could run arbitrary iterative
+client jobs (SURVEY.md Layer-A note). Here: PageRank as a
+FIXED-ITERATION power method — deterministic straight-line dataflow,
+so the DuckDB oracle is the identical unrolled SQL, no recursion.
+
+Graph: node per active customer and supplier; an edge each way for
+every distinct (customer, supplier) trade pair in orders ⋈ lineitem.
+Customer node id = 2·custkey, supplier id = 2·suppkey+1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.operators.registry import query
+
+_DAMP = 0.85
+_ITERS = 3
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power iteration — dialect-neutral SQL (runs verbatim on
+    Spark and DuckDB). r_{k+1}(v) = (1-d)/N + d·Σ_{u→v} r_k(u)/deg(u);
+    every node has both in- and out-edges (edges are bidirectional) so
+    there is no dangling mass."""
+    prev = "r0"
+    iters = []
+    for k in range(1, _ITERS + 1):
+        iters.append(
+            f"""r{k} AS (
+  SELECT e.dst AS node,
+         (1.0 - {_DAMP}) / min(nn.n) + {_DAMP} * sum(p.rank / d.outdeg) AS rank
+  FROM edges e
+  JOIN {prev} p ON p.node = e.src
+  JOIN deg d ON d.src = e.src
+  CROSS JOIN n nn
+  GROUP BY e.dst)"""
+        )
+        prev = f"r{k}"
+    unrolled = ",\n".join(iters)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN n nn),
+{unrolled}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       rank
+FROM {prev}
+ORDER BY node
+"""
+
+
+@query("graph_pagerank_entities", oracle=_pagerank_sql())
+def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the trade graph, 3 power iterations, damping 0.85.
+
+    Spark-first iterative dataflow: edges and degrees build once and
+    CACHE (reused every iteration — at cluster scale persist them
+    partitioned by src so each iteration's join is co-located and only
+    the small rank vector shuffles); the rank update is one
+    join + keyed aggregation per iteration, and the full-graph scalar N
+    rides along as a broadcast 1-row relation (no driver collect).
+    Output is every node's rank — no top-k cutoff, so float tie-order
+    at a cutoff boundary can never flip membership cross-engine.
+
+    Reference parity: the engine ran arbitrary iterative client DAGs
+    (stock Spark examples incl. SparkPageRank ship in the reference
+    tree); this is the DataFrame-native equivalent with an exact
+    unrolled-SQL oracle.
+    """
+    register_tables(spark, sf_dir, ("orders", "lineitem"))
+    pairs = (
+        spark.table("orders")
+        .join(
+            spark.table("lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
+        .unionAll(
+            pairs.select(
+                (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+            )
+        )
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg")).cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
+        )
+        ranks = contrib.crossJoin(F.broadcast(n)).select(
+            F.col("dst").alias("node"),
+            ((1.0 - _DAMP) / F.col("n") + _DAMP * F.col("mass")).alias("rank"),
+        )
+    return ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier").alias("kind"),
+        "rank",
+    ).orderBy("node")
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+cdeg AS (SELECT c, count(*) AS degree FROM pairs GROUP BY c),
+sdeg AS (SELECT s, count(*) AS degree FROM pairs GROUP BY s),
+all_deg AS (
+  SELECT 'customer' AS kind, degree FROM cdeg
+  UNION ALL
+  SELECT 'supplier' AS kind, degree FROM sdeg)
+SELECT kind, CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM all_deg GROUP BY kind, degree
+ORDER BY kind, degree
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the trade graph by node kind — the standard
+    first look at graph skew (a power-law tail here predicts the hub
+    problem PageRank/CC mitigation needs: salting or high-degree
+    vertex-cut at cluster scale).
+
+    Scale: two keyed aggregations over the distinct-pair relation, then
+    a histogram over the (small) degree table — nothing holds more
+    than |nodes| rows.
+    """
+    register_tables(spark, sf_dir, ("orders", "lineitem"))
+    pairs = (
+        spark.table("orders")
+        .join(spark.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = pairs.groupBy("c").agg(F.count("*").alias("degree")).select(
+        F.lit("customer").alias("kind"), "degree"
+    )
+    sdeg = pairs.groupBy("s").agg(F.count("*").alias("degree")).select(
+        F.lit("supplier").alias("kind"), "degree"
+    )
+    return (
+        cdeg.unionAll(sdeg)
+        .groupBy("kind", F.col("degree").cast("bigint").alias("degree"))
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("kind", "degree")
+    )

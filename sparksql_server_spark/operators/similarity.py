@@ -401,3 +401,42 @@ def emb_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("embeddings",))
     return spark.sql(_centroid_stats_sql(_CENTROID_ELEMS_SPARK))
+
+
+def _range_search_sql(dialect: str) -> str:
+    """Cosine range search, shared SQL shape: every corpus vector within
+    cosine >= threshold of any probe (vec_id < 8), self excluded."""
+    dot = spark_dot if dialect == "spark" else duck_dot
+    norm = spark_norm if dialect == "spark" else duck_norm
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {norm('embedding')} AS nrm FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM n
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q_id, n.vec_id AS neighbor_id,
+         round({dot('q_emb', 'n.embedding')} / (q_nrm * n.nrm), 6) AS cos
+  FROM q CROSS JOIN n WHERE q_id <> n.vec_id)
+SELECT q_id, neighbor_id, cos
+FROM scored WHERE cos >= {_RANGE_TAU}
+ORDER BY q_id, neighbor_id
+"""
+
+
+_RANGE_TAU = 0.3  # calibrated: a handful of true neighbors per probe at test SFs
+
+
+@query("sim_range_search", oracle=_range_search_sql("duck"))
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search (all neighbors with cos >= tau), the other
+    standard ANN API next to top-k: dedup thresholds, near-duplicate
+    retrieval, and radius queries use this shape.
+
+    Scale: identical posture to sim_topk_bruteforce — the 8-row probe
+    side broadcasts, the corpus never shuffles, and the threshold
+    filter drops pairs map-side before any exchange; the LSH/IVF
+    bucketed variants bound the candidate set the same way when |Q|
+    grows. Thresholding on the ROUNDED cosine keeps the boundary
+    decision identical in both engines.
+    """
+    register_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(_range_search_sql("spark"))

@@ -382,3 +382,41 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_ngram_counts_sql("spark"))
+
+
+def _dataset_card_sql(dialect: str) -> str:
+    """Per-(source, lang) corpus audit, shared SQL shape."""
+    words = spark_words("text") if dialect == "spark" else duck_words("text")
+    size_w = "size(w)" if dialect == "spark" else "len(w)"
+    return f"""
+WITH w AS (SELECT doc_id, source, lang, n_chars, {words} AS w FROM documents),
+per_doc AS (SELECT doc_id, source, lang, n_chars,
+                   CAST({size_w} AS BIGINT) AS n_tokens FROM w),
+grouped AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT)       AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT)  AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT)   AS total_chars
+  FROM per_doc GROUP BY source, lang),
+tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS all_docs FROM grouped)
+SELECT g.source, g.lang, g.n_docs, g.total_tokens,
+       CAST(g.total_chars AS DOUBLE) / g.n_docs AS avg_chars,
+       g.n_docs / t.all_docs                    AS doc_share
+FROM grouped g CROSS JOIN tot t
+ORDER BY g.source, g.lang
+"""
+
+
+@query("text_dataset_card", oracle=_dataset_card_sql("duck"))
+def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card audit: per (source, lang) document count, token and
+    char totals, and share of the corpus — the summary table a training
+    run publishes next to its data mix.
+
+    Scale: one combinable aggregation over documents; the grand total
+    is a broadcast 1-row relation (no driver collect). Integer totals
+    divide as doubles only at the end, so every engine-visible value is
+    exact until the final two columns.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_dataset_card_sql("spark"))
