@@ -490,3 +490,83 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
     )
     return labels.unionByName(singletons).orderBy("doc_id")
+
+
+def _prefix_filter_sql(dialect: str) -> str:
+    """PPJoin-style prefix-filtered set-similarity join, shared shape.
+
+    Jaccard >= 0.6 over 3-gram shingle sets. All threshold math is
+    integer-exact (tau = 6/10): prefix length sz - ceil(0.6*sz) + 1 via
+    (6*sz + 9) intdiv 10, length filter 10*min >= 6*max, verification
+    16*i >= 6*(sz_a + sz_b) — no float boundary can diverge between
+    engines.
+    """
+    if dialect == "spark":
+        words, shingles, intdiv = spark_words("text"), spark_shingles("w"), "div"
+        explode = (
+            "SELECT DISTINCT doc_id, shingle FROM w "
+            "LATERAL VIEW explode(sh) t AS shingle"
+        )
+    else:
+        words, shingles, intdiv = duck_words("text"), duck_shingles("w"), "//"
+        explode = (
+            "SELECT DISTINCT doc_id, shingle FROM "
+            "(SELECT doc_id, unnest(sh) AS shingle FROM w)"
+        )
+    return f"""
+WITH w AS (SELECT doc_id, {shingles} AS sh
+           FROM (SELECT doc_id, {words} AS w FROM documents)),
+sh AS ({explode}),
+df AS (SELECT shingle, count(*) AS freq FROM sh GROUP BY shingle),
+sized AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pos AS (
+  SELECT s.doc_id, s.shingle, z.sz,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.freq, s.shingle) AS pos
+  FROM sh s JOIN df d ON s.shingle = d.shingle
+            JOIN sized z ON s.doc_id = z.doc_id),
+pref AS (SELECT doc_id, shingle, sz FROM pos
+         WHERE pos <= sz - ((6 * sz + 9) {intdiv} 10) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND 10 * least(a.sz, b.sz) >= 6 * greatest(a.sz, b.sz)),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 6) AS jaccard
+FROM inter i JOIN sized za ON i.doc_a = za.doc_id
+             JOIN sized zb ON i.doc_b = zb.doc_id
+WHERE 16 * i.i >= 6 * (za.sz + zb.sz)
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+@query("dedup_prefix_filter_join", oracle=_prefix_filter_sql("duck"))
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (PPJoin family):
+    exact Jaccard >= 0.6 pairs over 3-gram shingle sets, but candidate
+    generation touches only each document's rarest-token prefix.
+
+    Order every doc's shingles by global document frequency (rarest
+    first); if J(x, y) >= tau, the first sz - ceil(tau*sz) + 1 tokens of
+    each side must intersect — so the candidate join runs on the short
+    rare prefix, not the full set. Pair work is sum of per-prefix-token
+    bucket squared, and because prefixes hold the RAREST tokens those
+    buckets are the smallest available: the frequent-shingle blowup an
+    unfiltered shingle join suffers never happens. The length filter
+    (10*min >= 6*max) prunes mismatched sizes before any pairing.
+
+    Scale: three keyed shuffles (df count, per-doc window, candidate
+    join) + the verification join; at 100 TB add PPJoin's positional
+    filter to cut candidates further, same plan shape. Exact
+    verification (16*i >= 6*(sa+sb)) is integer arithmetic — no float
+    boundary divergence between engines.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_prefix_filter_sql("spark"))

@@ -420,3 +420,53 @@ def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_dataset_card_sql("spark"))
+
+
+def _bpe_pair_sql(dialect: str) -> str:
+    """BPE merge-candidate statistics, shared SQL shape: corpus-weighted
+    adjacent character-pair counts within words — the argmax of this
+    table is byte-pair encoding's first merge."""
+    if dialect == "spark":
+        words = spark_words("lower(text)")
+        tok_explode = "SELECT tok FROM w LATERAL VIEW explode(w) t AS tok"
+        pair_explode = (
+            "SELECT tok, n_occ, transform(sequence(1, length(tok) - 1),"
+            " i -> substring(tok, i, 2)) AS pairs FROM wc WHERE length(tok) >= 2"
+        )
+        unnest = "SELECT n_occ, explode(pairs) AS pair FROM p"
+    else:
+        words = duck_words("lower(text)")
+        tok_explode = "SELECT unnest(w) AS tok FROM w"
+        pair_explode = (
+            "SELECT tok, n_occ, list_transform(range(1, length(tok)),"
+            " i -> substring(tok, i, 2)) AS pairs FROM wc WHERE length(tok) >= 2"
+        )
+        unnest = "SELECT n_occ, unnest(pairs) AS pair FROM p"
+    return f"""
+WITH w AS (SELECT {words} AS w FROM documents),
+toks AS ({tok_explode}),
+wc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_occ FROM toks GROUP BY tok),
+p AS ({pair_explode}),
+pairs AS ({unnest})
+SELECT pair, CAST(sum(n_occ) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+@query("text_bpe_pair_stats", oracle=_bpe_pair_sql("duck"))
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistics: corpus-weighted adjacent char-pair
+    frequencies (BPE's iteration-0 merge table), top-20 with a
+    deterministic (count, pair) tiebreak.
+
+    Scale: the trick is aggregating to the WORD vocabulary first (one
+    combinable count) and exploding pairs only over distinct words —
+    corpus size drops out of the pair-explosion entirely; this is
+    exactly how production BPE trainers batch their pair counts. Full
+    iterative training is a driver loop re-running this aggregate on a
+    re-segmented vocab; each round stays one shuffle.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_bpe_pair_sql("spark"))
