@@ -298,3 +298,41 @@ def user_profile_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def ohlc_bars_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked OHLC bars — the streaming twin of the batch
+    events_ohlc_bars operator (operators/events_analytics.py).
+
+    The batch form takes open/close via row_number from either end of
+    the bar; streaming state cannot hold rankings, so open/close become
+    min_by/max_by over the (ts, event_id) struct — the same
+    deterministic tiebreak, expressed as an incrementally-mergeable
+    aggregate (each state update keeps one (key, value) extremum per
+    bar — O(1) state per bar, the property that lets bars finalize as
+    the watermark passes).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").cast("double").alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").cast("double").alias("close"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_events",
+        )
+    )

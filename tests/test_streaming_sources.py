@@ -256,3 +256,19 @@ class TestTransformWithState:
             assert g.n_events == r.n_events
             assert g.n_types == r.n_types
             assert abs(g.total_value - r.total_value) < 1e-6
+
+
+class TestStreamingOHLC:
+    def test_ohlc_stream_matches_batch_operator(self, spark):
+        """The streaming min_by/max_by formulation must produce exactly
+        the batch operator's bars (same open/close tiebreak)."""
+        from sparksql_server_spark.operators.events_analytics import events_ohlc_bars
+        from sparksql_server_spark.streaming.events import ohlc_bars_stream
+
+        stream = ohlc_bars_stream(events_stream(spark, SF_DIR))
+        got = run_to_memory_sink(spark, stream, "t_ohlc", output_mode="complete")
+        batch = events_ohlc_bars(spark, SF_DIR)
+        cols = ["bar_start", "event_type", "open", "high", "low", "close", "volume", "n_events"]
+        assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+            map(tuple, batch.select(*cols).collect())
+        )
