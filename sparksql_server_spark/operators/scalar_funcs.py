@@ -206,3 +206,38 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.max("k").alias("max_k"))
         .orderBy("k_parity")
     )
+
+
+@query(
+    "sql_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / (o_custkey % 3)                        AS safe_ratio,
+           try_cast(substr(o_orderpriority, 1, 1) AS INTEGER)    AS prio_num,
+           try_cast(o_orderstatus AS INTEGER)                    AS status_num,
+           try_cast(substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS DATE) AS od
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def sql_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe SQL under ANSI mode: Spark 4 runs with
+    spark.sql.ansi.enabled=true, where plain division-by-zero and bad
+    casts THROW — the try_* family returns NULL instead, which is the
+    pre-ANSI (and DuckDB) semantics a migrating workload expects.
+    try_divide hits a zero denominator every third row; try_cast
+    exercises a valid digit prefix, an always-invalid cast, and a
+    string-to-date round trip.
+
+    Scale: pure row-local codegen expressions — map-only, no shuffle;
+    at 100 TB the value is that one malformed row NULLs instead of
+    killing a 1000-executor stage.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "try_divide(o_totalprice, o_custkey % 3)                     AS safe_ratio",
+        "try_cast(substr(o_orderpriority, 1, 1) AS INTEGER)          AS prio_num",
+        "try_cast(o_orderstatus AS INTEGER)                          AS status_num",
+        "try_cast(substr(CAST(o_orderdate AS STRING), 1, 10) AS DATE) AS od",
+    ).orderBy("o_orderkey")
