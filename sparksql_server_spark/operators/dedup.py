@@ -492,31 +492,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.unionByName(singletons).orderBy("doc_id")
 
 
-def _prefix_filter_sql(dialect: str) -> str:
-    """PPJoin-style prefix-filtered set-similarity join, shared shape.
+def _prefix_filter_sql() -> str:
+    """PPJoin-style prefix-filtered set-similarity join — DuckDB oracle.
 
     Jaccard >= 0.6 over 3-gram shingle sets. All threshold math is
     integer-exact (tau = 6/10): prefix length sz - ceil(0.6*sz) + 1 via
-    (6*sz + 9) intdiv 10, length filter 10*min >= 6*max, verification
-    16*i >= 6*(sz_a + sz_b) — no float boundary can diverge between
-    engines.
+    (6*sz + 9) intdiv 10, length filter 10*min >= 6*max, positional
+    filter 1 + min(sz-pos) >= alpha with alpha = ceil(6*(sa+sb)/16) via
+    (6*(sa+sb) + 15) intdiv 16, verification 16*i >= 6*(sa+sb) — no
+    float boundary can diverge between engines.
     """
-    if dialect == "spark":
-        words, shingles, intdiv = spark_words("text"), spark_shingles("w"), "div"
-        explode = (
-            "SELECT DISTINCT doc_id, shingle FROM w "
-            "LATERAL VIEW explode(sh) t AS shingle"
-        )
-    else:
-        words, shingles, intdiv = duck_words("text"), duck_shingles("w"), "//"
-        explode = (
-            "SELECT DISTINCT doc_id, shingle FROM "
-            "(SELECT doc_id, unnest(sh) AS shingle FROM w)"
-        )
+    words, shingles = duck_words("text"), duck_shingles("w")
     return f"""
 WITH w AS (SELECT doc_id, {shingles} AS sh
            FROM (SELECT doc_id, {words} AS w FROM documents)),
-sh AS ({explode}),
+sh AS (SELECT DISTINCT doc_id, shingle FROM
+       (SELECT doc_id, unnest(sh) AS shingle FROM w)),
 df AS (SELECT shingle, count(*) AS freq FROM sh GROUP BY shingle),
 sized AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 pos AS (
@@ -525,29 +516,32 @@ pos AS (
                             ORDER BY d.freq, s.shingle) AS pos
   FROM sh s JOIN df d ON s.shingle = d.shingle
             JOIN sized z ON s.doc_id = z.doc_id),
-pref AS (SELECT doc_id, shingle, sz FROM pos
-         WHERE pos <= sz - ((6 * sz + 9) {intdiv} 10) + 1),
+pref AS (SELECT doc_id, shingle, sz, pos FROM pos
+         WHERE pos <= sz - ((6 * sz + 9) // 10) + 1),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM pref a JOIN pref b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-   AND 10 * least(a.sz, b.sz) >= 6 * greatest(a.sz, b.sz)),
+   AND 10 * least(a.sz, b.sz) >= 6 * greatest(a.sz, b.sz)
+   AND 1 + least(a.sz - a.pos, b.sz - b.pos)
+       >= (6 * (a.sz + b.sz) + 15) // 16),
+arrs AS (SELECT doc_id, list(shingle) AS arr, count(*) AS sz
+         FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS i
+  SELECT c.doc_a, c.doc_b, za.sz AS sza, zb.sz AS szb,
+         len(list_intersect(za.arr, zb.arr)) AS i
   FROM cand c
-  JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-  GROUP BY c.doc_a, c.doc_b)
-SELECT i.doc_a, i.doc_b,
-       round(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 6) AS jaccard
-FROM inter i JOIN sized za ON i.doc_a = za.doc_id
-             JOIN sized zb ON i.doc_b = zb.doc_id
-WHERE 16 * i.i >= 6 * (za.sz + zb.sz)
-ORDER BY i.doc_a, i.doc_b
+  JOIN arrs za ON za.doc_id = c.doc_a
+  JOIN arrs zb ON zb.doc_id = c.doc_b)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sza + szb - i), 6) AS jaccard
+FROM inter
+WHERE 16 * i >= 6 * (sza + szb)
+ORDER BY doc_a, doc_b
 """
 
 
-@query("dedup_prefix_filter_join", oracle=_prefix_filter_sql("duck"))
+@query("dedup_prefix_filter_join", oracle=_prefix_filter_sql())
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity self-join with PREFIX FILTERING (PPJoin family):
     exact Jaccard >= 0.6 pairs over 3-gram shingle sets, but candidate
@@ -559,14 +553,103 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare prefix, not the full set. Pair work is sum of per-prefix-token
     bucket squared, and because prefixes hold the RAREST tokens those
     buckets are the smallest available: the frequent-shingle blowup an
-    unfiltered shingle join suffers never happens. The length filter
-    (10*min >= 6*max) prunes mismatched sizes before any pairing.
+    unfiltered shingle join suffers never happens. Two more exact
+    prunes before any pair materializes: the length filter
+    (10*min >= 6*max) and PPJoin's positional filter — a match at
+    prefix positions (pa, pb) caps the overlap at
+    1 + min(sa-pa, sb-pb), which must reach the Jaccard overlap bound
+    alpha = ceil(tau/(1+tau)*(sa+sb)); any true pair keeps its
+    earliest prefix match, so no false negatives.
 
-    Scale: three keyed shuffles (df count, per-doc window, candidate
-    join) + the verification join; at 100 TB add PPJoin's positional
-    filter to cut candidates further, same plan shape. Exact
-    verification (16*i >= 6*(sa+sb)) is integer arithmetic — no float
+    The shingle relation feeds every plan branch (frequency table, both
+    candidate sides, the per-doc array build); as SQL text Spark would
+    inline and recompute the explode+DISTINCT each time, so the
+    DataFrame build CACHES it once — the same single-materialization a
+    production PPJoin gets from writing its token index to storage.
+    Verification never re-explodes: each doc's shingle set rides as ONE
+    array row (|docs| rows, broadcast here; a keyed join at 100 TB),
+    and the intersection is a JVM array_intersect per candidate —
+    map-side, no per-token shuffle. All threshold arithmetic is
+    integer-exact; verification is 16*i >= 6*(sa+sb) — no float
     boundary divergence between engines.
     """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
     register_tables(spark, sf_dir, ("documents",))
-    return spark.sql(_prefix_filter_sql("spark"))
+    docs = spark.table("documents")
+    w = docs.select("doc_id", F.expr(spark_words("text")).alias("w"))
+    sh = (
+        w.select("doc_id", F.explode(F.expr(spark_shingles("w"))).alias("shingle"))
+        .distinct()
+        .cache()
+    )
+    # document frequency and set size as unbounded-frame window counts:
+    # two shuffles (by shingle, by doc) and NO join stages — the doc
+    # partition is then reused by the ranking window
+    pos = (
+        sh.withColumn("freq", F.count("*").over(W.partitionBy("shingle")))
+        .withColumn("sz", F.count("*").over(W.partitionBy("doc_id")))
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("freq", "shingle")),
+        )
+    )
+    # cached: feeds BOTH sides of the candidate self-join (inlined, the
+    # window pipeline would compute twice)
+    pref = (
+        pos.filter(F.col("pos") <= F.col("sz") - F.expr("(6 * sz + 9) div 10") + 1)
+        .select("doc_id", "shingle", "sz", "pos")
+        .cache()
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingle"),
+        F.col("sz").alias("sa"),
+        F.col("pos").alias("pa"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingle"),
+        F.col("sz").alias("sb"),
+        F.col("pos").alias("pb"),
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (10 * F.least("sa", "sb") >= 6 * F.greatest("sa", "sb"))
+            & (
+                1 + F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
+                >= F.expr("(6 * (sa + sb) + 15) div 16")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("arr"), F.count("*").alias("sz")
+    )
+    za = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("sz").alias("sza")
+    )
+    zb = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("sz").alias("szb")
+    )
+    inter = (
+        cand.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .withColumn("i", F.size(F.array_intersect("arr_a", "arr_b")))
+    )
+    return (
+        inter.filter(16 * F.col("i") >= 6 * (F.col("sza") + F.col("szb")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

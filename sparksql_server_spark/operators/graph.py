@@ -69,12 +69,14 @@ ORDER BY node
 def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the trade graph, 3 power iterations, damping 0.85.
 
-    Spark-first iterative dataflow: edges and degrees build once and
-    CACHE (reused every iteration — at cluster scale persist them
-    partitioned by src so each iteration's join is co-located and only
-    the small rank vector shuffles); the rank update is one
-    join + keyed aggregation per iteration, and the full-graph scalar N
-    rides along as a broadcast 1-row relation (no driver collect).
+    Spark-first iterative dataflow: the degree-weighted edge relation
+    builds and CACHES once (at cluster scale persist it partitioned by
+    src so each iteration's join is co-located and only the small rank
+    vector shuffles); the rank update is then ONE join + keyed
+    aggregation per iteration, and the full-graph scalar N is a single
+    count off the cached relation, baked into the update as a literal
+    (scalar-only collect, the dedup_clusters convention — row data
+    never reaches the driver).
     Output is every node's rank — no top-k cutoff, so float tie-order
     at a cutoff boundary can never flip membership cross-engine.
 
@@ -84,6 +86,9 @@ def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-SQL oracle.
     """
     register_tables(spark, sf_dir, ("orders", "lineitem"))
+    # cached: the join+distinct pipeline feeds the degree build, the
+    # broadcast, and the edge probe — uncached each consumer would
+    # recompute it
     pairs = (
         spark.table("orders")
         .join(
@@ -92,32 +97,43 @@ def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-    )
-    edges = (
-        pairs.select((F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
-        .unionAll(
-            pairs.select(
-                (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
-            )
-        )
         .cache()
     )
-    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg")).cache()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n = nodes.agg(F.count("*").cast("double").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
+    # both directions in ONE pass (a UNION of two selects would scan
+    # the pair relation twice)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+                ),
+                F.struct(
+                    (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    # fold the degree into the edge relation ONCE — each iteration is
+    # then a single join + keyed aggregation instead of two joins; the
+    # degree table is |nodes|-sized, so it broadcasts
+    weighted = edges.join(F.broadcast(deg), "src").cache()
+    nodes = weighted.select(F.col("src").alias("node")).distinct()
+    # one scalar count off the cached relation (the dedup_clusters
+    # convention: scalars may collect; row data never does) — baking
+    # (1-d)/N in as a literal saves a broadcast-materialization job
+    # per iteration
+    n_val = float(nodes.count())
+    ranks = nodes.select("node", F.lit(1.0 / n_val).alias("rank"))
     for _ in range(_ITERS):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
+        ranks = (
+            weighted.join(ranks, weighted.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
-        )
-        ranks = contrib.crossJoin(F.broadcast(n)).select(
-            F.col("dst").alias("node"),
-            ((1.0 - _DAMP) / F.col("n") + _DAMP * F.col("mass")).alias("rank"),
+            .select(
+                F.col("dst").alias("node"),
+                ((1.0 - _DAMP) / n_val + _DAMP * F.col("mass")).alias("rank"),
+            )
         )
     return ranks.select(
         "node",
