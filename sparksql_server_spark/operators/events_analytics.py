@@ -223,3 +223,59 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_incremental_rollup",
+    oracle="""
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+FROM events
+GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the daily rollup is
+    maintained as MERGEABLE PARTIAL STATES (count + exact-decimal sum),
+    here demonstrated by computing two disjoint partials (event_id
+    parity stands in for base-table vs newly-arrived delta) and merging
+    them by re-aggregation; avg derives from the merged states at read
+    time. The oracle is the full recompute — merge(partials) must equal
+    it exactly.
+
+    Scale: this is the hypertable continuous-aggregate / streaming-
+    state pattern: a 100 TB refresh touches only the delta partition,
+    and the merge is a keyed sum over |dimension| rows, never a rescan
+    of the base. Every aggregate here is algebraic (count, sum) so the
+    merge is exact; avg/stddev-style metrics stay derived columns.
+    """
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 2 == 0))
+    delta = partial(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("sum_value").cast("double").alias("total_value"),
+        (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+    ).orderBy("event_type", "day")

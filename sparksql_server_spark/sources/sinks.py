@@ -51,3 +51,28 @@ def write_demux(
     """
     writer = df.write.mode(mode).partitionBy(tag_col)
     getattr(writer, fmt)(path)
+
+
+def compact_parquet(
+    spark, src: str, dst: str, target_files: int = 8
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` evenly-sized files. Returns (files_before,
+    files_after).
+
+    The operational half of a 100 TB ingest: streaming and per-batch
+    writers leave thousands of KB-sized files whose open/footer
+    overhead dominates later scans; periodic compaction restores scan
+    efficiency. ``repartition(n)`` round-robins rows for even output
+    sizes (use ``repartition(n, col)`` instead when downstream joins
+    want co-location, or sortWithinPartitions for min/max pruning).
+    """
+    import glob
+    import os
+
+    def _count(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "part-*")))
+
+    df = spark.read.parquet(src)
+    df.repartition(target_files).write.mode("overwrite").parquet(dst)
+    return _count(src), _count(dst)

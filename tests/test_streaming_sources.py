@@ -272,3 +272,50 @@ class TestStreamingOHLC:
         assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
             map(tuple, batch.select(*cols).collect())
         )
+
+
+class TestCompaction:
+    def test_compact_parquet_reduces_files_preserves_rows(self, spark, tmp_path):
+        from sparksql_server_spark.sources.sinks import compact_parquet
+
+        src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+        li = table(spark, SF_DIR, "lineitem")
+        li.repartition(64).write.parquet(src)  # simulate a small-files mess
+        before, after = compact_parquet(spark, src, dst, target_files=4)
+        assert before == 64 and after == 4
+        a = spark.read.parquet(src)
+        b = spark.read.parquet(dst)
+        assert a.count() == b.count()
+        # content equality via exceptAll both ways (order-free)
+        assert a.exceptAll(b).limit(1).count() == 0
+        assert b.exceptAll(a).limit(1).count() == 0
+
+
+class TestForeachBatch:
+    def test_foreach_batch_idempotent_sink(self, spark, tmp_path):
+        """foreachBatch: the escape hatch for sinks Structured Streaming
+        lacks natively. Idempotence via per-batch overwrite into a
+        batch-id partition — replaying a batch rewrites its partition
+        instead of duplicating rows (the standard exactly-once recipe
+        for object-store sinks)."""
+        out = str(tmp_path / "fb_out")
+
+        def sink(batch_df, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out)
+            )
+
+        stream = events_stream(spark, SF_DIR).select("event_id", "user_id", "value")
+        q = stream.writeStream.foreachBatch(sink).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.read.parquet(out)
+        want = table(spark, SF_DIR, "events")
+        assert got.count() == want.count()
+        assert got.select(F.count_distinct("event_id")).first()[0] == want.count()
