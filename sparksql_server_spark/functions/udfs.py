@@ -63,3 +63,37 @@ def register_udfs(spark: SparkSession) -> None:
 
     for name, (fn, ret) in REGISTRY.items():
         spark.udf.register(name, pandas_udf(fn, ret))
+
+
+class _ParseKV:
+    """Python UDTF (Spark 3.5+ table-function surface): explode a
+    flat JSON object string into (key, value) rows.
+
+    One vetted TABLE function completes the extension-point story next
+    to the scalar pandas UDFs: the reference let client jars ship
+    whole custom operators (RCE by design); here a reviewed UDTF is
+    the sanctioned way to emit rows from opaque payloads (sentence
+    splitters, log parsers, frame samplers). Row-based Python — keep
+    it off hot paths; built-ins first (get_json_object etc.), UDTF for
+    the residue that genuinely needs 1-to-N row logic.
+    """
+
+    def eval(self, s: str):  # noqa: D102 - Spark's UDTF contract
+        import json
+
+        if s is None:
+            return
+        try:
+            obj = json.loads(s)
+        except (ValueError, TypeError):
+            return
+        if isinstance(obj, dict):
+            for k in sorted(obj):
+                yield k, str(obj[k])
+
+
+def register_udtfs(spark: SparkSession) -> None:
+    """Install the vetted table-function set (idempotent)."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("parse_kv", udtf(_ParseKV, returnType="key string, value string"))

@@ -279,3 +279,51 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").cast("double").alias("total_value"),
         (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "events_active_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events),
+grouped AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+           AS grp
+  FROM days)
+SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+       CAST(count(*) AS BIGINT) AS streak_days
+FROM grouped GROUP BY user_id, grp
+ORDER BY user_id, streak_start
+""",
+)
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    days (the classic id-minus-row_number grouping — a calendar-gap
+    twin of the time-gap sessionization operator).
+
+    Scale: distinct day set per user is tiny next to the event volume
+    (the DISTINCT is the only data-sized shuffle, map-side combinable);
+    the window and final aggregation both run inside the user_id
+    partitioning, so the islands build without another exchange.
+    """
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(w).cast("int"))
+    )
+    return (
+        grouped.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count("*").alias("streak_days"),
+        )
+        .drop("grp")
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+        .orderBy("user_id", "streak_start")
+    )

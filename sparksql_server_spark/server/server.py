@@ -44,7 +44,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from sparksql_server_spark.catalog import TABLES, register_tables
-from sparksql_server_spark.functions.udfs import register_udfs
+from sparksql_server_spark.functions.udfs import register_udfs, register_udtfs
 from sparksql_server_spark.server.batcher import WindowBatcher
 from sparksql_server_spark.server.cache import CacheManager
 from sparksql_server_spark.server.model import QueryJob
@@ -74,6 +74,7 @@ class WorkSharingServer:
         self.spark = spark
         register_tables(spark, sf_dir)
         register_udfs(spark)  # the vetted UDF surface (no code over the wire)
+        register_udtfs(spark)
         self.batcher = WindowBatcher(window_size=window_size, max_wait=max_wait)
         self.executor = BatchExecutor(
             spark,
@@ -160,6 +161,7 @@ class WorkSharingServer:
                 sess = self.spark.newSession()
                 register_tables(sess, self._sf_dir)
                 register_udfs(sess)
+                register_udtfs(sess)
                 self._sessions[session_id] = sess
         return sess
 

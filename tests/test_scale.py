@@ -105,3 +105,49 @@ def test_hll_sketches_merge_like_partial_aggregates(spark):
     ).collect()[0]
     assert merged == direct  # same sketch state either way
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew-join split is the zero-code answer to the
+    hot-key problem the manual salting op solves by hand: a sort-merge
+    join whose build of one key dwarfs the rest gets its partition
+    split at runtime (skew=true in the executed plan), with identical
+    results. Thresholds are lowered to make test-sized data register
+    as skewed; production keeps the defaults and salts only what AQE
+    cannot split (e.g. aggregations)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # left: 95% of rows share one hot key; right: unique keys
+        left = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 20 != 0, 7).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        joined = left.join(right, "k").groupBy().agg(
+            F.count("*").alias("n"), F.sum("payload").alias("s")
+        )
+        # run THIS DataFrame's query execution so its adaptive plan
+        # finalizes (count()/write() would execute a separate plan)
+        [row] = joined.collect()
+        # every left row matches exactly one right row
+        assert row.n == 100_000 and row.s == sum(range(100_000))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -847,3 +847,32 @@ class TestCancellation:
         assert ex.cancel(job)
         ex.run_batch([job])
         assert job.status is JobStatus.ERROR and job.error == "cancelled"
+
+
+class TestRegisteredUDTFs:
+    def test_parse_kv_lateral_from_sql(self, spark):
+        from sparksql_server_spark.functions.udfs import register_udtfs
+
+        register_udtfs(spark)
+        register_tables(spark, SF_DIR)
+        rows = spark.sql(
+            """
+            SELECT e.event_id, kv.key, kv.value
+            FROM events e, LATERAL parse_kv(e.props) kv
+            ORDER BY e.event_id, kv.key
+            LIMIT 10
+            """
+        ).collect()
+        assert rows, "UDTF produced no rows"
+        # props is {"k": <int>}: every exploded row has key 'k', an int value
+        assert all(r.key == "k" and r.value.isdigit() for r in rows)
+
+    def test_parse_kv_skips_malformed(self, spark):
+        from sparksql_server_spark.functions.udfs import register_udtfs
+
+        register_udtfs(spark)
+        got = spark.sql(
+            "SELECT * FROM parse_kv('{\"b\": 2, \"a\": 1}')"
+        ).collect()
+        assert [(r.key, r.value) for r in got] == [("a", "1"), ("b", "2")]
+        assert spark.sql("SELECT * FROM parse_kv('not json')").count() == 0
