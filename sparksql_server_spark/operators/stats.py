@@ -176,3 +176,41 @@ def stats_bool_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+_REGR_SQL = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE)                     AS n,
+         {_m('l_quantity')}                           AS sx,
+         {_m('l_extendedprice')}                      AS sy,
+         {_m('l_quantity * l_quantity', 4)}           AS sxx,
+         {_m('l_extendedprice * l_extendedprice', 4)} AS syy,
+         {_m('l_quantity * l_extendedprice', 4)}      AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT)                                   AS regr_count,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx)           AS regr_slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                                                           AS regr_intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy))     AS regr_r2
+FROM m ORDER BY l_returnflag
+"""
+
+
+@query("stats_regr_linear", oracle=_REGR_SQL)
+def stats_regr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (extendedprice on quantity):
+    slope, intercept, R^2, n — the SQL regr_* aggregate family, built
+    from the same exact-DECIMAL moment sums as stats_corr_covar
+    because the engines' native regr_slope/regr_r2 accumulate floats
+    in different orders and can't hash-match. The JVM-native closed
+    form next to grouped_ols_regression's applyInPandas version: same
+    math, zero Python in the path.
+
+    Scale: one scan, one map-side-combinable aggregation — six moments
+    per group; the regression solves in the projection.
+    """
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_REGR_SQL)

@@ -7,9 +7,13 @@ line-JSON TCP server (``server/server.py`` — the work-sharing path:
 batching window, scan-sharing detector, cache rewrite), but the bundled
 ``spark-hive-thriftserver`` module lets any HiveServer2/JDBC/ODBC
 client (beeline, Tableau, DBeaver, …) connect to the SAME SparkContext,
-so both doors share the catalog, the plan cache, and every
-InMemoryRelation the work-sharing executor builds: a JDBC client's
-scan of a table the batch executor cached is served from memory.
+so both doors share the catalog and block-manager storage. Cached-
+relation reuse is measured and scoped: the FIRST JDBC connection binds
+the parent session and its plans substitute the executor-built
+InMemoryRelation directly (tests/test_thrift.py asserts this);
+subsequent connections clone the session and re-resolve temp views to
+fresh relations, so they re-scan unless the deployment registers the
+cached tables per-session or runs CACHE TABLE through the gateway.
 
 Start it with ``spark.sql.hive.thriftServer.singleSession=true`` so
 JDBC sessions see the temp views ``catalog.register_tables`` created

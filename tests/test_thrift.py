@@ -52,19 +52,34 @@ if not thriftserver_available(spark):
     sys.exit(0)
 
 register_tables(spark, "/root/testdata/sf0.001")
+# the work-sharing executor's cache rewrite is spark.catalog.cacheTable;
+# the same InMemoryRelation must serve JDBC clients (shared SparkContext)
+spark.catalog.cacheTable("lineitem")
+spark.table("lineitem").count()  # materialize
 start_thriftserver(spark, port=PORT)
 
 env = dict(os.environ, SPARK_HOME=sys.argv[2])
-r = subprocess.run(
-    [sys.argv[1], "-u", f"jdbc:hive2://localhost:{PORT}", "--silent=true",
-     "--outputformat=tsv2", "-e",
-     "SELECT r_regionkey, count(*) AS n FROM region GROUP BY r_regionkey"
-     " ORDER BY r_regionkey"],
-    capture_output=True, text=True, timeout=180, env=env,
-)
+
+def beeline(sql):
+    return subprocess.run(
+        [sys.argv[1], "-u", f"jdbc:hive2://localhost:{PORT}", "--silent=true",
+         "--outputformat=tsv2", "-e", sql],
+        capture_output=True, text=True, timeout=180, env=env,
+    )
+
+# first JDBC connection binds the parent session: the executor-built
+# InMemoryRelation must appear in its plans (later connections clone
+# the session and re-resolve views to fresh relations — measured, so
+# the cross-door cache claim is scoped to the bound session)
+ex = beeline("EXPLAIN SELECT count(*) FROM lineitem")
+# beeline interleaves NUL/CR bytes into long cells; strip before matching
+plan_txt = ex.stdout.replace("\x00", "").replace("\r", "").replace("\n", "")
+shared_cache = "InMemoryRelation" in plan_txt or "In-memory table" in plan_txt
+r = beeline("SELECT r_regionkey, count(*) AS n FROM region GROUP BY r_regionkey"
+            " ORDER BY r_regionkey")
 lines = [ln for ln in r.stdout.splitlines()
          if ln and "\t" in ln and not ln.startswith("0: jdbc")]
-print(f"RESULT:rc={r.returncode};rows={len(lines)};first={lines[0] if lines else ''}")
+print(f"RESULT:rc={r.returncode};rows={len(lines)};cache={shared_cache};ex_rc={ex.returncode}")
 """
 
 
@@ -90,4 +105,7 @@ def test_thrift_jdbc_round_trip(tmp_path):
     # 5 region keys at any sf; header row 'r_regionkey\tn' may count as a
     # tab line under tsv2 — accept 5 or 6 and pin the rc
     assert result.startswith("rc=0;"), result
+    # the batch executor's cacheTable must be visible through JDBC —
+    # work-sharing crosses the protocol boundary (shared SparkContext)
+    assert "cache=True" in result, result
     shutil.rmtree(tmp_path / "metastore_db", ignore_errors=True)
