@@ -327,3 +327,61 @@ def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "streak_start", "streak_end", "streak_days")
         .orderBy("user_id", "streak_start")
     )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         max(ts)                                           AS last_seen,
+         CAST(count(*) AS BIGINT)                          AS frequency,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id),
+scored AS (
+  SELECT user_id, last_seen, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY last_seen, user_id)  AS INT) AS r_score,
+         CAST(ntile(4) OVER (ORDER BY frequency, user_id)  AS INT) AS f_score,
+         CAST(ntile(4) OVER (ORDER BY monetary, user_id)   AS INT) AS m_score
+  FROM per_user)
+SELECT user_id, frequency, monetary, r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+FROM scored ORDER BY user_id
+""",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) user segmentation: per-user
+    aggregates quartile-scored with ntile — the standard marketing
+    segmentation rollup. Ties are broken by user_id in every ntile
+    ordering so bucket membership is deterministic cross-engine.
+
+    Scale: one keyed aggregation over events, then three window passes
+    over the |users| rollup (small relation). A 100 TB deployment with
+    billions of users replaces exact ntile with approx-quantile cutoffs
+    broadcast as literals — one pass, same output schema.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
+    )
+    r = W.orderBy("last_seen", "user_id")
+    f = W.orderBy("frequency", "user_id")
+    m = W.orderBy("monetary", "user_id")
+    scored = (
+        per_user.withColumn("r_score", F.ntile(4).over(r).cast("int"))
+        .withColumn("f_score", F.ntile(4).over(f).cast("int"))
+        .withColumn("m_score", F.ntile(4).over(m).cast("int"))
+    )
+    return scored.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm"),
+    ).orderBy("user_id")

@@ -214,3 +214,30 @@ def stats_regr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_REGR_SQL)
+
+
+_MODE_SQL = """
+WITH freq AS (
+  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_quantity),
+ranked AS (
+  SELECT l_returnflag, l_quantity, cnt,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, l_quantity) AS rn
+  FROM freq)
+SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS mode_qty, cnt AS mode_count
+FROM ranked WHERE rn = 1 ORDER BY l_returnflag
+"""
+
+
+@query("stats_mode_deterministic", oracle=_MODE_SQL)
+def stats_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a DETERMINISTIC tiebreak
+    (smallest value wins) — engine-native mode() returns an arbitrary
+    element on ties, so it can never hash-match across engines; the
+    count-then-rank form pins the answer and is the shape that scales
+    anyway (two combinable aggregations + a WindowGroupLimit-prunable
+    rank, never a per-group collect).
+    """
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_MODE_SQL)

@@ -470,3 +470,34 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_bpe_pair_sql("spark"))
+
+
+_SOURCE_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY source, lang),
+tot AS (
+  SELECT source, sum(n) AS total, count(*) AS n_langs FROM counts GROUP BY source)
+SELECT c.source,
+       CAST(t.n_langs AS BIGINT)                    AS n_langs,
+       CAST(t.total AS BIGINT)                      AS n_docs,
+       -sum((c.n / t.total) * ln(c.n / t.total))    AS lang_entropy
+FROM counts c JOIN tot t ON c.source = t.source
+GROUP BY c.source, t.n_langs, t.total
+ORDER BY c.source
+"""
+
+
+@query("text_source_entropy", oracle=_SOURCE_ENTROPY_SQL)
+def text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the language mix — the diversity
+    metric a data-mix audit reports next to the dataset card (0 =
+    monolingual source, ln(k) = uniform over k languages).
+
+    Scale: two combinable aggregations over (source, lang) — the
+    entropy sums over the tiny rollup, not the corpus. ln on identical
+    doubles is IEEE-deterministic in both engines; the comparator's
+    6-decimal rounding absorbs any last-ulp libm difference.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_SOURCE_ENTROPY_SQL)

@@ -876,3 +876,35 @@ class TestRegisteredUDTFs:
         ).collect()
         assert [(r.key, r.value) for r in got] == [("a", "1"), ("b", "2")]
         assert spark.sql("SELECT * FROM parse_kv('not json')").count() == 0
+
+
+class TestGatewayCacheTable:
+    def test_cache_table_command_then_cached_reads(self, spark):
+        """A client can pin a hot table through the gateway with plain
+        SQL (CACHE TABLE is a command: runs exactly once, never
+        fingerprinted), and subsequent gateway queries read the
+        InMemoryRelation — user-driven caching coexisting with the
+        cost-model-driven admission path."""
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            reply = client_request(srv.address, {"sql": "CACHE TABLE lineitem"})
+            assert reply["status"] == "done", reply
+            ex = client_request(
+                srv.address,
+                {"explain": "simple", "sql": "SELECT count(*) AS n FROM lineitem"},
+            )
+            assert ex["status"] == "done"
+            assert "InMemoryRelation" in ex["plan"] or "In-memory" in ex["plan"], ex["plan"][:500]
+            q = client_request(
+                srv.address,
+                {"sql": "SELECT count(*) AS n FROM lineitem WHERE l_discount > 0.05"},
+            )
+            assert q["status"] == "done", q
+            want = spark.sql(
+                "SELECT count(*) AS n FROM lineitem WHERE l_discount > 0.05"
+            ).collect()[0][0]
+            assert q["rows"][0][0] == want
+        finally:
+            spark.catalog.uncacheTable("lineitem")
+            srv.shutdown()
+            srv.executor.cache.clear()
