@@ -46,6 +46,14 @@ class BatchExecutor:
         self.max_concurrency = max_concurrency
         # source fingerprint (table root dir) -> registered view name
         self.source_views = dict(source_views or {})
+        # job-group namespace unique to THIS executor: job ids restart
+        # per instance, but cancelJobGroupAndFutureJobs persists on the
+        # shared SparkContext — a bare "job{id}" group from a previous
+        # executor (server restart, tests) would keep killing the new
+        # instance's identically-named groups
+        import uuid
+
+        self._group_ns = uuid.uuid4().hex[:8]
 
     # -- analysis ---------------------------------------------------------
 
@@ -189,7 +197,7 @@ class BatchExecutor:
                 return True
         if job.status is JobStatus.RUNNING:
             job.props["cancel_requested"] = True
-            group = f"job{job.job_id}"
+            group = f"{self._group_ns}-job{job.job_id}"
             sc = self.spark.sparkContext
             # ...AndFutureJobs (SPARK-44194) fails jobs submitted after
             # the cancel, but only when cancelled-group tracking is on
@@ -218,7 +226,9 @@ class BatchExecutor:
         sc = self.spark.sparkContext
         sc.setLocalProperty("spark.scheduler.pool", pool_name)
         # its own job group so a client can cancel mid-flight
-        sc.setJobGroup(f"job{job.job_id}", job.sql[:100], interruptOnCancel=True)
+        sc.setJobGroup(
+            f"{self._group_ns}-job{job.job_id}", job.sql[:100], interruptOnCancel=True
+        )
         start = time.monotonic()
         try:
             df = (job.session or self.spark).sql(job.sql)

@@ -885,6 +885,7 @@ class TestGatewayCacheTable:
         fingerprinted), and subsequent gateway queries read the
         InMemoryRelation — user-driven caching coexisting with the
         cost-model-driven admission path."""
+        register_tables(spark, SF_DIR)  # prior tests may have re-pointed views
         srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
         try:
             reply = client_request(srv.address, {"sql": "CACHE TABLE lineitem"})
