@@ -41,8 +41,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     version-specific conf:
 
     - Spark 4.1+ reads NANOS natively as TIMESTAMP_NTZ (micros
-      truncation applied by the reader) — cast to TimestampType;
-      the session timezone is UTC so the instant is unchanged.
+      truncation applied by the reader) — rebuilt field-by-field into
+      an epoch-micros TimestampType, independent of the session
+      timezone (a plain NTZ→timestamp cast is session-tz wall-clock
+      preserving, which shifts or duplicates instants across DST
+      gaps/overlaps on non-UTC hosts).
     - Older runtimes honoring ``spark.sql.legacy.parquet.nanosAsLong``
       surface int64 nanos — integer-divide to micros and convert.
 
@@ -68,7 +71,22 @@ def _normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if isinstance(dtype, T.LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if isinstance(dtype, T.TimestampNTZType):
-        return df.withColumn(col, F.col(col).cast("timestamp"))
+        # The NTZ wall clock IS the UTC instant (the writer recorded
+        # epoch nanos). Rebuild epoch micros from date/time FIELDS —
+        # every extraction below is timezone-free on NTZ, so the result
+        # is identical on any host timezone. (A bare cast('timestamp')
+        # is wall-clock preserving in the SESSION zone: ambiguous in
+        # DST overlaps, shifted in DST gaps; timestampdiff/
+        # to_utc_timestamp route NTZ through the session zone too —
+        # both measurably shift in-gap instants on a non-UTC host.)
+        micros = (
+            f"bigint(datediff(cast(`{col}` as date), date'1970-01-01'))"
+            f" * 86400000000"
+            f" + bigint(hour(`{col}`)) * 3600000000"
+            f" + bigint(minute(`{col}`)) * 60000000"
+            f" + bigint(floor(extract(SECOND from `{col}`) * 1000000))"
+        )
+        return df.withColumn(col, F.timestamp_micros(F.expr(micros)))
     return df  # already TimestampType
 
 

@@ -89,7 +89,15 @@ class _ParseKV:
             return
         if isinstance(obj, dict):
             for k in sorted(obj):
-                yield k, str(obj[k])
+                v = obj[k]
+                if v is None:
+                    yield k, None  # JSON null -> SQL NULL
+                elif isinstance(v, str):
+                    yield k, v  # bare text, no added quotes
+                else:
+                    # numbers/bools/nested stay valid JSON text
+                    # (str() would emit Python reprs: True/None/{'a': 1})
+                    yield k, json.dumps(v)
 
 
 def register_udtfs(spark: SparkSession) -> None:

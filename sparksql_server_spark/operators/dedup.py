@@ -452,31 +452,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from sparksql_server_spark.operators.scratch import (
+        CacheScope,
+        persistent_rdd_ids,
+        unpersist_ids,
+    )
+
     register_tables(spark, sf_dir, ("documents",))
+    scope = CacheScope(spark)
     # materialize the edge set ONCE — the loop must iterate over rows,
     # not re-run the MinHash pipeline every round
     edges = spark.sql(_CC_EDGE_SPARK).localCheckpoint(eager=True)
     # only nodes with edges need propagation; isolated docs are their
     # own cluster and skip the loop entirely (at 100 TB the duplicate
     # subgraph is a small fraction of the corpus)
+    ids_pre_labels = persistent_rdd_ids(spark)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # ids backing the CURRENT labels checkpoint — each round releases
+    # the predecessor's blocks once the successor is materialized (the
+    # loop holds exactly edges + one labels generation, not 20)
+    labels_ids = persistent_rdd_ids(spark) - ids_pre_labels
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0] or 0
     for _ in range(20):  # cap >> any real duplicate-graph diameter
         msgs = (
             edges.join(labels, edges.dst == labels.doc_id)
             .select(F.col("src").alias("doc_id"), "cluster_id")
         )
+        before = persistent_rdd_ids(spark)
         labels = (
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)  # cut lineage between rounds
         )
+        new_ids = persistent_rdd_ids(spark) - before
+        # eager=True above means the new generation is fully built from
+        # the old one — the predecessor's blocks are now dead weight
+        unpersist_ids(spark, labels_ids)
+        labels_ids = new_ids
         # min-label sums decrease monotonically; a stable sum == fixpoint
         # (one aggregate action per round, no join-and-compare pass)
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0] or 0
@@ -489,7 +507,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(labels.select("doc_id"), "doc_id", "left_anti")
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    return labels.unionByName(singletons).orderBy("doc_id")
+    result = labels.unionByName(singletons)
+    # spill the |documents|-sized label table, release edges + the last
+    # labels generation — no scoped block survives the return
+    return scope.finish(result, "dedup_clusters").orderBy("doc_id")
 
 
 def _prefix_filter_sql() -> str:
@@ -576,7 +597,10 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    from sparksql_server_spark.operators.scratch import CacheScope
+
     register_tables(spark, sf_dir, ("documents",))
+    scope = CacheScope(spark)
     docs = spark.table("documents")
     w = docs.select("doc_id", F.expr(spark_words("text")).alias("w"))
     sh = (
@@ -641,15 +665,14 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(zb), "doc_b")
         .withColumn("i", F.size(F.array_intersect("arr_a", "arr_b")))
     )
-    return (
-        inter.filter(16 * F.col("i") >= 6 * (F.col("sza") + F.col("szb")))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i")),
-                6,
-            ).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
+    result = inter.filter(16 * F.col("i") >= 6 * (F.col("sza") + F.col("szb"))).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i")),
+            6,
+        ).alias("jaccard"),
     )
+    # materialize the (matched-pairs-sized) result while sh/pref are
+    # cached, then drop both — no scoped block survives the return
+    return scope.finish(result, "dedup_ppjoin").orderBy("doc_a", "doc_b")

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from sparksql_server_spark.catalog import register_tables
 from sparksql_server_spark.operators.registry import query
+from sparksql_server_spark.operators.scratch import CacheScope
 
 _DAMP = 0.85
 _ITERS = 3
@@ -80,12 +81,19 @@ def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is every node's rank — no top-k cutoff, so float tie-order
     at a cutoff boundary can never flip membership cross-engine.
 
+    Cache hygiene: the per-query caches (pair relation, degree-weighted
+    edges) live inside a CacheScope — the final rank vector spills to a
+    result-sized scratch checkpoint and every scoped block is
+    unpersisted before return, so nothing competes with the server's
+    CacheManager budget after the operator finishes.
+
     Reference parity: the engine ran arbitrary iterative client DAGs
     (stock Spark examples incl. SparkPageRank ship in the reference
     tree); this is the DataFrame-native equivalent with an exact
     unrolled-SQL oracle.
     """
     register_tables(spark, sf_dir, ("orders", "lineitem"))
+    scope = CacheScope(spark)
     # cached: the join+distinct pipeline feeds the degree build, the
     # broadcast, and the edge probe — uncached each consumer would
     # recompute it
@@ -135,11 +143,14 @@ def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((1.0 - _DAMP) / n_val + _DAMP * F.col("mass")).alias("rank"),
             )
         )
-    return ranks.select(
+    result = ranks.select(
         "node",
         F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier").alias("kind"),
         "rank",
-    ).orderBy("node")
+    )
+    # materialize while `weighted` is cached, then drop every scoped
+    # block; re-apply the ordering on the (|nodes|-sized) spill scan
+    return scope.finish(result, "graph_pagerank").orderBy("node")
 
 
 @query(

@@ -70,6 +70,11 @@ def compact_parquet(
     import glob
     import os
 
+    if os.path.realpath(src) == os.path.realpath(dst):
+        # overwrite-while-reading would delete the source mid-scan;
+        # compaction must land in a fresh directory (rename after)
+        raise ValueError(f"compact_parquet: src and dst are the same path: {src!r}")
+
     def _count(d: str) -> int:
         return len(glob.glob(os.path.join(d, "part-*")))
 

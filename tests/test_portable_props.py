@@ -108,3 +108,39 @@ def test_decimal_sum_cross_engine(spark, decs):
         "SELECT CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) FROM prop_d"
     ).fetchone()[0]
     assert got == pytest.approx(want, abs=0) or got == want
+
+
+def test_event_ts_normalization_is_timezone_independent(spark):
+    """catalog._normalize_event_ts must produce the same epoch micros
+    whatever the session timezone (ADVICE r3: a bare NTZ->timestamp
+    cast shifts instants inside DST gaps on non-UTC hosts). Probe with
+    an in-gap instant (2025-03-09 02:30 America/New_York does not
+    exist on local clocks) plus an in-overlap one."""
+    from pyspark.sql import functions as F
+
+    from sparksql_server_spark.catalog import _normalize_event_ts
+
+    probes = [
+        ("2025-03-09 02:30:00.123456", 1741487400123456),  # NY DST gap
+        ("2025-11-02 01:30:00.000001", 1762047000000001),  # NY DST overlap
+        ("2024-06-15 12:00:00", 1718452800000000),  # plain summer noon
+    ]
+    src = spark.createDataFrame(
+        [(s,) for s, _ in probes], "ts_s string"
+    ).select(F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    results = {}
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kathmandu"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = (
+                _normalize_event_ts(src)
+                .select(F.unix_micros("ts").alias("us"))
+                .collect()
+            )
+            results[tz] = sorted(r["us"] for r in got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    expected = sorted(e for _, e in probes)
+    for tz, got in results.items():
+        assert got == expected, f"{tz}: {got} != {expected}"

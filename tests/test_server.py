@@ -877,6 +877,25 @@ class TestRegisteredUDTFs:
         assert [(r.key, r.value) for r in got] == [("a", "1"), ("b", "2")]
         assert spark.sql("SELECT * FROM parse_kv('not json')").count() == 0
 
+    def test_parse_kv_emits_json_text_not_python_reprs(self, spark):
+        """Non-string JSON values must surface as valid JSON text
+        (ADVICE r3: str() leaked Python reprs True/None/{'a': 1})."""
+        from sparksql_server_spark.functions.udfs import register_udtfs
+
+        register_udtfs(spark)
+        got = spark.sql(
+            """SELECT * FROM parse_kv(
+                 '{"b": true, "n": null, "o": {"a": 1}, "s": "x", "f": 1.5}')"""
+        ).collect()
+        vals = {r.key: r.value for r in got}
+        assert vals == {
+            "b": "true",  # not 'True'
+            "n": None,  # JSON null -> SQL NULL, not 'None'
+            "o": '{"a": 1}',  # valid JSON, not a dict repr
+            "s": "x",  # bare text, no added quotes
+            "f": "1.5",
+        }
+
 
 class TestGatewayCacheTable:
     def test_cache_table_command_then_cached_reads(self, spark):

@@ -290,6 +290,19 @@ class TestCompaction:
         assert a.exceptAll(b).limit(1).count() == 0
         assert b.exceptAll(a).limit(1).count() == 0
 
+    def test_compact_parquet_refuses_inplace_overwrite(self, spark, tmp_path):
+        """src == dst would delete the source mid-scan (ADVICE r3)."""
+        import pytest as _pytest
+
+        from sparksql_server_spark.sources.sinks import compact_parquet
+
+        d = str(tmp_path / "inplace")
+        spark.range(10).write.parquet(d)
+        with _pytest.raises(ValueError, match="same path"):
+            compact_parquet(spark, d, str(tmp_path / ".." / tmp_path.name / "inplace"))
+        # source untouched
+        assert spark.read.parquet(d).count() == 10
+
 
 class TestForeachBatch:
     def test_foreach_batch_idempotent_sink(self, spark, tmp_path):
