@@ -71,23 +71,32 @@ def _normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if isinstance(dtype, T.LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if isinstance(dtype, T.TimestampNTZType):
-        # The NTZ wall clock IS the UTC instant (the writer recorded
-        # epoch nanos). Rebuild epoch micros from date/time FIELDS —
-        # every extraction below is timezone-free on NTZ, so the result
-        # is identical on any host timezone. (A bare cast('timestamp')
-        # is wall-clock preserving in the SESSION zone: ambiguous in
-        # DST overlaps, shifted in DST gaps; timestampdiff/
-        # to_utc_timestamp route NTZ through the session zone too —
-        # both measurably shift in-gap instants on a non-UTC host.)
-        micros = (
-            f"bigint(datediff(cast(`{col}` as date), date'1970-01-01'))"
-            f" * 86400000000"
-            f" + bigint(hour(`{col}`)) * 3600000000"
-            f" + bigint(minute(`{col}`)) * 60000000"
-            f" + bigint(floor(extract(SECOND from `{col}`) * 1000000))"
-        )
-        return df.withColumn(col, F.timestamp_micros(F.expr(micros)))
+        return df.withColumn(col, F.expr(ntz_to_utc_micros_sql(col)))
     return df  # already TimestampType
+
+
+def ntz_to_utc_micros_sql(col: str) -> str:
+    """SQL expression converting a TIMESTAMP_NTZ column (whose wall
+    clock IS the UTC instant) to microsecond TimestampType,
+    independent of the session timezone — shared by the DataFrame
+    normalizer above and the persistent-view DDL in server/thrift.py.
+
+    Epoch micros are rebuilt from date/time FIELDS: every extraction
+    below is timezone-free on NTZ, so the result is identical on any
+    host timezone. (A bare cast('timestamp') is wall-clock preserving
+    in the SESSION zone: ambiguous in DST overlaps, shifted in DST
+    gaps; timestampdiff/to_utc_timestamp route NTZ through the session
+    zone too — both measurably shift in-gap instants on a non-UTC
+    host.)
+    """
+    micros = (
+        f"bigint(datediff(cast(`{col}` as date), date'1970-01-01'))"
+        f" * 86400000000"
+        f" + bigint(hour(`{col}`)) * 3600000000"
+        f" + bigint(minute(`{col}`)) * 60000000"
+        f" + bigint(floor(extract(SECOND from `{col}`) * 1000000))"
+    )
+    return f"timestamp_micros({micros})"
 
 
 def register_tables(

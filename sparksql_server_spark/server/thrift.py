@@ -7,19 +7,28 @@ line-JSON TCP server (``server/server.py`` — the work-sharing path:
 batching window, scan-sharing detector, cache rewrite), but the bundled
 ``spark-hive-thriftserver`` module lets any HiveServer2/JDBC/ODBC
 client (beeline, Tableau, DBeaver, …) connect to the SAME SparkContext,
-so both doors share the catalog and block-manager storage. Cached-
-relation reuse is measured and scoped: the FIRST JDBC connection binds
-the parent session and its plans substitute the executor-built
-InMemoryRelation directly (tests/test_thrift.py asserts this);
-subsequent connections clone the session and re-resolve temp views to
-fresh relations, so they re-scan unless the deployment registers the
-cached tables per-session or runs CACHE TABLE through the gateway.
+so both doors share the catalog and block-manager storage.
 
-Start it with ``spark.sql.hive.thriftServer.singleSession=true`` so
-JDBC sessions see the temp views ``catalog.register_tables`` created
-(mirrors the reference's single shared server process; without it each
-JDBC login forks a private session like our per-client
-``spark.newSession()`` isolation).
+Cached-relation visibility across connections: session TEMP views are
+the wrong catalog surface for a JDBC deployment — HiveServer2's
+``closeSession`` uncaches every temp view of the session it is closing
+(measured: after the first connection disconnects,
+``spark.catalog.isCached('lineitem')`` flips to False in the PARENT
+session under singleSession), so only the first-ever connection sees
+the executor-built InMemoryRelation. ``register_shared_catalog``
+registers the tables as EXTERNAL parquet tables (+ a persistent view
+normalizing the events timestamp) in the shared external catalog
+instead: every session resolves the same catalog relation, the shared
+CacheManager substitutes the InMemoryRelation for all of them, and
+connection close touches none of it — tests/test_thrift.py asserts a
+LATER connection's EXPLAIN still shows the in-memory scan. This is
+reference parity done right: one shared server context for all clients
+(SRV/SparkSQLServer.scala:30-81).
+
+Single-instance-per-JVM: the port/bind-host travel through process-
+global JVM system properties and HiveThriftServer2 itself is a
+singleton — run ONE server per driver; ``stop_thriftserver`` stops the
+handle and clears the properties so a subsequent start is clean.
 
 Scale note: the thrift endpoint is a thin RPC shim over the same
 driver; at cluster scale it is the standard Spark Thrift Server
@@ -28,11 +37,60 @@ deployment (one driver, executors fan out), no code change.
 
 from __future__ import annotations
 
+import os
 import socket
 import time
 from typing import Any
 
 from pyspark.sql import SparkSession
+
+from sparksql_server_spark.catalog import TABLES, ntz_to_utc_micros_sql
+
+
+def register_shared_catalog(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register the testdata tables as EXTERNAL parquet tables in the
+    shared catalog (SharedState.externalCatalog — visible to every
+    session over this SparkContext, including all JDBC connections).
+
+    ``events`` gets a raw table plus a persistent VIEW applying the
+    timestamp normalization as SQL text, so JDBC clients read the same
+    microsecond TimestampType column ``catalog.table`` produces.
+    Idempotent; metadata-only (LOCATION points at the parquet, no
+    copy). Caching a table here (``spark.catalog.cacheTable``) is then
+    visible to every present AND future connection, and surviving
+    connection churn — unlike temp views, which HiveServer2 uncaches
+    on session close.
+    """
+    from pyspark.sql import types as T
+
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if name != "events":
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{path}'"
+            )
+            continue
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS events_raw USING parquet LOCATION '{path}'"
+        )
+        schema = spark.table("events_raw").schema
+        cols = []
+        for f in schema.fields:
+            if f.name != "ts":
+                cols.append(f"`{f.name}`")
+            elif isinstance(f.dataType, T.LongType):
+                cols.append("timestamp_micros(`ts` div 1000) AS ts")
+            elif isinstance(f.dataType, T.TimestampNTZType):
+                cols.append(f"{ntz_to_utc_micros_sql('ts')} AS ts")
+            else:
+                cols.append("`ts`")
+        spark.sql(
+            "CREATE OR REPLACE VIEW events AS SELECT "
+            + ", ".join(cols)
+            + " FROM events_raw"
+        )
 
 
 def thriftserver_available(spark: SparkSession) -> bool:
@@ -66,6 +124,18 @@ def start_thriftserver(spark: SparkSession, port: int = 10000) -> Any:
     )
     _wait_port(port)
     return server
+
+
+def stop_thriftserver(spark: SparkSession, server: Any) -> None:
+    """Stop a server started by ``start_thriftserver`` and clear the
+    process-global system properties it set, so two starts in one JVM
+    cannot race on the shared port/bind-host (ADVICE r3)."""
+    try:
+        server.stop()
+    finally:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.System.clearProperty("hive.server2.thrift.port")
+        jvm.java.lang.System.clearProperty("hive.server2.thrift.bind.host")
 
 
 def _wait_port(port: int, timeout_s: float = 90.0) -> None:

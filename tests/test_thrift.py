@@ -32,9 +32,8 @@ _WORKER = r"""
 import os, subprocess, sys
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
-from sparksql_server_spark.catalog import register_tables
 from sparksql_server_spark.server.thrift import (
-    start_thriftserver, thriftserver_available,
+    register_shared_catalog, start_thriftserver, thriftserver_available,
 )
 
 PORT = 10136
@@ -44,14 +43,16 @@ spark = (
     .config("spark.ui.enabled", "false")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.hive.thriftServer.singleSession", "true")
     .getOrCreate()
 )
 if not thriftserver_available(spark):
     print("RESULT:GATED")
     sys.exit(0)
 
-register_tables(spark, "/root/testdata/sf0.001")
+# shared-catalog tables, NOT temp views: HiveServer2 uncaches a
+# session's temp views on connection close, so only catalog tables
+# keep the work-sharing cache visible across connection churn
+register_shared_catalog(spark, "/root/testdata/sf0.001")
 # the work-sharing executor's cache rewrite is spark.catalog.cacheTable;
 # the same InMemoryRelation must serve JDBC clients (shared SparkContext)
 spark.catalog.cacheTable("lineitem")
@@ -67,19 +68,23 @@ def beeline(sql):
         capture_output=True, text=True, timeout=180, env=env,
     )
 
-# first JDBC connection binds the parent session: the executor-built
-# InMemoryRelation must appear in its plans (later connections clone
-# the session and re-resolve views to fresh relations — measured, so
-# the cross-door cache claim is scoped to the bound session)
-ex = beeline("EXPLAIN SELECT count(*) FROM lineitem")
-# beeline interleaves NUL/CR bytes into long cells; strip before matching
-plan_txt = ex.stdout.replace("\x00", "").replace("\r", "").replace("\n", "")
-shared_cache = "InMemoryRelation" in plan_txt or "In-memory table" in plan_txt
+def inmem(res):
+    # beeline interleaves NUL/CR bytes into long cells; strip first
+    txt = res.stdout.replace("\x00", "").replace("\r", "").replace("\n", "")
+    return "InMemoryRelation" in txt or "In-memory table" in txt
+
+# each beeline invocation is its own JDBC connection+session; the
+# cached relation must be visible to the FIRST and to LATER
+# connections alike (the round-3 gap: temp-view catalogs lost the
+# cache the moment connection #1 closed)
+ex1 = beeline("EXPLAIN SELECT count(*) FROM lineitem")
 r = beeline("SELECT r_regionkey, count(*) AS n FROM region GROUP BY r_regionkey"
             " ORDER BY r_regionkey")
+ex3 = beeline("EXPLAIN SELECT count(*) FROM lineitem")
 lines = [ln for ln in r.stdout.splitlines()
          if ln and "\t" in ln and not ln.startswith("0: jdbc")]
-print(f"RESULT:rc={r.returncode};rows={len(lines)};cache={shared_cache};ex_rc={ex.returncode}")
+print(f"RESULT:rc={r.returncode};rows={len(lines)};cache={inmem(ex1)};"
+      f"late_cache={inmem(ex3)};ex_rc={ex1.returncode};ex3_rc={ex3.returncode}")
 """
 
 
@@ -108,4 +113,33 @@ def test_thrift_jdbc_round_trip(tmp_path):
     # the batch executor's cacheTable must be visible through JDBC —
     # work-sharing crosses the protocol boundary (shared SparkContext)
     assert "cache=True" in result, result
+    # ... and must SURVIVE connection churn: a third connection, opened
+    # after two earlier ones closed, still plans the in-memory scan
+    # (shared-catalog tables; temp views lost this — VERDICT r3 gap #5)
+    assert "late_cache=True" in result, result
     shutil.rmtree(tmp_path / "metastore_db", ignore_errors=True)
+
+
+def test_shared_catalog_events_view_matches_dataframe_normalizer(spark):
+    """The persistent-view DDL (SQL-text ts normalization) must produce
+    exactly what catalog.table's DataFrame normalizer produces — both
+    doors serve the same instants."""
+    from sparksql_server_spark.catalog import table
+    from sparksql_server_spark.server.thrift import register_shared_catalog
+
+    sf_dir = "/root/testdata/sf0.001"
+    register_shared_catalog(spark, sf_dir, ("events",))
+    a = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .orderBy("event_id")
+        .limit(200)
+        .collect()
+    )
+    # qualified name: the catalog VIEW, immune to temp-view shadowing
+    b = spark.sql(
+        "SELECT event_id, ts FROM spark_catalog.default.events"
+        " ORDER BY event_id LIMIT 200"
+    ).collect()
+    assert a == b
+    assert a, "events view returned nothing"
