@@ -37,6 +37,12 @@ SMOKE_QUERIES = [
     "text_quality",
     "sample_bernoulli_hash",
     "recursive_month_spine",
+    # the two heaviest iterative/self-join pipelines (VERDICT r3 #4),
+    # which also exercise the CacheScope spill-and-release path
+    "graph_pagerank_entities",
+    "dedup_prefix_filter_join",
+    # the newest registered family member (bucketed range search)
+    "sim_range_search_lsh",
 ]
 
 _WORKER = r"""

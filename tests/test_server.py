@@ -120,6 +120,34 @@ class TestBatcher:
         time.sleep(0.15)
         assert [j.job_id for j in b.next_batch(block=False)] == [1]
 
+    def test_single_query_latency_bounded_at_reference_constants(self):
+        """Wall-clock bound for the window-latency trade (SURVEY §7
+        hard-part #4): at the reference's shipped constants (window=2,
+        5 s poll — ServerConstants.scala:29-33), a lone query must be
+        handed to the executor within max_wait + poll + scheduling
+        slack, never wait indefinitely for a second query (the
+        reference's behavior), and never fire before its age trigger.
+        """
+        import threading
+
+        b = WindowBatcher(window_size=2, max_wait=5.0, poll_interval=0.05)
+        got: dict[str, object] = {}
+
+        def consume() -> None:
+            t0 = time.monotonic()
+            batch = b.next_batch(block=True)
+            got["elapsed"] = time.monotonic() - t0
+            got["ids"] = [j.job_id for j in batch]
+
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        b.submit(_job(1, "x"))
+        t.join(timeout=30)
+        assert not t.is_alive(), "batcher never released the single query"
+        assert got["ids"] == [1]
+        # age trigger honored: not before max_wait, not (much) after
+        assert 5.0 <= got["elapsed"] <= 5.0 + 0.05 + 0.5, got["elapsed"]
+
 
 QUERIES = [
     "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
