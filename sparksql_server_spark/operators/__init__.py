@@ -31,4 +31,6 @@ from sparksql_server_spark.operators import (  # noqa: F401, E402
     multimodal,
     events_analytics,
     graph,
+    curation,
+    advanced_analytics,
 )

@@ -1,0 +1,220 @@
+"""Sequence, affinity, and concentration analytics — the classic
+OLAP-adjacent reports a warehouse serves next to the TPC-H suite:
+top event paths (clickstream n-grams), market-basket pair affinity,
+autocorrelation of activity, and ABC/Pareto revenue classification.
+
+Every query is identical SQL text on Spark and DuckDB (no dialect
+split needed — all constructs are common), with exact-integer or
+exact-DECIMAL arithmetic everywhere a float boundary could diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.operators.registry import query
+
+_PATHS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events),
+paths AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM paths GROUP BY path
+ORDER BY n DESC, path
+LIMIT 10
+"""
+
+
+@query("events_user_paths_topk", oracle=_PATHS_SQL)
+def events_user_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event-type paths across all user sessions —
+    the clickstream n-gram report behind funnel discovery (which
+    sequences actually happen, before you pin a funnel to check).
+
+    Scale: ONE user_id-keyed shuffle for the sequence windows (the
+    shared behavioral-partitioning key), then a combinable path count
+    and a TakeOrdered top-10 — the path table never globally sorts.
+    Ties at the LIMIT boundary break on (n, path), so the cut is
+    engine-identical. Window ordering ties on ts break by event_id —
+    fully deterministic sequences.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_PATHS_SQL)
+
+
+_BASKET_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@query("basket_part_pairs", oracle=_BASKET_SQL)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the 20 part pairs most often bought in
+    the same order (the co-occurrence table association-rule mining
+    starts from).
+
+    Scale: the self-join key is l_orderkey, so pair fan-out per order
+    is C(lines, 2) with lines ≤ 7 in TPC-H — bounded by the SCHEMA,
+    not the data volume; total pair rows stay ~21x orders. One
+    distinct-items shuffle, one co-partitioned self-join, one
+    combinable pair count, TakeOrdered top-20 with a full
+    deterministic tiebreak. A retail-scale variant with huge baskets
+    would cap per-basket items first (the standard frequency-prune) —
+    same plan shape.
+    """
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_BASKET_SQL)
+
+
+_AUTOCORR_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY date_trunc('hour', ts)),
+lagd AS (SELECT n, lag(n) OVER (ORDER BY h) AS pn FROM hourly),
+pairs AS (SELECT n, pn FROM lagd WHERE pn IS NOT NULL),
+s AS (SELECT CAST(count(*) AS DOUBLE)   AS m,
+             CAST(sum(n) AS DOUBLE)     AS sx,
+             CAST(sum(pn) AS DOUBLE)    AS sy,
+             CAST(sum(n * pn) AS DOUBLE)  AS sxy,
+             CAST(sum(n * n) AS DOUBLE)   AS sxx,
+             CAST(sum(pn * pn) AS DOUBLE) AS syy
+      FROM pairs)
+SELECT CAST(m AS BIGINT) AS n_pairs,
+       round((m * sxy - sx * sy)
+             / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
+         AS autocorr_lag1
+FROM s
+"""
+
+
+@query("events_autocorr_lag1", oracle=_AUTOCORR_SQL)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series — the
+    seasonality/burstiness scalar a capacity or anomaly model checks
+    first (≈0 Poisson-like arrivals, →1 strong hour-to-hour trend).
+
+    Scale: the hourly rollup is one combinable aggregation over raw
+    events; everything after runs on the |hours| rollup (720 rows per
+    month — the global-ordered lag window costs nothing there, and at
+    years-of-data scale it keys by day first). All moment sums are
+    INTEGER products of counts — bit-exact in both engines; floats
+    appear only in the final Pearson division.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_AUTOCORR_SQL)
+
+
+_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r
+  FROM lineitem GROUP BY l_partkey),
+ranked AS (
+  SELECT l_partkey, r,
+         sum(r) OVER (ORDER BY r DESC, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(r) OVER () AS tot
+  FROM rev),
+classed AS (
+  SELECT l_partkey, r,
+         CASE WHEN 100 * cum <= 80 * tot THEN 'A'
+              WHEN 100 * cum <= 95 * tot THEN 'B'
+              ELSE 'C' END AS cls
+  FROM ranked)
+SELECT cls,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(r) AS DOUBLE)   AS revenue
+FROM classed GROUP BY cls
+ORDER BY cls
+"""
+
+
+@query("abc_pareto_parts", oracle=_ABC_SQL)
+def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by discounted revenue:
+    class A = parts covering the first 80% of cumulative revenue,
+    B to 95%, C the tail — the inventory-concentration report.
+
+    Determinism: the cumulative sum runs over exact DECIMALs with a
+    ROWS frame and a total (r DESC, l_partkey) ordering, and the
+    80/95 boundaries compare as 100*cum <= 80*tot — pure decimal
+    integer-scaled arithmetic, no float threshold anywhere; doubles
+    appear only in the final per-class revenue presentation.
+
+    Scale: the per-part rollup is one combinable shuffle. The global
+    cumulative window is the one genuinely serial construct — fine at
+    |parts| rows (200k at SF100); at billions the standard rewrite is
+    range-partition by r DESC, per-partition partial sums, broadcast
+    the partition offsets, add — two passes, same answer.
+    """
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_ABC_SQL)
+
+
+_SALTED_ORACLE = """
+SELECT n_nationkey AS nation_key, n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name
+ORDER BY nation_key
+"""
+
+
+@query("join_salted_hot_keys", oracle=_SALTED_ORACLE)
+def join_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-nation enrichment executed through the SKEW-SALTING
+    join strategy (plans/scale.py): c_nationkey has only 25 distinct
+    values, so a plain shuffle join lands every customer of a nation
+    in ONE reducer — the textbook hot-key shape. salted_join splits
+    each key into 8 deterministic sub-keys (pmod(xxhash64(row), 8))
+    and replicates the 25-row nation side to all salts; the result set
+    is provably identical to the plain join (the oracle IS the plain
+    join), while the widest shuffle partition shrinks 8x.
+
+    Registered as a corpus query so the strategy itself is under the
+    oracle gate, not just a unit test: any drift between salted and
+    plain semantics (dropped rows, dup replication) fails the hash
+    compare. At 100 TB this is the fallback when the small side is
+    too big to broadcast but keys are hot; here nation would of
+    course broadcast — the query pins semantics, the scale docstring
+    pins when to reach for it.
+    """
+    from pyspark.sql import functions as F
+
+    from sparksql_server_spark.plans.scale import salted_join
+
+    tables = register_tables(spark, sf_dir, ("customer", "nation"))
+    joined = salted_join(
+        tables["customer"],
+        tables["nation"].withColumnRenamed("n_nationkey", "c_nationkey"),
+        key="c_nationkey",
+        n_salts=8,
+        salt_source="c_custkey",
+    )
+    return (
+        joined.groupBy(
+            F.col("c_nationkey").alias("nation_key"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("nation_key")
+    )
