@@ -163,58 +163,3 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_ABC_SQL)
-
-
-_SALTED_ORACLE = """
-SELECT n_nationkey AS nation_key, n_name AS nation,
-       CAST(count(*) AS BIGINT) AS n_custs,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_nationkey, n_name
-ORDER BY nation_key
-"""
-
-
-@query("join_salted_hot_keys", oracle=_SALTED_ORACLE)
-def join_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer-nation enrichment executed through the SKEW-SALTING
-    join strategy (plans/scale.py): c_nationkey has only 25 distinct
-    values, so a plain shuffle join lands every customer of a nation
-    in ONE reducer — the textbook hot-key shape. salted_join splits
-    each key into 8 deterministic sub-keys (pmod(xxhash64(row), 8))
-    and replicates the 25-row nation side to all salts; the result set
-    is provably identical to the plain join (the oracle IS the plain
-    join), while the widest shuffle partition shrinks 8x.
-
-    Registered as a corpus query so the strategy itself is under the
-    oracle gate, not just a unit test: any drift between salted and
-    plain semantics (dropped rows, dup replication) fails the hash
-    compare. At 100 TB this is the fallback when the small side is
-    too big to broadcast but keys are hot; here nation would of
-    course broadcast — the query pins semantics, the scale docstring
-    pins when to reach for it.
-    """
-    from pyspark.sql import functions as F
-
-    from sparksql_server_spark.plans.scale import salted_join
-
-    tables = register_tables(spark, sf_dir, ("customer", "nation"))
-    joined = salted_join(
-        tables["customer"],
-        tables["nation"].withColumnRenamed("n_nationkey", "c_nationkey"),
-        key="c_nationkey",
-        n_salts=8,
-        salt_source="c_custkey",
-    )
-    return (
-        joined.groupBy(
-            F.col("c_nationkey").alias("nation_key"), F.col("n_name").alias("nation")
-        )
-        .agg(
-            F.count("*").alias("n_custs"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_acctbal"),
-        )
-        .orderBy("nation_key")
-    )
