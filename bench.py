@@ -136,6 +136,42 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def mrshare_queries(n: int) -> list[str]:
+    """N same-signature aggregations (GROUP BY l_returnflag,
+    l_linestatus; predicates/aggregates differ) — the unconditional-win
+    MRShare regime: one scan + one shuffle replaces N of each."""
+    preds = [
+        "l_discount > 0.01",
+        "l_quantity >= 25",
+        "l_linenumber = 1",
+        "l_tax < 0.05",
+        "l_extendedprice > 1000",
+        "l_discount < 0.07",
+        "l_quantity < 30",
+        "l_linenumber > 2",
+        "l_tax >= 0.02",
+        "l_discount BETWEEN 0.02 AND 0.06",
+    ]
+    aggs = [
+        "count(*) AS n",
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q",
+        "max(l_shipdate) AS mx",
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS p",
+        "min(l_shipdate) AS mn",
+        "CAST(avg(l_discount) AS DOUBLE) AS d",
+        "max(l_extendedprice) AS mp",
+        "CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS t",
+        "min(l_quantity) AS mq",
+        "count(l_partkey) AS np",
+    ]
+    return [
+        f"SELECT l_returnflag, l_linestatus, {aggs[i % len(aggs)]}"
+        f" FROM lineitem_big WHERE {preds[i % len(preds)]}"
+        " GROUP BY l_returnflag, l_linestatus"
+        for i in range(n)
+    ]
+
+
 def main() -> None:
     spark = get_session("bench", cpus=CPUS)
     timings: dict[str, float] = {}
@@ -283,6 +319,47 @@ def main() -> None:
     timings["cached_scan_parquet_concurrent"] = round(min(nc_times), 3)
     timings["cached_scan_parquet_batched"] = round(min(full_times), 3)
 
+    # --- MRShare merge (B8): N same-signature aggregations over the hot
+    # CSV scan, three ways — concurrent-unmerged (cache vetoed), the
+    # caching rewrite (the strategy that BEAT MRShare in the reference's
+    # evaluation, report.pdf ch.5 Table 5.1), and the declarative merge
+    # (server/mrshare.py: ONE scan + ONE aggregate + trivial demux).
+    # Interleaved trials, median recorded — same protocol as cached_scan.
+    mr_queries = mrshare_queries(10)
+    _force(spark.sql(mr_queries[0]))  # warm
+
+    def _run_mrshare(leg: str, base_id: int) -> float:
+        cache = CacheManager(
+            spark,
+            budget_bytes=8 << 30,
+            min_bytes=(1 << 40) if leg != "cached" else (64 << 20),
+        )
+        ex = BatchExecutor(
+            spark,
+            cache=cache,
+            source_views={big_src: "lineitem_big"},
+            enable_mrshare=(leg == "merged"),
+        )
+        jobs = [QueryJob(job_id=base_id + i, sql=q) for i, q in enumerate(mr_queries)]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if leg == "merged" and not any(b.merges for b in bags):
+            print("WARN: mrshare merge did not fire", file=sys.stderr)
+        if any(j.status.value != "done" for j in jobs):
+            print(f"WARN: mrshare {leg} had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    mr_trials: dict[str, list[float]] = {"concurrent": [], "cached": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        mr_trials["concurrent"].append(_run_mrshare("concurrent", 5000 + 100 * rep))
+        mr_trials["cached"].append(_run_mrshare("cached", 6000 + 100 * rep))
+        mr_trials["merged"].append(_run_mrshare("merged", 7000 + 100 * rep))
+    for leg, xs in mr_trials.items():
+        timings[f"mrshare_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_{leg}_min"] = round(min(xs), 3)
+
     # medians counted once; *_min secondaries excluded from the total
     total = round(
         sum(v for k, v in timings.items() if not k.endswith("_min")), 3
@@ -303,6 +380,9 @@ def main() -> None:
         "cached_scan_trials": {
             leg: [round(x, 3) for x in xs] for leg, xs in cs_trials.items()
         },
+        "mrshare_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in mr_trials.items()
+        },
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
@@ -310,7 +390,7 @@ def main() -> None:
     headline = {
         name: secs
         for name, secs in timings.items()
-        if name.startswith(("shared_scan_", "cached_scan_"))
+        if name.startswith(("shared_scan_", "cached_scan_", "mrshare_"))
     }
     print(
         json.dumps(

@@ -84,10 +84,13 @@ class QueryJob:
 
 class RewriteKind(str, Enum):
     """Rewrite decision per bag (reference: OptimizedBag label —
-    CACHING / MRSHARE / NOOP; MRSHARE intentionally not built, see
-    SURVEY.md §2 B8/B11)."""
+    CACHING / MRSHARE / NOOP, OptimizationExecutor.scala:36-77).
+    MRSHARE here is the declarative merge of server/mrshare.py, not the
+    reference's tagged-tuple DAG surgery (which its own evaluation
+    measured as a regression — report.pdf ch.5 Table 5.1)."""
 
     CACHING = "caching"
+    MRSHARE = "mrshare"
     NOOP = "noop"
 
 
@@ -98,3 +101,7 @@ class SharingBag:
     jobs: list[QueryJob]
     shared_sources: frozenset[str] = frozenset()
     rewrite: RewriteKind = RewriteKind.NOOP
+    # MRShare merge plans applied to subsets of this bag's jobs
+    # (server/mrshare.py); a bag can hold both a merge AND a caching
+    # rewrite for the jobs the merge declined
+    merges: list = field(default_factory=list)

@@ -27,6 +27,7 @@ from sparksql_server_spark.plans.analysis import scan_fingerprints, scan_nodes
 from sparksql_server_spark.server.cache import CacheManager
 from sparksql_server_spark.server.detector import detect_sharing
 from sparksql_server_spark.server.model import JobStatus, QueryJob, RewriteKind, SharingBag
+from sparksql_server_spark.server.mrshare import MergePlan, plan_merges
 
 MAX_INLINE_ROWS = 10_000
 
@@ -40,10 +41,18 @@ class BatchExecutor:
         cache: CacheManager | None = None,
         max_concurrency: int = 16,
         source_views: dict[str, str] | None = None,
+        enable_mrshare: bool = True,
+        mrshare_max_grouping_sets: int = 4,
     ) -> None:
         self.spark = spark
         self.cache = cache or CacheManager(spark)
         self.max_concurrency = max_concurrency
+        # MRShare-style aggregation merging (server/mrshare.py ≙ B8).
+        # Same-signature merges are unconditional wins (one scan + one
+        # shuffle replaces N of each); cross-signature merges are
+        # bounded by the Expand-inflation cap below (≙ MRShareCM GAIN).
+        self.enable_mrshare = enable_mrshare
+        self.mrshare_max_grouping_sets = mrshare_max_grouping_sets
         # source fingerprint (table root dir) -> registered view name
         self.source_views = dict(source_views or {})
         # job-group namespace unique to THIS executor: job ids restart
@@ -125,33 +134,106 @@ class BatchExecutor:
 
         bags = detect_sharing([j for j in jobs if j.status is JobStatus.QUEUED])
 
+        # MRShare merge first (one scan+shuffle replaces N) — jobs it
+        # absorbs are excluded from the cache-admission count so a
+        # fully-merged bag doesn't also burn cache budget on a relation
+        # that will now be scanned once.
+        merges: list[MergePlan] = []
+        if self.enable_mrshare:
+            for bag in bags:
+                if len(bag.jobs) < 2:
+                    continue
+                for mp in plan_merges(
+                    [j for j in bag.jobs if j.status is JobStatus.QUEUED],
+                    max_grouping_sets=self.mrshare_max_grouping_sets,
+                ):
+                    if self._materialize_merge(mp):
+                        merges.append(mp)
+                        bag.merges.append(mp)
+        merged_ids = {j.job_id for mp in merges for j in mp.jobs}
+
         for bag in bags:
-            self._apply_caching_rewrite(bag)
+            self._apply_caching_rewrite(bag, exclude=merged_ids)
+            if bag.merges and bag.rewrite is RewriteKind.NOOP:
+                bag.rewrite = RewriteKind.MRSHARE
 
         # cache-first ordering (≙ FIFOStrategy.scala:64-77) happens inside
         # _apply_caching_rewrite: ensure_cached materializes the shared
         # relation with a cheap count, so ALL jobs — bag #1 included —
-        # then run concurrently on warm cache.
-        with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
-            futures = [
-                pool.submit(self._run_job, job, f"job{job.job_id}")
-                for bag in bags
-                for job in bag.jobs
-            ]
-            wait(futures)
+        # then run concurrently on warm cache. Merged jobs' demux queries
+        # run against the persisted merged aggregate the same way.
+        try:
+            with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+                futures = [
+                    pool.submit(self._run_job, job, f"job{job.job_id}")
+                    for bag in bags
+                    for job in bag.jobs
+                ]
+                wait(futures)
+        finally:
+            # merged relations are batch-scoped: release them so they
+            # can't bypass the CacheManager's byte budget (hygiene gate:
+            # tests/test_cache_hygiene.py)
+            for mp in merges:
+                self._release_merge(mp)
         return bags
 
-    def _apply_caching_rewrite(self, bag: SharingBag) -> None:
-        if len(bag.jobs) < 2 or not bag.shared_sources:
+    # -- MRShare merge (B8) ----------------------------------------------
+
+    def _materialize_merge(self, mp: MergePlan) -> bool:
+        """Run the merged aggregate ONCE (the shared pass), persist the
+        result-set-sized relation, and point member jobs' execution at
+        their demux queries. Any failure rolls back to the unmerged
+        path — a declined/failed merge costs one plan attempt, never
+        correctness."""
+        sess = mp.session or self.spark
+        df = None
+        try:
+            from pyspark import StorageLevel
+
+            df = sess.sql(mp.merged_sql)
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()  # materialize: the one shared scan+aggregate
+            df.createOrReplaceTempView(mp.view)
+            mp.df = df
+            for job in mp.jobs:
+                job.props["rewritten_sql"] = mp.demux_sql[job.job_id]
+            return True
+        except Exception:
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:  # JVM already torn down — nothing to free
+                    pass
+            return False
+
+    def _release_merge(self, mp: MergePlan) -> None:
+        sess = mp.session or self.spark
+        try:
+            sess.catalog.dropTempView(mp.view)
+        except Exception:  # view never registered (failed merge)
+            pass
+        if mp.df is not None:
+            try:
+                mp.df.unpersist()
+            except Exception:  # session stopped mid-batch
+                pass
+            mp.df = None
+
+    def _apply_caching_rewrite(
+        self, bag: SharingBag, exclude: frozenset[int] | set[int] = frozenset()
+    ) -> None:
+        jobs = [j for j in bag.jobs if j.job_id not in exclude]
+        if len(jobs) < 2 or not bag.shared_sources:
             return
         cached_any = False
         for source in sorted(bag.shared_sources):
             view = self.source_views.get(source)
             if view is None:
                 continue
-            fractions = self._read_fractions(source, view, bag.jobs)
+            fractions = self._read_fractions(source, view, jobs)
             fmt = next(
-                (j.read_formats[source] for j in bag.jobs if source in j.read_formats),
+                (j.read_formats[source] for j in jobs if source in j.read_formats),
                 None,
             )
             if self.cache.should_cache(
@@ -231,7 +313,12 @@ class BatchExecutor:
         )
         start = time.monotonic()
         try:
-            df = (job.session or self.spark).sql(job.sql)
+            # rewritten_sql = MRShare demux over the persisted merged
+            # aggregate (set by _materialize_merge); absent on the
+            # normal path
+            df = (job.session or self.spark).sql(
+                job.props.get("rewritten_sql") or job.sql
+            )
             if job.props.get("cancel_requested"):  # cancelled during planning
                 raise RuntimeError("cancelled")
             output = job.props.get("output")

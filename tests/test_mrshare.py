@@ -1,0 +1,367 @@
+"""MRShare merge tests (server/mrshare.py ≙ SURVEY §2 B8).
+
+Reference parity: MRShareOptimizer.scala:32-150 merged same-scan jobs
+into one tagged job; its own evaluation measured a regression
+(report.pdf ch.5 Table 5.1) and it was dropped from the shipped
+pipeline. Our declarative rebuild must therefore prove BOTH halves:
+(a) merged results are EXACTLY the per-query results (every test here
+compares against independent unmerged runs), and (b) the merge only
+fires in regimes where it cannot lose (same-signature always; grouping
+sets under the Expand bound).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.operators.scratch import persistent_rdd_ids
+from sparksql_server_spark.server import (
+    BatchExecutor,
+    CacheManager,
+    JobStatus,
+    QueryJob,
+    RewriteKind,
+)
+from sparksql_server_spark.server.mrshare import parse_agg_query, plan_merges
+from sparksql_server_spark.server.server import source_view_map
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# parser: accepted shape
+
+
+def test_parse_canonical_shape():
+    p = parse_agg_query(
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq, "
+        "count(*) AS n, count(DISTINCT l_suppkey) AS ns "
+        "FROM lineitem WHERE l_discount > 0.02 "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+    assert p is not None
+    assert p.table == "lineitem"
+    assert p.where == "l_discount > 0.02"
+    assert p.group_canon == ("l_linestatus", "l_returnflag")
+    kinds = [it[0] for it in p.items]
+    assert kinds == ["key", "key", "agg", "agg", "agg"]
+    assert [c[2:] for c in p.items[2][2]] == [("sum", "l_quantity", False)]
+    assert [c[2:] for c in p.items[3][2]] == [("count", None, False)]
+    assert [c[2:] for c in p.items[4][2]] == [("count", "l_suppkey", True)]
+    assert p.n_distinct_aggs == 1
+
+
+def test_parse_expression_wrapped_aggregates():
+    """The TPC-H q1 shape: scalar computation AROUND aggregate calls
+    must parse (CAST, arithmetic over two sums) — round-4 fix: these
+    previously declined, silently shrinking every merge."""
+    p = parse_agg_query(
+        "SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q,"
+        " sum(l_extendedprice * (1 - l_discount)) / count(*) AS avg_net"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    assert p is not None
+    aggs = [it for it in p.items if it[0] == "agg"]
+    assert len(aggs) == 2
+    assert [c[2] for c in aggs[0][2]] == ["sum"]
+    assert [c[2] for c in aggs[1][2]] == ["sum", "count"]
+    # nested aggregates still decline
+    assert (
+        parse_agg_query(
+            "SELECT l_returnflag, sum(count(l_tax)) AS s FROM lineitem GROUP BY l_returnflag"
+        )
+        is None
+    )
+
+
+def test_parse_expression_key_and_case_folding():
+    a = parse_agg_query(
+        "SELECT substr(l_shipmode, 1, 2) AS m, max(l_tax) AS t "
+        "FROM lineitem GROUP BY substr(l_shipmode, 1, 2)"
+    )
+    b = parse_agg_query(
+        "SELECT SUBSTR(l_shipmode,1,2) AS m, max(l_tax) AS t "
+        "FROM lineitem GROUP BY SUBSTR(l_shipmode,  1,2)"
+    )
+    assert a is not None and b is not None
+    assert a.group_canon == b.group_canon  # whitespace/case-insensitive
+    # ...but string literals must stay case-SENSITIVE
+    c = parse_agg_query(
+        "SELECT l_shipmode AS m, count(*) AS n FROM lineitem "
+        "WHERE l_returnflag = 'A' GROUP BY l_shipmode"
+    )
+    d = parse_agg_query(
+        "SELECT l_shipmode AS m, count(*) AS n FROM lineitem "
+        "WHERE l_returnflag = 'a' GROUP BY l_shipmode"
+    )
+    assert c.where != d.where
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # joins / set ops / sorts / windows — not the mergeable shape
+        "SELECT c_name, count(*) AS n FROM customer c JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag HAVING count(*) > 5",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY n",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag LIMIT 5",
+        "SELECT DISTINCT l_returnflag FROM lineitem GROUP BY l_returnflag",
+        "SELECT l_returnflag, sum(sum(l_quantity)) OVER () AS s FROM lineitem GROUP BY l_returnflag",
+        # subquery in predicate
+        "SELECT l_returnflag, count(*) AS n FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders) GROUP BY l_returnflag",
+        # ordinal / ALL group by
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY ALL",
+        # agg without alias — no stable demux name
+        "SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag",
+        # computed key without alias
+        "SELECT substr(l_shipmode,1,2), count(*) AS n FROM lineitem GROUP BY substr(l_shipmode,1,2)",
+        # non-key non-agg select item
+        "SELECT l_returnflag, l_tax, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+        # no GROUP BY at all
+        "SELECT count(*) AS n FROM lineitem",
+        # commands
+        "CACHE TABLE lineitem",
+    ],
+)
+def test_parse_declines(sql):
+    assert parse_agg_query(sql) is None
+
+
+def test_keyword_inside_string_literal_is_not_structural():
+    p = parse_agg_query(
+        "SELECT l_shipmode AS m, count(*) AS n FROM lineitem "
+        "WHERE l_comment LIKE '%order by%' GROUP BY l_shipmode"
+    )
+    assert p is not None and "order by" in p.where
+
+
+# ---------------------------------------------------------------------------
+# executor integration
+
+
+@pytest.fixture()
+def executor(spark):
+    register_tables(spark, SF_DIR)
+    ex = BatchExecutor(
+        spark,
+        cache=CacheManager(spark, budget_bytes=1 << 30),
+        source_views=source_view_map(SF_DIR),
+    )
+    yield ex
+    ex.cache.clear()
+
+
+def _rows_equal(got, exp):
+    """Exact equality, except float cells compare to 1e-9 relative —
+    double aggregation is summation-order-dependent in ANY Spark plan
+    (a repartition alone changes the last ulps), and the merged plan
+    legitimately aggregates in a different order."""
+    import math
+
+    if len(got) != len(exp):
+        return False
+    for rg, re_ in zip(got, exp):
+        if len(rg) != len(re_):
+            return False
+        for a, b in zip(rg, re_):
+            if isinstance(a, float) and isinstance(b, float):
+                if not math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12):
+                    return False
+            elif a != b:
+                return False
+    return True
+
+
+def _run_and_compare(spark, executor, sqls, expect_merged_ids):
+    expected = [
+        sorted(tuple(r) for r in spark.sql(q).collect()) for q in sqls
+    ]
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
+    bags = executor.run_batch(jobs)
+    merged = {j.job_id for b in bags for mp in b.merges for j in mp.jobs}
+    assert merged == set(expect_merged_ids)
+    for job, exp in zip(jobs, expected):
+        assert job.status is JobStatus.DONE, f"job {job.job_id}: {job.error}"
+        assert _rows_equal(sorted(job.rows), exp), f"job {job.job_id} rows diverge"
+    return jobs, bags
+
+
+SAME_SIG = [
+    "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq, avg(l_extendedprice) AS ap"
+    " FROM lineitem WHERE l_discount > 0.02 GROUP BY l_returnflag, l_linestatus",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n"
+    " FROM lineitem WHERE l_linenumber = 1 GROUP BY l_returnflag, l_linestatus",
+    # key order flipped + key renamed + DISTINCT agg + no predicate
+    "SELECT l_linestatus AS ls, l_returnflag AS rf, count(DISTINCT l_suppkey) AS ns,"
+    " max(l_tax) AS mt FROM lineitem GROUP BY l_linestatus, l_returnflag",
+    "SELECT l_returnflag, l_linestatus, min(l_shipdate) AS first_ship"
+    " FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag, l_linestatus",
+]
+
+
+def test_same_signature_merge_matches_independent(spark, executor):
+    jobs, bags = _run_and_compare(spark, executor, SAME_SIG, {0, 1, 2, 3})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.merges[0].grouping_sets == 1
+    assert bag.rewrite is RewriteKind.MRSHARE
+    for j in jobs:
+        assert j.props["rewritten_sql"].lstrip().upper().startswith("SELECT")
+
+
+def test_expression_wrapped_aggs_merge_matches_independent(spark, executor):
+    sqls = [
+        "SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q"
+        " FROM lineitem WHERE l_discount > 0.03 GROUP BY l_returnflag",
+        "SELECT l_returnflag, sum(l_extendedprice * (1 - l_discount)) / count(*) AS avg_net"
+        " FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag",
+        "SELECT l_returnflag, round(avg(l_tax) * 100, 3) AS tax_pct"
+        " FROM lineitem GROUP BY l_returnflag",
+    ]
+    _run_and_compare(spark, executor, sqls, {0, 1, 2})
+
+
+def test_predicate_matching_nothing_yields_empty_result(spark, executor):
+    sqls = [
+        "SELECT l_returnflag, count(*) AS n FROM lineitem"
+        " WHERE l_quantity < -1 GROUP BY l_returnflag",
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem"
+        " GROUP BY l_returnflag",
+    ]
+    jobs, _ = _run_and_compare(spark, executor, sqls, {0, 1})
+    assert jobs[0].rows == [] and len(jobs[1].rows) > 0
+
+
+GROUPING_SETS = [
+    # three signatures over orders, deliberately interleaved widths so
+    # the grouping_id bit order (first-appearance across sets) is
+    # exercised on a non-trivial permutation
+    "SELECT o_orderstatus, count(*) AS n FROM orders"
+    " WHERE o_totalprice > 1000 GROUP BY o_orderstatus",
+    "SELECT o_orderpriority, o_orderstatus, sum(o_totalprice) AS s FROM orders"
+    " GROUP BY o_orderpriority, o_orderstatus",
+    "SELECT o_orderpriority, avg(o_totalprice) AS a, count(*) AS n FROM orders"
+    " WHERE o_orderstatus = 'F' GROUP BY o_orderpriority",
+]
+
+
+def test_grouping_sets_merge_matches_independent(spark, executor):
+    jobs, bags = _run_and_compare(spark, executor, GROUPING_SETS, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.merges[0].grouping_sets == 3
+
+
+def test_grouping_sets_bound_declines(spark):
+    """5 distinct signatures with max_grouping_sets=4 → Expand factor
+    too high, no merge; everything still answers correctly unmerged."""
+    register_tables(spark, SF_DIR)
+    ex = BatchExecutor(
+        spark,
+        cache=CacheManager(spark, budget_bytes=1 << 30),
+        source_views=source_view_map(SF_DIR),
+        mrshare_max_grouping_sets=4,
+    )
+    cols = ["o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey", "o_orderkey"]
+    sqls = [
+        f"SELECT {c} AS k, count(*) AS n FROM orders GROUP BY {c}" for c in cols
+    ]
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
+    bags = ex.run_batch(jobs)
+    assert all(not b.merges for b in bags)
+    for job, q in zip(jobs, sqls):
+        assert job.status is JobStatus.DONE
+        assert sorted(job.rows) == sorted(tuple(r) for r in spark.sql(q).collect())
+
+
+def test_multi_distinct_bound_declines(spark, executor):
+    sqls = [
+        f"SELECT l_returnflag, count(DISTINCT {c}) AS d{i} FROM lineitem"
+        " GROUP BY l_returnflag"
+        for i, c in enumerate(["l_suppkey", "l_partkey", "l_orderkey"])
+    ]
+    jobs, _ = _run_and_compare(spark, executor, sqls, set())
+
+
+def test_unmergeable_shapes_run_normal_path(spark, executor):
+    sqls = [
+        SAME_SIG[0],
+        SAME_SIG[1],
+        "SELECT l_returnflag, count(*) AS n FROM lineitem"
+        " GROUP BY l_returnflag ORDER BY n DESC",  # ORDER BY — declined
+    ]
+    jobs, _ = _run_and_compare(spark, executor, sqls, {0, 1})
+    assert "rewritten_sql" not in jobs[2].props
+
+
+def test_merged_sink_output(tmp_path, spark, executor):
+    out = str(tmp_path / "merged_sink.parquet")
+    jobs = [
+        QueryJob(job_id=0, sql=SAME_SIG[0], props={"output": out}),
+        QueryJob(job_id=1, sql=SAME_SIG[1]),
+    ]
+    bags = executor.run_batch(jobs)
+    assert any(b.merges for b in bags)
+    assert jobs[0].status is JobStatus.DONE, jobs[0].error
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert _rows_equal(got, sorted(tuple(r) for r in spark.sql(SAME_SIG[0]).collect()))
+
+
+def test_sessions_do_not_cross_merge(spark, executor):
+    other = spark.newSession()
+    register_tables(other, SF_DIR)
+    jobs = [
+        QueryJob(job_id=0, sql=SAME_SIG[0]),
+        QueryJob(job_id=1, sql=SAME_SIG[1], session=other),
+    ]
+    bags = executor.run_batch(jobs)
+    assert all(not b.merges for b in bags)
+    for job in jobs:
+        assert job.status is JobStatus.DONE, job.error
+
+
+def test_merged_relation_released_after_batch(spark, executor):
+    """Hygiene gate: the persisted merged aggregate must not survive
+    the batch (it would bypass the CacheManager budget — VERDICT r3
+    wrong #1 applies to the server itself too)."""
+    before = persistent_rdd_ids(spark)
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(SAME_SIG)]
+    executor.run_batch(jobs)
+    assert all(j.status is JobStatus.DONE for j in jobs)
+    leaked = persistent_rdd_ids(spark) - before
+    assert leaked == set(), f"merge leaked persistent RDDs: {leaked}"
+    # and the temp view is gone
+    views = {t.name for t in spark.catalog.listTables() if t.tableType == "TEMPORARY"}
+    assert not any(v.startswith("mrshare_") for v in views)
+
+
+def test_disabled_flag_runs_unmerged(spark):
+    register_tables(spark, SF_DIR)
+    ex = BatchExecutor(
+        spark,
+        cache=CacheManager(spark, budget_bytes=1 << 30),
+        source_views=source_view_map(SF_DIR),
+        enable_mrshare=False,
+    )
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(SAME_SIG[:2])]
+    bags = ex.run_batch(jobs)
+    assert all(not b.merges for b in bags)
+    for job, q in zip(jobs, SAME_SIG[:2]):
+        assert job.status is JobStatus.DONE
+        assert sorted(job.rows) == sorted(tuple(r) for r in spark.sql(q).collect())
+
+
+def test_merged_plan_scans_table_once(spark, executor):
+    """The point of the merge: the merged SQL's physical plan contains
+    exactly ONE scan of the shared table, and demux queries scan only
+    the in-memory merged view (no file scan at all)."""
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(SAME_SIG)]
+    plans = plan_merges(jobs)
+    assert len(plans) == 1 and len(plans[0].jobs) == 4
+    merged = spark.sql(plans[0].merged_sql)
+    physical = merged._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("FileScan") + physical.count("Scan parquet") >= 1
+    # exactly one leaf scan node feeding everything
+    import re as _re
+
+    leaves = _re.findall(r"FileScan|BatchScan", physical)
+    assert len(leaves) == 1
