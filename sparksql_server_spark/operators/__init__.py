@@ -33,4 +33,5 @@ from sparksql_server_spark.operators import (  # noqa: F401, E402
     graph,
     curation,
     advanced_analytics,
+    ml_features,
 )
