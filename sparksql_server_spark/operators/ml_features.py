@@ -205,6 +205,54 @@ def events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# two-sample distribution drift
+
+_KS_SQL = """
+WITH pool AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('click', 'view')),
+tot AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS na, CAST(sum(is_b) AS BIGINT) AS nb
+  FROM pool),
+cum AS (
+  SELECT sum(is_a) OVER (ORDER BY v
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(is_b) OVER (ORDER BY v
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM pool)
+SELECT CAST(max(abs(CAST(ca AS DOUBLE) / tot.na - CAST(cb AS DOUBLE) / tot.nb))
+            AS DOUBLE) AS ks_stat,
+       tot.na AS n_a, tot.nb AS n_b
+FROM cum CROSS JOIN tot
+GROUP BY tot.na, tot.nb
+"""
+
+
+@query("stats_ks_two_sample", oracle=_KS_SQL)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types — the standard drift test between
+    a reference and a candidate sample (clicks vs views here). The
+    exact D = max |ECDF_a - ECDF_b| over the pooled sample; RANGE
+    frames make the cumulative counts include ties, so evaluation at
+    every pooled point is exact, not grid-approximated.
+
+    Determinism: cumulative counts are exact integers, one double
+    division each — both engines agree bitwise. Scale: the
+    unpartitioned RANGE window is a global sort; the exact statistic
+    is inherently sort-based, so at 100 TB this query would switch to
+    a fixed-grid binned ECDF (one groupBy, same max-of-diffs tail) —
+    the binned variant changes only the ``pool`` CTE. The exact form
+    is right up to the sort budget (billions of rows on a real
+    cluster).
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_KS_SQL)
+
+
+# --------------------------------------------------------------------------
 # Zipf power-law fit over token frequencies
 
 def _zipf_sql(dialect: str) -> str:

@@ -84,6 +84,30 @@ def test_partitioned_write_prunes_at_read(spark, tmp_path):
     assert df.count() == ev.filter(F.col("event_type") == "click").count()
 
 
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: when the partition filter lives on
+    the DIM side of a join (no static predicate on the fact), Spark
+    must still prune fact partitions at runtime via a DPP subquery —
+    the mechanism that makes star-schema joins viable on a partitioned
+    100 TB fact table. Static pruning is gated above; this is the
+    join-driven half."""
+    out = str(tmp_path / "events_fact")
+    ev = table(spark, SF_DIR, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 0.5)], "event_type string, weight double"
+    ).filter(F.col("weight") > 1.0)  # selects only 'click'
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, plan[:2000]
+    got = {r["event_type"]: r["count"] for r in joined.collect()}
+    exp = ev.filter(F.col("event_type") == "click").count()
+    assert got == {"click": exp}
+
+
 def test_hll_sketches_merge_like_partial_aggregates(spark):
     """DataSketches HLL (Spark ≥ 3.5): per-partition sketches merged
     with hll_union_agg must estimate the same cardinality as one
