@@ -252,6 +252,48 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_KS_SQL)
 
 
+_PSI_SQL = """
+WITH binned AS (
+  SELECT least(CAST(floor(value / 10) AS BIGINT), 9) AS bin,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_ref,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_cur
+  FROM events WHERE event_type IN ('click', 'view')),
+per_bin AS (
+  SELECT bin, CAST(sum(is_ref) AS BIGINT) AS r, CAST(sum(is_cur) AS BIGINT) AS c
+  FROM binned GROUP BY bin),
+tot AS (SELECT CAST(sum(r) AS BIGINT) AS nr, CAST(sum(c) AS BIGINT) AS nc FROM per_bin),
+terms AS (
+  SELECT bin,
+         (CAST(r AS DOUBLE) + 0.5) / (tot.nr + 5.0) AS p,
+         (CAST(c AS DOUBLE) + 0.5) / (tot.nc + 5.0) AS q
+  FROM per_bin CROSS JOIN tot)
+SELECT CAST(sum((p - q) * ln(p / q)) AS DOUBLE) AS psi,
+       CAST(count(*) AS BIGINT) AS n_bins
+FROM terms
+"""
+
+
+@query("stats_psi_drift", oracle=_PSI_SQL)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between a reference and a current
+    sample (clicks vs views) over fixed-width value bins — the
+    standard production drift alarm (rule of thumb: >0.2 = retrain),
+    complementing the exact-but-sort-based KS statistic with a purely
+    aggregation-shaped plan.
+
+    FIXED bins (width 10, clamped to 10 bins) rather than reference
+    quantiles: quantile edges would make the binning order-dependent;
+    fixed edges keep the whole query one combinable groupBy — at
+    100 TB this is a map-side-combine aggregation with a 10-row
+    reduce, no sort anywhere. Terms are deterministic doubles from
+    exact integer counts with Laplace +0.5 smoothing, so a bin empty
+    on one side contributes a finite, engine-identical term instead of
+    ln(0).
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_PSI_SQL)
+
+
 # --------------------------------------------------------------------------
 # Zipf power-law fit over token frequencies
 
