@@ -43,6 +43,10 @@ SMOKE_QUERIES = [
     "dedup_prefix_filter_join",
     # the newest registered family member (bucketed range search)
     "sim_range_search_lsh",
+    # round-4 additions: leakage-free windowed features + the
+    # association/drift stats family (ml_features.py)
+    "pipeline_point_in_time_features",
+    "stats_chi2_independence",
 ]
 
 _WORKER = r"""
