@@ -191,6 +191,7 @@ def main() -> None:
         spark,
         cache=CacheManager(spark, budget_bytes=8 << 30),
         source_views=source_view_map(SF_DIR),
+        enable_mrshare=False,  # isolated: the mrshare_* legs measure the merge
     )
     for n in WINDOW_SIZES:
         queries = shared_scan_queries(n)
@@ -239,6 +240,7 @@ def main() -> None:
             spark,
             cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
             source_views={big_src: "lineitem_big"},
+            enable_mrshare=False,  # isolated from the merge experiment
         )
         jobs = [QueryJob(job_id=base_id + i, sql=q) for i, q in enumerate(queries)]
         t0 = time.monotonic()
@@ -254,6 +256,7 @@ def main() -> None:
             spark,
             cache=CacheManager(spark, budget_bytes=8 << 30),
             source_views={big_src: "lineitem_big"},
+            enable_mrshare=False,  # isolated from the merge experiment
         )
         jobs = [QueryJob(job_id=base_id + i, sql=q) for i, q in enumerate(queries)]
         t0 = time.monotonic()
@@ -302,7 +305,10 @@ def main() -> None:
             if full_admission
             else CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40)
         )
-        ex = BatchExecutor(spark, cache=cache, source_views={pq_dir: "lineitem_bigp"})
+        ex = BatchExecutor(
+            spark, cache=cache, source_views={pq_dir: "lineitem_bigp"},
+            enable_mrshare=False,  # isolated from the merge experiment
+        )
         jobs = [QueryJob(job_id=base_id + i, sql=q) for i, q in enumerate(pq_queries)]
         t0 = time.monotonic()
         bags = ex.run_batch(jobs)

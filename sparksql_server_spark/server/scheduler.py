@@ -43,16 +43,24 @@ class BatchExecutor:
         source_views: dict[str, str] | None = None,
         enable_mrshare: bool = True,
         mrshare_max_grouping_sets: int = 4,
+        mrshare_min_bytes: int = 64 << 20,
     ) -> None:
         self.spark = spark
         self.cache = cache or CacheManager(spark)
         self.max_concurrency = max_concurrency
         # MRShare-style aggregation merging (server/mrshare.py ≙ B8).
-        # Same-signature merges are unconditional wins (one scan + one
-        # shuffle replaces N of each); cross-signature merges are
-        # bounded by the Expand-inflation cap below (≙ MRShareCM GAIN).
+        # Same-signature merges replace N scans + N shuffles with one
+        # of each; cross-signature merges are bounded by the
+        # Expand-inflation cap below (≙ MRShareCM GAIN). The byte floor
+        # is the merge's admission control (measured: merging 19 MB
+        # parquet scans made a 2-query batch ~2x SLOWER — the blocking
+        # materialize + demux round-trips are a fixed cost only an
+        # expensive shared scan repays; same floor philosophy as
+        # CacheManager.min_bytes, and the modern form of the lesson in
+        # the reference's own MRShare evaluation).
         self.enable_mrshare = enable_mrshare
         self.mrshare_max_grouping_sets = mrshare_max_grouping_sets
+        self.mrshare_min_bytes = mrshare_min_bytes
         # source fingerprint (table root dir) -> registered view name
         self.source_views = dict(source_views or {})
         # job-group namespace unique to THIS executor: job ids restart
@@ -147,6 +155,8 @@ class BatchExecutor:
                     [j for j in bag.jobs if j.status is JobStatus.QUEUED],
                     max_grouping_sets=self.mrshare_max_grouping_sets,
                 ):
+                    if self._merge_source_bytes(mp) < self.mrshare_min_bytes:
+                        continue  # scan too cheap to repay merge overhead
                     if self._materialize_merge(mp):
                         merges.append(mp)
                         bag.merges.append(mp)
@@ -179,6 +189,18 @@ class BatchExecutor:
         return bags
 
     # -- MRShare merge (B8) ----------------------------------------------
+
+    def _merge_source_bytes(self, mp: MergePlan) -> int:
+        """On-disk size of the scan the merge would share: the member
+        jobs' common plan-leaf fingerprint (single-table aggregations
+        have exactly one). 0 when unknown — unknown declines."""
+        from sparksql_server_spark.server.cache import _dir_bytes
+
+        sets = [set(j.fingerprints) for j in mp.jobs if j.fingerprints]
+        if not sets:
+            return 0
+        common = set.intersection(*sets)
+        return max((_dir_bytes(s) for s in common), default=0)
 
     def _materialize_merge(self, mp: MergePlan) -> bool:
         """Run the merged aggregate ONCE (the shared pass), persist the

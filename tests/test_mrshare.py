@@ -147,6 +147,10 @@ def executor(spark):
         spark,
         cache=CacheManager(spark, budget_bytes=1 << 30),
         source_views=source_view_map(SF_DIR),
+        # sf0.001 tables sit under the production 64 MiB merge floor;
+        # tests exercise the merge machinery itself (admission has its
+        # own gate below)
+        mrshare_min_bytes=0,
     )
     yield ex
     ex.cache.clear()
@@ -260,6 +264,7 @@ def test_grouping_sets_bound_declines(spark):
         cache=CacheManager(spark, budget_bytes=1 << 30),
         source_views=source_view_map(SF_DIR),
         mrshare_max_grouping_sets=4,
+        mrshare_min_bytes=0,  # isolate the grouping-sets bound from size admission
     )
     cols = ["o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey", "o_orderkey"]
     sqls = [
@@ -332,6 +337,24 @@ def test_merged_relation_released_after_batch(spark, executor):
     # and the temp view is gone
     views = {t.name for t in spark.catalog.listTables() if t.tableType == "TEMPORARY"}
     assert not any(v.startswith("mrshare_") for v in views)
+
+
+def test_small_scans_not_merged_by_default(spark):
+    """Production admission: merging tiny scans LOSES (the blocking
+    materialize + demux round-trips are a fixed cost — measured ~2x
+    slower on a 19 MB parquet batch), so the default byte floor must
+    decline sf0.001 tables, leaving the jobs on the normal path."""
+    register_tables(spark, SF_DIR)
+    ex = BatchExecutor(
+        spark,
+        cache=CacheManager(spark, budget_bytes=1 << 30),
+        source_views=source_view_map(SF_DIR),  # default mrshare_min_bytes
+    )
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(SAME_SIG[:2])]
+    bags = ex.run_batch(jobs)
+    assert all(not b.merges for b in bags)
+    for job in jobs:
+        assert job.status is JobStatus.DONE and "rewritten_sql" not in job.props
 
 
 def test_disabled_flag_runs_unmerged(spark):
