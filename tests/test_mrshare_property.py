@@ -1,0 +1,109 @@
+"""Generative gate for the MRShare merge transformation.
+
+The merge rewrite is engine-agnostic SQL -> SQL, so its semantics can
+be property-checked WITHOUT a JVM: run the original queries on DuckDB,
+run the merged SQL + per-job demux on DuckDB, compare. Hypothesis
+drives the query shapes (key subsets, predicate pools, aggregate pools,
+aliasing) far past what the hand-written cases in test_mrshare.py
+cover. Same-signature merges only — grouping_id() bit order is a
+Spark-specific pin (tests/test_mrshare.py covers it end-to-end).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparksql_server_spark.server.model import QueryJob
+from sparksql_server_spark.server.mrshare import parse_agg_query, plan_merges
+
+SF_DIR = "/root/testdata/sf0.001"
+
+KEYS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+PREDS = [
+    None,
+    "l_discount > 0.02",
+    "l_quantity >= 25",
+    "l_tax < 0.05 AND l_discount > 0.01",
+    "l_quantity < -1",  # matches nothing: exercises presence counters
+    "l_returnflag = 'A' OR l_linenumber = 1",
+]
+AGGS = [
+    "count(*)",
+    "sum(l_quantity)",
+    "min(l_shipdate)",
+    "max(l_extendedprice)",
+    "avg(l_discount)",
+    "count(DISTINCT l_suppkey)",
+    "sum(l_extendedprice * (1 - l_discount))",
+    "CAST(sum(l_tax) AS DOUBLE) / count(*)",
+]
+
+
+@st.composite
+def agg_query(draw, keys):
+    n_aggs = draw(st.integers(1, 3))
+    aggs = draw(
+        st.lists(st.sampled_from(AGGS), min_size=n_aggs, max_size=n_aggs, unique=True)
+    )
+    pred = draw(st.sampled_from(PREDS))
+    sel_keys = ", ".join(keys)
+    sel_aggs = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+    where = f" WHERE {pred}" if pred else ""
+    return (
+        f"SELECT {sel_keys}, {sel_aggs} FROM lineitem{where} "
+        f"GROUP BY {', '.join(keys)}"
+    )
+
+
+@st.composite
+def merge_batch(draw):
+    keys = draw(
+        st.lists(st.sampled_from(KEYS), min_size=1, max_size=2, unique=True)
+    )
+    n = draw(st.integers(2, 4))
+    return [draw(agg_query(keys)) for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def duck_li():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    yield con
+    con.close()
+
+
+def _rows(con, sql):
+    out = []
+    for row in con.sql(sql).fetchall():
+        norm = tuple(
+            round(v, 6) if isinstance(v, float) else v for v in row
+        )
+        out.append(norm)
+    return sorted(out, key=repr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(batch=merge_batch())
+def test_merged_demux_equals_direct_on_duckdb(duck_li, batch):
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(batch)]
+    for j in jobs:  # all generated shapes must be parseable...
+        assert parse_agg_query(j.sql) is not None, j.sql
+    plans = plan_merges(jobs, max_distinct_aggs=10)
+    # ...and same-signature batches must merge into ONE plan
+    assert len(plans) == 1 and len(plans[0].jobs) == len(jobs)
+    mp = plans[0]
+    duck_li.execute(f"CREATE OR REPLACE TEMP VIEW {mp.view} AS {mp.merged_sql}")
+    try:
+        for job in jobs:
+            direct = _rows(duck_li, job.sql)
+            merged = _rows(duck_li, mp.demux_sql[job.job_id])
+            assert merged == direct, (
+                f"divergence for {job.sql!r}\n merged sql: {mp.merged_sql}"
+            )
+    finally:
+        duck_li.execute(f"DROP VIEW IF EXISTS {mp.view}")
