@@ -71,6 +71,17 @@ class BatchExecutor:
         import uuid
 
         self._group_ns = uuid.uuid4().hex[:8]
+        # running decision counters (the reference logged its optimizer
+        # decisions per batch; this is the queryable form — see the
+        # gateway's {"server_stats": true} request)
+        self.stats: dict[str, int] = {
+            "batches": 0,
+            "jobs_run": 0,
+            "jobs_failed": 0,
+            "caching_bags": 0,
+            "mrshare_merged_jobs": 0,
+            "mrshare_plans": 0,
+        }
 
     # -- analysis ---------------------------------------------------------
 
@@ -138,6 +149,7 @@ class BatchExecutor:
                 except Exception as exc:  # analysis error = job error
                     job.status = JobStatus.ERROR
                     job.error = f"{type(exc).__name__}: {exc}"
+                    self.stats["jobs_failed"] += 1
                     job.done_event.set()
 
         bags = detect_sharing([j for j in jobs if j.status is JobStatus.QUEUED])
@@ -166,6 +178,14 @@ class BatchExecutor:
             self._apply_caching_rewrite(bag, exclude=merged_ids)
             if bag.merges and bag.rewrite is RewriteKind.NOOP:
                 bag.rewrite = RewriteKind.MRSHARE
+
+        self.stats["batches"] += 1
+        self.stats["jobs_run"] += len(jobs)
+        self.stats["caching_bags"] += sum(
+            1 for b in bags if b.rewrite is RewriteKind.CACHING
+        )
+        self.stats["mrshare_plans"] += len(merges)
+        self.stats["mrshare_merged_jobs"] += len(merged_ids)
 
         # cache-first ordering (≙ FIFOStrategy.scala:64-77) happens inside
         # _apply_caching_rewrite: ensure_cached materializes the shared
@@ -367,6 +387,7 @@ class BatchExecutor:
         except Exception as exc:
             job.status = JobStatus.ERROR
             job.error = f"{type(exc).__name__}: {exc}"
+            self.stats["jobs_failed"] += 1
         finally:
             job.elapsed = time.monotonic() - start
             sc.setLocalProperty("spark.scheduler.pool", None)

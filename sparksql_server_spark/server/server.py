@@ -20,6 +20,13 @@ DAGListener.scala:104):
     request : {"cancel": id}    (cancel a queued or running job)
     response: {"id": N, "cancelled": true|false}
 
+    request : {"server_stats": true}   (optimizer-decision counters —
+              the queryable form of the reference's per-batch logging)
+    response: {"status": "done", "stats": {"batches": N, "jobs_run": N,
+               "jobs_failed": N, "caching_bags": N, "mrshare_plans": N,
+               "mrshare_merged_jobs": N, "cached_sources": [...],
+               "queued": N}}
+
 ``session`` names an isolated client session (temp views and SQL conf
 private; created on first use via ``spark.newSession()`` over the ONE
 shared SparkContext). The reference isolated clients by jar +
@@ -191,6 +198,11 @@ class WorkSharingServer:
             if job is None:
                 return {"status": "error", "error": "unknown job id"}
             return {"id": job.job_id, "cancelled": self.executor.cancel(job)}
+        if req.get("server_stats"):
+            stats = dict(self.executor.stats)
+            stats["cached_sources"] = sorted(self.executor.cache.cached_sources)
+            stats["queued"] = len(self.batcher)
+            return {"status": "done", "stats": stats}
         sql = req.get("sql")
         if not isinstance(sql, str) or not sql.strip():
             return {"status": "error", "error": "missing 'sql'"}

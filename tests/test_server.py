@@ -255,6 +255,22 @@ class TestServerTCP:
         reply = client_request(server.address, {"sql": "SELECT broken FROM nowhere"})
         assert reply["status"] == "error" and "nowhere" in reply["error"]
 
+    def test_server_stats_counters(self, server):
+        """{"server_stats": true} exposes the optimizer-decision
+        counters (the reference's per-batch log lines, queryable)."""
+        before = client_request(server.address, {"server_stats": True})
+        assert before["status"] == "done"
+        client_request(server.address, {"sql": "SELECT count(*) AS n FROM region"})
+        client_request(server.address, {"sql": "SELECT broken FROM nowhere"})
+        after = client_request(server.address, {"server_stats": True})["stats"]
+        assert after["jobs_run"] >= before["stats"]["jobs_run"] + 2
+        assert after["jobs_failed"] >= before["stats"]["jobs_failed"] + 1
+        assert after["batches"] > before["stats"]["batches"]
+        for key in ("caching_bags", "mrshare_plans", "mrshare_merged_jobs"):
+            assert key in after
+        assert isinstance(after["cached_sources"], list)
+        assert isinstance(after["queued"], int)
+
     def test_udf_through_gateway(self, server):
         """The vetted UDF surface is callable through the gateway."""
         reply = client_request(
