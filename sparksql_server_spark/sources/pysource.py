@@ -1,0 +1,138 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``) — a
+deterministic synthetic-events generator, batch and streaming.
+
+Reference parity: the reference's clients fabricated their own inputs
+(WordCount text, `people.txt` fixtures — SimpleAppClient/examples/…);
+the modern engine-side equivalent is a first-class pluggable source.
+This one exists for scale/soak testing the server without touching
+disk: N rows across P partitions, generated EXECUTOR-SIDE (each
+partition derives its rows from (seed, partition_id) — the driver
+ships only the tiny partition descriptors, nothing is materialized
+driver-side, and a 10^12-row load is as cheap to plan as a 10^3-row
+one).
+
+Determinism: a splitmix64-style mix of (seed, global row index) drives
+every column, so two reads with the same options are identical — the
+property the tests pin. No wall clock, no RNG state.
+
+Usage::
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (spark.read.format("synthetic_events")
+          .option("n_rows", 100000).option("n_partitions", 8)
+          .option("seed", 7).load())
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_EVENT_TYPES = ("view", "click", "purchase", "error", "signup")
+
+_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+_MASK = (1 << 64) - 1
+
+
+def _mix(seed: int, i: int) -> int:
+    """splitmix64 finalizer over (seed, index) — deterministic,
+    stateless, cheap; quality is ample for synthetic load data."""
+    z = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & _MASK
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK
+    return z ^ (z >> 31)
+
+
+def _row(seed: int, i: int):
+    h = _mix(seed, i)
+    return (
+        i,
+        h % 1000,  # user_id
+        _EVENT_TYPES[(h >> 10) % len(_EVENT_TYPES)],
+        ((h >> 16) % 100_000) / 1000.0,  # value in [0, 100)
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int, seed: int) -> None:
+        self.start = start
+        self.end = end
+        self.seed = seed
+
+
+class _SyntheticReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_partitions = max(1, int(options.get("n_partitions", 4)))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        # contiguous row-index ranges: partition count is the read
+        # parallelism, descriptors are 3 ints each — the whole plan
+        # costs O(P) driver memory regardless of n_rows
+        step = -(-self.n_rows // self.n_partitions)
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows), self.seed)
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _row(partition.seed, i)
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch form: each batch appends ``rows_per_batch`` rows,
+    offset = next global row index (exactly-once replay: a batch is
+    re-derived from its (start, end) offsets alone)."""
+
+    def __init__(self, options) -> None:
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def read(self, start):
+        lo = start["index"]
+        hi = lo + self.rows_per_batch
+        return iter([_row(self.seed, i) for i in range(lo, hi)]), {"index": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(self.seed, i) for i in range(start["index"], end["index"])])
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``format("synthetic_events")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> StructType:
+        return _SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SyntheticStreamReader(self.options)
