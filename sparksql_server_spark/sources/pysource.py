@@ -28,8 +28,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -136,3 +138,82 @@ class SyntheticEventsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _SyntheticStreamReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# custom sink: JSONL directory writer with the task-commit protocol
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_file: str, n_rows: int) -> None:
+        self.tmp_file = tmp_file
+        self.n_rows = n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Per-task: write a part file into ``<path>/_tmp`` and report it.
+    Driver commit: move reported parts into place + ``_SUCCESS``;
+    abort: drop the temp dir. A failed/straggler task's orphan temp
+    file is never promoted — the two-phase commit that makes a sink
+    exactly-once per job at any task count (speculative re-runs
+    included: only the SUCCESSFUL attempt's message reaches commit)."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json as _json
+        import os
+        import uuid
+
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp_file = os.path.join(tmp_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp_file, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(tmp_file, n)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        for m in messages:
+            final = os.path.join(self.path, os.path.basename(m.tmp_file))
+            os.replace(m.tmp_file, final)
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+        # never leave a half-committed marker
+        try:
+            os.remove(os.path.join(self.path, "_SUCCESS"))
+        except FileNotFoundError:
+            pass
+
+
+class JsonlDirDataSource(DataSource):
+    """``format("jsonl_dir")`` — local-filesystem JSONL sink
+    demonstrating the Python writer commit protocol. (Local paths
+    only — a cluster deployment would target shared storage; the
+    commit structure is identical.)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def schema(self) -> StructType:
+        return _SCHEMA  # sink: schema comes from the written DataFrame
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(self.options, overwrite)

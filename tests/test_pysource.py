@@ -7,12 +7,16 @@ import time
 
 import pytest
 
-from sparksql_server_spark.sources.pysource import SyntheticEventsDataSource
+from sparksql_server_spark.sources.pysource import (
+    JsonlDirDataSource,
+    SyntheticEventsDataSource,
+)
 
 
 @pytest.fixture(scope="module")
 def registered(spark):
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlDirDataSource)
     return spark
 
 
@@ -46,6 +50,41 @@ def test_uneven_partition_split_covers_every_row(registered):
     df = _load(registered, n_rows=1003, n_partitions=4, seed=1)
     assert df.count() == 1003
     assert df.select("event_id").distinct().count() == 1003
+
+
+def test_jsonl_sink_commit_protocol(registered, tmp_path):
+    """Writer half: part files land via two-phase commit — _SUCCESS
+    present, no _tmp remnant, and a read-back equals the input."""
+    import os
+
+    out = str(tmp_path / "jsonl_out")
+    df = _load(registered, n_rows=500, n_partitions=4, seed=3)
+    df.write.format("jsonl_dir").mode("append").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_tmp"))
+    back = registered.read.schema(df.schema).json(
+        os.path.join(out, "part-*.jsonl")
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_jsonl_sink_abort_leaves_no_success_marker(registered, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "jsonl_fail")
+    df = _load(registered, n_rows=100, n_partitions=2, seed=3).withColumn(
+        "value",
+        F.when(F.col("event_id") < 50, F.col("value")).otherwise(
+            F.expr("CAST(raise_error('boom') AS DOUBLE)")
+        ),
+    )
+    with pytest.raises(Exception, match="boom"):
+        df.write.format("jsonl_dir").mode("append").save(out)
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
 
 
 def test_stream_reader_appends_deterministic_batches(registered):
