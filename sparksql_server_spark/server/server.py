@@ -20,6 +20,10 @@ DAGListener.scala:104):
     request : {"cancel": id}    (cancel a queued or running job)
     response: {"id": N, "cancelled": true|false}
 
+    A repeat of identical deterministic query text (same session) with a
+    complete inline result is served from the gateway's result cache
+    ("cached": true in the reply); any command flushes that cache.
+
     request : {"server_stats": true}   (optimizer-decision counters —
               the queryable form of the reference's per-batch logging)
     response: {"status": "done", "stats": {"batches": N, "jobs_run": N,
@@ -55,6 +59,7 @@ from sparksql_server_spark.functions.udfs import register_udfs, register_udtfs
 from sparksql_server_spark.server.batcher import WindowBatcher
 from sparksql_server_spark.server.cache import CacheManager
 from sparksql_server_spark.server.model import QueryJob
+from sparksql_server_spark.server.results import ResultCache, cacheable_sql
 from sparksql_server_spark.server.scheduler import BatchExecutor
 
 import os
@@ -77,6 +82,8 @@ class WorkSharingServer:
         window_size: int = 2,
         max_wait: float = 1.0,
         cache_budget_bytes: int = 4 << 30,
+        result_cache_ttl: float = 300.0,
+        result_cache_entries: int = 256,
     ) -> None:
         self.spark = spark
         register_tables(spark, sf_dir)
@@ -87,6 +94,11 @@ class WorkSharingServer:
             spark,
             cache=CacheManager(spark, budget_bytes=cache_budget_bytes),
             source_views=source_view_map(sf_dir),
+        )
+        # results served straight from the gateway for repeat query
+        # text (server/results.py); 0 entries disables it
+        self.results = ResultCache(
+            max_entries=result_cache_entries, ttl_seconds=result_cache_ttl
         )
         self._next_id = 0
         self._id_lock = threading.Lock()
@@ -141,6 +153,12 @@ class WorkSharingServer:
                 continue
             try:
                 self.executor.run_batch(batch)
+                # a command anywhere in the batch (empty fingerprint
+                # set = not a plan-producing query) may have changed
+                # table state: flush served results regardless of the
+                # client's wait mode
+                if any(not j.fingerprints for j in batch):
+                    self.results.invalidate_all()
             except Exception as exc:  # noqa: BLE001 — loop must survive
                 # run_batch guards per-job analyze/execute, but a fault
                 # in detection or the cache rewrite would otherwise kill
@@ -202,6 +220,7 @@ class WorkSharingServer:
             stats = dict(self.executor.stats)
             stats["cached_sources"] = sorted(self.executor.cache.cached_sources)
             stats["queued"] = len(self.batcher)
+            stats.update(self.results.stats())
             return {"status": "done", "stats": stats}
         sql = req.get("sql")
         if not isinstance(sql, str) or not sql.strip():
@@ -228,10 +247,38 @@ class WorkSharingServer:
         props = dict(req.get("props") or {})
         if "output" in req:
             props["output"] = req["output"]
+
+        # result cache (server/results.py): repeat deterministic query
+        # text with inline results is served from the gateway; any
+        # command conservatively flushes the whole cache after running
+        is_query = self.executor._is_query(sql)
+        rc_key = None
+        if (
+            is_query
+            and "output" not in props
+            and req.get("wait", True)
+            and cacheable_sql(sql)
+        ):
+            rc_key = ResultCache.key(req.get("session"), sql)
+            cached = self.results.get(rc_key)
+            if cached is not None:
+                cached["cached"] = True
+                return cached
+
         job = self.submit(sql, props, session=None if session is self.spark else session)
         if req.get("wait", True):
             job.done_event.wait()
-            return job.result()
+            result = job.result()
+            if not is_query:
+                self.results.invalidate_all()
+            elif (
+                rc_key is not None
+                and job.status.value == "done"
+                and job.rows is not None
+                and not job.props.get("truncated")
+            ):
+                self.results.put(rc_key, result)
+            return result
         return {"id": job.job_id, "status": job.status.value}
 
 

@@ -1,0 +1,97 @@
+"""Gateway result cache (server/results.py): hit/miss semantics,
+command invalidation, session isolation, non-determinism guard."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from sparksql_server_spark.server import WorkSharingServer, client_request
+from sparksql_server_spark.server.results import ResultCache, cacheable_sql
+from tests.conftest import SF_DIR
+
+Q = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
+
+# -- unit: the cacheability guard ------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sql,ok",
+    [
+        (Q, True),
+        ("SELECT rand() AS x", False),
+        ("SELECT current_timestamp", False),
+        ("SELECT current_date AS d", False),
+        ("SELECT uuid() AS u FROM region", False),
+        ("SELECT monotonically_increasing_id() FROM region", False),
+        ("SELECT 'randomness' AS s FROM region", True),  # word inside a literal-ish ident is fine
+    ],
+)
+def test_cacheable_sql(sql, ok):
+    assert cacheable_sql(sql) is ok
+
+
+def test_lru_and_ttl():
+    rc = ResultCache(max_entries=2, ttl_seconds=0.2)
+    k1, k2, k3 = (ResultCache.key(None, s) for s in ("a", "b", "c"))
+    rc.put(k1, {"v": 1})
+    rc.put(k2, {"v": 2})
+    rc.put(k3, {"v": 3})  # evicts k1 (LRU bound 2)
+    assert rc.get(k1) is None and rc.get(k2) == {"v": 2}
+    time.sleep(0.25)
+    assert rc.get(k2) is None  # expired
+
+
+# -- through the gateway ---------------------------------------------------
+
+
+@pytest.fixture()
+def server(spark):
+    srv = WorkSharingServer(spark, SF_DIR, window_size=2, max_wait=0.2).start()
+    yield srv
+    srv.shutdown()
+    srv.executor.cache.clear()
+
+
+def test_repeat_query_served_from_cache(server):
+    first = client_request(server.address, {"sql": Q})
+    assert first["status"] == "done" and "cached" not in first
+    second = client_request(server.address, {"sql": Q})
+    assert second["status"] == "done" and second.get("cached") is True
+    assert second["rows"] == first["rows"] and second["columns"] == first["columns"]
+    stats = client_request(server.address, {"server_stats": True})["stats"]
+    assert stats["result_cache_hits"] >= 1
+
+
+def test_command_invalidates_cache(server, tmp_path):
+    client_request(server.address, {"sql": Q})
+    assert client_request(server.address, {"sql": Q}).get("cached") is True
+    # any command flushes (conservative whole-cache invalidation)
+    out = str(tmp_path / "t_inval")
+    reply = client_request(
+        server.address,
+        {"sql": f"CREATE TABLE rc_inval USING parquet LOCATION '{out}' AS SELECT * FROM region"},
+    )
+    assert reply["status"] == "done", reply
+    try:
+        refreshed = client_request(server.address, {"sql": Q})
+        assert "cached" not in refreshed and refreshed["status"] == "done"
+    finally:
+        client_request(server.address, {"sql": "DROP TABLE IF EXISTS rc_inval"})
+
+
+def test_sessions_do_not_share_results(server):
+    a = client_request(server.address, {"sql": Q, "session": "alice"})
+    b = client_request(server.address, {"sql": Q, "session": "bob"})
+    assert "cached" not in a and "cached" not in b  # distinct cache keys
+    a2 = client_request(server.address, {"sql": Q, "session": "alice"})
+    assert a2.get("cached") is True
+
+
+def test_nondeterministic_query_not_cached(server):
+    sql = "SELECT count(*) AS n FROM region WHERE rand() >= 0"
+    client_request(server.address, {"sql": sql})
+    again = client_request(server.address, {"sql": sql})
+    assert "cached" not in again
