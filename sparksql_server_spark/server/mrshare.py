@@ -265,34 +265,43 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
     if m_d:
         return None
     m_from = _find_top(s, "from", depth, instr)
-    m_group = _find_top(s, "group", depth, instr)
-    if m_from is None or m_group is None:
+    if m_from is None:
         return None
-    if not re.match(r"group\s+by\b", low[m_group.start():]):
+    m_group = _find_top(s, "group", depth, instr)
+    if m_group is not None and not re.match(r"group\s+by\b", low[m_group.start():]):
         return None
     m_where = _find_top(s, "where", depth, instr)
 
     select_list = s[len("select"): m_from.start()]
-    table_end = m_where.start() if m_where else m_group.start()
+    table_end = (
+        m_where.start()
+        if m_where
+        else (m_group.start() if m_group else len(s))
+    )
     table = s[m_from.end(): table_end].strip()
     if not _SIMPLE_IDENT.match(table):
         return None
     where = None
     if m_where:
-        where = s[m_where.end(): m_group.start()].strip()
+        where_end = m_group.start() if m_group else len(s)
+        where = s[m_where.end(): where_end].strip()
         if not where or re.search(r"\bselect\b", where, re.I):
             return None  # subquery in predicate — decline
-    group_text = re.sub(r"^group\s+by\s*", "", s[m_group.start():], flags=re.I)
-    if re.match(r"(all|grouping|rollup|cube)\b", group_text.strip(), re.I):
-        return None
-    group_raw_list = _split_top(group_text)
-    if not group_raw_list:
-        return None
     group_raw: dict[str, str] = {}
-    for g in group_raw_list:
-        if re.fullmatch(r"\d+", g):  # ordinal GROUP BY — decline
+    if m_group is not None:
+        group_text = re.sub(r"^group\s+by\s*", "", s[m_group.start():], flags=re.I)
+        if re.match(r"(all|grouping|rollup|cube)\b", group_text.strip(), re.I):
             return None
-        group_raw.setdefault(_canon(g), g)
+        group_raw_list = _split_top(group_text)
+        if not group_raw_list:
+            return None
+        for g in group_raw_list:
+            if re.fullmatch(r"\d+", g):  # ordinal GROUP BY — decline
+                return None
+            group_raw.setdefault(_canon(g), g)
+    # no GROUP BY = global aggregation (GROUP BY ()): group_canon is
+    # the empty tuple; the query must then be pure aggregates (checked
+    # below — any non-agg item fails the key/agg classification)
     group_canon = tuple(sorted(group_raw))
 
     parsed = ParsedAgg(
@@ -410,7 +419,12 @@ def _build_merge(
                 if c not in p.group_canon
             )
             conds.append(f"__gid = {gid}")
-        if p.where is not None:
+        # presence counter: a grouped query's result contains a group
+        # only if >=1 row matched its predicate. A GLOBAL aggregate
+        # (empty signature) always returns exactly one row — count=0 /
+        # NULL aggregates, never a missing row — so it must NOT be
+        # presence-filtered.
+        if p.where is not None and p.group_canon:
             sel.append(f"count(CASE WHEN ({p.where}) THEN 1 END) AS __m{i}_has")
             conds.append(f"__m{i}_has > 0")
         out_items: list[str] = []
@@ -433,7 +447,10 @@ def _build_merge(
         group_clause = f"GROUP BY GROUPING SETS ({sets_sql})"
         n_sets = len(sets_list)
     else:
-        group_clause = "GROUP BY " + ", ".join(raw_of[c] for c in ordered)
+        # empty ordered = merged GLOBAL aggregation: no GROUP BY at all
+        group_clause = (
+            "GROUP BY " + ", ".join(raw_of[c] for c in ordered) if ordered else ""
+        )
         n_sets = 1
 
     view = f"mrshare_{uuid.uuid4().hex[:10]}"

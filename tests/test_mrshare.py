@@ -118,14 +118,25 @@ def test_parse_expression_key_and_case_folding():
         "SELECT substr(l_shipmode,1,2), count(*) AS n FROM lineitem GROUP BY substr(l_shipmode,1,2)",
         # non-key non-agg select item
         "SELECT l_returnflag, l_tax, count(*) AS n FROM lineitem GROUP BY l_returnflag",
-        # no GROUP BY at all
-        "SELECT count(*) AS n FROM lineitem",
+        # no GROUP BY and a bare (non-aggregate) column
+        "SELECT l_returnflag FROM lineitem",
         # commands
         "CACHE TABLE lineitem",
     ],
 )
 def test_parse_declines(sql):
     assert parse_agg_query(sql) is None
+
+
+def test_parse_global_aggregate():
+    """No GROUP BY = global aggregation (GROUP BY ()): pure-aggregate
+    selects parse with an empty signature — round-4 extension."""
+    p = parse_agg_query(
+        "SELECT count(*) AS n, sum(l_quantity) AS q FROM lineitem"
+        " WHERE l_discount > 0.02"
+    )
+    assert p is not None and p.group_canon == ()
+    assert all(it[0] == "agg" for it in p.items)
 
 
 def test_keyword_inside_string_literal_is_not_structural():
@@ -234,6 +245,33 @@ def test_predicate_matching_nothing_yields_empty_result(spark, executor):
     ]
     jobs, _ = _run_and_compare(spark, executor, sqls, {0, 1})
     assert jobs[0].rows == [] and len(jobs[1].rows) > 0
+
+
+GLOBALS = [
+    "SELECT count(*) AS n, max(l_extendedprice) AS mx FROM lineitem WHERE l_discount > 0.03",
+    "SELECT sum(l_quantity) AS q FROM lineitem WHERE l_linenumber = 2",
+    # matches nothing: must STILL return exactly one row (count=0, NULL sum)
+    "SELECT count(*) AS n, sum(l_tax) AS t FROM lineitem WHERE l_quantity < -5",
+    "SELECT avg(l_extendedprice) AS a FROM lineitem",
+]
+
+
+def test_global_aggregates_merge_matches_independent(spark, executor):
+    jobs, bags = _run_and_compare(spark, executor, GLOBALS, {0, 1, 2, 3})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.merges[0].grouping_sets == 1
+    # the match-nothing job returned its one row, not zero rows
+    assert len(jobs[2].rows) == 1 and jobs[2].rows[0][0] == 0
+
+
+def test_global_and_grouped_mix_via_grouping_sets(spark, executor):
+    sqls = [
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > 1000",
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.merges[0].grouping_sets == 2  # () and (o_orderstatus)
 
 
 GROUPING_SETS = [

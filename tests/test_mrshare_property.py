@@ -49,19 +49,17 @@ def agg_query(draw, keys):
         st.lists(st.sampled_from(AGGS), min_size=n_aggs, max_size=n_aggs, unique=True)
     )
     pred = draw(st.sampled_from(PREDS))
-    sel_keys = ", ".join(keys)
     sel_aggs = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+    sel = ", ".join(keys + [sel_aggs]) if keys else sel_aggs
     where = f" WHERE {pred}" if pred else ""
-    return (
-        f"SELECT {sel_keys}, {sel_aggs} FROM lineitem{where} "
-        f"GROUP BY {', '.join(keys)}"
-    )
+    group = f" GROUP BY {', '.join(keys)}" if keys else ""  # [] = global agg
+    return f"SELECT {sel} FROM lineitem{where}{group}"
 
 
 @st.composite
 def merge_batch(draw):
     keys = draw(
-        st.lists(st.sampled_from(KEYS), min_size=1, max_size=2, unique=True)
+        st.lists(st.sampled_from(KEYS), min_size=0, max_size=2, unique=True)
     )
     n = draw(st.integers(2, 4))
     return [draw(agg_query(keys)) for _ in range(n)]
