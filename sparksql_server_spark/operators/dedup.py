@@ -676,3 +676,78 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (matched-pairs-sized) result while sh/pref are
     # cached, then drop both — no scoped block survives the return
     return scope.finish(result, "dedup_ppjoin").orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration: estimated vs exact Jaccard on LSH candidates
+# ---------------------------------------------------------------------------
+
+
+def _mh_calibration_sql(dialect: str) -> str:
+    """Sketch-quality audit: for every LSH candidate pair, the
+    K=16-component MinHash Jaccard estimate vs the EXACT shingle-set
+    Jaccard — measure the sketch, don't trust it."""
+    if dialect == "spark":
+        words, shing, chash = spark_words("text"), spark_shingles("w"), spark_char_hash("shingle")
+        explode = f"FROM w LATERAL VIEW explode({shing}) t AS shingle"
+        bands = f"SELECT doc_id, band, band_sig FROM mh LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig"
+    else:
+        words, chash = duck_words("text"), duck_char_hash("shingle")
+        explode = f"FROM (SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)"
+        bands = _DUCK_BANDS
+    eq_terms = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(_MH_K)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle {explode}),
+h AS (SELECT doc_id, {chash} AS h FROM sh),
+mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
+bs AS ({bands}),
+pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bs a JOIN bs b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id),
+est AS (SELECT p.d1, p.d2, ({eq_terms}) / {_MH_K}.0 AS est_j
+        FROM pairs p
+        JOIN mh a ON a.doc_id = p.d1
+        JOIN mh b ON b.doc_id = p.d2),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT p.d1, p.d2, CAST(count(*) AS BIGINT) AS ni
+          FROM pairs p
+          JOIN sh s1 ON s1.doc_id = p.d1
+          JOIN sh s2 ON s2.doc_id = p.d2 AND s2.shingle = s1.shingle
+          GROUP BY p.d1, p.d2),
+scored AS (
+  SELECT e.d1, e.d2, e.est_j,
+         CAST(coalesce(i.ni, 0) AS DOUBLE)
+           / (sa.n + sb.n - coalesce(i.ni, 0)) AS exact_j
+  FROM est e
+  LEFT JOIN inter i ON i.d1 = e.d1 AND i.d2 = e.d2
+  JOIN sizes sa ON sa.doc_id = e.d1
+  JOIN sizes sb ON sb.doc_id = e.d2)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(avg(abs(est_j - exact_j)) AS DOUBLE) AS mean_abs_err,
+       CAST(max(abs(est_j - exact_j)) AS DOUBLE) AS max_abs_err,
+       CAST(avg(exact_j) AS DOUBLE) AS mean_exact_j
+FROM scored
+"""
+
+
+@query("dedup_minhash_calibration", oracle=_mh_calibration_sql("duck"))
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash pipeline: on every LSH
+    candidate pair, compare the 16-component signature estimate to the
+    exact shingle-set Jaccard (mean/max absolute error). The number
+    that tells you whether K=16 suffices for your dedup threshold
+    BEFORE you trust it on 100 TB.
+
+    Scale: candidates come from the banded join (Σ bucket², never
+    all-pairs); the exact-Jaccard verification joins shingles only for
+    candidate pairs (candidate-bounded, the PPJoin verification
+    pattern); signatures join by doc_id. Float determinism: est_j is
+    an exact multiple of 1/16, exact_j one double division of exact
+    BIGINTs; only the final avg is order-sensitive in its last ulps.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_mh_calibration_sql("spark"))

@@ -385,3 +385,32 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rfm"),
     ).orderBy("user_id")
+
+
+_WINDOW_DEDUP_SQL = """
+WITH ranked AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_id, user_id, event_type
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+@query("events_window_dedup_first", oracle=_WINDOW_DEDUP_SQL)
+def events_window_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed dedup: keep the FIRST event per (user, type, hour) —
+    the batch twin of streaming `dropDuplicatesWithinWatermark`
+    (tests/test_streaming_sources.py covers the stream form): repeated
+    signals inside a window collapse to one, late replays drop out.
+
+    Scale: one shuffle on the composite (user_id, event_type, hour)
+    key; the window frame is row_number-only (no running aggregates),
+    so it streams within each partition. Ties on ts break by event_id
+    — the survivor is deterministic under concurrent duplicates.
+    """
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_WINDOW_DEDUP_SQL)
