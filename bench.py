@@ -366,6 +366,48 @@ def main() -> None:
         timings[f"mrshare_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_{leg}_min"] = round(min(xs), 3)
 
+    # --- MRShare cross-signature regime: 4 DIFFERENT grouping keys
+    # (plus a global) merge via GROUPING SETS — Expand replicates every
+    # row 5x before the shuffle, the exact inflation MRShareCM priced.
+    # On a parse-dominated CSV scan the one saved scan should still
+    # win; this leg PRICES that trade instead of assuming it.
+    gs_queries = [
+        "SELECT l_returnflag AS k, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q"
+        " FROM lineitem_big GROUP BY l_returnflag",
+        "SELECT l_linestatus AS k, count(*) AS n, max(l_extendedprice) AS mx"
+        " FROM lineitem_big GROUP BY l_linestatus",
+        "SELECT l_linenumber AS k, count(*) AS n, CAST(avg(l_discount) AS DOUBLE) AS d"
+        " FROM lineitem_big GROUP BY l_linenumber",
+        "SELECT l_returnflag AS k1, l_linestatus AS k2, min(l_shipdate) AS mn"
+        " FROM lineitem_big WHERE l_quantity >= 25 GROUP BY l_returnflag, l_linestatus",
+        "SELECT count(*) AS n, max(l_shipdate) AS mx FROM lineitem_big",
+    ]
+
+    def _run_gsets(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={big_src: "lineitem_big"},
+            enable_mrshare=merged,
+            mrshare_max_grouping_sets=8,
+        )
+        jobs = [QueryJob(job_id=base_id + i, sql=q) for i, q in enumerate(gs_queries)]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged and not any(b.merges for b in bags):
+            print("WARN: grouping-sets merge did not fire", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    gs_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        gs_trials["concurrent"].append(_run_gsets(False, 8000 + 100 * rep))
+        gs_trials["merged"].append(_run_gsets(True, 9000 + 100 * rep))
+    for leg, xs in gs_trials.items():
+        timings[f"mrshare_gsets_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_gsets_{leg}_min"] = round(min(xs), 3)
+
     # medians counted once; *_min secondaries excluded from the total
     total = round(
         sum(v for k, v in timings.items() if not k.endswith("_min")), 3
@@ -388,6 +430,9 @@ def main() -> None:
         },
         "mrshare_trials": {
             leg: [round(x, 3) for x in xs] for leg, xs in mr_trials.items()
+        },
+        "mrshare_gsets_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in gs_trials.items()
         },
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
