@@ -477,3 +477,66 @@ def sim_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("embeddings",))
     return spark.sql(_range_lsh_sql(_lsh_spark(), _Q_MULTI_SPARK))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style truncation audit: recall@k of half-dimension cosine
+# ---------------------------------------------------------------------------
+
+
+def _trunc_recall_sql(dialect: str) -> str:
+    """Per probe: how much of the exact full-dim (64) top-k survives
+    when cosine runs on the first 32 dimensions only."""
+    if dialect == "spark":
+        dot, norm = spark_dot, spark_norm
+        half = "slice(embedding, 1, 32)"
+    else:
+        dot, norm = duck_dot, duck_norm
+        half = "embedding[1:32]"
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding, {norm('embedding')} AS nrm,
+         {half} AS emb_h
+  FROM embeddings),
+nh AS (SELECT vec_id, embedding, nrm, emb_h, {norm('emb_h')} AS nrm_h FROM n),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+             emb_h AS q_emb_h, nrm_h AS q_nrm_h
+      FROM nh WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q_id, nh.vec_id AS neighbor_id,
+         round({dot('q_emb', 'nh.embedding')} / (q_nrm * nh.nrm), 6) AS cos_full,
+         round({dot('q_emb_h', 'nh.emb_h')} / (q_nrm_h * nh.nrm_h), 6) AS cos_half
+  FROM q CROSS JOIN nh WHERE q_id <> nh.vec_id),
+rf AS (SELECT q_id, neighbor_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos_full DESC, neighbor_id) AS r
+       FROM scored),
+rh AS (SELECT q_id, neighbor_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos_half DESC, neighbor_id) AS r
+       FROM scored)
+SELECT f.q_id,
+       CAST(count(h.neighbor_id) AS BIGINT) AS n_kept,
+       CAST(count(h.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_{_TOP_K}
+FROM rf f
+LEFT JOIN rh h ON h.q_id = f.q_id AND h.neighbor_id = f.neighbor_id
+              AND h.r <= {_TOP_K}
+WHERE f.r <= {_TOP_K}
+GROUP BY f.q_id
+ORDER BY f.q_id
+"""
+
+
+@query("sim_truncation_recall", oracle=_trunc_recall_sql("duck"))
+def sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: recall@10 of half-dimension
+    (32 of 64) cosine against the exact full-dimension top-10, per
+    probe — the number that says whether you can cut your ANN index
+    (and its shuffle volume) in half before you rebuild it at 100 TB.
+
+    Scale: same broadcast shape as sim_topk_bruteforce (8-row probe
+    side, corpus never shuffles); both rankings come from ONE scored
+    pass (full + half cosine computed together), and the recall join
+    operates on two k-bounded rank tables. Ties break on neighbor_id
+    in both rankings, so the k-cut is engine-identical.
+    """
+    register_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(_trunc_recall_sql("spark"))
