@@ -50,8 +50,13 @@ class BatchExecutor:
         self.max_concurrency = max_concurrency
         # MRShare-style aggregation merging (server/mrshare.py ≙ B8).
         # Same-signature merges replace N scans + N shuffles with one
-        # of each; cross-signature merges are bounded by the
-        # Expand-inflation cap below (≙ MRShareCM GAIN). The byte floor
+        # of each (measured ~2x faster than both concurrent-unmerged
+        # and the caching rewrite on a 700 MB CSV scan at sf0.1);
+        # cross-signature merges go through GROUPING SETS, whose Expand
+        # replicates input rows once per distinct set — measured a WASH
+        # at the same scale (bench mrshare_gsets_*: the saved scans
+        # offset the Expand CPU, no more), which is why the inflation
+        # cap below stays small (≙ MRShareCM GAIN). The byte floor
         # is the merge's admission control (measured: merging 19 MB
         # parquet scans made a 2-query batch ~2x SLOWER — the blocking
         # materialize + demux round-trips are a fixed cost only an
