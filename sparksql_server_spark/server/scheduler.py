@@ -352,6 +352,17 @@ class BatchExecutor:
             if job.status is not JobStatus.QUEUED:  # e.g. cancelled while queued
                 return
             job.status = JobStatus.RUNNING
+        sess = job.session or self.spark
+        try:
+            # pool threads have no JVM active session; Python data
+            # sources (sources/pysource.py) resolve through it, so a
+            # gateway job writing format("jsonl_dir") would fail with
+            # DATA_SOURCE_NOT_FOUND without this (measured)
+            self.spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                sess._jsparkSession
+            )
+        except Exception:  # non-classic session API — lookup falls back
+            pass
         sc = self.spark.sparkContext
         sc.setLocalProperty("spark.scheduler.pool", pool_name)
         # its own job group so a client can cancel mid-flight
@@ -363,9 +374,7 @@ class BatchExecutor:
             # rewritten_sql = MRShare demux over the persisted merged
             # aggregate (set by _materialize_merge); absent on the
             # normal path
-            df = (job.session or self.spark).sql(
-                job.props.get("rewritten_sql") or job.sql
-            )
+            df = sess.sql(job.props.get("rewritten_sql") or job.sql)
             if job.props.get("cancel_requested"):  # cancelled during planning
                 raise RuntimeError("cancelled")
             output = job.props.get("output")

@@ -89,6 +89,19 @@ class WorkSharingServer:
         register_tables(spark, sf_dir)
         register_udfs(spark)  # the vetted UDF surface (no code over the wire)
         register_udtfs(spark)
+        # the vetted custom connectors (sources/pysource.py): lets
+        # gateway jobs read format("synthetic_events") and write
+        # output_format="jsonl_dir" — still no code over the wire
+        try:
+            from sparksql_server_spark.sources.pysource import (
+                JsonlDirDataSource,
+                SyntheticEventsDataSource,
+            )
+
+            spark.dataSource.register(SyntheticEventsDataSource)
+            spark.dataSource.register(JsonlDirDataSource)
+        except Exception:  # double-registration on a shared session
+            pass
         self.batcher = WindowBatcher(window_size=window_size, max_wait=max_wait)
         self.executor = BatchExecutor(
             spark,

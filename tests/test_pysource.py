@@ -87,6 +87,35 @@ def test_jsonl_sink_abort_leaves_no_success_marker(registered, tmp_path):
     assert not os.path.exists(os.path.join(out, "_SUCCESS"))
 
 
+def test_jsonl_sink_through_gateway(spark, tmp_path):
+    """The custom sink composes with the server: a gateway job with
+    output_format=jsonl_dir lands committed part files."""
+    import os
+
+    from sparksql_server_spark.server import WorkSharingServer, client_request
+    from tests.conftest import SF_DIR
+
+    srv = WorkSharingServer(spark, SF_DIR, window_size=2, max_wait=0.2).start()
+    out = str(tmp_path / "gw_jsonl")
+    try:
+        reply = client_request(
+            srv.address,
+            {
+                "sql": "SELECT r_regionkey AS event_id, r_regionkey AS user_id,"
+                " r_name AS event_type, 1.0 AS value FROM region",
+                "output": out,
+                "props": {"output_format": "jsonl_dir"},
+            },
+        )
+        assert reply["status"] == "done", reply
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+        assert back.count() == spark.table("region").count()
+    finally:
+        srv.shutdown()
+        srv.executor.cache.clear()
+
+
 def test_stream_reader_appends_deterministic_batches(registered):
     spark = registered
     sdf = (
