@@ -332,3 +332,45 @@ class TestForeachBatch:
         want = table(spark, SF_DIR, "events")
         assert got.count() == want.count()
         assert got.select(F.count_distinct("event_id")).first()[0] == want.count()
+
+
+class TestReaderSemantics:
+    """Reader behaviors a migrating user relies on daily: schema
+    evolution across parquet writes, and the three CSV malformed-row
+    policies."""
+
+    def test_parquet_schema_evolution_mergeschema(self, spark, tmp_path):
+        root = str(tmp_path / "evolved")
+        spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(root + "/w1")
+        spark.range(5).selectExpr("id", "id * 3 AS b").write.parquet(root + "/w2")
+        df = spark.read.option("mergeSchema", True).parquet(root + "/w1", root + "/w2")
+        assert set(df.columns) == {"id", "a", "b"}
+        assert df.count() == 10
+        # rows from the first write surface NULL for the later column
+        assert df.filter("b IS NULL").count() == 5
+
+    def test_csv_malformed_row_policies(self, spark, tmp_path):
+        p = tmp_path / "bad.csv"
+        p.write_text("k,v\n1,a\nnot_an_int,b\n3,c\n")
+        schema = "k INT, v STRING"
+        permissive = (
+            spark.read.schema(schema + ", _corrupt_record STRING")
+            .option("header", True)
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(str(p))
+        )
+        rows = permissive.collect()
+        assert len(rows) == 3  # bad row kept, flagged
+        assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
+        dropped = (
+            spark.read.schema(schema).option("header", True)
+            .option("mode", "DROPMALFORMED").csv(str(p))
+        )
+        assert [r["k"] for r in dropped.collect()] == [1, 3]
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="Malformed|FAILFAST"):
+            (
+                spark.read.schema(schema).option("header", True)
+                .option("mode", "FAILFAST").csv(str(p)).collect()
+            )
