@@ -340,3 +340,45 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_zipf_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# recursive exponential smoothing
+
+_EWMA_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY date_trunc('day', ts)),
+idx AS (
+  SELECT d, x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM daily),
+ewma AS (
+  SELECT i, d, x, x AS s FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, idx.d, idx.x, 0.3 * idx.x + 0.7 * e.s
+  FROM ewma e JOIN idx ON idx.i = e.i + 1)
+SELECT d AS day, CAST(x AS BIGINT) AS n_events,
+       CAST(s AS DOUBLE) AS ewma_03
+FROM ewma
+ORDER BY d
+"""
+
+
+@query("events_ewma_recursive", oracle=_EWMA_SQL)
+def events_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event volume via
+    WITH RECURSIVE (native since Spark 4.0) — the genuinely sequential
+    recurrence s_t = a*x_t + (1-a)*s_{t-1}, expressed in SQL rather
+    than a driver loop. Complements the closed-form CUSUM rewrite
+    (events_cusum_shift): CUSUM's max(0,.) recurrence had a window
+    closed form; EWMA's geometric memory is the case that does not,
+    so the recursive CTE is the right tool.
+
+    Scale: recursion depth = days in range (30 here; bounded by the
+    calendar, not by data volume — Spark's recursion limit is a
+    config, and a year is 365 steps); each step joins one row. The
+    data-sized work is the single daily groupBy. Determinism: both
+    engines evaluate the recursion sequentially in index order — the
+    float chain is the same IEEE op sequence.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_EWMA_SQL)
