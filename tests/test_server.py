@@ -972,3 +972,57 @@ class TestGatewayCacheTable:
             spark.catalog.uncacheTable("lineitem")
             srv.shutdown()
             srv.executor.cache.clear()
+
+
+class TestProtocolRobustness:
+    """The gateway must survive hostile/malformed input: every bad
+    request gets an error REPLY (never a dropped connection or a dead
+    server), and the next well-formed request still works."""
+
+    @pytest.fixture()
+    def server(self, spark):
+        srv = WorkSharingServer(spark, SF_DIR, window_size=2, max_wait=0.2).start()
+        yield srv
+        srv.shutdown()
+        srv.executor.cache.clear()
+
+    def test_malformed_requests_get_error_replies(self, server):
+        import json
+        import socket
+
+        bad_lines = [
+            b"not json at all\n",
+            b"{\"sql\": 42}\n",          # wrong type
+            b"{}\n",                      # missing sql
+            b"{\"sql\": \"\"}\n",        # empty sql
+            b"[1, 2, 3]\n",              # not an object
+            b"{\"cancel\": \"nope\"}\n", # non-int id
+            b"{\"status\": 999999}\n",   # unknown job id
+        ]
+        with socket.create_connection(server.address, timeout=60) as sock:
+            fh = sock.makefile("rwb")
+            for line in bad_lines:
+                fh.write(line)
+                fh.flush()
+                reply = json.loads(fh.readline())
+                assert reply.get("status") == "error", (line, reply)
+        # server still answers real queries afterwards
+        good = client_request(
+            server.address, {"sql": "SELECT count(*) AS n FROM region"}
+        )
+        assert good["status"] == "done" and good["rows"][0][0] == 5
+
+    def test_oversized_garbage_line_survives(self, server):
+        import json
+        import socket
+
+        with socket.create_connection(server.address, timeout=60) as sock:
+            fh = sock.makefile("rwb")
+            fh.write(b"\"" + b"x" * (1 << 20) + b"\"\n")  # 1 MB JSON string
+            fh.flush()
+            reply = json.loads(fh.readline())
+            assert reply.get("status") == "error"
+        assert (
+            client_request(server.address, {"sql": "SELECT 1 AS one"})["status"]
+            == "done"
+        )
