@@ -50,9 +50,18 @@ def cacheable_sql(sql: str) -> bool:
 class ResultCache:
     """Thread-safe LRU + TTL map of (session, sql) -> result payload."""
 
-    def __init__(self, max_entries: int = 256, ttl_seconds: float = 300.0) -> None:
+    def __init__(
+        self,
+        max_entries: int = 256,
+        ttl_seconds: float = 300.0,
+        max_rows_per_entry: int = 5000,
+    ) -> None:
         self.max_entries = max_entries
         self.ttl = ttl_seconds
+        # inline results are already bounded (scheduler MAX_INLINE_ROWS
+        # = 10k), but 256 x 10k-row payloads is real driver memory —
+        # only compact results are worth pinning
+        self.max_rows_per_entry = max_rows_per_entry
         self._lock = threading.Lock()
         self._entries: OrderedDict[tuple, tuple[float, dict]] = OrderedDict()
         self.hits = 0
@@ -79,6 +88,9 @@ class ResultCache:
             return dict(payload)
 
     def put(self, key: tuple, payload: dict) -> None:
+        rows = payload.get("rows")
+        if rows is not None and len(rows) > self.max_rows_per_entry:
+            return  # too large to pin — re-running is cheaper than RAM
         with self._lock:
             self._entries[key] = (time.monotonic(), dict(payload))
             self._entries.move_to_end(key)

@@ -33,6 +33,15 @@ def test_cacheable_sql(sql, ok):
     assert cacheable_sql(sql) is ok
 
 
+def test_oversized_result_not_pinned():
+    rc = ResultCache(max_rows_per_entry=3)
+    k = ResultCache.key(None, "q")
+    rc.put(k, {"rows": [[1]] * 4})
+    assert rc.get(k) is None  # declined: re-running beats pinning RAM
+    rc.put(k, {"rows": [[1]] * 3})
+    assert rc.get(k) is not None
+
+
 def test_lru_and_ttl():
     rc = ResultCache(max_entries=2, ttl_seconds=0.2)
     k1, k2, k3 = (ResultCache.key(None, s) for s in ("a", "b", "c"))
