@@ -382,3 +382,39 @@ def events_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_EWMA_SQL)
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+
+_BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1)
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1),
+counts AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+SELECT c.d AS first_digit, c.n AS observed,
+       CAST(c.n AS DOUBLE) / t.total AS observed_p,
+       CAST(ln(1.0 + 1.0 / c.d) / ln(10.0) AS DOUBLE) AS benford_p,
+       CAST(abs(CAST(c.n AS DOUBLE) / t.total
+                - ln(1.0 + 1.0 / c.d) / ln(10.0)) AS DOUBLE) AS abs_dev
+FROM counts c CROSS JOIN tot t
+ORDER BY c.d
+"""
+
+
+@query("stats_benford_first_digit", oracle=_BENFORD_SQL)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / unit-mixing screen: observed first-digit shares
+    vs log10(1 + 1/d), with per-digit absolute deviation.
+
+    Scale: extracting the digit is map-only string math on exact
+    integers (no float log10 on the VALUE, only on the 9 reference
+    probabilities), then a 9-group combinable count — scan-speed at
+    any volume. String digit extraction sidesteps engine-specific
+    scientific-notation formatting of large doubles.
+    """
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_BENFORD_SQL)
