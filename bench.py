@@ -408,6 +408,38 @@ def main() -> None:
         timings[f"mrshare_gsets_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_gsets_{leg}_min"] = round(min(xs), 3)
 
+    # --- gateway result cache: repeat deterministic query text served
+    # from memory (server/results.py). Measured through the REAL TCP
+    # server: cold = first submission (batch window + execution),
+    # cached = identical resubmission (dict lookup at the gateway). ---
+    from sparksql_server_spark.server import WorkSharingServer, client_request
+
+    rc_srv = WorkSharingServer(
+        spark, SF_DIR, window_size=1, max_wait=0.05
+    ).start()
+    try:
+        rc_sql = (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n,"
+            " CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        )
+        cold_ts, hot_ts = [], []
+        for rep in range(CACHED_SCAN_TRIALS):
+            sql_rep = f"{rc_sql} HAVING count(*) >= {rep - 1000000}"  # distinct text per rep
+            t0 = time.monotonic()
+            r1 = client_request(rc_srv.address, {"sql": sql_rep})
+            cold_ts.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            r2 = client_request(rc_srv.address, {"sql": sql_rep})
+            hot_ts.append(time.monotonic() - t0)
+            if r1.get("status") != "done" or r2.get("cached") is not True:
+                print("WARN: result-cache leg unexpected replies", file=sys.stderr)
+        timings["result_cache_cold"] = round(_median(cold_ts), 3)
+        timings["result_cache_hit"] = round(_median(hot_ts), 3)
+    finally:
+        rc_srv.shutdown()
+        rc_srv.executor.cache.clear()
+
     # medians counted once; *_min secondaries excluded from the total
     total = round(
         sum(v for k, v in timings.items() if not k.endswith("_min")), 3
@@ -441,7 +473,7 @@ def main() -> None:
     headline = {
         name: secs
         for name, secs in timings.items()
-        if name.startswith(("shared_scan_", "cached_scan_", "mrshare_"))
+        if name.startswith(("shared_scan_", "cached_scan_", "mrshare_", "result_cache_"))
     }
     print(
         json.dumps(
