@@ -303,3 +303,41 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_NULL_SAFE_SQL = """
+WITH a AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+              ELSE o_orderstatus END AS k,
+         CAST(count(*) AS BIGINT) AS na
+  FROM orders
+  GROUP BY CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                ELSE o_orderstatus END),
+b AS (
+  SELECT CASE WHEN o_totalprice < 50000 THEN NULL
+              ELSE o_orderstatus END AS k,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM orders
+  GROUP BY CASE WHEN o_totalprice < 50000 THEN NULL
+                ELSE o_orderstatus END)
+SELECT a.k AS key, a.na, b.nb
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY key NULLS FIRST, na
+"""
+
+
+@query("join_null_safe_eq", oracle=_NULL_SAFE_SQL)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``IS NOT DISTINCT FROM`` — ANSI, same
+    text both engines): NULL keys MATCH each other, where a plain
+    equi-join would silently drop every NULL-keyed row — the classic
+    bug when joining on derived keys with gaps.
+
+    Scale: Catalyst plans null-safe equality as a hash join on the
+    coalesced key (no fallback to nested-loop), so the cost is the
+    ordinary shuffle-or-broadcast of the two aggregated sides; the
+    explicit NULLS FIRST pins the presentation order across engines
+    (Spark defaults NULLS FIRST ASC, DuckDB NULLS LAST).
+    """
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_NULL_SAFE_SQL)

@@ -411,6 +411,44 @@ def test_disabled_flag_runs_unmerged(spark):
         assert sorted(job.rows) == sorted(tuple(r) for r in spark.sql(q).collect())
 
 
+def test_cross_client_merge_through_tcp_server(spark):
+    """The reference's headline story end-to-end: two INDEPENDENT TCP
+    clients land in one window, their same-signature aggregations merge
+    into one plan, and each gets its own exact result back."""
+    import threading
+
+    from sparksql_server_spark.server import WorkSharingServer, client_request
+
+    srv = WorkSharingServer(spark, SF_DIR, window_size=2, max_wait=1.0).start()
+    srv.executor.mrshare_min_bytes = 0  # sf0.001 sits under the prod floor
+    try:
+        # the count/min members of the group: exact integer/date
+        # results, so the JSON round-trip comparison cannot flake on
+        # double ulps
+        sqls = [SAME_SIG[1], SAME_SIG[3]]
+        results: list = [None, None]
+
+        def client(i: int) -> None:
+            results[i] = client_request(srv.address, {"sql": sqls[i]})
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        stats = client_request(srv.address, {"server_stats": True})["stats"]
+        assert stats["mrshare_merged_jobs"] >= 2, stats
+        for i, r in enumerate(results):
+            assert r["status"] == "done", r
+            exp = sorted(tuple(x) for x in spark.sql(sqls[i]).collect())
+            got = sorted(tuple(x) for x in r["rows"])
+            # JSON round-trip stringifies dates; compare stringified
+            assert [tuple(str(c) for c in row) for row in got] == [
+                tuple(str(c) for c in row) for row in exp
+            ]
+    finally:
+        srv.shutdown()
+        srv.executor.cache.clear()
+
+
 def test_merged_plan_scans_table_once(spark, executor):
     """The point of the merge: the merged SQL's physical plan contains
     exactly ONE scan of the shared table, and demux queries scan only
