@@ -22,10 +22,12 @@ relation become ONE Catalyst plan:
   one partial/final hash aggregate. Per-query predicates fold into
   ``CASE WHEN (p) THEN expr END`` inside each aggregate, and a hidden
   ``count(CASE WHEN (p) THEN 1 END)`` presence counter restores exact
-  per-query group membership at demux. Strictly less work than N scans
-  + N shuffles — always merged (no cost model needed: the map output is
-  NOT inflated, which is precisely the regime where MRShare's GAIN is
-  unconditionally positive).
+  per-query group membership at demux. Strictly less CLUSTER work than
+  N scans + N shuffles (map output is NOT inflated — the regime where
+  MRShare's GAIN is unconditionally positive); the per-batch fixed cost
+  (blocking materialize + demux round-trips) is priced by the
+  scheduler's byte-floor admission (BatchExecutor.mrshare_min_bytes —
+  measured: merging tiny parquet scans LOST ~2x), not here.
 - **differing signatures**: merged via ``GROUP BY GROUPING SETS``.
   Spark's Expand replicates every input row once per distinct grouping
   set BEFORE the shuffle — the exact map-output inflation MRShareCM
