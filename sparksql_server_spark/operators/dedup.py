@@ -751,3 +751,61 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_mh_calibration_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch probed against an existing corpus index
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT = 400  # doc_id < 400 = the already-indexed corpus; rest = incoming
+
+
+def _incremental_sql(dialect: str) -> str:
+    if dialect == "spark":
+        words, chash = spark_words("text"), spark_char_hash("shingle")
+        explode = f"FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle"
+        bands = f"SELECT doc_id, band, band_sig FROM mh LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig"
+    else:
+        words, chash = duck_words("text"), duck_char_hash("shingle")
+        explode = f"FROM (SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)"
+        bands = _DUCK_BANDS
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle {explode}),
+h AS (SELECT doc_id, {chash} AS h FROM sh),
+mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
+bs AS ({bands}),
+corpus AS (SELECT * FROM bs WHERE doc_id < {_INC_SPLIT}),
+incoming AS (SELECT * FROM bs WHERE doc_id >= {_INC_SPLIT}),
+hits AS (
+  SELECT i.doc_id AS new_doc, c.doc_id AS dup_of,
+         CAST(count(*) AS BIGINT) AS n_bands
+  FROM incoming i JOIN corpus c
+    ON i.band = c.band AND i.band_sig = c.band_sig
+  GROUP BY i.doc_id, c.doc_id)
+SELECT new_doc, min(dup_of) AS first_match,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(max(n_bands) AS BIGINT) AS best_band_overlap
+FROM hits GROUP BY new_doc
+ORDER BY new_doc
+"""
+
+
+@query("dedup_incremental_lsh", oracle=_incremental_sql("duck"))
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening — the production shape batch
+    dedup queries miss: an INCOMING batch (doc_id >= 400 standing in
+    for today's crawl) probes the EXISTING corpus index (doc_id < 400)
+    for LSH band collisions; flagged newcomers list their first corpus
+    match and collision strength. Asymmetric by design: the corpus
+    side is the precomputed signature index (at 100 TB, a stored
+    banded table — never recomputed per batch), the incoming side is
+    the only fresh work, and corpus-internal pairs are never revisited.
+
+    Scale: incoming signatures are one pass over the new batch; the
+    probe is a bucketed equi-join on (band, band_sig) — cost is
+    Σ per-bucket incoming x corpus, never all-pairs; the final rollup
+    groups by incoming doc only.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_incremental_sql("spark"))
