@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.catalog import register_tables, table
 from sparksql_server_spark.operators.registry import query
 
 _PATHS_SQL = """
@@ -163,3 +163,76 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_ABC_SQL)
+
+
+_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+  FROM spend),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(i * x) AS DECIMAL(38,6)) AS ixsum,
+         CAST(sum(x) AS DECIMAL(38,6)) AS xsum
+  FROM ranked)
+SELECT CAST(2.0 * CAST(ixsum AS DOUBLE) / (n * CAST(xsum AS DOUBLE))
+            - (n + 1.0) / n AS DOUBLE) AS gini,
+       n AS n_customers
+FROM agg
+"""
+
+
+@query("stats_gini_concentration", oracle=_GINI_SQL)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality number behind "top-x% of customers drive y% of
+    revenue", complementing the ABC/Pareto class table with a single
+    comparable scalar.
+
+    Exactness: the rank-weighted identity 2*sum(i*x)/(n*sum(x)) -
+    (n+1)/n runs on DECIMAL sums (i*x is BIGINT x DECIMAL — exact in
+    both engines); ties in x contribute a fixed rank-sum regardless of
+    their internal order, so the row_number tiebreak cannot change the
+    statistic. Scale: one o_custkey shuffle + one global rank window
+    over the per-customer rollup (rows = customers, not orders).
+    """
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_GINI_SQL)
+
+
+_USER_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type),
+t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY user_id),
+e AS (
+  SELECT c.user_id,
+         max(t.tot) AS n_events,
+         CAST(round(-sum((CAST(n AS DOUBLE) / t.tot)
+                         * ln(CAST(n AS DOUBLE) / t.tot)), 6) AS DOUBLE) AS entropy
+  FROM c JOIN t ON t.user_id = c.user_id
+  GROUP BY c.user_id)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events, entropy
+FROM e
+ORDER BY entropy DESC, user_id
+LIMIT 20
+"""
+
+
+@query("events_user_entropy_topk", oracle=_USER_ENTROPY_SQL)
+def events_user_entropy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    mix, top-20 most diverse — the explorer-vs-specialist segmentation
+    feature (bots and single-purpose accounts sit near zero).
+
+    Scale: two combinable aggregations sharing the user_id key, then a
+    TakeOrdered top-20. Determinism at the LIMIT boundary: entropy is
+    rounded to 6 dp BEFORE ordering (per-user sums of <=5 double terms
+    can differ in final ulps between engines), with user_id breaking
+    rounded ties.
+    """
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_USER_ENTROPY_SQL)
