@@ -94,15 +94,26 @@ def _scan(sql: str) -> tuple[list[int], list[bool]]:
 
     Quote toggling handles doubled-quote escapes naturally ('it''s'
     closes and reopens — every quoted char still flags as in-string).
+    Backslash inside a single/double-quoted literal is a C-style escape
+    (Spark's default lexer, ``escapedStringLiterals=false``): ``'don\\'t'``
+    stays one literal, so clause keywords after it slice correctly
+    (ADVICE r4 medium — without this the in-string state flipped and
+    WHERE/GROUP BY decomposition could mis-locate). Backticks take no
+    backslash escapes, matching Spark.
     """
     depth: list[int] = [0] * len(sql)
     instr: list[bool] = [False] * len(sql)
     d = 0
     q: Optional[str] = None
+    esc = False
     for i, c in enumerate(sql):
         if q is not None:
             instr[i] = True
-            if c == q:
+            if esc:
+                esc = False
+            elif q in "'\"" and c == "\\":
+                esc = True
+            elif c == q:
                 q = None
             continue
         if c in "'\"`":
@@ -509,6 +520,15 @@ def plan_merges(
     for (sess_key, _table), members in sorted(
         leftovers.items(), key=lambda kv: kv[1][0][0].job_id
     ):
+        # GLOBAL aggregates (empty signature) never join a GROUPING
+        # SETS merge: grouping-sets aggregation over EMPTY merged input
+        # (all-predicate batch where nothing matches, or empty table)
+        # yields zero groups, but a true global aggregate must return
+        # exactly one row (count=0/NULLs) — ADVICE r4 medium. Regime 1
+        # merges of >=2 global aggregates keep plain no-GROUP-BY SQL,
+        # which preserves the mandatory row; global singletons here run
+        # unmerged.
+        members = [(j, p) for j, p in members if p.group_canon]
         sets = {p.group_canon for _, p in members}
         if len(members) < 2 or not (2 <= len(sets) <= max_grouping_sets):
             continue

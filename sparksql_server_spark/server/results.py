@@ -47,6 +47,42 @@ def cacheable_sql(sql: str) -> bool:
     return not (_NONDETERMINISTIC.search(sql) or _NONDET_BARE.search(sql))
 
 
+def _normalize_outside_literals(sql: str) -> str:
+    """Collapse whitespace runs to one space OUTSIDE quoted literals
+    only. Whitespace INSIDE a string literal is query semantics —
+    ``WHERE name = 'a  b'`` and ``WHERE name = 'a b'`` are different
+    queries and must never share a cache key (ADVICE r4 high: the old
+    blanket ``re.sub(r'\\s+', ' ')`` silently served the first query's
+    result to the second). Quote scan mirrors Spark's default lexer:
+    backslash escapes inside single/double-quoted literals (C-style,
+    ``escapedStringLiterals=false``), none inside backticks; doubled
+    quotes close-and-reopen, which keeps the key conservative."""
+    out: list[str] = []
+    q: Optional[str] = None
+    esc = False
+    pending_ws = False
+    for c in sql.strip():
+        if q is not None:
+            out.append(c)
+            if esc:
+                esc = False
+            elif q in "'\"" and c == "\\":
+                esc = True
+            elif c == q:
+                q = None
+            continue
+        if c.isspace():
+            pending_ws = True
+            continue
+        if pending_ws:
+            out.append(" ")
+            pending_ws = False
+        out.append(c)
+        if c in "'\"`":
+            q = c
+    return "".join(out)
+
+
 class ResultCache:
     """Thread-safe LRU + TTL map of (session, sql) -> result payload."""
 
@@ -67,10 +103,16 @@ class ResultCache:
         self.hits = 0
         self.misses = 0
         self.invalidations = 0
+        # monotone invalidation epoch: put() callers capture it BEFORE
+        # submitting their query and pass it back; a put whose epoch is
+        # stale (a command ran and invalidated between completion and
+        # insertion) is discarded instead of resurrecting a pre-command
+        # result for up to TTL (ADVICE r4 low)
+        self.generation = 0
 
     @staticmethod
     def key(session_id: Optional[str], sql: str) -> tuple:
-        return (session_id or "", re.sub(r"\s+", " ", sql.strip()))
+        return (session_id or "", _normalize_outside_literals(sql))
 
     def get(self, key: tuple) -> Optional[dict]:
         with self._lock:
@@ -87,11 +129,13 @@ class ResultCache:
             self.hits += 1
             return dict(payload)
 
-    def put(self, key: tuple, payload: dict) -> None:
+    def put(self, key: tuple, payload: dict, generation: Optional[int] = None) -> None:
         rows = payload.get("rows")
         if rows is not None and len(rows) > self.max_rows_per_entry:
             return  # too large to pin — re-running is cheaper than RAM
         with self._lock:
+            if generation is not None and generation != self.generation:
+                return  # invalidated since the caller captured the epoch
             self._entries[key] = (time.monotonic(), dict(payload))
             self._entries.move_to_end(key)
             while len(self._entries) > self.max_entries:
@@ -101,6 +145,10 @@ class ResultCache:
         with self._lock:
             if self._entries:
                 self.invalidations += 1
+            # the epoch advances even when the table is empty: in-flight
+            # queries that started before this invalidation must not
+            # insert their (possibly pre-command) results afterwards
+            self.generation += 1
             self._entries.clear()
 
     def __len__(self) -> int:

@@ -168,9 +168,12 @@ class WorkSharingServer:
                 self.executor.run_batch(batch)
                 # a command anywhere in the batch (empty fingerprint
                 # set = not a plan-producing query) may have changed
-                # table state: flush served results regardless of the
-                # client's wait mode
-                if any(not j.fingerprints for j in batch):
+                # table state; a SINK job ("output" prop) may have
+                # overwritten a path a cached query read. Flush served
+                # results regardless of the client's wait mode.
+                if any(
+                    not j.fingerprints or j.props.get("output") for j in batch
+                ):
                     self.results.invalidate_all()
             except Exception as exc:  # noqa: BLE001 — loop must survive
                 # run_batch guards per-job analyze/execute, but a fault
@@ -278,6 +281,10 @@ class WorkSharingServer:
                 cached["cached"] = True
                 return cached
 
+        # epoch captured BEFORE submit: if any command/sink invalidates
+        # while this query is in flight, put() below discards the entry
+        # instead of caching a result that predates the change
+        rc_generation = self.results.generation
         job = self.submit(sql, props, session=None if session is self.spark else session)
         if req.get("wait", True):
             job.done_event.wait()
@@ -290,7 +297,7 @@ class WorkSharingServer:
                 and job.rows is not None
                 and not job.props.get("truncated")
             ):
-                self.results.put(rc_key, result)
+                self.results.put(rc_key, result, generation=rc_generation)
             return result
         return {"id": job.job_id, "status": job.status.value}
 

@@ -91,6 +91,10 @@ class _SyntheticReader(DataSourceReader):
         # contiguous row-index ranges: partition count is the read
         # parallelism, descriptors are 3 ints each — the whole plan
         # costs O(P) driver memory regardless of n_rows
+        if self.n_rows <= 0:
+            # one empty partition: n_rows=0 is a legal empty source,
+            # not a range() crash (ADVICE r4 low)
+            return [_RangePartition(0, 0, self.seed)]
         step = -(-self.n_rows // self.n_partitions)
         return [
             _RangePartition(lo, min(lo + step, self.n_rows), self.seed)
@@ -183,6 +187,15 @@ class _JsonlWriter(DataSourceWriter):
         import os
         import shutil
 
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            # mode("overwrite") replaces the directory's contents:
+            # clear pre-existing part files BEFORE promoting the new
+            # ones (which still live in _tmp here), so stale parts
+            # never mix with this job's output (ADVICE r4 low)
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
         for m in messages:
             final = os.path.join(self.path, os.path.basename(m.tmp_file))
             os.replace(m.tmp_file, final)

@@ -147,6 +147,27 @@ def test_keyword_inside_string_literal_is_not_structural():
     assert p is not None and "order by" in p.where
 
 
+def test_backslash_escaped_quote_does_not_flip_string_state():
+    """ADVICE r4 medium: Spark's default lexer treats backslash as a
+    C-style escape inside literals, so ``'don\\'t group by'`` is ONE
+    literal — the keyword inside it must not be read as structural,
+    and the clause slicing after it must stay correct."""
+    p = parse_agg_query(
+        r"SELECT l_shipmode AS m, count(*) AS n FROM lineitem "
+        r"WHERE l_comment LIKE '%don\'t group by%' GROUP BY l_shipmode"
+    )
+    assert p is not None
+    assert p.where == r"l_comment LIKE '%don\'t group by%'"
+    assert p.group_canon == ("l_shipmode",)
+    # same with a structural keyword after an escaped backslash at the
+    # literal's end: '...\\' closes the string, WHERE must slice clean
+    p2 = parse_agg_query(
+        "SELECT l_shipmode AS m, count(*) AS n FROM lineitem "
+        "WHERE l_comment = 'x\\\\' GROUP BY l_shipmode"
+    )
+    assert p2 is not None and p2.where == "l_comment = 'x\\\\'"
+
+
 # ---------------------------------------------------------------------------
 # executor integration
 
@@ -264,14 +285,31 @@ def test_global_aggregates_merge_matches_independent(spark, executor):
     assert len(jobs[2].rows) == 1 and jobs[2].rows[0][0] == 0
 
 
-def test_global_and_grouped_mix_via_grouping_sets(spark, executor):
+def test_global_and_grouped_mix_does_not_merge(spark, executor):
+    """A GLOBAL aggregate must never join a GROUPING SETS merge: over
+    EMPTY merged input (every member predicated, none matching) the
+    grouping-sets aggregation yields zero groups, but a true global
+    aggregate returns exactly one mandatory row (ADVICE r4 medium).
+    The mix now runs unmerged — correctness over sharing."""
     sqls = [
         "SELECT count(*) AS n FROM orders WHERE o_totalprice > 1000",
         "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
     ]
-    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1})
-    (bag,) = [b for b in bags if b.merges]
-    assert bag.merges[0].grouping_sets == 2  # () and (o_orderstatus)
+    jobs, bags = _run_and_compare(spark, executor, sqls, set())
+
+
+def test_global_aggregate_mandatory_row_on_empty_merged_input(spark, executor):
+    """The ADVICE r4 failure shape head-on: all members carry
+    never-matching predicates, so a merged input would be EMPTY. The
+    global member must still return its one count=0 row."""
+    sqls = [
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice < -1",
+        "SELECT o_orderstatus, count(*) AS n FROM orders"
+        " WHERE o_totalprice < -2 GROUP BY o_orderstatus",
+    ]
+    jobs, _ = _run_and_compare(spark, executor, sqls, set())
+    assert len(jobs[0].rows) == 1 and jobs[0].rows[0][0] == 0
+    assert jobs[1].rows == []
 
 
 GROUPING_SETS = [

@@ -52,6 +52,32 @@ def test_uneven_partition_split_covers_every_row(registered):
     assert df.select("event_id").distinct().count() == 1003
 
 
+def test_zero_rows_is_a_legal_empty_source(registered):
+    """ADVICE r4 low: n_rows=0 must yield an empty DataFrame, not a
+    range() step-zero crash inside partition planning."""
+    df = _load(registered, n_rows=0, n_partitions=4, seed=1)
+    assert df.count() == 0
+    assert df.schema.simpleString().startswith("struct<event_id:bigint")
+
+
+def test_jsonl_sink_overwrite_replaces_prior_parts(registered, tmp_path):
+    """ADVICE r4 low: mode('overwrite') must not leave a prior job's
+    part files mixed with the new output."""
+    import os
+
+    out = str(tmp_path / "jsonl_over")
+    big = _load(registered, n_rows=400, n_partitions=4, seed=3)
+    big.write.format("jsonl_dir").mode("append").save(out)
+    n_before = len([f for f in os.listdir(out) if f.startswith("part-")])
+    assert n_before == 4
+    small = _load(registered, n_rows=50, n_partitions=1, seed=9)
+    small.write.format("jsonl_dir").mode("overwrite").save(out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1  # old parts gone, exactly the new job's files
+    back = registered.read.schema(small.schema).json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 50
+
+
 def test_jsonl_sink_commit_protocol(registered, tmp_path):
     """Writer half: part files land via two-phase commit — _SUCCESS
     present, no _tmp remnant, and a read-back equals the input."""

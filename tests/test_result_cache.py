@@ -33,6 +33,44 @@ def test_cacheable_sql(sql, ok):
     assert cacheable_sql(sql) is ok
 
 
+def test_key_preserves_whitespace_inside_literals():
+    """ADVICE r4 high: whitespace normalization must not reach inside
+    string literals — WHERE name='a  b' and WHERE name='a b' are
+    different queries and must never share a cache key."""
+    k1 = ResultCache.key(None, "SELECT * FROM t WHERE name = 'a  b'")
+    k2 = ResultCache.key(None, "SELECT * FROM t WHERE name = 'a b'")
+    assert k1 != k2
+    # whitespace OUTSIDE literals still normalizes (that's the point)
+    k3 = ResultCache.key(None, "SELECT  *\n FROM t  WHERE name = 'a  b'")
+    assert k3 == k1
+    # escaped quote does not flip the in-string state
+    k4 = ResultCache.key(None, r"SELECT 'don\'t  stop' AS s,  1 AS n")
+    k5 = ResultCache.key(None, r"SELECT 'don\'t stop' AS s, 1 AS n")
+    assert k4 != k5
+    # double-quoted and backtick-quoted spans are also preserved
+    assert ResultCache.key(None, 'SELECT "x  y"') != ResultCache.key(None, 'SELECT "x y"')
+
+
+def test_put_discards_stale_generation():
+    """ADVICE r4 low: a put whose pre-submit epoch predates an
+    invalidation must be discarded, not served for up to TTL."""
+    rc = ResultCache()
+    k = ResultCache.key(None, "q")
+    gen = rc.generation
+    rc.invalidate_all()  # a command ran while the query was in flight
+    rc.put(k, {"v": 1}, generation=gen)
+    assert rc.get(k) is None
+    rc.put(k, {"v": 2}, generation=rc.generation)  # fresh epoch → cached
+    assert rc.get(k) == {"v": 2}
+
+
+def test_invalidate_advances_generation_even_when_empty():
+    rc = ResultCache()
+    g0 = rc.generation
+    rc.invalidate_all()  # empty cache — epoch must still advance
+    assert rc.generation == g0 + 1
+
+
 def test_oversized_result_not_pinned():
     rc = ResultCache(max_rows_per_entry=3)
     k = ResultCache.key(None, "q")
