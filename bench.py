@@ -172,6 +172,20 @@ def mrshare_queries(n: int) -> list[str]:
     ]
 
 
+def mrshare_widened_queries(n: int) -> list[str]:
+    """The round-5 widened admission shape: the same batch with the
+    HAVING / ORDER BY / LIMIT clauses real dashboard aggregations
+    carry — all demux-safe (reapplied over the merged view)."""
+    tails = [
+        " HAVING count(*) > 1000 ORDER BY 1, 2 LIMIT 4",
+        " ORDER BY 3 DESC LIMIT 3",
+        " HAVING count(*) > 500",
+        " ORDER BY 1 DESC, 2",
+        " LIMIT 5",
+    ]
+    return [q + tails[i % len(tails)] for i, q in enumerate(mrshare_queries(n))]
+
+
 def main() -> None:
     spark = get_session("bench", cpus=CPUS)
     timings: dict[str, float] = {}
@@ -366,9 +380,48 @@ def main() -> None:
         timings[f"mrshare_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_{leg}_min"] = round(min(xs), 3)
 
+    # --- MRShare widened admission (round 5): the same 10-member batch
+    # with the presentation clauses a real dashboard query carries
+    # (HAVING / ORDER BY / LIMIT — reapplied demux-side, the merged
+    # aggregate unchanged). Must still merge profitably: demux ORDER BY
+    # and LIMIT run over the result-sized view, so the leg should land
+    # within noise of the bare merged leg.
+    wide_queries = mrshare_widened_queries(10)
+
+    def _run_widened(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={big_src: "lineitem_big"},
+            enable_mrshare=merged,
+        )
+        jobs = [QueryJob(job_id=base_id + i, sql=q) for i, q in enumerate(wide_queries)]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged and not any(b.merges for b in bags):
+            print("WARN: widened mrshare merge did not fire", file=sys.stderr)
+        if ex.stats["mrshare_demux_fallbacks"]:
+            print("WARN: widened demux fell back", file=sys.stderr)
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: widened leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    wide_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        wide_trials["concurrent"].append(_run_widened(False, 11000 + 100 * rep))
+        wide_trials["merged"].append(_run_widened(True, 12000 + 100 * rep))
+    for leg, xs in wide_trials.items():
+        timings[f"mrshare_widened_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_widened_{leg}_min"] = round(min(xs), 3)
+
     # --- MRShare cross-signature regime: 4 DIFFERENT grouping keys
-    # (plus a global) merge via GROUPING SETS — Expand replicates every
-    # row 5x before the shuffle, the exact inflation MRShareCM priced.
+    # merge via GROUPING SETS — Expand replicates every row 4x before
+    # the shuffle, the exact inflation MRShareCM priced. (The batch
+    # also carries a global aggregate, which since round 5 runs
+    # UNMERGED by the mandatory-row rule — grouping sets over empty
+    # input would drop its one required row.)
     # On a parse-dominated CSV scan the one saved scan should still
     # win; this leg PRICES that trade instead of assuming it.
     gs_queries = [
@@ -465,6 +518,9 @@ def main() -> None:
         },
         "mrshare_gsets_trials": {
             leg: [round(x, 3) for x in xs] for leg, xs in gs_trials.items()
+        },
+        "mrshare_widened_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in wide_trials.items()
         },
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

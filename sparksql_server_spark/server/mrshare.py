@@ -42,10 +42,23 @@ relation become ONE Catalyst plan:
 
 Parsing is deliberately conservative (prototype-parity with the
 reference, which only ever merged WordCount-shaped jobs): the canonical
-``SELECT keys+aggs FROM one_table [WHERE p] GROUP BY keys`` shape is
-merged; anything else — joins, HAVING, ORDER BY, subqueries, window
-functions, expressions we cannot alias stably — is DECLINED and runs
-unchanged on the normal path. A declined merge costs nothing.
+``SELECT keys+aggs FROM one_table [alias] [WHERE p] GROUP BY keys
+[HAVING h] [ORDER BY o] [LIMIT n]`` shape is merged; anything else —
+joins, subqueries, window functions, expressions we cannot alias
+stably — is DECLINED and runs unchanged on the normal path. A declined
+merge costs nothing.
+
+Presentation clauses (HAVING / ORDER BY / LIMIT — round-5 widening:
+real dashboard aggregations virtually always carry one, and the
+reference's own User1-3 scenario did, report.pdf ch.3.2.3) are
+**demux-safe**: they filter/sort/cut the per-query RESULT, not the
+shared aggregate, so they are stripped from the merged plan and
+reapplied verbatim in the per-job demux query over the merged view.
+HAVING aggregates not in the select list become hidden
+predicate-folded columns of the merged aggregate; references to group
+keys and select aliases are re-pointed at the view's columns. An
+expression the rewriter cannot prove re-pointable declines the member
+at PARSE time — by construction the demux build cannot fail late.
 
 100 TB notes: the merged plan's aggregate is still partial+final
 (map-side combine), the scan is read ONCE instead of N times (the whole
@@ -67,10 +80,8 @@ from sparksql_server_spark.server.model import QueryJob
 AGG_FUNCS = ("sum", "count", "min", "max", "avg")
 
 # statements containing these at top level are not mergeable shapes
+# (HAVING/ORDER/LIMIT are parsed, not rejected — round-5 widening)
 _REJECT_TOP = (
-    "having",
-    "order",
-    "limit",
     "join",
     "union",
     "intersect",
@@ -87,6 +98,18 @@ _REJECT_TOP = (
 )
 
 _SIMPLE_IDENT = re.compile(r"^[A-Za-z_]\w*$")
+
+# bare identifiers that are SQL syntax, not column references, inside a
+# post-aggregation expression (HAVING predicate / ORDER BY item); any
+# bare identifier NOT in this set, not a group key, not a select alias,
+# and not a function name declines the merge — unknown means unsafe
+_POST_KEYWORDS = frozenset(
+    """and or not in between like ilike rlike regexp is null true false
+    case when then else end asc desc nulls first last distinct escape
+    div as int integer bigint smallint tinyint float real double
+    decimal numeric string varchar char boolean date timestamp binary
+    interval""".split()
+)
 
 
 def _scan(sql: str) -> tuple[list[int], list[bool]]:
@@ -173,6 +196,25 @@ def _find_top(sql: str, word: str, depth: list[int], instr: list[bool]):
     return None
 
 
+def _strip_qualifiers(text: str, names: list[str]) -> str:
+    """Remove ``q.`` table/alias qualifiers (outside string literals):
+    member expressions written against ``FROM lineitem l`` re-emit
+    under the merged plain ``FROM lineitem``, where the alias no longer
+    resolves — and unqualified references always do on a single-table
+    shape. Also lets differently-aliased members share one signature."""
+    for nm in names:
+        if not nm:
+            continue
+        pat = re.compile(rf"\b{re.escape(nm)}\s*\.\s*", re.I)
+        while True:
+            _, instr = _scan(text)
+            m = next((m for m in pat.finditer(text) if not instr[m.start()]), None)
+            if m is None:
+                break
+            text = text[: m.start()] + text[m.end() :]
+    return text
+
+
 @dataclass
 class ParsedAgg:
     """One mergeable aggregation query, decomposed."""
@@ -189,6 +231,19 @@ class ParsedAgg:
     #   scalar computation (CAST(sum(x) AS ...), sum(a)/sum(b), the
     #   TPC-H q1 shape)
     items: list[tuple] = field(default_factory=list)
+    # presentation clauses (round-5 widening) — demux-only, never part
+    # of the merged aggregate. *_seg are symbolic segment lists built
+    # by _post_agg_segments at PARSE time (so an un-rewritable clause
+    # declines before any merge is planned):
+    #   ("text", raw)        — emitted verbatim (operators, literals,
+    #                          scalar function names, keywords)
+    #   ("key", canon)       — a group-by key → the view's __g column
+    #   ("aggref", item_idx) — a select alias of aggregate item idx
+    #   ("call", func, inner|None, is_distinct) — an aggregate call →
+    #                          a hidden predicate-folded merged column
+    having_seg: Optional[list[tuple]] = None
+    order_seg: list[list[tuple]] = field(default_factory=list)
+    limit: Optional[int] = None
 
     @property
     def signature(self) -> tuple[str, tuple[str, ...]]:
@@ -196,20 +251,24 @@ class ParsedAgg:
 
     @property
     def n_distinct_aggs(self) -> int:
-        return sum(
+        n = sum(
             1
             for it in self.items
             if it[0] == "agg"
             for call in it[2]
             if call[4]
         )
+        for segs in ([self.having_seg] if self.having_seg else []) + self.order_seg:
+            n += sum(1 for s in segs if s[0] == "call" and s[3])
+        return n
 
 
-def _agg_calls(expr: str) -> Optional[list[tuple]]:
+def _agg_calls(expr: str, allow_empty: bool = False) -> Optional[list[tuple]]:
     """All aggregate calls inside a select expression, left to right:
     [(start, end_exclusive, func_lower, inner|None for ``*``,
     is_distinct), ...]. None = the expression is not mergeable (no
-    calls, nested aggregates, subquery, or unbalanced parens)."""
+    calls unless ``allow_empty``, nested aggregates, subquery, or
+    unbalanced parens)."""
     depth, instr = _scan(expr)
     calls: list[tuple] = []
     last_end = 0
@@ -253,9 +312,74 @@ def _agg_calls(expr: str) -> Optional[list[tuple]]:
             inner_val = inner
         calls.append((i, j + 1, func, inner_val, is_distinct))
         last_end = j + 1
-    if not calls:
+    if not calls and not allow_empty:
         return None
     return calls
+
+
+def _text_segments(
+    txt: str, simple_keys: set[str], alias_kind: dict[str, tuple]
+) -> Optional[list[tuple]]:
+    """Classify every bare identifier in a post-aggregation text span.
+
+    Function names (identifier followed by ``(``) pass through verbatim
+    — their ARGUMENTS are classified by this same scan. Everything not
+    provably a keyword, group key, or select alias declines (None)."""
+    _, instr = _scan(txt)
+    segs: list[tuple] = []
+    last = 0
+    for m in re.finditer(r"[A-Za-z_]\w*", txt):
+        i = m.start()
+        if instr[i] or i < last:
+            continue
+        j = m.end()
+        while j < len(txt) and txt[j].isspace():
+            j += 1
+        if j < len(txt) and txt[j] == "(":
+            continue  # scalar function name — not a column reference
+        low = m.group(0).lower()
+        if low in _POST_KEYWORDS:
+            continue
+        if low in simple_keys:
+            segs.append(("text", txt[last:i]))
+            segs.append(("key", low))
+            last = m.end()
+        elif low in alias_kind:
+            segs.append(("text", txt[last:i]))
+            segs.append(alias_kind[low])
+            last = m.end()
+        else:
+            return None  # unknown identifier — cannot re-point safely
+    segs.append(("text", txt[last:]))
+    return segs
+
+
+def _post_agg_segments(
+    expr: str, simple_keys: set[str], alias_kind: dict[str, tuple]
+) -> Optional[list[tuple]]:
+    """Decompose a HAVING predicate / ORDER BY item into symbolic
+    segments the demux builder can render against the merged view (see
+    ParsedAgg field docs), or None when the expression is outside the
+    provably-rewritable surface. Aggregate calls may appear anywhere
+    (``HAVING sum(x) > 10``, ``ORDER BY count(*) DESC``); computed
+    group keys are reachable only through their select alias."""
+    calls = _agg_calls(expr, allow_empty=True)
+    if calls is None:
+        return None
+    segs: list[tuple] = []
+    last = 0
+    for start, end, func, inner, distinct in calls:
+        t = _text_segments(expr[last:start], simple_keys, alias_kind)
+        if t is None:
+            return None
+        segs.extend(t)
+        segs.append(("call", func, inner, distinct))
+        last = end
+    t = _text_segments(expr[last:], simple_keys, alias_kind)
+    if t is None:
+        return None
+    segs.extend(t)
+    return segs
 
 
 def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
@@ -284,25 +408,60 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
     if m_group is not None and not re.match(r"group\s+by\b", low[m_group.start():]):
         return None
     m_where = _find_top(s, "where", depth, instr)
+    m_having = _find_top(s, "having", depth, instr)
+    m_order = _find_top(s, "order", depth, instr)
+    if m_order is not None and not re.match(r"order\s+by\b", low[m_order.start():]):
+        return None
+    m_limit = _find_top(s, "limit", depth, instr)
+
+    # canonical clause sequence, each present clause bounding the
+    # previous slice; a stray top-level keyword (e.g. a column named
+    # "limit" in the select list) breaks monotonicity and declines
+    present = [
+        (name, m)
+        for name, m in (
+            ("from", m_from),
+            ("where", m_where),
+            ("group", m_group),
+            ("having", m_having),
+            ("order", m_order),
+            ("limit", m_limit),
+        )
+        if m is not None
+    ]
+    starts = [m.start() for _, m in present]
+    if starts != sorted(starts) or starts[0] <= len("select"):
+        return None
+    ends = {
+        name: (present[k + 1][1].start() if k + 1 < len(present) else len(s))
+        for k, (name, m) in enumerate(present)
+    }
 
     select_list = s[len("select"): m_from.start()]
-    table_end = (
-        m_where.start()
-        if m_where
-        else (m_group.start() if m_group else len(s))
+    from_text = s[m_from.end(): ends["from"]].strip()
+    m_tbl = re.fullmatch(
+        r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", from_text, re.I
     )
-    table = s[m_from.end(): table_end].strip()
-    if not _SIMPLE_IDENT.match(table):
+    if not m_tbl:
         return None
+    table = m_tbl.group(1)
+    table_alias = m_tbl.group(2)
+    # re-emission is FROM <table> (no alias): strip alias/table
+    # qualifiers from every expression slice so references resolve
+    # there and differently-aliased members share one signature
+    quals = [table_alias, table]
+
     where = None
     if m_where:
-        where_end = m_group.start() if m_group else len(s)
-        where = s[m_where.end(): where_end].strip()
+        where = _strip_qualifiers(s[m_where.end(): ends["where"]], quals).strip()
         if not where or re.search(r"\bselect\b", where, re.I):
             return None  # subquery in predicate — decline
     group_raw: dict[str, str] = {}
     if m_group is not None:
-        group_text = re.sub(r"^group\s+by\s*", "", s[m_group.start():], flags=re.I)
+        group_text = re.sub(
+            r"^group\s+by\s*", "", s[m_group.start(): ends["group"]], flags=re.I
+        )
+        group_text = _strip_qualifiers(group_text, quals)
         if re.match(r"(all|grouping|rollup|cube)\b", group_text.strip(), re.I):
             return None
         group_raw_list = _split_top(group_text)
@@ -312,6 +471,26 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
             if re.fullmatch(r"\d+", g):  # ordinal GROUP BY — decline
                 return None
             group_raw.setdefault(_canon(g), g)
+    having_text = None
+    if m_having is not None:
+        having_text = _strip_qualifiers(s[m_having.end(): ends["having"]], quals).strip()
+        if not having_text or re.search(r"\bselect\b", having_text, re.I):
+            return None
+    order_items: list[str] = []
+    if m_order is not None:
+        order_text = re.sub(
+            r"^order\s+by\s*", "", s[m_order.start(): ends["order"]], flags=re.I
+        )
+        order_items = _split_top(_strip_qualifiers(order_text, quals))
+        if not order_items:
+            return None
+    limit_val = None
+    if m_limit is not None:
+        limit_text = s[m_limit.end():].strip()
+        if not re.fullmatch(r"\d+", limit_text):
+            return None  # LIMIT ALL / expression — decline
+        limit_val = int(limit_text)
+    select_list = _strip_qualifiers(select_list, quals)
     # no GROUP BY = global aggregation (GROUP BY ()): group_canon is
     # the empty tuple; the query must then be pure aggregates (checked
     # below — any non-agg item fails the key/agg classification)
@@ -332,6 +511,8 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
             expr = item[: m_as.start()].strip()
         else:
             expr = item.strip()
+        if alias is not None and alias.startswith("__"):
+            return None  # reserved namespace (__g/__m/__gid merged columns)
         c = _canon(expr)
         if c in group_raw:
             if alias is None:
@@ -346,6 +527,30 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
         parsed.items.append(("agg", expr, calls, alias))
     if not any(it[0] == "agg" for it in parsed.items):
         return None  # plain GROUP BY projection — nothing to share
+    # presentation clauses: validate rewritability NOW (a decline here
+    # keeps the whole statement off the merge path; by construction the
+    # demux build below can then never fail)
+    if having_text is not None or order_items:
+        if "`" in s:
+            return None  # backticked identifiers — outside the scan's model
+        simple_keys = {c for c in group_raw if _SIMPLE_IDENT.match(c)}
+        alias_kind: dict[str, tuple] = {}
+        for j, it in enumerate(parsed.items):
+            if it[0] == "key":
+                alias_kind[it[2].lower()] = ("key", it[1])
+            else:
+                alias_kind[it[3].lower()] = ("aggref", j)
+        if having_text is not None:
+            segs = _post_agg_segments(having_text, simple_keys, alias_kind)
+            if segs is None:
+                return None
+            parsed.having_seg = segs
+        for o in order_items:
+            segs = _post_agg_segments(o, simple_keys, alias_kind)
+            if segs is None:
+                return None
+            parsed.order_seg.append(segs)
+    parsed.limit = limit_val
     return parsed
 
 
@@ -448,9 +653,58 @@ def _build_merge(
                 _, raw_expr, calls, alias = it
                 sel.append(f"{_rewrite_item(raw_expr, calls, p.where)} AS __m{i}_{j}")
                 out_items.append(f"__m{i}_{j} AS {alias}")
+
+        # presentation clauses re-applied over the merged view: HAVING
+        # becomes part of the demux WHERE (the view's rows are already
+        # aggregated), its aggregate calls landing as hidden
+        # predicate-folded columns of the shared aggregate; ORDER BY
+        # re-points at view columns (select ordinals stay valid — the
+        # demux select list preserves the member's item order); LIMIT
+        # cuts the demux result only. Hidden columns are deduped by
+        # fragment, seeded with the member's BARE single-call select
+        # aggregates, so HAVING count(*) > 5 reuses a selected
+        # count(*) AS n instead of widening the merged aggregate.
+        hidden_cols: dict[str, str] = {}
+        for j, it in enumerate(p.items):
+            if it[0] == "agg" and len(it[2]) == 1:
+                start, end, func, inner, distinct = it[2][0]
+                if it[1].strip() == it[1][start:end]:
+                    hidden_cols[_agg_expr(func, inner, distinct, p.where)] = f"__m{i}_{j}"
+
+        def _render_post(segs: list[tuple], i: int = i, p: "ParsedAgg" = p) -> str:
+            out: list[str] = []
+            for seg in segs:
+                if seg[0] == "text":
+                    out.append(seg[1])
+                elif seg[0] == "key":
+                    out.append(g_alias[seg[1]])
+                elif seg[0] == "aggref":
+                    out.append(f"__m{i}_{seg[1]}")
+                else:  # ("call", func, inner, distinct)
+                    frag = _agg_expr(seg[1], seg[2], seg[3], p.where)
+                    col = hidden_cols.get(frag)
+                    if col is None:
+                        col = f"__m{i}_h{len(hidden_cols)}"
+                        hidden_cols[frag] = col
+                        sel.append(f"{frag} AS {col}")
+                    out.append(col)
+            return "".join(out)
+
+        if p.having_seg is not None:
+            conds.append(f"({_render_post(p.having_seg)})")
+        order_clause = (
+            " ORDER BY " + ", ".join(_render_post(o) for o in p.order_seg)
+            if p.order_seg
+            else ""
+        )
+        limit_clause = f" LIMIT {p.limit}" if p.limit is not None else ""
+
         view = "__MRSHARE_VIEW__"  # patched below once the name is known
         where = (" WHERE " + " AND ".join(conds)) if conds else ""
-        demux[job.job_id] = f"SELECT {', '.join(out_items)} FROM {view}{where}"
+        demux[job.job_id] = (
+            f"SELECT {', '.join(out_items)} FROM {view}{where}"
+            f"{order_clause}{limit_clause}"
+        )
 
     if grouping_sets:
         sel.insert(len(ordered), "grouping_id() AS __gid")

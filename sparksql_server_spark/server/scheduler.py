@@ -86,6 +86,7 @@ class BatchExecutor:
             "caching_bags": 0,
             "mrshare_merged_jobs": 0,
             "mrshare_plans": 0,
+            "mrshare_demux_fallbacks": 0,
         }
 
     # -- analysis ---------------------------------------------------------
@@ -374,7 +375,18 @@ class BatchExecutor:
             # rewritten_sql = MRShare demux over the persisted merged
             # aggregate (set by _materialize_merge); absent on the
             # normal path
-            df = sess.sql(job.props.get("rewritten_sql") or job.sql)
+            rewritten = job.props.get("rewritten_sql")
+            try:
+                df = sess.sql(rewritten or job.sql)
+            except Exception:
+                if not rewritten:
+                    raise
+                # a demux query that fails to PLAN must not fail the
+                # member job: fall back to its original SQL on the
+                # normal path (correctness over sharing), and count it
+                # so a fallback can never silently hide a rewrite bug
+                self.stats["mrshare_demux_fallbacks"] += 1
+                df = sess.sql(job.sql)
             if job.props.get("cancel_requested"):  # cancelled during planning
                 raise RuntimeError("cancelled")
             output = job.props.get("output")

@@ -102,9 +102,16 @@ def test_parse_expression_key_and_case_folding():
     [
         # joins / set ops / sorts / windows — not the mergeable shape
         "SELECT c_name, count(*) AS n FROM customer c JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
-        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag HAVING count(*) > 5",
-        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY n",
-        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag LIMIT 5",
+        # presentation clauses outside the provably-rewritable surface
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_tax",  # non-key raw column
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag LIMIT ALL",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag LIMIT 5 + 1",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag HAVING n IN (SELECT 1)",  # subquery
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag HAVING sum(count(*)) > 5",  # nested agg
+        "SELECT l_returnflag, count(*) AS `n` FROM lineitem GROUP BY l_returnflag ORDER BY `n`",  # backticks
+        "SELECT l_returnflag, count(*) AS __m0_1 FROM lineitem GROUP BY l_returnflag",  # reserved namespace
+        # clause sequence violations
+        "SELECT l_returnflag, count(*) AS n FROM lineitem ORDER BY n GROUP BY l_returnflag",
         "SELECT DISTINCT l_returnflag FROM lineitem GROUP BY l_returnflag",
         "SELECT l_returnflag, sum(sum(l_quantity)) OVER () AS s FROM lineitem GROUP BY l_returnflag",
         # subquery in predicate
@@ -312,6 +319,129 @@ def test_global_aggregate_mandatory_row_on_empty_merged_input(spark, executor):
     assert jobs[1].rows == []
 
 
+# ---------------------------------------------------------------------------
+# round-5 widening: HAVING / ORDER BY / LIMIT / aliased tables
+# (demux-safe presentation clauses — reapplied over the merged view)
+
+
+def test_parse_presentation_clauses():
+    p = parse_agg_query(
+        "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS q FROM lineitem"
+        " WHERE l_discount > 0.01 GROUP BY l_returnflag"
+        " HAVING sum(l_quantity) > 10 ORDER BY q DESC, l_returnflag LIMIT 3"
+    )
+    assert p is not None
+    assert p.having_seg is not None
+    assert len(p.order_seg) == 2 and p.limit == 3
+    # presentation clauses do NOT change the merge signature
+    q = parse_agg_query(
+        "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS q FROM lineitem"
+        " WHERE l_discount > 0.01 GROUP BY l_returnflag"
+    )
+    assert p.signature == q.signature
+
+
+def test_parse_aliased_table_strips_qualifier():
+    """FROM lineitem l / FROM lineitem AS l: qualifiers are stripped so
+    differently-aliased members share one signature and re-emit under
+    the merged plain FROM."""
+    a = parse_agg_query(
+        "SELECT l.l_returnflag, sum(l.l_quantity) AS q FROM lineitem l"
+        " WHERE l.l_discount > 0.02 GROUP BY l.l_returnflag"
+    )
+    b = parse_agg_query(
+        "SELECT li.l_returnflag, sum(li.l_quantity) AS q FROM lineitem AS li"
+        " WHERE li.l_discount > 0.02 GROUP BY li.l_returnflag"
+    )
+    c = parse_agg_query(
+        "SELECT l_returnflag, sum(l_quantity) AS q FROM lineitem"
+        " WHERE l_discount > 0.02 GROUP BY l_returnflag"
+    )
+    assert a is not None and b is not None and c is not None
+    assert a.signature == b.signature == c.signature
+    assert a.where == b.where == c.where == "l_discount > 0.02"
+
+
+PRESENTATION = [
+    "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq FROM lineitem"
+    " WHERE l_discount > 0.02 GROUP BY l_returnflag, l_linestatus"
+    " HAVING sum(l_quantity) > 100 ORDER BY sq DESC LIMIT 3",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem"
+    " GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "SELECT l_linestatus AS ls, l_returnflag AS rf, avg(l_tax) AS at FROM lineitem"
+    " WHERE l_quantity > 10 GROUP BY l_linestatus, l_returnflag HAVING count(*) > 5",
+    # ordinal ORDER BY: demux select preserves item order, so ordinals
+    # stay valid over the view
+    "SELECT l_returnflag, l_linestatus, max(l_extendedprice) AS mx FROM lineitem"
+    " GROUP BY l_returnflag, l_linestatus ORDER BY 3 DESC LIMIT 2",
+]
+
+
+def test_presentation_clauses_merge_matches_independent(spark, executor):
+    jobs, bags = _run_and_compare(spark, executor, PRESENTATION, {0, 1, 2, 3})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.merges[0].grouping_sets == 1  # same signature throughout
+    assert executor.stats["mrshare_demux_fallbacks"] == 0
+    # LIMIT respected through the demux
+    assert len(jobs[0].rows) <= 3 and len(jobs[3].rows) <= 2
+
+
+def test_aliased_members_merge_with_unaliased(spark, executor):
+    sqls = [
+        "SELECT l.l_returnflag, sum(l.l_quantity) AS q FROM lineitem l"
+        " GROUP BY l.l_returnflag",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    ]
+    jobs, _ = _run_and_compare(spark, executor, sqls, {0, 1})
+    assert executor.stats["mrshare_demux_fallbacks"] == 0
+
+
+def test_having_filters_global_aggregate_row(spark, executor):
+    """HAVING without GROUP BY filters the single global row — and can
+    legitimately eliminate it (unlike the presence counter, which must
+    never drop a global row)."""
+    sqls = [
+        "SELECT count(*) AS n FROM lineitem HAVING count(*) > 5",
+        "SELECT count(*) AS n FROM lineitem HAVING count(*) < 0",
+        "SELECT sum(l_quantity) AS q FROM lineitem",
+    ]
+    jobs, _ = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    assert len(jobs[0].rows) == 1 and jobs[1].rows == [] and len(jobs[2].rows) == 1
+
+
+def test_presentation_clauses_with_grouping_sets(spark, executor):
+    sqls = [
+        "SELECT o_orderstatus, count(*) AS n FROM orders"
+        " GROUP BY o_orderstatus HAVING count(*) > 1 ORDER BY n DESC LIMIT 2",
+        "SELECT o_orderpriority, sum(o_totalprice) AS s FROM orders"
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.merges[0].grouping_sets == 2
+    assert executor.stats["mrshare_demux_fallbacks"] == 0
+
+
+def test_having_reuses_selected_aggregate_column(spark):
+    """HAVING count(*) > 5 with count(*) AS n selected must NOT widen
+    the merged aggregate with a duplicate hidden column."""
+    jobs = [
+        QueryJob(
+            job_id=0,
+            sql="SELECT l_returnflag, count(*) AS n FROM lineitem"
+            " GROUP BY l_returnflag HAVING count(*) > 5",
+        ),
+        QueryJob(
+            job_id=1,
+            sql="SELECT l_returnflag, sum(l_tax) AS t FROM lineitem"
+            " GROUP BY l_returnflag",
+        ),
+    ]
+    (mp,) = plan_merges(jobs)
+    assert "__m0_h" not in mp.merged_sql  # reused __m0_1, no hidden col
+    assert "__m0_1 > 5" in mp.demux_sql[0]
+
+
 GROUPING_SETS = [
     # three signatures over orders, deliberately interleaved widths so
     # the grouping_id bit order (first-appearance across sets) is
@@ -367,8 +497,8 @@ def test_unmergeable_shapes_run_normal_path(spark, executor):
     sqls = [
         SAME_SIG[0],
         SAME_SIG[1],
-        "SELECT l_returnflag, count(*) AS n FROM lineitem"
-        " GROUP BY l_returnflag ORDER BY n DESC",  # ORDER BY — declined
+        "SELECT l_returnflag, count(*) AS n, sum(sum(l_quantity)) OVER () AS tot"
+        " FROM lineitem GROUP BY l_returnflag",  # window function — declined
     ]
     jobs, _ = _run_and_compare(spark, executor, sqls, {0, 1})
     assert "rewritten_sql" not in jobs[2].props

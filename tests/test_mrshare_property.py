@@ -42,6 +42,16 @@ AGGS = [
 ]
 
 
+# post-aggregation predicates (round-5 widening): HAVING is demux-only
+HAVINGS = [
+    None,
+    "count(*) > 2",
+    "sum(l_quantity) > 100",
+    "max(l_extendedprice) >= 1000 AND count(*) > 1",
+    "count(*) < 0",  # filters every group (and the global mandatory row)
+]
+
+
 @st.composite
 def agg_query(draw, keys):
     n_aggs = draw(st.integers(1, 3))
@@ -53,7 +63,25 @@ def agg_query(draw, keys):
     sel = ", ".join(keys + [sel_aggs]) if keys else sel_aggs
     where = f" WHERE {pred}" if pred else ""
     group = f" GROUP BY {', '.join(keys)}" if keys else ""  # [] = global agg
-    return f"SELECT {sel} FROM lineitem{where}{group}"
+    having = draw(st.sampled_from(HAVINGS))
+    having_clause = f" HAVING {having}" if having else ""
+    # ORDER BY over ALL keys = total order on grouped rows, which makes
+    # LIMIT deterministic (a partial order would compare row SETS that
+    # legitimately differ between merged and direct under ties)
+    order_clause = ""
+    limit_clause = ""
+    if keys and draw(st.booleans()):
+        dirs = [draw(st.sampled_from(["", " DESC"])) for _ in keys]
+        order_clause = " ORDER BY " + ", ".join(k + d for k, d in zip(keys, dirs))
+        limit = draw(st.sampled_from([None, 2, 5]))
+        if limit is not None:
+            limit_clause = f" LIMIT {limit}"
+    elif not keys and draw(st.booleans()):
+        limit_clause = " LIMIT 1"  # global agg: at most one row anyway
+    return (
+        f"SELECT {sel} FROM lineitem{where}{group}"
+        f"{having_clause}{order_clause}{limit_clause}"
+    )
 
 
 @st.composite
