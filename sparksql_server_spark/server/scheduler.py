@@ -219,14 +219,17 @@ class BatchExecutor:
     def _merge_source_bytes(self, mp: MergePlan) -> int:
         """On-disk size of the scan the merge would share: the member
         jobs' common plan-leaf fingerprint (single-table aggregations
-        have exactly one). 0 when unknown — unknown declines."""
+        have exactly one). Non-local URIs are priced through the Hadoop
+        FileSystem (cache._dir_bytes), so cluster sources admit by their
+        real size instead of silently declining. 0 when unknown —
+        unknown declines."""
         from sparksql_server_spark.server.cache import _dir_bytes
 
         sets = [set(j.fingerprints) for j in mp.jobs if j.fingerprints]
         if not sets:
             return 0
         common = set.intersection(*sets)
-        return max((_dir_bytes(s) for s in common), default=0)
+        return max((_dir_bytes(s, self.spark) for s in common), default=0)
 
     def _materialize_merge(self, mp: MergePlan) -> bool:
         """Run the merged aggregate ONCE (the shared pass), persist the
