@@ -362,24 +362,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embdup_spark() -> str:
+    from sparksql_server_spark.operators.similarity import spark_lsh_bucket
+
     return f"""
-WITH n AS (SELECT vec_id, label, embedding, {spark_norm('embedding')} AS nrm
+WITH n AS (SELECT vec_id, embedding, {spark_norm('embedding')} AS nrm,
+                  {spark_lsh_bucket('embedding')} AS bucket
            FROM embeddings)
 SELECT a.vec_id AS d1, b.vec_id AS d2,
        round({spark_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos
-FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ORDER BY cos DESC, d1, d2
 LIMIT 500
 """
 
 
 def _embdup_duck() -> str:
+    from sparksql_server_spark.operators.similarity import duck_lsh_bucket
+
     return f"""
-WITH n AS (SELECT vec_id, label, embedding, {duck_norm('embedding')} AS nrm
+WITH n AS (SELECT vec_id, embedding, {duck_norm('embedding')} AS nrm,
+                  {duck_lsh_bucket('embedding')} AS bucket
            FROM embeddings)
 SELECT a.vec_id AS d1, b.vec_id AS d2,
        round({duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos
-FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ORDER BY cos DESC, d1, d2
 LIMIT 500
 """
@@ -387,10 +393,19 @@ LIMIT 500
 
 @query("dedup_embedding_cosine", oracle=_embdup_duck())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: label-blocked pairwise cosine, top
-    pairs. Blocking key (label — in production: coarse cluster / LSH
-    bucket) turns all-pairs O(N²) into Σ block²; the pairwise work
-    shuffles once on the blocking key.
+    """Embedding-cosine near-dup: LSH-bucket-blocked pairwise cosine,
+    top pairs. The blocking key is the same random-hyperplane bucket
+    the ANN operators use (similarity.spark_lsh_bucket — 8 planes, 256
+    buckets, integer-derived coefficients reproduced exactly by the
+    DuckDB oracle), so the dedup needs NO semantic label to exist:
+    near-duplicate vectors land in the same bucket with high
+    probability, pair work is Σ bucket² instead of N², and the
+    pairwise join shuffles once on bucket id. (Rounds 1-4 blocked on
+    the dataset's label column — a crutch real corpora lack; VERDICT
+    r4 next-round #5.) Recall tuning at scale: fewer planes → bigger
+    buckets → higher recall and cost; multi-probe (one-bit flips, as in
+    sim_topk_lsh_multiprobe) recovers pairs split by a near-zero
+    hyperplane margin without re-bucketing.
     """
     register_tables(spark, sf_dir, ("embeddings",))
     return spark.sql(_embdup_spark())

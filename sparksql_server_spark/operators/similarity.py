@@ -29,6 +29,34 @@ _SPARK_COEF = "double(((p * 1000 + i) * 2654435761) % 97 - 48)"
 _DUCK_COEF = "((((p * 1000 + i) * 2654435761) % 97) - 48)::DOUBLE"
 
 
+def spark_lsh_bucket(col: str) -> str:
+    """Random-hyperplane LSH bucket id (0..2^planes-1) of a vector
+    column — Spark dialect. Shared by sim_topk_lsh/multiprobe/range and
+    dedup_embedding_cosine, so every operator blocks on the SAME
+    deterministic buckets (integer-derived coefficients, reproducible
+    on the DuckDB oracle via ``duck_lsh_bucket``)."""
+    return f"""
+  aggregate(transform(sequence(0, {_LSH_PLANES - 1}), p ->
+      CASE WHEN aggregate(transform(sequence(1, size({col})), i ->
+                     element_at({col}, i) * {_SPARK_COEF}),
+                 0D, (acc, v) -> acc + v) > 0D
+           THEN shiftleft(1, p) ELSE 0 END),
+    0, (acc, v) -> acc + v)"""
+
+
+def duck_lsh_bucket(col: str) -> str:
+    """DuckDB twin of ``spark_lsh_bucket`` — same planes, same integer
+    coefficient schedule, same sign rule."""
+    return f"""
+  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, {_LSH_PLANES}), p ->
+      CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                     list_transform(range(1, len({col}) + 1), i ->
+                         {col}[i] * {_DUCK_COEF})),
+                 (acc, v) -> acc + v) > 0.0
+           THEN (1 << p)::BIGINT ELSE 0::BIGINT END)),
+    (acc, v) -> acc + v)"""
+
+
 def _brute_spark() -> str:
     return f"""
 WITH n AS (SELECT vec_id, embedding, {spark_norm('embedding')} AS nrm FROM embeddings),
@@ -83,13 +111,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_spark() -> str:
-    bucket = f"""
-  aggregate(transform(sequence(0, {_LSH_PLANES - 1}), p ->
-      CASE WHEN aggregate(transform(sequence(1, size(embedding)), i ->
-                     element_at(embedding, i) * {_SPARK_COEF}),
-                 0D, (acc, v) -> acc + v) > 0D
-           THEN shiftleft(1, p) ELSE 0 END),
-    0, (acc, v) -> acc + v)"""
+    bucket = spark_lsh_bucket("embedding")
     return f"""
 WITH n AS (SELECT vec_id, embedding, {spark_norm('embedding')} AS nrm,
                   {bucket} AS bucket
@@ -112,14 +134,7 @@ ORDER BY q_id, rank
 
 
 def _lsh_duck() -> str:
-    bucket = f"""
-  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, {_LSH_PLANES}), p ->
-      CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-                     list_transform(range(1, len(embedding) + 1), i ->
-                         embedding[i] * {_DUCK_COEF})),
-                 (acc, v) -> acc + v) > 0.0
-           THEN (1 << p)::BIGINT ELSE 0::BIGINT END)),
-    (acc, v) -> acc + v)"""
+    bucket = duck_lsh_bucket("embedding")
     return f"""
 WITH n AS (SELECT vec_id, embedding, {duck_norm('embedding')} AS nrm,
                   {bucket} AS bucket
