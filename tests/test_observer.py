@@ -1,0 +1,219 @@
+"""Scan observer (server/observer.py): the Thrift-door bridge into the
+work-sharing cache.
+
+The observer watches the JVM-wide SQLAppStatusStore, which records
+completed executions from EVERY session over the shared SparkContext —
+exactly what a JDBC connection is. These tests drive it with
+``spark.newSession()`` sessions (same out-of-band shape as HiveServer2
+sessions, without the cost of booting a thrift server; the real-JDBC
+end-to-end lives in test_thrift.py)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.server.cache import CacheManager
+from sparksql_server_spark.server.observer import (
+    ScanObserver,
+    _top_level_fields,
+    scan_events,
+)
+from tests.conftest import SF_DIR
+
+
+# -- unit: plan-text parsing ------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "body,n",
+    [
+        ("", 0),
+        ("a:int", 1),
+        ("a:int,b:string", 2),
+        ("a:struct<x:int,y:int>,b:int", 2),  # nested commas don't count
+        ("a:array<struct<x:int,y:map<string,int>>>,b:int,c:double", 3),
+    ],
+)
+def test_top_level_fields(body, n):
+    assert _top_level_fields(body) == n
+
+
+def test_scan_events_parses_live_plan(spark):
+    """The regex must match what THIS Spark version actually prints in
+    a status-store plan description (not a hand-written facsimile)."""
+    register_tables(spark, SF_DIR, ("supplier",))
+    spark.sql("SELECT s_name, s_acctbal FROM supplier WHERE s_acctbal > 0").collect()
+    store = spark._jsparkSession.sharedState().statusStore()
+    ex_list = store.executionsList()
+    descs = [
+        ex_list.apply(k).physicalPlanDescription()
+        for k in range(ex_list.size())
+    ]
+    hits = [
+        ev
+        for d in descs
+        for ev in scan_events(d)
+        if ev[0].endswith("supplier.parquet")
+    ]
+    assert hits, "no supplier scan event parsed from the status store"
+    source, fmt, ncols = hits[-1]
+    assert source == SF_DIR + "/supplier.parquet"
+    assert fmt == "parquet"
+    # pruned ReadSchema: the query touches 2 columns of 7
+    assert 0 < ncols <= 3
+
+
+# -- integration: out-of-band sessions prime the cache ----------------------
+
+
+def _poll_until(obs, n_new_scans, timeout=15.0):
+    """Poll until ``n_new_scans`` more MATCHING scans are counted (the
+    listener bus posts SQLExecutionEnd ASYNCHRONOUSLY — .collect()
+    returns first, so a single immediate poll can see the execution as
+    still-running; the background thread naturally revisits, one-shot
+    tests must too). Counting scans rather than executions keeps the
+    wait immune to unrelated executions (catalog registrations, etc.)
+    completing late. Returns every source primed along the way."""
+    target = obs.stats["scans_seen"] + n_new_scans
+    primed: list = []
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        primed += obs.poll_once()
+        if obs.stats["scans_seen"] >= target:
+            return primed
+        time.sleep(0.1)
+    raise AssertionError(
+        f"saw {obs.stats['scans_seen']} scans, wanted {target}"
+    )
+
+
+@pytest.fixture()
+def make_observer(spark):
+    """Factory: an observer watching ONLY the given table. Each test
+    watches its own table — with a shared watch list, a late-completing
+    scan of another test's table (including the cache-build count()
+    itself) could satisfy this test's scan-count waits."""
+    register_tables(spark, SF_DIR)
+    made = []
+
+    def _make(table: str) -> ScanObserver:
+        cm = CacheManager(
+            spark,
+            budget_bytes=1 << 30,
+            min_bytes=0,  # sf0.001 sits under the production floor
+            # isolate the bridge plumbing from the caching economics
+            # (the benefit bar has its own unit tests in test_server.py)
+            benefit_factor=0.0,
+            columnar_benefit_factor=0.0,
+        )
+        obs = ScanObserver(
+            spark, cm, {SF_DIR + f"/{table}.parquet": table}, min_repeats=2
+        )
+        obs.poll_once()  # mark earlier tests' executions as seen...
+        obs._recent.clear()  # ...and discard any evidence they contributed
+        made.append(cm)
+        return obs
+
+    yield _make
+    for cm in made:
+        cm.clear()
+
+
+def test_repeat_outofband_scans_prime_the_cache(spark, make_observer):
+    """Two scans of the same table from an out-of-band session (the
+    JDBC shape) must cache it; the NEXT query plans the in-memory
+    scan."""
+    observer = make_observer("orders")
+    other = spark.newSession()
+    register_tables(other, SF_DIR, ("orders",))
+    other.sql("SELECT count(*) AS n FROM orders WHERE o_totalprice > 10").collect()
+    other.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+    ).collect()
+    primed = _poll_until(observer, 2)
+    assert SF_DIR + "/orders.parquet" in primed
+    assert spark.catalog.isCached("orders")
+    plan = other.sql("SELECT count(*) FROM orders")._jdf.queryExecution().toString()
+    assert "InMemoryRelation" in plan
+    assert observer.stats["sources_cached"] == 1
+
+
+def test_single_scan_does_not_prime(spark, make_observer):
+    observer = make_observer("customer")
+    other = spark.newSession()
+    register_tables(other, SF_DIR, ("customer",))
+    other.sql("SELECT count(*) AS n FROM customer").collect()
+    primed = _poll_until(observer, 1)
+    assert primed == []
+    assert not spark.catalog.isCached("customer")
+
+
+def test_window_expiry_forgets_stale_scans(spark, make_observer):
+    """Evidence older than the sliding window must not count: two scans
+    separated by more than window_seconds look like one. (Uses a table
+    no other test here scans — a LATE-completing scan of a shared table
+    from an earlier test would otherwise race the first wait.)"""
+    observer = make_observer("nation")
+    observer.window_seconds = 0.3
+    other = spark.newSession()
+    register_tables(other, SF_DIR, ("nation",))
+    other.sql("SELECT count(*) AS n FROM nation WHERE n_regionkey > 0").collect()
+    _poll_until(observer, 1)
+    time.sleep(0.4)
+    other.sql("SELECT count(*) AS n2 FROM nation WHERE n_regionkey > 1").collect()
+    primed = _poll_until(observer, 1)
+    assert primed == []
+    assert not spark.catalog.isCached("nation")
+
+
+def test_admission_still_gates_the_bridge(spark):
+    """The observer feeds the SAME CacheManager admission the gateway
+    uses — a byte floor above the table size must decline, bridge or
+    no bridge."""
+    register_tables(spark, SF_DIR)
+    cm = CacheManager(spark, budget_bytes=1 << 30, min_bytes=1 << 40)
+    obs = ScanObserver(
+        spark, cm, {SF_DIR + "/orders.parquet": "orders"}, min_repeats=2
+    )
+    obs.poll_once()
+    other = spark.newSession()
+    register_tables(other, SF_DIR, ("orders",))
+    for _ in range(3):
+        other.sql("SELECT count(*) AS n FROM orders").collect()
+    assert _poll_until(obs, 3) == []
+    assert not spark.catalog.isCached("orders")
+
+
+def test_server_wires_observer_lifecycle(spark):
+    """observe_out_of_band=True hangs a ScanObserver off the server's
+    own CacheManager; start/shutdown manage its thread."""
+    from sparksql_server_spark.server import WorkSharingServer
+
+    srv = WorkSharingServer(
+        spark, SF_DIR, max_wait=0.1, observe_out_of_band=True
+    ).start()
+    try:
+        assert srv.observer is not None
+        assert srv.observer.cache is srv.executor.cache
+        assert srv.observer._thread is not None and srv.observer._thread.is_alive()
+    finally:
+        srv.shutdown()
+    assert not srv.observer._thread.is_alive()
+
+
+def test_background_thread_lifecycle(spark, make_observer):
+    observer = make_observer("orders")
+    observer.poll_interval = 0.05
+    observer.start()
+    other = spark.newSession()
+    register_tables(other, SF_DIR, ("orders",))
+    other.sql("SELECT count(*) AS a FROM orders WHERE o_custkey > 0").collect()
+    other.sql("SELECT count(*) AS b FROM orders WHERE o_custkey > 1").collect()
+    deadline = time.monotonic() + 15
+    while time.monotonic() < deadline and not spark.catalog.isCached("orders"):
+        time.sleep(0.1)
+    observer.stop()
+    assert spark.catalog.isCached("orders")
