@@ -356,6 +356,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_jaccard_spark())
 
 
+def _containment_spark() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle
+       FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING count(*) >= 2)
+SELECT d1, d2, CAST(shared AS BIGINT) AS shared, CAST(ca.n AS BIGINT) AS n_d1,
+       round(shared / ca.n, 6) AS containment
+FROM inter JOIN counts ca ON d1 = ca.doc_id
+WHERE 4 * shared >= ca.n
+ORDER BY containment DESC, d1, d2
+LIMIT 500
+"""
+
+
+def _containment_duck() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, shingle FROM
+         (SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING count(*) >= 2)
+SELECT d1, d2, CAST(shared AS BIGINT) AS shared, CAST(ca.n AS BIGINT) AS n_d1,
+       round(shared / ca.n, 6) AS containment
+FROM inter JOIN counts ca ON d1 = ca.doc_id
+WHERE 4 * shared >= ca.n
+ORDER BY containment DESC, d1, d2
+LIMIT 500
+"""
+
+
+@query("dedup_shingle_containment", oracle=_containment_duck())
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment |A∩B| / |A| ≥ 0.25 over ordered
+    candidate pairs — the asymmetric complement of Jaccard: a short
+    document quoted inside a long one scores near 1.0 on containment
+    while its Jaccard stays tiny (the union is dominated by the long
+    side), so symmetric dedup misses exactly the
+    quotation/boilerplate-absorption case this catches.
+
+    Determinism: intersection and set sizes are exact integers; the
+    threshold compares integers (4*shared >= n ≡ containment >= 0.25);
+    the only float op is one division, rounded to 6 dp on both engines.
+
+    Scale: same blocked shingle self-join as dedup_ngram_jaccard
+    (Σ per-shingle bucket², DF-cutoff for ultra-common shingles at
+    100 TB); ordered pairs cost 2× the unordered join output but no
+    extra shuffle — the pair aggregation key is (d1, d2) either way.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_containment_spark())
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

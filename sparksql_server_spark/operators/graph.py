@@ -133,6 +133,14 @@ def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per iteration
     n_val = float(nodes.count())
     ranks = nodes.select("node", F.lit(1.0 / n_val).alias("rank"))
+    # lineage discipline: each iteration composes join+agg onto the
+    # ranks plan, so plan depth grows linearly with _ITERS. At the
+    # pinned _ITERS=3 that is well inside Catalyst's comfort zone and a
+    # localCheckpoint per round would only add latency; if _ITERS ever
+    # grows past ~10, adopt dedup_clusters' convention (localCheckpoint
+    # each round + generation-scoped unpersist) — the oracle's unrolled
+    # SQL must be regenerated to match the same iteration count anyway,
+    # which keeps the bound honest.
     for _ in range(_ITERS):
         ranks = (
             weighted.join(ranks, weighted.src == ranks.node)

@@ -197,6 +197,85 @@ ORDER BY doc_id, rnk
 """
 
 
+_BM25_TERMS = ("scan", "hash", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+
+
+def _bm25_sql(dialect: str) -> str:
+    """BM25 retrieval of the top documents for a fixed query-term set,
+    with a LINEAR idf — (N - df + 0.5)/(df + 0.5), no ln() — so every
+    per-term score is a chain of exact-input IEEE mul/div both engines
+    compute bit-identically (same reasoning as _tfidf_sql; ln()'s
+    last-ulp rounding is the one op with no cross-engine guarantee).
+    The per-document sum over query terms goes through the
+    exact-DECIMAL pattern to pin association order, and ranking sorts
+    the ROUNDED score so a sub-6dp divergence can never flip the cut.
+    """
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    if dialect == "spark":
+        words = spark_words("text")
+        ex = "SELECT doc_id, term FROM w LATERAL VIEW explode(w) t AS term"
+        dlen = "size(w)"
+    else:
+        words = duck_words("text")
+        ex = "SELECT doc_id, unnest(w) AS term FROM w"
+        dlen = "len(w)"
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+dl AS (SELECT doc_id, CAST({dlen} AS DOUBLE) AS dl FROM w),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS avgdl
+          FROM dl),
+terms AS ({ex}),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM terms WHERE term IN ({terms}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ((s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         ((tf.tf * ({_BM25_K1} + 1.0)) /
+          (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                 + {_BM25_B} * dl.dl / s.avgdl))) AS c
+  FROM tf JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s),
+scored AS (
+  SELECT doc_id,
+         round(CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+  FROM contrib GROUP BY doc_id)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOP}
+"""
+
+
+@query("text_bm25_retrieval", oracle=_bm25_sql("duck"))
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a fixed keyword query under BM25 scoring
+    (k1=1.2, b=0.75; linear idf for cross-engine exactness — the
+    ranking-relevant monotonicity in df is preserved per term). The
+    retrieval primitive a training-data pipeline uses for targeted
+    corpus slicing ("pull documents about X") and for decontamination
+    lookups.
+
+    Scale: tokenize → tf is one explode + groupBy keyed by (doc_id,
+    term) with the IN-list predicate pushed below the aggregation, so
+    only query-term postings ever shuffle (the classic inverted-index
+    access path, expressed relationally); df aggregates tf's tiny
+    output; dl/stats are document-count-sized; the final top-k is a
+    TakeOrdered over |matching docs|. At 100 TB the only large shuffle
+    is the postings aggregation, proportional to query-term frequency,
+    not corpus size.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_bm25_sql("spark"))
+
+
 @query("text_tfidf_topterms", oracle=_tfidf_sql("duck"))
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salient-term extraction: top-3 terms per document by TF-IDF

@@ -118,6 +118,13 @@ class ScanObserver:
         # (timestamp, read_fraction, format) per recent scan, by source
         self._recent: dict[str, deque] = {}
         self._seen: set[int] = set()  # execution ids already counted
+        # executions that PRE-DATE the observer must never count as
+        # demand evidence: their true completion times are unknown (the
+        # poll would stamp them "now", fabricating a burst). Execution
+        # ids are monotone, so the first poll records the backlog's max
+        # id as a floor — everything at or under it is invisible, even
+        # if it completes after the observer starts
+        self._floor_id: Optional[int] = None
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"executions_seen": 0, "scans_seen": 0, "sources_cached": 0}
@@ -135,11 +142,16 @@ class ScanObserver:
             n = ex_list.size()
         except Exception:
             return []  # JVM shutting down — observer just idles
+        if self._floor_id is None:
+            self._floor_id = max(
+                (ex_list.apply(k).executionId() for k in range(n)), default=-1
+            )
+            return []
         now = time.monotonic()
         for k in range(n):
             e = ex_list.apply(k)
             eid = e.executionId()
-            if eid in self._seen:
+            if eid <= self._floor_id or eid in self._seen:
                 continue
             if e.completionTime().isEmpty():
                 continue  # still running — revisit next poll

@@ -47,6 +47,10 @@ SMOKE_QUERIES = [
     # association/drift stats family (ml_features.py)
     "pipeline_point_in_time_features",
     "stats_chi2_independence",
+    # round-5: the closed-form EWMA rewrite and the LSH-bucket-blocked
+    # embedding dedup (both changed this round — regression anchors)
+    "events_ewma_recursive",
+    "dedup_embedding_cosine",
 ]
 
 _WORKER = r"""
@@ -86,6 +90,40 @@ for name in names:
             failures[name] = problems
     except Exception as e:  # noqa: BLE001 - report, don't crash the sweep
         failures[name] = [f"{type(e).__name__}: {e}"[:500]]
+
+# server round trips under the SAME default-config session (VERDICT r4
+# next-round #7): one mrshare-merged widened pair through the real TCP
+# socket, and one result-cache hit.
+try:
+    import threading
+    from sparksql_server_spark.server import WorkSharingServer, client_request
+
+    srv = WorkSharingServer(spark, SF_DIR, window_size=2, max_wait=5.0).start()
+    srv.executor.mrshare_min_bytes = 0  # sf0.001 sits under the production floor
+    q1 = ("SELECT l_returnflag, count(*) AS n FROM lineitem"
+          " GROUP BY l_returnflag HAVING count(*) > 5 ORDER BY n DESC LIMIT 3")
+    q2 = ("SELECT l_returnflag, sum(l_quantity) AS q FROM lineitem"
+          " GROUP BY l_returnflag ORDER BY 2 DESC")
+    res = [None, None]
+    ts = [threading.Thread(
+            target=lambda i=i, q=q: res.__setitem__(
+                i, client_request(srv.address, {"sql": q})))
+          for i, q in enumerate((q1, q2))]
+    [t.start() for t in ts]; [t.join() for t in ts]
+    exps = [[list(r) for r in spark.sql(q).collect()] for q in (q1, q2)]
+    st = client_request(srv.address, {"server_stats": True})["stats"]
+    if st.get("mrshare_merged_jobs", 0) < 2 or st.get("mrshare_demux_fallbacks"):
+        failures["server_mrshare_merge"] = [json.dumps(st)[:500]]
+    for i in range(2):
+        if res[i].get("rows") != exps[i]:
+            failures[f"server_merge_rows_{i}"] = [json.dumps(res[i])[:500]]
+    rc1 = client_request(srv.address, {"sql": "SELECT count(*) AS n FROM region"})
+    rc2 = client_request(srv.address, {"sql": "SELECT count(*) AS n FROM region"})
+    if rc2.get("cached") is not True or rc2.get("rows") != rc1.get("rows"):
+        failures["server_result_cache"] = [json.dumps(rc2)[:500]]
+    srv.shutdown()
+except Exception as e:  # noqa: BLE001
+    failures["server_round_trip"] = [f"{type(e).__name__}: {e}"[:500]]
 
 print("RESULT:" + json.dumps(failures))
 """

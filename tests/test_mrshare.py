@@ -365,7 +365,7 @@ def test_parse_aliased_table_strips_qualifier():
 PRESENTATION = [
     "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq FROM lineitem"
     " WHERE l_discount > 0.02 GROUP BY l_returnflag, l_linestatus"
-    " HAVING sum(l_quantity) > 100 ORDER BY sq DESC LIMIT 3",
+    " HAVING sum(l_quantity) > 100 ORDER BY sq DESC, l_returnflag, l_linestatus LIMIT 3",
     "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem"
     " GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "SELECT l_linestatus AS ls, l_returnflag AS rf, avg(l_tax) AS at FROM lineitem"
@@ -373,7 +373,7 @@ PRESENTATION = [
     # ordinal ORDER BY: demux select preserves item order, so ordinals
     # stay valid over the view
     "SELECT l_returnflag, l_linestatus, max(l_extendedprice) AS mx FROM lineitem"
-    " GROUP BY l_returnflag, l_linestatus ORDER BY 3 DESC LIMIT 2",
+    " GROUP BY l_returnflag, l_linestatus ORDER BY 3 DESC, 1, 2 LIMIT 2",
 ]
 
 
@@ -412,7 +412,7 @@ def test_having_filters_global_aggregate_row(spark, executor):
 def test_presentation_clauses_with_grouping_sets(spark, executor):
     sqls = [
         "SELECT o_orderstatus, count(*) AS n FROM orders"
-        " GROUP BY o_orderstatus HAVING count(*) > 1 ORDER BY n DESC LIMIT 2",
+        " GROUP BY o_orderstatus HAVING count(*) > 1 ORDER BY n DESC, o_orderstatus LIMIT 2",
         "SELECT o_orderpriority, sum(o_totalprice) AS s FROM orders"
         " GROUP BY o_orderpriority ORDER BY o_orderpriority",
     ]
