@@ -29,9 +29,9 @@ What this deliberately does NOT bridge — the merge rewrite. MRShare
 needs the member statements BEFORE execution; observed executions are
 already done. The forgone win is bounded by the bench's own numbers
 (BENCH_DETAIL.json, 10-job same-signature batch over a hot CSV scan):
-merged 1.71 s < cached 2.44 s < concurrent 3.38 s — i.e. the cache
-bridge recovers the scan-sharing part (3.38→2.44) and forgoes only the
-merged-aggregation increment (2.44→1.71). A JDBC deployment that needs
+merged 2.03 s < cached 3.33 s < concurrent-unmerged 4.30 s — i.e. the cache
+bridge recovers the scan-sharing part (4.30→3.33) and forgoes only the
+merged-aggregation increment (3.33→2.03). A JDBC deployment that needs
 that last increment should point dashboards at the JSON gateway, whose
 protocol is a 5-line client (server/server.py docstring).
 

@@ -36,9 +36,9 @@ shared CacheManager admission, so a dashboard that keeps re-scanning a
 table gets the InMemoryRelation from its next query on, with no client
 change. The forgone MERGE increment is bounded by the bench's own
 interleaved trials (BENCH_DETAIL.json, 10 same-signature jobs on a hot
-CSV scan): merged 1.71 s < cached 2.44 s < concurrent-unmerged 3.38 s
-— the bridge recovers the scan-sharing span (3.38→2.44) and forgoes
-only 2.44→1.71, which needs the statements before execution and is
+CSV scan): merged 2.03 s < cached 3.33 s < concurrent-unmerged 4.30 s
+— the bridge recovers the scan-sharing span (4.30→3.33) and forgoes
+only 3.33→2.03, which needs the statements before execution and is
 available by pointing the client at the JSON gateway instead.
 
 Single-instance-per-JVM: the port/bind-host travel through process-
