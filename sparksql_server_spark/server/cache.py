@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -124,6 +125,15 @@ class CacheManager:
         self.storage_headroom = storage_headroom
         # sources whose build was observed not to fit (never retried)
         self._rejected: set[str] = set()
+        # one lock guards _entries/_rejected: since round 5 the
+        # ScanObserver primes this manager from ITS OWN thread while
+        # scheduler pool threads touch()/evict concurrently — unlocked,
+        # an observer eviction between touch()'s membership check and
+        # its index raised KeyError inside _run_job's finally, skipping
+        # done_event.set() and hanging a wait=True client. Reentrant:
+        # ensure_cached holds it across the build (also the
+        # double-build guard) and calls _evict_until inside.
+        self._lock = threading.RLock()
         # Read-fraction benefit bar: building the InMemoryRelation
         # decodes ALL columns (cost ≈ 1 full scan), while each sharer
         # only saves its own pruned ReadSchema's worth of scan work —
@@ -182,25 +192,26 @@ class CacheManager:
         supplies per-job pruned-ReadSchema widths — enough total
         column-read work saved to beat the full-width cache build
         (format-aware: see ``_benefit_bar``)."""
-        if source in self._rejected:
-            return False
-        if n_sharers < self.min_sharers:
-            return False
-        size = _dir_bytes(source, self.spark)
-        if not self.min_bytes <= size <= self.budget:
-            return False
-        free = self._free_storage_bytes()
-        if free is not None:
-            # memory held by OUR entries is reclaimable: ensure_cached
-            # evicts LRU entries before building, so admission counts
-            # it as free — otherwise the first table cached under tight
-            # storage would permanently lock out every later admission
-            evictable = sum(e.mem_bytes for e in self._entries.values())
-            if size * self._expansion(source_format) > (free + evictable) * self.storage_headroom:
+        with self._lock:
+            if source in self._rejected:
                 return False
-        if read_fractions is not None:
-            return sum(read_fractions) >= self._benefit_bar(source_format)
-        return True
+            if n_sharers < self.min_sharers:
+                return False
+            size = _dir_bytes(source, self.spark)
+            if not self.min_bytes <= size <= self.budget:
+                return False
+            free = self._free_storage_bytes()
+            if free is not None:
+                # memory held by OUR entries is reclaimable: ensure_cached
+                # evicts LRU entries before building, so admission counts
+                # it as free — otherwise the first table cached under tight
+                # storage would permanently lock out every later admission
+                evictable = sum(e.mem_bytes for e in self._entries.values())
+                if size * self._expansion(source_format) > (free + evictable) * self.storage_headroom:
+                    return False
+            if read_fractions is not None:
+                return sum(read_fractions) >= self._benefit_bar(source_format)
+            return True
 
     def ensure_cached(
         self, source: str, view: str, source_format: str | None = None
@@ -216,58 +227,59 @@ class CacheManager:
         cluster scale an eviction storm is strictly worse than
         declining (round-1 finding: batched 15.8 s vs concurrent
         11.4 s under a 455 MB-storage default session)."""
-        if source in self._rejected:
-            return False
-        if source in self._entries:
-            self._entries[source].last_used = time.monotonic()
-            return True
-        size = _dir_bytes(source, self.spark)
-        if size > self.budget:
-            return False
-        est_mem = size * self._expansion(source_format)
-        free = self._free_storage_bytes()
-        if free is not None and est_mem > free * self.storage_headroom:
-            # pre-check: if the build can't fit even after evicting
-            # EVERYTHING, reject without destroying the cache
-            evictable = sum(e.mem_bytes for e in self._entries.values())
-            if est_mem > (free + evictable) * self.storage_headroom:
-                self._rejected.add(source)
+        with self._lock:
+            if source in self._rejected:
                 return False
-            # evict LRU entries until the build fits. Track reclaimed
-            # bytes ourselves: uncacheTable unpersists with
-            # blocking=false, so re-reading the memory manager here
-            # returns a STALE number that would make the loop over-evict
-            for src, entry in sorted(
-                self._entries.items(), key=lambda kv: kv[1].last_used
-            ):
-                if est_mem <= free * self.storage_headroom:
-                    break
+            if source in self._entries:
+                self._entries[source].last_used = time.monotonic()
+                return True
+            size = _dir_bytes(source, self.spark)
+            if size > self.budget:
+                return False
+            est_mem = size * self._expansion(source_format)
+            free = self._free_storage_bytes()
+            if free is not None and est_mem > free * self.storage_headroom:
+                # pre-check: if the build can't fit even after evicting
+                # EVERYTHING, reject without destroying the cache
+                evictable = sum(e.mem_bytes for e in self._entries.values())
+                if est_mem > (free + evictable) * self.storage_headroom:
+                    self._rejected.add(source)
+                    return False
+                # evict LRU entries until the build fits. Track reclaimed
+                # bytes ourselves: uncacheTable unpersists with
+                # blocking=false, so re-reading the memory manager here
+                # returns a STALE number that would make the loop over-evict
+                for src, entry in sorted(
+                    self._entries.items(), key=lambda kv: kv[1].last_used
+                ):
+                    if est_mem <= free * self.storage_headroom:
+                        break
+                    try:
+                        self.spark.catalog.uncacheTable(entry.view)
+                    except Exception:
+                        pass
+                    del self._entries[src]
+                    free += entry.mem_bytes
+            self._evict_until(self.budget - size)
+            sc = self.spark.sparkContext
+            before = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+            self.spark.catalog.cacheTable(view)
+            # materialize NOW with a cheap action (the reference's cache
+            # warming count, WordCount.scala:73-77) so every job in the
+            # batch — including the first — runs concurrently on warm cache
+            self.spark.table(view).count()
+            fit, mem_bytes = self._build_fit(before)
+            if not fit:
                 try:
-                    self.spark.catalog.uncacheTable(entry.view)
+                    self.spark.catalog.uncacheTable(view)
                 except Exception:
                     pass
-                del self._entries[src]
-                free += entry.mem_bytes
-        self._evict_until(self.budget - size)
-        sc = self.spark.sparkContext
-        before = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
-        self.spark.catalog.cacheTable(view)
-        # materialize NOW with a cheap action (the reference's cache
-        # warming count, WordCount.scala:73-77) so every job in the
-        # batch — including the first — runs concurrently on warm cache
-        self.spark.table(view).count()
-        fit, mem_bytes = self._build_fit(before)
-        if not fit:
-            try:
-                self.spark.catalog.uncacheTable(view)
-            except Exception:
-                pass
-            self._rejected.add(source)
-            return False
-        self._entries[source] = CacheEntry(
-            view=view, source=source, bytes=size, mem_bytes=mem_bytes
-        )
-        return True
+                self._rejected.add(source)
+                return False
+            self._entries[source] = CacheEntry(
+                view=view, source=source, bytes=size, mem_bytes=mem_bytes
+            )
+            return True
 
     def _build_fit(self, rdd_ids_before: set[int]) -> tuple[bool, int]:
         """Did the just-built InMemoryRelation actually land in memory?
@@ -294,8 +306,9 @@ class CacheManager:
         return True, mem_total
 
     def touch(self, source: str) -> None:
-        if source in self._entries:
-            self._entries[source].last_used = time.monotonic()
+        with self._lock:
+            if source in self._entries:
+                self._entries[source].last_used = time.monotonic()
 
     def _evict_until(self, free_target: int) -> None:
         used = sum(e.bytes for e in self._entries.values())
@@ -316,14 +329,16 @@ class CacheManager:
         kept for tests and shutdown. Also forgets rejections: they
         record transient conditions (storage pressure at one instant),
         and after a clear the memory landscape is new."""
-        for entry in list(self._entries.values()):
-            try:
-                self.spark.catalog.uncacheTable(entry.view)
-            except Exception:
-                pass
-        self._entries.clear()
-        self._rejected.clear()
+        with self._lock:
+            for entry in list(self._entries.values()):
+                try:
+                    self.spark.catalog.uncacheTable(entry.view)
+                except Exception:
+                    pass
+            self._entries.clear()
+            self._rejected.clear()
 
     @property
     def cached_sources(self) -> set[str]:
-        return set(self._entries)
+        with self._lock:
+            return set(self._entries)

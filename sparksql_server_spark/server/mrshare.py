@@ -201,18 +201,35 @@ def _strip_qualifiers(text: str, names: list[str]) -> str:
     member expressions written against ``FROM lineitem l`` re-emit
     under the merged plain ``FROM lineitem``, where the alias no longer
     resolves — and unqualified references always do on a single-table
-    shape. Also lets differently-aliased members share one signature."""
-    for nm in names:
-        if not nm:
-            continue
-        pat = re.compile(rf"\b{re.escape(nm)}\s*\.\s*", re.I)
-        while True:
-            _, instr = _scan(text)
-            m = next((m for m in pat.finditer(text) if not instr[m.start()]), None)
-            if m is None:
-                break
-            text = text[: m.start()] + text[m.end() :]
-    return text
+    shape. Also lets differently-aliased members share one signature.
+
+    One lexer pass + one rebuild: matches are located against the
+    ORIGINAL text's in-string map and excised together (re-running the
+    scan after every deletion made this O(n²·matches) on long
+    qualified IN-lists)."""
+    pats = [
+        re.compile(rf"\b{re.escape(nm)}\s*\.\s*", re.I) for nm in names if nm
+    ]
+    if not pats:
+        return text
+    _, instr = _scan(text)
+    spans = sorted(
+        (m.start(), m.end())
+        for pat in pats
+        for m in pat.finditer(text)
+        if not instr[m.start()]
+    )
+    if not spans:
+        return text
+    out: list[str] = []
+    last = 0
+    for s0, e0 in spans:
+        if s0 < last:
+            continue  # overlap (alias prefix of table name) — first wins
+        out.append(text[last:s0])
+        last = e0
+    out.append(text[last:])
+    return "".join(out)
 
 
 @dataclass
@@ -324,7 +341,18 @@ def _text_segments(
 
     Function names (identifier followed by ``(``) pass through verbatim
     — their ARGUMENTS are classified by this same scan. Everything not
-    provably a keyword, group key, or select alias declines (None)."""
+    provably resolvable declines (None).
+
+    Resolution order mirrors Spark's for the clause this feeds (the
+    caller picks ``alias_kind``): ORDER BY resolves against the SELECT
+    OUTPUT first, so a select alias wins over a same-named group key
+    (``count(*) AS l_returnflag … ORDER BY l_returnflag`` sorts by the
+    count — checking keys first silently inverted this); group keys are
+    the child-plan fallback. HAVING passes an EMPTY alias map — its
+    Spark-side resolution (child attributes before output aliases, and
+    only sometimes aliases at all) differs from ORDER BY's, so the only
+    bare identifiers accepted there are group keys, where both rules
+    agree."""
     _, instr = _scan(txt)
     segs: list[tuple] = []
     last = 0
@@ -340,13 +368,13 @@ def _text_segments(
         low = m.group(0).lower()
         if low in _POST_KEYWORDS:
             continue
-        if low in simple_keys:
-            segs.append(("text", txt[last:i]))
-            segs.append(("key", low))
-            last = m.end()
-        elif low in alias_kind:
+        if low in alias_kind:  # output alias — Spark's first ORDER BY scope
             segs.append(("text", txt[last:i]))
             segs.append(alias_kind[low])
+            last = m.end()
+        elif low in simple_keys:
+            segs.append(("text", txt[last:i]))
+            segs.append(("key", low))
             last = m.end()
         else:
             return None  # unknown identifier — cannot re-point safely
@@ -362,7 +390,8 @@ def _post_agg_segments(
     ParsedAgg field docs), or None when the expression is outside the
     provably-rewritable surface. Aggregate calls may appear anywhere
     (``HAVING sum(x) > 10``, ``ORDER BY count(*) DESC``); computed
-    group keys are reachable only through their select alias."""
+    group keys are reachable only through their select alias (ORDER BY
+    only — see _text_segments on HAVING's narrower scope)."""
     calls = _agg_calls(expr, allow_empty=True)
     if calls is None:
         return None
@@ -541,7 +570,10 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
             else:
                 alias_kind[it[3].lower()] = ("aggref", j)
         if having_text is not None:
-            segs = _post_agg_segments(having_text, simple_keys, alias_kind)
+            # HAVING: group keys only (empty alias scope — Spark's
+            # HAVING resolution order differs from ORDER BY's; where
+            # they could disagree, decline)
+            segs = _post_agg_segments(having_text, simple_keys, {})
             if segs is None:
                 return None
             parsed.having_seg = segs

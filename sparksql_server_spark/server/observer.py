@@ -56,9 +56,16 @@ from sparksql_server_spark.server.cache import CacheManager
 
 # one FileScan block in a formatted/extended plan description:
 #   Scan parquet ... Location: InMemoryFileIndex(1 paths)[file:/x/y]
-#   ... ReadSchema: struct<a:int,b:string>
+#   ... ReadSchema: struct<a:int,b:array<int>,c:int>
+# The schema capture runs to END OF LINE (ReadSchema prints last on its
+# line in both plan styles): stopping at the first '>' truncated any
+# schema with a nested type at its first struct/array/map close,
+# undercounting every later column. The explain renderer may still
+# truncate very wide schemas ("... N more fields") — then the count is
+# a lower bound and read_fraction errs toward declining, never over-
+# admitting.
 _SCAN_BLOCK = re.compile(
-    r"Scan\s+(\w+)\s.*?Location:[^\[\n]*\[([^\]]*)\].*?ReadSchema:\s*struct<([^>\n]*)",
+    r"Scan\s+(\w+)\s.*?Location:[^\[\n]*\[([^\]]*)\].*?ReadSchema:\s*struct<([^\n]*)",
     re.S,
 )
 
@@ -87,6 +94,7 @@ def scan_events(plan_description: str) -> list[tuple[str, str, int]]:
     out = []
     for m in _SCAN_BLOCK.finditer(plan_description):
         fmt, loc, schema = m.group(1).lower(), m.group(2), m.group(3)
+        schema = schema.rstrip().rstrip(">")  # drop the struct's own close
         # multi-path locations print comma-separated; each is a source
         for p in loc.split(","):
             p = p.strip()
@@ -117,14 +125,18 @@ class ScanObserver:
         self.poll_interval = poll_interval
         # (timestamp, read_fraction, format) per recent scan, by source
         self._recent: dict[str, deque] = {}
-        self._seen: set[int] = set()  # execution ids already counted
+        # ids processed ABOVE the low-water mark (out-of-order
+        # completions leave gaps; the mark advances over contiguous
+        # processed ids and the set stays a few entries — no unbounded
+        # growth, no prune that could ever re-count a retained id)
+        self._seen: set[int] = set()
         # executions that PRE-DATE the observer must never count as
         # demand evidence: their true completion times are unknown (the
         # poll would stamp them "now", fabricating a burst). Execution
         # ids are monotone, so the first poll records the backlog's max
-        # id as a floor — everything at or under it is invisible, even
-        # if it completes after the observer starts
-        self._floor_id: Optional[int] = None
+        # id as the initial low-water mark — everything at or under it
+        # is invisible, even if it completes after the observer starts
+        self._low_water: Optional[int] = None
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"executions_seen": 0, "scans_seen": 0, "sources_cached": 0}
@@ -142,16 +154,22 @@ class ScanObserver:
             n = ex_list.size()
         except Exception:
             return []  # JVM shutting down — observer just idles
-        if self._floor_id is None:
-            self._floor_id = max(
+        if self._low_water is None:
+            self._low_water = max(
                 (ex_list.apply(k).executionId() for k in range(n)), default=-1
             )
             return []
         now = time.monotonic()
-        for k in range(n):
+        # walk NEWEST-first and stop at the low-water mark: the list is
+        # id-ordered, so the steady-state poll costs O(new executions)
+        # py4j calls instead of O(retainedExecutions) (default 1000,
+        # often raised on BI deployments) every interval
+        for k in range(n - 1, -1, -1):
             e = ex_list.apply(k)
             eid = e.executionId()
-            if eid <= self._floor_id or eid in self._seen:
+            if eid <= self._low_water:
+                break
+            if eid in self._seen:
                 continue
             if e.completionTime().isEmpty():
                 continue  # still running — revisit next poll
@@ -173,8 +191,11 @@ class ScanObserver:
                 frac = min(1.0, ncols / total) if total else 1.0
                 self._recent.setdefault(source, deque()).append((now, frac, fmt))
                 self.stats["scans_seen"] += 1
-        if len(self._seen) > 100_000:  # ids are monotone; keep the set bounded
-            self._seen = set(sorted(self._seen)[-10_000:])
+        # advance the mark over contiguous processed ids; the set holds
+        # only the out-of-order gap above it (typically a handful)
+        while (self._low_water + 1) in self._seen:
+            self._low_water += 1
+            self._seen.discard(self._low_water)
         return self._prime(now)
 
     def _table_width(self, view: str) -> int:
@@ -185,10 +206,11 @@ class ScanObserver:
 
     def _prime(self, now: float) -> list[str]:
         cached = []
+        already = self.cache.cached_sources  # one locked snapshot
         for source, dq in self._recent.items():
             while dq and now - dq[0][0] > self.window_seconds:
                 dq.popleft()
-            if source in self.cache._entries:
+            if source in already:
                 # already cached — and the cache BUILD itself was an
                 # execution scanning this source, which must not count
                 # as fresh demand evidence

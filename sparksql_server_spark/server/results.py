@@ -53,33 +53,28 @@ def _normalize_outside_literals(sql: str) -> str:
     ``WHERE name = 'a  b'`` and ``WHERE name = 'a b'`` are different
     queries and must never share a cache key (ADVICE r4 high: the old
     blanket ``re.sub(r'\\s+', ' ')`` silently served the first query's
-    result to the second). Quote scan mirrors Spark's default lexer:
-    backslash escapes inside single/double-quoted literals (C-style,
-    ``escapedStringLiterals=false``), none inside backticks; doubled
-    quotes close-and-reopen, which keeps the key conservative."""
+    result to the second). The in-literal classification is
+    ``mrshare._scan`` — ONE lexer for both the cache key and the merge
+    parser, so the escape rules (C-style backslash in single/double
+    quotes, none in backticks, doubled-quote close-reopen) can never
+    drift between the two."""
+    from sparksql_server_spark.server.mrshare import _scan
+
+    s = sql.strip()
+    _, instr = _scan(s)
     out: list[str] = []
-    q: Optional[str] = None
-    esc = False
     pending_ws = False
-    for c in sql.strip():
-        if q is not None:
-            out.append(c)
-            if esc:
-                esc = False
-            elif q in "'\"" and c == "\\":
-                esc = True
-            elif c == q:
-                q = None
-            continue
-        if c.isspace():
+    for i, c in enumerate(s):
+        if not instr[i] and c.isspace():
             pending_ws = True
             continue
         if pending_ws:
+            # flush before ANY kept char — including an opening quote:
+            # dropping the space there would conflate ``'a' 'b'`` (two
+            # tokens) with ``'a''b'`` (one doubled-quote literal)
             out.append(" ")
             pending_ws = False
         out.append(c)
-        if c in "'\"`":
-            q = c
     return "".join(out)
 
 

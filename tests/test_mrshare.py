@@ -422,6 +422,47 @@ def test_presentation_clauses_with_grouping_sets(spark, executor):
     assert executor.stats["mrshare_demux_fallbacks"] == 0
 
 
+def test_order_by_alias_shadowing_group_key_resolves_output_first(spark, executor):
+    """Spark resolves ORDER BY against the SELECT OUTPUT first: when an
+    aggregate alias shadows a group-key name, the sort is by the
+    aggregate. The demux must do the same (code-review r5 finding: the
+    old key-first lookup silently inverted the order, and with a LIMIT
+    returned entirely different rows)."""
+    sqls = [
+        "SELECT l_returnflag AS rf, count(*) AS l_returnflag FROM lineitem"
+        " GROUP BY l_returnflag ORDER BY l_returnflag DESC LIMIT 2",
+        "SELECT l_returnflag AS rf, sum(l_quantity) AS q FROM lineitem"
+        " GROUP BY l_returnflag",
+    ]
+    jobs, _ = _run_and_compare(spark, executor, sqls, {0, 1})
+    # ordered comparison too: the demux's ORDER BY must match Spark's
+    exp = [tuple(r) for r in spark.sql(sqls[0]).collect()]
+    assert jobs[0].rows == exp
+
+
+def test_having_alias_reference_declines(spark, executor):
+    """HAVING's resolution order differs from ORDER BY's (child
+    attributes vs output aliases), so bare alias references in HAVING
+    keep the statement off the merge path rather than risk a
+    divergence."""
+    from sparksql_server_spark.server.mrshare import parse_agg_query
+
+    assert (
+        parse_agg_query(
+            "SELECT l_returnflag, count(*) AS n FROM lineitem"
+            " GROUP BY l_returnflag HAVING n > 5"
+        )
+        is None
+    )
+    # ...but group-key references in HAVING stay mergeable
+    sqls = [
+        "SELECT l_returnflag, count(*) AS n FROM lineitem"
+        " GROUP BY l_returnflag HAVING l_returnflag <> 'N'",
+        "SELECT l_returnflag, max(l_tax) AS t FROM lineitem GROUP BY l_returnflag",
+    ]
+    _run_and_compare(spark, executor, sqls, {0, 1})
+
+
 def test_having_reuses_selected_aggregate_column(spark):
     """HAVING count(*) > 5 with count(*) AS n selected must NOT widen
     the merged aggregate with a duplicate hidden column."""
