@@ -416,6 +416,99 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_containment_spark())
 
 
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+# MOSS algorithm): guarantee-bearing selection of k-gram hashes
+_WIN_K = 7  # char k-gram width
+_WIN_W = 4  # winnowing window (guarantee threshold t = W + K - 1 = 10)
+_WIN_MIN_SHARED = 3
+
+
+def _winnow_spark() -> str:
+    from sparksql_server_spark.functions.portable import MOD_P
+
+    return f"""
+WITH chars AS (SELECT doc_id, split(text, '') AS cs FROM documents),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN size(cs) >= {_WIN_K} THEN
+           transform(sequence(1, size(cs) - {_WIN_K} + 1), i ->
+             aggregate(sequence(0, {_WIN_K} - 1), 0L,
+               (acc, j) -> (acc * 31 + bigint(ascii(element_at(cs, i + j)))) % {MOD_P}))
+         ELSE array() END AS hs
+  FROM chars),
+fp AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, explode(
+      CASE WHEN size(hs) >= {_WIN_W} THEN
+        transform(sequence(1, size(hs) - {_WIN_W} + 1), i ->
+                  array_min(slice(hs, i, {_WIN_W})))
+      ELSE array() END) AS fp
+    FROM hs) t)
+SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {_WIN_MIN_SHARED}
+ORDER BY shared DESC, d1, d2 LIMIT 300
+"""
+
+
+def _winnow_duck() -> str:
+    from sparksql_server_spark.functions.portable import MOD_P
+
+    return f"""
+WITH chars AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN len(cs) >= {_WIN_K} THEN
+           list_transform(range(1, len(cs) - {_WIN_K} + 2), i ->
+             list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(0, {_WIN_K}), j -> ascii(cs[i + j])::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % {MOD_P}))
+         ELSE [] END AS hs
+  FROM chars),
+fp AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(hs) >= {_WIN_W} THEN
+        list_transform(range(1, len(hs) - {_WIN_W} + 2), i ->
+                       list_min(hs[i:i + {_WIN_W} - 1]))
+      ELSE [] END) AS fp
+    FROM hs))
+SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {_WIN_MIN_SHARED}
+ORDER BY shared DESC, d1, d2 LIMIT 300
+"""
+
+
+@query("dedup_winnowing", oracle=_winnow_duck())
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    the MOSS plagiarism-detection selector): hash every char 7-gram,
+    keep the MIN hash of each sliding window of 4 consecutive hashes,
+    dedupe — the selected set carries the algorithm's guarantee that
+    any shared substring of length ≥ w+k-1 = 10 chars yields at least
+    one shared fingerprint, with expected density 2/(w+1) of positions.
+    Candidate pairs = docs sharing ≥3 fingerprints. Complements MinHash
+    (whole-document resemblance) and containment (set asymmetry) with
+    POSITIONAL overlap detection — copied passages, not just shared
+    vocabulary.
+
+    Determinism: pure integer pipeline (polynomial rolling hash mod
+    1e9+7, window min, counts) until zero float ops; ORDER BY is total.
+
+    Scale: per-document work is map-only higher-order-function math
+    (no explode until the selected ~2/(w+1) density fingerprints);
+    the pair join is blocked by fingerprint value — Σ bucket², with
+    ultra-common fingerprints (boilerplate) the DF-cutoff candidates,
+    exactly like shingle blocking. The fingerprint table is the
+    persistent artifact a production pipeline keeps: incremental
+    screening joins a new batch's fingerprints against it, never
+    re-fingerprinting the corpus (same shape as dedup_lsh_incremental).
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_winnow_spark())
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -85,6 +85,8 @@ class WorkSharingServer:
         result_cache_ttl: float = 300.0,
         result_cache_entries: int = 256,
         observe_out_of_band: bool = False,
+        max_sessions: int = 64,
+        session_idle_timeout: float = 3600.0,
     ) -> None:
         self.spark = spark
         register_tables(spark, sf_dir)
@@ -118,7 +120,17 @@ class WorkSharingServer:
         self._id_lock = threading.Lock()
         self._jobs: dict[int, QueryJob] = {}
         self._sf_dir = sf_dir
-        self._sessions: dict[str, SparkSession] = {}
+        # named client sessions, reaped by idle time under a count cap:
+        # without a bound, every distinct client id pins a SparkSession
+        # (temp-view catalog, SQL conf, plan caches) in driver memory
+        # FOREVER — a churning client population (one id per dashboard
+        # refresh token is a real pattern) slowly exhausts the driver.
+        # Eviction drops our reference; a later request with the same
+        # id gets a FRESH session (temp views/conf lost — the standard
+        # idle-timeout contract of every SQL server).
+        self.max_sessions = max_sessions
+        self.session_idle_timeout = session_idle_timeout
+        self._sessions: dict[str, tuple[SparkSession, float]] = {}
         self._session_lock = threading.Lock()
         self._stop = threading.Event()
         self._loop_thread = threading.Thread(target=self._run_loop, daemon=True)
@@ -209,17 +221,37 @@ class WorkSharingServer:
 
     def session_for(self, session_id: str | None) -> SparkSession:
         """Root session, or a named isolated client session (lazily
-        created; base tables + the vetted UDFs registered once)."""
+        created; base tables + the vetted UDFs registered once).
+        Sessions idle past ``session_idle_timeout`` are reaped when the
+        table would exceed ``max_sessions``; if every session is busy,
+        the least-recently-used one goes (bounded memory beats
+        unbounded state for an anonymous-client gateway)."""
         if session_id is None:
             return self.spark
+        import time as _time
+
+        now = _time.monotonic()
         with self._session_lock:
-            sess = self._sessions.get(session_id)
-            if sess is None:
-                sess = self.spark.newSession()
-                register_tables(sess, self._sf_dir)
-                register_udfs(sess)
-                register_udtfs(sess)
-                self._sessions[session_id] = sess
+            hit = self._sessions.get(session_id)
+            if hit is not None:
+                self._sessions[session_id] = (hit[0], now)
+                return hit[0]
+            if len(self._sessions) >= self.max_sessions:
+                idle = [
+                    sid
+                    for sid, (_, used) in self._sessions.items()
+                    if now - used > self.session_idle_timeout
+                ]
+                for sid in idle:
+                    del self._sessions[sid]
+                while len(self._sessions) >= self.max_sessions:
+                    lru = min(self._sessions, key=lambda s: self._sessions[s][1])
+                    del self._sessions[lru]
+            sess = self.spark.newSession()
+            register_tables(sess, self._sf_dir)
+            register_udfs(sess)
+            register_udtfs(sess)
+            self._sessions[session_id] = (sess, now)
         return sess
 
     def submit(

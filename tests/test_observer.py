@@ -66,6 +66,118 @@ def test_scan_events_parses_live_plan(spark):
     assert 0 < ncols <= 3
 
 
+# -- unit: low-water bookkeeping over out-of-order completions --------------
+
+
+class _FakeOpt:
+    def __init__(self, empty):
+        self._empty = empty
+
+    def isEmpty(self):
+        return self._empty
+
+
+class _FakeExec:
+    def __init__(self, eid, complete, desc=""):
+        self._eid = eid
+        self._complete = complete
+        self._desc = desc
+
+    def executionId(self):
+        return self._eid
+
+    def completionTime(self):
+        return _FakeOpt(not self._complete)
+
+    def physicalPlanDescription(self):
+        return self._desc
+
+
+class _FakeSpark:
+    """Just enough session surface for ScanObserver.poll_once."""
+
+    def __init__(self):
+        self.execs: list[_FakeExec] = []
+        outer = self
+
+        class _Store:
+            def executionsList(self):
+                lst = sorted(outer.execs, key=lambda e: e._eid)
+
+                class _L:
+                    def size(self):
+                        return len(lst)
+
+                    def apply(self, k):
+                        return lst[k]
+
+                return _L()
+
+        class _Shared:
+            def sharedState(self):
+                class _S:
+                    def statusStore(self):
+                        return _Store()
+
+                return _S()
+
+        self._jsparkSession = _Shared()
+
+
+_DESC = (
+    "Scan parquet t Location: InMemoryFileIndex(1 paths)[file:/src/t.parquet]"
+    " ReadSchema: struct<a:int>"
+)
+
+
+def test_low_water_survives_out_of_order_completion():
+    """Execution N completes while N-1 is still running: the poll must
+    process N once, come back for N-1 when it completes, advance the
+    mark over both, and never recount either — with the seen-set
+    shrinking back to empty (no prune that could recount retained
+    ids)."""
+    from sparksql_server_spark.server.observer import ScanObserver
+
+    fake = _FakeSpark()
+
+    class _NoCache:
+        def cached_sources(self):
+            return set()
+
+    obs = ScanObserver.__new__(ScanObserver)
+    obs.spark = fake
+    obs.cache = None  # _prime untested here (no matching sources)
+    obs.source_views = {"/src/t.parquet": "t"}
+    obs.window_seconds = 120.0
+    obs.min_repeats = 99  # never prime in this test
+    obs._recent = {}
+    obs._seen = set()
+    obs._low_water = None
+    obs.stats = {"executions_seen": 0, "scans_seen": 0, "sources_cached": 0}
+
+    fake.execs = [_FakeExec(0, True, _DESC)]
+    obs.poll_once()  # bootstrap: floor at 0, nothing observed
+    assert obs._low_water == 0 and obs.stats["executions_seen"] == 0
+
+    # 1 running, 2 completed (out of order)
+    fake.execs = [_FakeExec(0, True), _FakeExec(1, False), _FakeExec(2, True, _DESC)]
+    obs._prime = lambda now: []  # isolate the bookkeeping
+    obs.poll_once()
+    assert obs.stats["executions_seen"] == 1  # only #2
+    assert obs._low_water == 0 and obs._seen == {2}
+
+    # #1 completes later — processed exactly once, mark advances over both
+    fake.execs = [_FakeExec(0, True), _FakeExec(1, True, _DESC), _FakeExec(2, True)]
+    obs.poll_once()
+    assert obs.stats["executions_seen"] == 2
+    assert obs._low_water == 2 and obs._seen == set()
+    assert obs.stats["scans_seen"] == 2  # one per processed execution
+
+    # re-poll: nothing recounted
+    obs.poll_once()
+    assert obs.stats["executions_seen"] == 2 and obs.stats["scans_seen"] == 2
+
+
 # -- integration: out-of-band sessions prime the cache ----------------------
 
 

@@ -844,6 +844,46 @@ class TestStorageAwareAdmission:
             spark.catalog.uncacheTable("region")
 
 
+class TestSessionReaping:
+    """Named client sessions are bounded: idle ones are reaped when the
+    table would exceed max_sessions (round-5 fix: every distinct client
+    id previously pinned a SparkSession in driver memory forever)."""
+
+    def test_lru_eviction_at_cap_and_fresh_session_after(self, spark):
+        srv = WorkSharingServer(
+            spark, SF_DIR, max_wait=0.1, max_sessions=2,
+            session_idle_timeout=0.0,  # everything idle is reapable
+        ).start()  # shutdown() blocks unless serve_forever is running
+        try:
+            s1 = srv.session_for("c1")
+            s1.sql("CREATE OR REPLACE TEMP VIEW c1_private AS SELECT 1 AS x")
+            srv.session_for("c2")
+            assert len(srv._sessions) == 2
+            srv.session_for("c3")  # over cap: both idle sessions reaped
+            assert "c1" not in srv._sessions and "c3" in srv._sessions
+            # same id later = FRESH session: the private view is gone
+            s1b = srv.session_for("c1")
+            assert s1b is not s1
+            with pytest.raises(Exception):
+                s1b.sql("SELECT * FROM c1_private").collect()
+        finally:
+            srv.shutdown()
+
+    def test_recent_use_protects_from_idle_reap(self, spark):
+        srv = WorkSharingServer(
+            spark, SF_DIR, max_wait=0.1, max_sessions=2,
+            session_idle_timeout=3600.0,  # nothing is idle-reapable
+        ).start()
+        try:
+            srv.session_for("c1")
+            srv.session_for("c2")
+            srv.session_for("c1")  # refresh c1 — c2 becomes the LRU
+            srv.session_for("c3")
+            assert set(srv._sessions) == {"c1", "c3"}
+        finally:
+            srv.shutdown()
+
+
 class TestClusterSizing:
     """Admission sizing for non-local sources (VERDICT r4 wrong #2):
     cluster URIs must be priced through the Hadoop FileSystem, not
