@@ -197,6 +197,56 @@ ORDER BY doc_id, rnk
 """
 
 
+def _surprisal_sql(dialect: str) -> str:
+    if dialect == "spark":
+        words = spark_words("text")
+        ex = "SELECT doc_id, term FROM w LATERAL VIEW explode(w) t AS term"
+    else:
+        words = duck_words("text")
+        ex = "SELECT doc_id, unnest(w) AS term FROM w"
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+terms AS ({ex}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n
+       FROM terms GROUP BY doc_id, term),
+vocab AS (SELECT term, CAST(sum(n) AS BIGINT) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM vocab)
+SELECT tf.doc_id,
+       CAST(sum(tf.n) AS BIGINT) AS n_tokens,
+       CAST(round(sum(tf.n * -ln(CAST(vocab.cnt AS DOUBLE) / tot.n_corpus))
+                  / sum(tf.n), 6) AS DOUBLE) AS mean_surprisal_nats
+FROM tf JOIN vocab ON tf.term = vocab.term CROSS JOIN tot
+GROUP BY tf.doc_id
+ORDER BY mean_surprisal_nats DESC, tf.doc_id
+LIMIT 50
+"""
+
+
+@query("text_unigram_surprisal", oracle=_surprisal_sql("duck"))
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token surprisal under the corpus's own
+    unigram language model (-mean ln p(token)) — the cheap stand-in
+    for the CCNet/KenLM perplexity quality filter: documents whose
+    tokens are collectively improbable under the corpus distribution
+    (gibberish, wrong-language, boilerplate-free noise) surface at the
+    top of the cut list. Reported: top-50 most surprising documents.
+
+    Determinism: counts are exact integers end-to-end; the only float
+    work is ln() of exact ratios and one division, with the per-doc
+    sum rounded to 6 dp before the ordering cut and doc_id breaking
+    rounded ties (the events_user_entropy_topk precedent).
+
+    Scale: tf is one explode + (doc_id, term) groupBy; vocab aggregates
+    tf's combinable output to vocabulary size and joins back BROADCAST
+    (vocabulary ≪ corpus); tot is a 1-row cross join. In production
+    the vocab relation is the persisted LM — new batches score against
+    it without re-counting the corpus (same incremental shape as
+    dedup_lsh_incremental).
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_surprisal_sql("spark"))
+
+
 _BM25_TERMS = ("scan", "hash", "merge")
 _BM25_K1 = 1.2
 _BM25_B = 0.75

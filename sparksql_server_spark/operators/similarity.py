@@ -540,6 +540,78 @@ ORDER BY f.q_id
 """
 
 
+def _quant_recall_sql(dialect: str) -> str:
+    """Per probe: how much of the exact float top-k survives when the
+    index is int8 (normalize, scale by 127, round) and candidates rank
+    by the INTEGER dot product of the codes."""
+    if dialect == "spark":
+        dot, norm = spark_dot, spark_norm
+        q8 = "transform(embedding, v -> bigint(round(v * 127.0D / nrm)))"
+        idot = (
+            "aggregate(zip_with(q_q8, nh.q8, (a, b) -> a * b), 0L,"
+            " (acc, v) -> acc + v)"
+        )
+    else:
+        dot, norm = duck_dot, duck_norm
+        q8 = "list_transform(embedding, v -> round(v * 127.0 / nrm)::BIGINT)"
+        idot = (
+            "list_reduce(list_prepend(0::BIGINT,"
+            " list_transform(range(1, len(q_q8) + 1), i -> q_q8[i] * nh.q8[i])),"
+            " (acc, v) -> acc + v)"
+        )
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding, {norm('embedding')} AS nrm FROM embeddings),
+nh AS (SELECT vec_id, embedding, nrm, {q8} AS q8 FROM n),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, q8 AS q_q8
+      FROM nh WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q_id, nh.vec_id AS neighbor_id,
+         round({dot('q_emb', 'nh.embedding')} / (q_nrm * nh.nrm), 6) AS cos_full,
+         {idot} AS dot_q8
+  FROM q CROSS JOIN nh WHERE q_id <> nh.vec_id),
+rf AS (SELECT q_id, neighbor_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos_full DESC, neighbor_id) AS r
+       FROM scored),
+rq AS (SELECT q_id, neighbor_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, neighbor_id) AS r
+       FROM scored)
+SELECT f.q_id,
+       CAST(count(h.neighbor_id) AS BIGINT) AS n_kept,
+       CAST(count(h.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_{_TOP_K}
+FROM rf f
+LEFT JOIN rq h ON h.q_id = f.q_id AND h.neighbor_id = f.neighbor_id
+              AND h.r <= {_TOP_K}
+WHERE f.r <= {_TOP_K}
+GROUP BY f.q_id
+ORDER BY f.q_id
+"""
+
+
+@query("sim_quantized_recall", oracle=_quant_recall_sql("duck"))
+def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantization audit: recall@10 when the ANN index stores
+    codes q_i = round(127·x_i/‖x‖) and ranks by the integer dot of the
+    codes — the 4×-smaller (and SIMD-friendlier) index every 100 TB
+    vector deployment ends up running, priced here per probe against
+    the exact float top-10 (companion to sim_truncation_recall, which
+    prices cutting DIMENSIONS instead of PRECISION).
+
+    Determinism: the quantized ranking key is an exact INTEGER dot
+    (ties on neighbor_id); the float ranking rounds to 6 dp as usual;
+    both rankings come from one scored pass. Quantization itself is
+    round-half-away-from-zero in both engines, and a ratio landing
+    exactly on .5 is measure-zero for float inputs.
+
+    Scale: same broadcast shape as sim_topk_bruteforce — the 8-row
+    probe side broadcasts, the corpus is scanned once and never
+    shuffles; at deployment the q8 column is the materialized index
+    and the float column stays in cold storage for re-ranking only.
+    """
+    register_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(_quant_recall_sql("spark"))
+
+
 @query("sim_truncation_recall", oracle=_trunc_recall_sql("duck"))
 def sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation audit: recall@10 of half-dimension
