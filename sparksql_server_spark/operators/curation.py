@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 
 from sparksql_server_spark.catalog import register_tables, table
 from sparksql_server_spark.functions.portable import (
+    duck_char_hash,
     duck_words,
+    spark_char_hash,
     spark_words,
 )
 from sparksql_server_spark.functions.vector import (
@@ -286,3 +288,140 @@ def text_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_tok_pct_sql("spark"))
+
+
+_DSIR_TARGET = "src0"  # the high-quality target domain
+_DSIR_TOP = 30
+
+
+def _dsir_sql(dialect: str) -> str:
+    """Shared shape: unigram counts for the target domain vs the raw
+    pool, add-one-smoothed log-likelihood ratio per term, and each raw
+    document's mean per-token LLR (its DSIR importance weight)."""
+    if dialect == "spark":
+        words = spark_words("text")
+        ex = "SELECT doc_id, source, term FROM w LATERAL VIEW explode(w) t AS term"
+    else:
+        words = duck_words("text")
+        ex = "SELECT doc_id, source, unnest(w) AS term FROM w"
+    return f"""
+WITH w AS (SELECT doc_id, source, {words} AS w FROM documents),
+terms AS ({ex}),
+tf AS (SELECT doc_id, source, term, CAST(count(*) AS BIGINT) AS n
+       FROM terms GROUP BY doc_id, source, term),
+lm AS (SELECT term,
+              CAST(sum(CASE WHEN source = '{_DSIR_TARGET}' THEN n ELSE 0 END)
+                   AS BIGINT) AS t_cnt,
+              CAST(sum(CASE WHEN source <> '{_DSIR_TARGET}' THEN n ELSE 0 END)
+                   AS BIGINT) AS r_cnt
+       FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS t_tot,
+               CAST(sum(r_cnt) AS BIGINT) AS r_tot,
+               CAST(count(*) AS BIGINT) AS v
+        FROM lm),
+llr AS (SELECT term,
+               ln((CAST(t_cnt AS DOUBLE) + 1) / (t_tot + v))
+                 - ln((CAST(r_cnt AS DOUBLE) + 1) / (r_tot + v)) AS lam
+        FROM lm CROSS JOIN tot)
+SELECT tf.doc_id,
+       CAST(sum(tf.n) AS BIGINT) AS n_tokens,
+       CAST(round(sum(tf.n * llr.lam) / sum(tf.n), 6) AS DOUBLE)
+         AS importance_llr
+FROM tf JOIN llr ON tf.term = llr.term
+WHERE tf.source <> '{_DSIR_TARGET}'
+GROUP BY tf.doc_id
+ORDER BY importance_llr DESC, doc_id
+LIMIT {_DSIR_TOP}
+"""
+
+
+@query("pipeline_dsir_importance", oracle=_dsir_sql("duck"))
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every raw
+    document by the log-likelihood ratio of its tokens under a TARGET
+    domain's unigram model vs the RAW pool's model (add-one smoothed),
+    normalize by length, and keep the top scorers — importance
+    resampling that shifts the pretraining mixture toward the target
+    distribution without a trained classifier. Target here is the
+    'src0' source; the top 30 most-target-like raw documents surface.
+
+    Determinism: counts are exact integers; lam is ln() of exact
+    ratios; the per-doc reduction sums dozens of O(1) doubles (error
+    ~1e-15, far under the 6-dp round) — the text_unigram_surprisal
+    precedent, driver-green since round 4.
+
+    Scale: tf is one explode + (doc, term) groupBy; the two LMs are
+    ONE combinable aggregate over tf keyed by term (not a pass per
+    domain); tot is a 1-row cross join; scoring joins tf against the
+    term-keyed LLR table — at 100 TB the llr relation is the persisted
+    importance model (vocabulary-sized, broadcast), and new raw
+    batches score against it map-side without touching the corpus
+    again, the same incremental shape as dedup_incremental_lsh.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_dsir_sql("spark"))
+
+
+_CHUNK_W = 32  # chunk width (words)
+_CHUNK_S = 24  # stride => 8-word overlap between consecutive chunks
+
+
+def _chunk_sql(dialect: str) -> str:
+    """Shared shape: per doc, chunk starts 1, 1+S, 1+2S, ... covering
+    every word (last chunk may be short); each chunk row carries its
+    word span and a portable rolling hash of its text."""
+    n_chunks = f"CASE WHEN nw <= {_CHUNK_W} THEN 1 ELSE CAST(ceil(CAST(nw - {_CHUNK_W} AS DOUBLE) / {_CHUNK_S}) AS INT) + 1 END"
+    if dialect == "spark":
+        words = spark_words("text")
+        gen = (
+            f"SELECT doc_id, nw, k FROM w "
+            f"LATERAL VIEW explode(sequence(1, {n_chunks})) t AS k"
+        )
+        slice_ = f"slice(w, ({_CHUNK_S} * (k - 1)) + 1, {_CHUNK_W})"
+        joined = "array_join(cw, ' ')"
+    else:
+        words = duck_words("text")
+        gen = f"SELECT doc_id, nw, unnest(range(1, ({n_chunks}) + 1)) AS k FROM w"
+        slice_ = f"list_slice(w, ({_CHUNK_S} * (k - 1)) + 1, ({_CHUNK_S} * (k - 1)) + {_CHUNK_W})"
+        joined = "array_to_string(cw, ' ')"
+    hash_fn = spark_char_hash if dialect == "spark" else duck_char_hash
+    return f"""
+WITH w0 AS (SELECT doc_id, {words} AS w FROM documents),
+w AS (SELECT doc_id, w, CAST({'size(w)' if dialect == 'spark' else 'len(w)'} AS INT) AS nw FROM w0),
+ks AS ({gen}),
+chunks AS (
+  SELECT ks.doc_id, ks.k, {slice_} AS cw
+  FROM ks JOIN w ON ks.doc_id = w.doc_id),
+txt AS (SELECT doc_id, k, {joined} AS chunk_text,
+               CAST({'size(cw)' if dialect == 'spark' else 'len(cw)'} AS BIGINT) AS n_words
+        FROM chunks)
+SELECT doc_id, CAST(k AS INT) AS chunk_idx, n_words,
+       CAST({hash_fn('chunk_text')} AS BIGINT) AS chunk_hash
+FROM txt
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("pipeline_chunk_overlap", oracle=_chunk_sql("duck"))
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking — the RAG / context-packing
+    primitive: split each document into 32-word chunks with stride 24
+    (8-word overlap so no boundary sentence is lost), emitting stable
+    (doc_id, chunk_idx) ids, per-chunk lengths, and a portable content
+    hash (the chunk-level dedup / index key). Every word lands in at
+    least one chunk; the last chunk may run short.
+
+    Determinism: pure integer pipeline — chunk count from integer
+    ceil, slices, counts, and the polynomial rolling hash; zero float
+    columns in the output.
+
+    Scale: map-only modulo the self-equi-join on doc_id that pairs
+    each chunk index with its word array (Catalyst keeps it a local
+    join since both sides share the w CTE's partitioning; at 100 TB
+    this is the one shape where mapInPandas wins — one pass, no join —
+    and the swap is local to this operator). Chunk explosion is
+    bounded at ~nw/24 rows per doc — linear inflation, no shuffle
+    keyed on anything coarser than doc_id.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_chunk_sql("spark"))

@@ -977,3 +977,83 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_incremental_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means-style cells
+# ---------------------------------------------------------------------------
+
+_SEM_CELLS = 16  # coarse centroids: vec_id in [100, 116), similarity.py convention
+_SEM_EPS = (0.45, 0.40, 0.35, 0.30)  # pruning-threshold sweep (calibrated: max
+# observed within-cell cosine on the synthetic embeddings is ~0.49, so the grid
+# brackets the regime where the operator actually removes vectors)
+
+
+def _semdedup_sql(dot, norm) -> str:
+    """Shared shape across dialects: nearest-centroid cell assignment,
+    within-cell lower-id-neighbor max cosine, and a per-cell rollup of
+    how many members each pruning threshold would remove."""
+    rm_cols = ",\n       ".join(
+        f"CAST(coalesce(sum(CASE WHEN v.best_cos >= {eps} THEN 1 END), 0) "
+        f"AS BIGINT) AS rm_ge_{str(eps).replace('0.', '')}"
+        for eps in _SEM_EPS
+    )
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {norm('embedding')} AS nrm FROM embeddings),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+      WHERE vec_id >= 100 AND vec_id < {100 + _SEM_CELLS}),
+assign AS (
+  SELECT vec_id, embedding, nrm, c_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+  FROM (SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+               round({dot('n.embedding', 'c_emb')} / (n.nrm * c_nrm), 6) AS cos
+        FROM n CROSS JOIN c)),
+cell AS (SELECT vec_id, embedding, nrm, c_id FROM assign WHERE rn = 1),
+verdict AS (
+  SELECT b.vec_id, max({dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)) AS best_cos
+  FROM cell a JOIN cell b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  GROUP BY b.vec_id)
+SELECT cell.c_id AS cell_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(round(max(coalesce(v.best_cos, -1.0)), 6) AS DOUBLE) AS max_cos,
+       {rm_cols}
+FROM cell LEFT JOIN verdict v ON cell.vec_id = v.vec_id
+GROUP BY cell.c_id
+ORDER BY cell.c_id
+"""
+
+
+@query("dedup_semdedup_cells", oracle=_semdedup_sql(duck_dot, duck_norm))
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with a coarse
+    k-means quantizer, then prune near-duplicates WITHIN each cluster
+    by cosine threshold — pairwise work drops from N^2 to sum of
+    cell^2 because cross-cluster pairs are never formed. A vector is
+    removed when a lower-id member of its cell sits within epsilon;
+    the rollup reports, per cell, the member count, the hottest
+    within-cell cosine, and the removal count at each threshold in the
+    sweep (the pruning-rate-vs-epsilon curve the paper tunes on).
+
+    Complements dedup_embedding_cosine (hyperplane-LSH blocking,
+    pair-level output) with the centroid-blocked cluster view: LSH
+    buckets bound the HIGH-similarity regime cheaply, centroid cells
+    give every vector a home so removal fractions are exact per
+    cluster.
+
+    Determinism: cosines are bit-identical across engines (vector.py:
+    same IEEE ops in the same order), so >= threshold comparisons
+    agree exactly; counts are integers; the one rounded float column
+    rounds to 6 dp on both sides.
+
+    Scale: centroids broadcast (16 rows, map-only assignment — at
+    100 TB the assignment is a partition column written once by the
+    offline k-means job); the within-cell self-join is an equi-join
+    on cell id, cost sum over cells of |cell|^2 with skewed cells the
+    tunable (split hot cells by re-k-meansing, exactly as FAISS
+    shards hot IVF lists); the rollup is a combinable per-cell
+    aggregate. Reference parity: extends the reference's scan-bag
+    sharing philosophy to the embedding-curation workload (no
+    analogue in sparksql-server; north-star set, BASELINE.json).
+    """
+    register_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(_semdedup_sql(spark_dot, spark_norm))

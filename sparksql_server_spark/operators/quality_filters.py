@@ -341,3 +341,68 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_tfidf_sql("spark"))
+
+
+_BOILER_N = 4  # shingle width (words)
+_BOILER_DF = 2  # a shingle is boilerplate when >= this many docs contain it
+_BOILER_TOP = 50
+
+
+def _boiler_sql(dialect: str) -> str:
+    """Shared shape: distinct word 4-grams per doc, shingle document
+    frequency, per-doc fraction of shingles that are corpus-frequent.
+    The one float is a single division of exact BIGINTs."""
+    if dialect == "spark":
+        words, sh = spark_words("text"), spark_shingles("w", _BOILER_N)
+        ex = f"SELECT DISTINCT doc_id, s FROM w LATERAL VIEW explode({sh}) t AS s"
+    else:
+        words, sh = duck_words("text"), duck_shingles("w", _BOILER_N)
+        ex = f"SELECT DISTINCT doc_id, unnest({sh}) AS s FROM w"
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+sh AS ({ex}),
+df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s),
+perdoc AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN df.df >= {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM sh JOIN df ON sh.s = df.s
+  GROUP BY sh.doc_id)
+SELECT doc_id, n_shingles, n_boiler,
+       CAST(round(CAST(n_boiler AS DOUBLE) / n_shingles, 6) AS DOUBLE)
+         AS boiler_frac
+FROM perdoc
+ORDER BY boiler_frac DESC, doc_id
+LIMIT {_BOILER_TOP}
+"""
+
+
+@query("quality_boilerplate_density", oracle=_boiler_sql("duck"))
+def quality_boilerplate_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent-span density — the C4/RefinedWeb boilerplate
+    screen re-expressed relationally: a word 4-gram that appears in
+    >= 2 distinct documents is 'boilerplate' (navigation chrome,
+    license headers, templated spans); each document reports what
+    fraction of its distinct 4-grams are boilerplate, and the top 50
+    most templated documents surface for removal. Differs from
+    dedup_shingle_containment (pairwise A-subset-of-B) by scoring each
+    doc against the WHOLE corpus's span frequency — catching documents
+    stitched from many sources' boilerplate, which no single pair
+    reveals.
+
+    Determinism: integer counts end-to-end; one exact-input division
+    rounded to 6 dp; total ORDER BY with doc_id tiebreak.
+
+    Scale: explode-distinct shuffles on (doc_id, shingle); DF is a
+    combinable count keyed by shingle (the production pipeline
+    persists it — the span-frequency table IS the boilerplate model,
+    reusable per batch like dedup_incremental_lsh's index); the
+    join-back is keyed by shingle with ultra-hot spans the skew
+    candidates (AQE skew-join or a DF cutoff that drops spans past
+    'certainly boilerplate', capping any bucket). Rollup is a per-doc
+    combinable aggregate; LIMIT is a TakeOrdered top-k, no global
+    sort materialized.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_boiler_sql("spark"))
