@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sparksql_server_spark.catalog import register_tables
 from sparksql_server_spark.operators.registry import query
@@ -207,4 +208,166 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("kind", F.col("degree").cast("bigint").alias("degree"))
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("kind", "degree")
+    )
+
+
+_TRI_SUPPORT = 2  # an edge needs >= this many shared orders
+_TRI_TOP = 20
+
+
+def _triangle_sql() -> str:
+    """Dialect-neutral SQL (runs verbatim on Spark and DuckDB):
+    co-purchase edges with min support, degree-ordered orientation,
+    wedge join + closing-edge probe, per-node participation rollup."""
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS u, b.p AS v
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= {_TRI_SUPPORT}),
+deg AS (SELECT node, count(*) AS d
+        FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs) t
+        GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst
+  FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+und AS (SELECT src AS u, dst AS v FROM oriented
+        UNION ALL SELECT dst, src FROM oriented),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN und e3 ON e3.u = e1.dst AND e3.v = e2.dst),
+per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) t
+  GROUP BY node),
+total AS (SELECT CAST(count(*) AS BIGINT) AS total_triangles FROM tri)
+SELECT p.node AS part_id, p.n_triangles, t.total_triangles
+FROM per_node p CROSS JOIN total t
+ORDER BY p.n_triangles DESC, p.node
+LIMIT {_TRI_TOP}
+"""
+
+
+@query("graph_triangle_count", oracle=_triangle_sql())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (edge = two
+    parts sharing >= 2 orders) via the degree-ordered orientation
+    algorithm: orient every edge from the (degree, id)-smaller node to
+    the larger, enumerate wedges only from each triangle's unique
+    minimum node, and close them with one edge probe — each triangle
+    found exactly once, no post-hoc dedup. Reports the top parts by
+    triangle participation (the clustering/community-density signal)
+    plus the global count.
+
+    Determinism: pure integer pipeline; total ORDER BY with id
+    tiebreak.
+
+    Scale: the classic bound — orientation caps per-node wedge
+    fan-out at out-degree <= O(sqrt(m)) on any graph (arboricity
+    argument), so the wedge join is sum of outdeg^2 instead of
+    sum of deg^2, the quadratic hot-node blowup a naive neighbor
+    join hits on power-law graphs. Edge building is the basket join
+    blocked by order key with min-support HAVING pruning the
+    long-tail pairs map-side; every join after that is a keyed
+    equi-join on node ids (shuffle keys uniform after orientation —
+    hot nodes become high IN-degree, which never fans out). At
+    100 TB: persist `oriented` bucketed by src and both wedge-join
+    sides co-locate shuffle-free.
+
+    Cache hygiene: the expensive pair build feeds degree, both wedge
+    sides, and the closing-edge probe — as a CTE Spark would re-expand
+    it per consumer (measured 5x the work at sf0.1), so `pairs` and
+    `oriented` cache inside a CacheScope and spill result-sized on
+    finish; the DuckDB oracle keeps the single-statement CTE form,
+    which DuckDB materializes once by itself.
+    """
+    register_tables(spark, sf_dir, ("lineitem",))
+    scope = CacheScope(spark)
+    # basket form: ONE groupBy(order) + map-side combination explode
+    # replaces the items-distinct self-join (2 shuffles instead of 3,
+    # and the lineitem scan runs once, not twice); collect_set +
+    # sort_array gives u < v for free. Per-order blowup is C(k,2) with
+    # k = parts per order — bounded by basket size, never by |parts|.
+    baskets = (
+        spark.table("lineitem")
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    # the support-filtered edge relation is result-sized (3.5k rows at
+    # sf0.1, vs 600k lineitem) — repartition(1) sizes the cached
+    # relation to its bytes so downstream stages schedule 1 task, not
+    # 64 empty ones; at 100 TB swap for repartition(n, "u") bucketing
+    # sized by |E|
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= _TRI_SUPPORT)
+        .select("u", "v")
+        .repartition(1)
+        .cache()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # degree table is node-sized -> broadcast both probes
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    keep = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(keep, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(keep, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .cache()
+    )
+    und = oriented.unionAll(oriented.select(F.col("dst"), F.col("src")))
+    tri = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")))
+        .join(
+            und.alias("e3"),
+            (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c"))
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    # every triangle increments exactly 3 nodes, so the global count is
+    # sum(n_triangles)/3 off per_node — one window over the (tiny)
+    # participation table instead of a second evaluation of the wedge
+    # join + a broadcast job
+    result = per_node.withColumn(
+        "total_triangles",
+        (F.sum("n_triangles").over(Window.partitionBy()) / 3).cast("long"),
+    ).select(F.col("node").alias("part_id"), "n_triangles", "total_triangles")
+    return (
+        scope.finish(result, "graph_triangles")
+        .orderBy(F.desc("n_triangles"), "part_id")
+        .limit(_TRI_TOP)
     )
