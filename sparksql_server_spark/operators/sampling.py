@@ -158,3 +158,65 @@ def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_QUOTA = 15  # max documents kept per source domain
+
+
+@query(
+    "pipeline_source_quota",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rnk <= {_QUOTA} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN rnk <= {_QUOTA} THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       CAST(min(CASE WHEN rnk <= {_QUOTA} THEN n_chars END) AS BIGINT)
+         AS kept_min_chars
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+)
+def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping — the CommonCrawl-style guard against
+    any single domain flooding the corpus: each source keeps at most
+    its quota of documents, chosen by quality rank (length proxy here;
+    swap the ORDER BY for a model score column in production), with a
+    per-source audit of kept counts, kept bytes, and the admission
+    cutoff. Complements pipeline_domain_mix (probabilistic rate) with
+    the hard cap real crawls apply to head domains.
+
+    Determinism: integer ranks with doc_id tiebreak; integer sums.
+
+    Scale: ONE shuffle keyed by source for the ranking window; the
+    rank <= quota predicate is WindowGroupLimit-prunable (Spark pushes
+    the top-k into the sort, so a billion-doc domain never fully
+    sorts — each partition keeps its local top-quota before the
+    merge); the audit aggregation rides the same partitioning. Head
+    domains ARE the skew — at 100 TB pre-aggregate per (source,
+    mapper) with the same local-top-quota trick or lean on AQE skew
+    splitting; the pruned sort makes either cheap.
+    """
+    doc = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = doc.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("rnk")
+    )
+    kept = F.col("rnk") <= _QUOTA
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+            F.min(F.when(kept, F.col("n_chars"))).alias("kept_min_chars"),
+        )
+        .orderBy("source")
+    )
