@@ -146,3 +146,82 @@ def agg_approx_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_HLL_M = 64  # registers
+_HLL_ALPHA = 0.709  # bias constant for m=64 (Flajolet et al. 2007)
+
+# Portable HyperLogLog, dialect-neutral SQL: engine-native sketches
+# (Spark HllSketch vs DuckDB approx_count_distinct) can never
+# hash-match, so the sketch itself is built from portable integer
+# arithmetic — multiplicative 32-bit hash, 6-bit bucket, rank =
+# leading-zero count of the remaining 26-bit word via length(bin(w))
+# (INTEGER, no float log), registers = max(rank) per bucket.
+_HLL_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         user_id,
+         (user_id * 2654435761) % 4294967296 AS hv
+  FROM events),
+b AS (
+  SELECT event_type,
+         hv % {_HLL_M} AS bucket,
+         CAST(floor(CAST(hv AS DOUBLE) / {_HLL_M}) AS BIGINT) AS w
+  FROM h),
+regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN w > 0 THEN 27 - length(bin(w)) ELSE 27 END) AS m_j
+  FROM b GROUP BY event_type, bucket),
+sketch AS (
+  SELECT event_type,
+         sum(power(2.0, -m_j)) AS sum_pow,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type,
+         {_HLL_M} - n_active AS n_zero,
+         {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+           / (sum_pow + ({_HLL_M} - n_active)) AS raw
+  FROM sketch),
+fin AS (
+  SELECT event_type,
+         CASE WHEN raw <= 2.5 * {_HLL_M} AND n_zero > 0
+              THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / n_zero)
+              ELSE raw END AS hll
+  FROM est),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type)
+SELECT e.event_type, e.exact_users,
+       CAST(round(f.hll, 6) AS DOUBLE) AS hll_estimate,
+       CAST(round(f.hll / e.exact_users - 1, 6) AS DOUBLE) AS rel_error
+FROM exact e JOIN fin f ON e.event_type = f.event_type
+ORDER BY e.event_type
+"""
+
+
+@query("agg_hll_mergeable", _HLL_SQL)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type, built from
+    first principles in portable SQL, audited against the exact count.
+    Complements agg_approx_vs_exact (which oracle-checks only the
+    exact half because engine-native sketches differ): here the WHOLE
+    sketch is cross-engine deterministic, so the estimate itself is
+    oracle-verified — register ranks are integer arithmetic, the
+    harmonic sum adds 64 exact dyadic rationals (2^-m_j, lsb 2^-27,
+    sum < 2^7 — exact in a double in ANY order), and the
+    linear-counting fallback is one ln() of an exact ratio rounded to
+    6 dp.
+
+    The point at 100 TB is MERGEABILITY: the register table is the
+    sketch state, and max(m_j) is both the in-partition combine and
+    the cross-partition/cross-day merge — a year of daily register
+    tables folds with one 64-row-per-group max, no raw re-scan;
+    that is how distinct-users-per-anything survives at petabyte
+    scale. Plan: two combinable aggregations ((type, bucket) ->
+    max, type -> sum) plus the exact branch's distinct for the audit
+    column — the exact branch is the one you DROP in production,
+    leaving no distinct shuffle at all.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_HLL_SQL)

@@ -241,3 +241,53 @@ def stats_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_MODE_SQL)
+
+
+_SKEW_SQL = """
+WITH per_key AS (
+  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey),
+buckets AS (
+  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS log2_bucket, n
+  FROM per_key),
+hist AS (
+  SELECT log2_bucket,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS hottest_key_rows
+  FROM buckets GROUP BY log2_bucket),
+tot AS (
+  SELECT CAST(max(n) AS BIGINT) AS max_n,
+         CAST(sum(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS total_keys
+  FROM per_key)
+SELECT h.log2_bucket, h.n_keys, h.n_rows, h.hottest_key_rows,
+       CAST(round(CAST(t.max_n AS DOUBLE) * t.total_keys / t.total_rows, 6)
+            AS DOUBLE) AS skew_ratio_max_vs_mean
+FROM hist h CROSS JOIN tot t
+ORDER BY h.log2_bucket
+"""
+
+
+@query("stats_key_skew", _SKEW_SQL)
+def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for a prospective join/agg key —
+    the profile you run BEFORE picking a strategy at 100 TB: per-key
+    row counts folded into a log2 histogram (how heavy is the tail),
+    the hottest key per bucket, and the max-vs-mean skew ratio that
+    decides between a plain shuffle, AQE skew splitting, or salting.
+    Key here: lineitem.l_partkey.
+
+    Determinism: counts are exact integers; the log2 bucket is
+    INTEGER arithmetic — length(bin(n)) - 1, never a float log whose
+    last-ulp could flip floor() at a power of two; one rounded ratio
+    column.
+
+    Scale: this is two chained combinable aggregations (key -> count,
+    bucket -> stats) — the profile costs one shuffle on the key being
+    profiled, which is the cheapest possible full-data statistic; the
+    1-row `tot` side broadcasts. Production runs it on a sample
+    partition first, same plan shape.
+    """
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_SKEW_SQL)
