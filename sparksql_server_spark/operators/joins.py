@@ -341,3 +341,37 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(_NULL_SAFE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name,
+       CAST(round(t.c_acctbal, 2) AS DOUBLE) AS c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+ORDER BY n.n_name, c_acctbal DESC, t.c_name
+"""
+
+
+@query("join_lateral_topk", _LATERAL_SQL)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join — per outer row, an inner
+    query that references it (here: each nation's top-2 customers by
+    balance). Dialect-neutral SQL: Spark 4 and DuckDB both plan the
+    `FROM outer, LATERAL (...)` form directly. The per-group-top-k-
+    via-join surface complements topk_per_group's window form.
+
+    Determinism: ranking keys are (c_acctbal DESC, c_name) — total;
+    the rounded output column only normalizes decimal width.
+
+    Scale: Catalyst decorrelates the LATERAL into a ranked window
+    join (DecorrelateInnerQuery), so execution is ONE shuffle keyed
+    by nationkey with a WindowGroupLimit-pruned sort — identical cost
+    to the window formulation, not an N-iterations nested loop; the
+    25-row outer side never drives per-row subquery execution.
+    """
+    register_tables(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_LATERAL_SQL)
