@@ -291,3 +291,88 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_SKEW_SQL)
+
+
+_QSK_BINS = 64
+_QSK_QS = "(0.5), (0.9), (0.99)"
+
+
+def _qsketch_sql(dialect: str) -> str:
+    """Shared shape: 64-bin equi-width histogram sketch of
+    events.value, interpolated quantile estimates, audited against the
+    exact type-1 order statistic. Only the VALUES clause spells
+    differently across dialects."""
+    vals = (
+        f"SELECT * FROM VALUES {_QSK_QS} AS t(q)"
+        if dialect == "spark"
+        else f"SELECT * FROM (VALUES {_QSK_QS}) t(q)"
+    )
+    return f"""
+WITH bounds AS (
+  SELECT min(value) AS lo, max(value) AS hi,
+         CAST(count(value) AS BIGINT) AS n
+  FROM events),
+binned AS (
+  SELECT CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / {_QSK_BINS})),
+              {_QSK_BINS} - 1) AS BIGINT) AS bin
+  FROM events e CROSS JOIN bounds b
+  WHERE e.value IS NOT NULL),
+hist AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, c,
+         CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum,
+         CAST(coalesce(sum(c) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM hist),
+targets AS (
+  SELECT q, CAST(ceil(q * b.n) AS BIGINT) AS r, b.lo, b.hi, b.n
+  FROM ({vals}) CROSS JOIN bounds b),
+est AS (
+  SELECT t.q,
+         t.lo + (c.bin + CAST(t.r - c.cum_before AS DOUBLE) / c.c)
+              * ((t.hi - t.lo) / {_QSK_BINS}) AS sketch_v
+  FROM targets t
+  JOIN cum c ON c.cum >= t.r AND c.cum_before < t.r),
+ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events
+  WHERE value IS NOT NULL),
+exact AS (
+  SELECT t.q, r.value AS exact_v
+  FROM targets t JOIN ranked r ON r.rn = t.r)
+SELECT e.q,
+       CAST(round(e.exact_v, 6) AS DOUBLE) AS exact_value,
+       CAST(round(s.sketch_v, 6) AS DOUBLE) AS sketch_estimate,
+       CAST(round(abs(s.sketch_v - e.exact_v), 6) AS DOUBLE) AS abs_error
+FROM exact e JOIN est s ON e.q = s.q
+ORDER BY e.q
+"""
+
+
+@query("stats_quantile_sketch_audit", _qsketch_sql("duck"))
+def stats_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile sketch, audited: p50/p90/p99 of
+    events.value estimated from a 64-bin equi-width histogram with
+    linear in-bin interpolation, next to the exact type-1 order
+    statistic and the absolute error — the t-digest/KLL trade
+    (bounded state, bounded error) in its simplest portable form.
+    Completes the mergeable-sketch set with agg_hll_mergeable
+    (distinct counts) — here the sketch state is the 64-row count
+    vector and the merge is elementwise SUM, so per-partition / per-day
+    histograms fold without re-scanning raw data.
+
+    Determinism: bin ids come from one sub+div+floor on exact-input
+    doubles (identical IEEE ops both engines); counts and target ranks
+    are integers; interpolation is a short chain of exact-input float
+    ops rounded to 6 dp.
+
+    Scale: the sketch path is two combinable aggregations (bounds,
+    then bin counts) and a 64-row window — constant state regardless
+    of input size. The exact path's global row_number exists only for
+    the audit column and is the branch production DROPS (at 100 TB
+    the full sort is the thing the sketch replaces; the audit runs on
+    samples). The bounds pass broadcasts as a 1-row relation.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_qsketch_sql("spark"))
