@@ -376,3 +376,82 @@ def stats_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_qsketch_sql("spark"))
+
+
+_CMS_D = 4  # hash rows
+_CMS_W = 128  # counters per row
+# four pairwise-independent-ish multiplicative hash schedules (odd
+# multipliers, distinct adders) over the key, all exact BIGINT math
+_CMS_HASH = "((({a} + {k} * {m}) % 1000000007) % {w})"
+_CMS_PARAMS = ((1, 2654435761), (40503, 2246822519), (83117, 3266489917), (126611, 668265263))
+_CMS_TOP = 12
+
+
+def _cms_sql() -> str:
+    """Dialect-neutral SQL: build the d x w counter matrix in ONE
+    aggregation pass (explode each key into its d (row, bucket)
+    cells), then estimate the hottest users' counts as min over rows
+    and audit against the exact count."""
+    cells = " UNION ALL ".join(
+        f"SELECT {j} AS hrow, "
+        + _CMS_HASH.format(a=a, k="user_id", m=m, w=_CMS_W)
+        + " AS bucket, n FROM per_key"
+        for j, (a, m) in enumerate(_CMS_PARAMS)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, n, {j} AS hrow, "
+        + _CMS_HASH.format(a=a, k="user_id", m=m, w=_CMS_W)
+        + " AS bucket FROM top_keys"
+        for j, (a, m) in enumerate(_CMS_PARAMS)
+    )
+    return f"""
+WITH per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id),
+cells AS ({cells}),
+sketch AS (
+  SELECT hrow, bucket, CAST(sum(n) AS BIGINT) AS c
+  FROM cells GROUP BY hrow, bucket),
+top_keys AS (
+  SELECT user_id, n FROM per_key
+  ORDER BY n DESC, user_id LIMIT {_CMS_TOP}),
+probes AS ({probes}),
+est AS (
+  SELECT p.user_id, p.n, min(s.c) AS cms_estimate
+  FROM probes p
+  JOIN sketch s ON s.hrow = p.hrow AND s.bucket = p.bucket
+  GROUP BY p.user_id, p.n)
+SELECT user_id,
+       n AS exact_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - n AS BIGINT) AS overcount
+FROM est
+ORDER BY exact_count DESC, user_id
+"""
+
+
+@query("stats_countmin_audit", _cms_sql())
+def stats_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode/Muthukrishnan 2005) for heavy-hitter
+    frequency, audited: a 4x128 counter matrix summarizes per-user
+    event counts, the hottest users' frequencies are re-estimated as
+    the min over their 4 cells, and the (always >= 0) overcount is
+    reported next to the exact count. Third member of the mergeable-
+    sketch set (agg_hll_mergeable: distinct; stats_quantile_sketch_
+    audit: quantiles) — the CMS state is 512 integers and merges by
+    elementwise SUM, so per-partition/per-day sketches fold without
+    raw re-scans, and point frequency queries never touch raw data.
+
+    Determinism: every hash, counter, and estimate is exact BIGINT
+    arithmetic — zero float columns.
+
+    Scale: the counter build is ONE combinable aggregation over
+    (hrow, bucket) — 512 groups regardless of input size (the per_key
+    pre-aggregation here is itself one keyed shuffle, and at 100 TB
+    you skip it: feed raw events straight into the cell explode and
+    let partial aggregation collapse to 512 rows map-side). The probe
+    side is a LIMIT-12 broadcast against a 512-row relation. The
+    exact column is the audit-only branch production drops.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_cms_sql())
