@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparksql_server_spark.catalog import table
+from sparksql_server_spark.catalog import register_tables, table
 from sparksql_server_spark.functions.portable import dsum
 from sparksql_server_spark.operators.registry import query
 
@@ -220,3 +220,81 @@ def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_Z_BITS = 8  # per-dimension bits (values bucketed mod 256)
+_Z_FILES = 16
+_Z_PROBE_X = 100  # point probes for the pruning audit
+_Z_PROBE_Y = 77
+
+
+def _zorder_sql() -> str:
+    """Dialect-neutral SQL: Morton-interleave two 8-bit key buckets
+    with pure integer arithmetic (bit k of v = floor(v / 2^k) % 2 —
+    no engine bit operators needed), lay rows into 16 equal-z-range
+    'files' vs 16 x-range files, and audit min/max-stats pruning for a
+    point probe on each dimension under both layouts."""
+    z_terms = " + ".join(
+        f"(CAST(floor(x / {1 << k}) AS BIGINT) % 2) * {1 << (2 * k)}"
+        f" + (CAST(floor(y / {1 << k}) AS BIGINT) % 2) * {1 << (2 * k + 1)}"
+        for k in range(_Z_BITS)
+    )
+    z_span = (1 << (2 * _Z_BITS)) // _Z_FILES
+    x_span = (1 << _Z_BITS) // _Z_FILES
+    return f"""
+WITH base AS (
+  SELECT l_partkey % {1 << _Z_BITS} AS x,
+         l_suppkey % {1 << _Z_BITS} AS y
+  FROM lineitem),
+keyed AS (SELECT x, y, {z_terms} AS z FROM base),
+files AS (
+  SELECT 'zorder' AS layout,
+         CAST(floor(z / {z_span}) AS BIGINT) AS file_id, x, y
+  FROM keyed
+  UNION ALL
+  SELECT 'linear' AS layout,
+         CAST(floor(x / {x_span}) AS BIGINT) AS file_id, x, y
+  FROM keyed),
+stats AS (
+  SELECT layout, file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+  FROM files GROUP BY layout, file_id)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN min_x <= {_Z_PROBE_X} AND {_Z_PROBE_X} <= max_x
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_touched_x_probe,
+       CAST(sum(CASE WHEN min_y <= {_Z_PROBE_Y} AND {_Z_PROBE_Y} <= max_y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_touched_y_probe
+FROM stats
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+@query("pipeline_zorder_audit", _zorder_sql())
+def pipeline_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout audit — the data-skipping story
+    behind Delta/Iceberg Z-ORDER, measured instead of asserted: rows
+    keyed by two independent 8-bit key buckets are laid into 16
+    files either by Morton-interleaved z-ranges or by plain x-ranges,
+    and per-file min/max column stats (what parquet footers store)
+    answer how many files a point probe on EACH dimension must touch.
+    Linear layout prunes perfectly on x and not at all on y; z-order
+    prunes on BOTH (~sqrt(files) touched per dimension) — the reason
+    multi-dimension-filtered scans cluster by curve, not by sort key.
+
+    Determinism: bit extraction is floor-div/mod integer arithmetic
+    (no engine bit operators), counts and min/max are integers —
+    zero float columns.
+
+    Scale: the z key is row-local (map-only, like the shard column of
+    pipeline_shard_assignment); file stats are one combinable
+    aggregation over 32 groups; the audit aggregates 32 rows. The
+    production write is repartitionByRange(z).write — same one
+    shuffle any layout write pays, the pruning is free forever after.
+    """
+    register_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_zorder_sql())
