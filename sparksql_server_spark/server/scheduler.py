@@ -112,6 +112,15 @@ class BatchExecutor:
             plan = (
                 self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
             )
+            # SQL-scripting blocks (BEGIN … END, Spark 4) parse to
+            # CompoundBody — not a Command subclass, but sql() runs the
+            # whole script eagerly, so the query path would execute it
+            # twice and its arbitrary statements must never be
+            # fingerprinted/merged. Route it down the execute-once
+            # command path (which also invalidates the result cache —
+            # scripts may contain DDL).
+            if plan.getClass().getSimpleName() == "CompoundBody":
+                return False
             # WITH wraps the main statement; classify what it wraps
             for _ in range(3):
                 if plan.getClass().getSimpleName() in ("UnresolvedWith", "WithCTE"):

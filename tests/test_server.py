@@ -1120,3 +1120,54 @@ class TestProtocolRobustness:
             client_request(server.address, {"sql": "SELECT 1 AS one"})["status"]
             == "done"
         )
+
+
+class TestSqlScripting:
+    """SQL-scripting blocks (BEGIN ... END -> CompoundBody, Spark 4)
+    must route down the execute-once command path: ``sql()`` runs the
+    whole script EAGERLY, so classifying one as a query would execute
+    it twice (once in analyze's fingerprint pass, once in the runner)
+    — the same trap the CTE-led-INSERT classification already guards."""
+
+    def test_script_classified_as_command(self, spark):
+        ex = BatchExecutor(spark)
+        assert ex._is_query("BEGIN SELECT 1 AS x; END") is False
+        assert (
+            ex._is_query("BEGIN DECLARE v INT DEFAULT 3; SELECT v AS x; END")
+            is False
+        )
+        assert ex._is_query("SELECT 1 AS x") is True
+
+    def test_script_round_trip_executes_once(self, spark, tmp_path):
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            loc = str(tmp_path / "script_t")
+            r = client_request(
+                srv.address,
+                {
+                    "sql": "CREATE TABLE script_ctr USING parquet "
+                    f"LOCATION '{loc}' AS SELECT CAST(1 AS INT) AS z "
+                    "FROM region WHERE 1 = 0"
+                },
+            )
+            assert r["status"] == "done", r
+            script = (
+                "BEGIN\n"
+                "  INSERT INTO script_ctr VALUES (1);\n"
+                "  SELECT count(*) AS n FROM script_ctr;\n"
+                "END"
+            )
+            r = client_request(srv.address, {"sql": script})
+            assert r["status"] == "done", r
+            # the script's LAST statement's rows come back to the client
+            assert r["rows"] == [[1]] and r["columns"] == ["n"]
+            # and the INSERT ran exactly once (a double execution — the
+            # query-path bug — would leave two rows)
+            n = client_request(
+                srv.address, {"sql": "SELECT count(*) AS n FROM script_ctr"}
+            )
+            assert n["rows"] == [[1]], n
+        finally:
+            client_request(srv.address, {"sql": "DROP TABLE IF EXISTS script_ctr"})
+            srv.shutdown()
+            srv.executor.cache.clear()
