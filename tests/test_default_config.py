@@ -51,6 +51,11 @@ SMOKE_QUERIES = [
     # embedding dedup (both changed this round — regression anchors)
     "events_ewma_recursive",
     "dedup_embedding_cosine",
+    # round-5b: one anchor per new family — the portable-sketch set,
+    # the DF-cutoff winnowing rework, and the CacheScope'd triangle join
+    "agg_hll_mergeable",
+    "dedup_winnowing",
+    "graph_triangle_count",
 ]
 
 _WORKER = r"""
