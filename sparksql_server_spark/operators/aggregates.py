@@ -151,26 +151,46 @@ def agg_approx_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_M = 64  # registers
 _HLL_ALPHA = 0.709  # bias constant for m=64 (Flajolet et al. 2007)
 
-# Portable HyperLogLog, dialect-neutral SQL: engine-native sketches
-# (Spark HllSketch vs DuckDB approx_count_distinct) can never
-# hash-match, so the sketch itself is built from portable integer
-# arithmetic — multiplicative 32-bit hash, 6-bit bucket, rank =
-# leading-zero count of the remaining 26-bit word via length(bin(w))
-# (INTEGER, no float log), registers = max(rank) per bucket.
-_HLL_SQL = f"""
-WITH h AS (
-  SELECT event_type,
-         user_id,
-         (user_id * 2654435761) % 4294967296 AS hv
-  FROM events),
+# Portable HyperLogLog: engine-native sketches (Spark HllSketch vs
+# DuckDB approx_count_distinct) can never hash-match, so the sketch is
+# built from portable integer arithmetic. The hash is a murmur3-style
+# avalanche finalizer truncated to 31 bits (xor-shift + multiply, all
+# intermediates < 2^62 so ANSI BIGINT never overflows in either
+# engine): HLL's rank statistic needs every OUTPUT bit to depend on
+# every input bit — a single multiplicative hash leaves the low bits
+# (the bucket) a fixed permutation of the input's low bits and
+# collapses the sketch on structured id spaces (stride-64 ids: every
+# id landed in one bucket, estimate 1.0 vs true 1000; the finalizer
+# estimates 1006). Rank = leading-zero count of the 25-bit rank word
+# via length(bin(w)) (INTEGER, no float log); registers = max(rank).
+_HLL_MUL1 = 0x85EBCA6B  # murmur3 fmix32 constants
+_HLL_MUL2 = 0xC2B2AE35
+_HLL_M31 = 1 << 31
+
+
+def _hll_sql(dialect: str) -> str:
+    if dialect == "spark":
+        xor = lambda a, b: f"({a} ^ {b})"  # noqa: E731
+        shr = lambda a, n: f"shiftright({a}, {n})"  # noqa: E731
+    else:
+        xor = lambda a, b: f"xor({a}, {b})"  # noqa: E731
+        shr = lambda a, n: f"({a} >> {n})"  # noqa: E731
+    return f"""
+WITH m0 AS (
+  SELECT event_type, user_id % {_HLL_M31} AS h FROM events),
+m1 AS (SELECT event_type, {xor('h', shr('h', 16))} AS h FROM m0),
+m2 AS (SELECT event_type, (h * {_HLL_MUL1}) % {_HLL_M31} AS h FROM m1),
+m3 AS (SELECT event_type, {xor('h', shr('h', 13))} AS h FROM m2),
+m4 AS (SELECT event_type, (h * {_HLL_MUL2}) % {_HLL_M31} AS h FROM m3),
+m5 AS (SELECT event_type, {xor('h', shr('h', 16))} AS h FROM m4),
 b AS (
   SELECT event_type,
-         hv % {_HLL_M} AS bucket,
-         CAST(floor(CAST(hv AS DOUBLE) / {_HLL_M}) AS BIGINT) AS w
-  FROM h),
+         h % {_HLL_M} AS bucket,
+         {shr('h', 6)} AS w
+  FROM m5),
 regs AS (
   SELECT event_type, bucket,
-         MAX(CASE WHEN w > 0 THEN 27 - length(bin(w)) ELSE 27 END) AS m_j
+         MAX(CASE WHEN w > 0 THEN 26 - length(bin(w)) ELSE 26 END) AS m_j
   FROM b GROUP BY event_type, bucket),
 sketch AS (
   SELECT event_type,
@@ -200,16 +220,17 @@ ORDER BY e.event_type
 """
 
 
-@query("agg_hll_mergeable", _HLL_SQL)
+@query("agg_hll_mergeable", _hll_sql("duck"))
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event type, built from
     first principles in portable SQL, audited against the exact count.
     Complements agg_approx_vs_exact (which oracle-checks only the
     exact half because engine-native sketches differ): here the WHOLE
     sketch is cross-engine deterministic, so the estimate itself is
-    oracle-verified — register ranks are integer arithmetic, the
-    harmonic sum adds 64 exact dyadic rationals (2^-m_j, lsb 2^-27,
-    sum < 2^7 — exact in a double in ANY order), and the
+    oracle-verified — the murmur-style finalizer hash and register
+    ranks are integer arithmetic, the harmonic sum adds 64 exact
+    dyadic rationals (2^-m_j, lsb 2^-26, sum < 2^7 — exact in a
+    double in ANY order), and the
     linear-counting fallback is one ln() of an exact ratio rounded to
     6 dp.
 
@@ -224,4 +245,4 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaving no distinct shuffle at all.
     """
     register_tables(spark, sf_dir, ("events",))
-    return spark.sql(_HLL_SQL)
+    return spark.sql(_hll_sql("spark"))

@@ -1029,7 +1029,7 @@ def _semdedup_sql(dot, norm) -> str:
     how many members each pruning threshold would remove."""
     rm_cols = ",\n       ".join(
         f"CAST(coalesce(sum(CASE WHEN v.best_cos >= {eps} THEN 1 END), 0) "
-        f"AS BIGINT) AS rm_ge_{str(eps).replace('0.', '')}"
+        f"AS BIGINT) AS rm_ge_{int(round(eps * 100)):02d}"
         for eps in _SEM_EPS
     )
     return f"""

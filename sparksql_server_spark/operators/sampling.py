@@ -195,14 +195,17 @@ def pipeline_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: integer ranks with doc_id tiebreak; integer sums.
 
-    Scale: ONE shuffle keyed by source for the ranking window; the
-    rank <= quota predicate is WindowGroupLimit-prunable (Spark pushes
-    the top-k into the sort, so a billion-doc domain never fully
-    sorts — each partition keeps its local top-quota before the
-    merge); the audit aggregation rides the same partitioning. Head
-    domains ARE the skew — at 100 TB pre-aggregate per (source,
-    mapper) with the same local-top-quota trick or lean on AQE skew
-    splitting; the pruned sort makes either cheap.
+    Scale: ONE shuffle keyed by source for the ranking window. NOTE —
+    because the audit reports totals over ALL rows (n_docs counts the
+    uncapped domain), every row must be ranked and Spark cannot prune
+    the sort to the top-quota (no WindowGroupLimit here; the executed
+    plan is a full per-source sort — verified). That is the audit's
+    cost, not the cap's: the production keep-query (`WHERE rnk <=
+    quota` with no full-domain aggregate) DOES get the WindowGroupLimit
+    pruned sort — join_lateral_topk demonstrates that plan — and a
+    billion-doc head domain is then bounded by each partition's local
+    top-quota. At 100 TB run the audit on per-mapper pre-aggregates
+    (count + capped sums combine) or accept one ranked pass.
     """
     doc = table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
