@@ -144,3 +144,92 @@ def test_event_ts_normalization_is_timezone_independent(spark):
     expected = sorted(e for _, e in probes)
     for tz, got in results.items():
         assert got == expected, f"{tz}: {got} != {expected}"
+
+
+# -- round-5b portable arithmetic: Morton interleave, chunk coverage, --
+# -- HLL finalizer avalanche ------------------------------------------
+
+
+def _morton_py(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for k in range(bits):
+        z |= ((x >> k) & 1) << (2 * k)
+        z |= ((y >> k) & 1) << (2 * k + 1)
+    return z
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@_SETTINGS
+def test_zorder_interleave_matches_reference_and_is_injective(pairs):
+    """The SQL floor-div/mod Morton formula equals the bit-twiddling
+    reference and never collides on distinct (x, y) — the property
+    pipeline_zorder_audit's file ranges rest on. Evaluated in DuckDB
+    (the oracle engine); the Spark text is character-identical."""
+    from sparksql_server_spark.operators.sampling import _Z_BITS
+
+    terms = " + ".join(
+        f"(CAST(floor(x / {1 << k}) AS BIGINT) % 2) * {1 << (2 * k)}"
+        f" + (CAST(floor(y / {1 << k}) AS BIGINT) % 2) * {1 << (2 * k + 1)}"
+        for k in range(_Z_BITS)
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({x}, {y})" for x, y in pairs)
+    rows = con.execute(
+        f"SELECT x, y, {terms} AS z FROM (VALUES {vals}) t(x, y)"
+    ).fetchall()
+    zs = [z for _, _, z in rows]
+    assert zs == [_morton_py(x, y) for x, y, _ in rows]
+    assert len(set(zs)) == len(pairs)  # injective
+
+
+@given(nw=st.integers(0, 300))
+@_SETTINGS
+def test_chunk_grid_covers_every_word(nw):
+    """pipeline_chunk_overlap's chunk-count/start arithmetic leaves no
+    word uncovered and no empty chunks, for any document length."""
+    from sparksql_server_spark.operators.curation import _CHUNK_S, _CHUNK_W
+
+    import math
+
+    n_chunks = 1 if nw <= _CHUNK_W else math.ceil((nw - _CHUNK_W) / _CHUNK_S) + 1
+    covered = set()
+    for k in range(1, n_chunks + 1):
+        start = _CHUNK_S * (k - 1) + 1
+        end = min(start + _CHUNK_W - 1, nw)
+        if nw > 0:
+            assert start <= nw, f"chunk {k} starts past the document"
+        covered.update(range(start, end + 1))
+    assert covered == set(range(1, nw + 1))
+
+
+def test_hll_finalizer_survives_structured_id_spaces():
+    """The review-found failure mode, pinned: a single multiplicative
+    hash put every stride-64 id in one bucket (estimate 1.0 for 1000
+    ids). The murmur-style finalizer must keep the estimate within
+    HLL's m=64 error envelope on adversarially structured id spaces.
+    Runs the OPERATOR'S OWN SQL (DuckDB dialect) on synthetic ids."""
+    from sparksql_server_spark.operators.aggregates import _hll_sql
+
+    con = duckdb.connect()
+    for name, ids in (
+        ("stride2", range(0, 2000, 2)),
+        ("stride64", range(0, 64000, 64)),
+        ("dense", range(1000)),
+    ):
+        vals = ", ".join(f"(1, {u})" for u in ids)
+        con.execute(
+            "CREATE OR REPLACE VIEW events AS "
+            f"SELECT 'a' AS event_type, user_id FROM (VALUES {vals}) t(k, user_id)"
+        )
+        est = con.execute(_hll_sql("duck")).fetchall()[0][2]
+        true_n = len(list(ids))
+        assert 0.5 * true_n <= est <= 2.0 * true_n, (
+            f"{name}: estimate {est} vs true {true_n} — avalanche regressed"
+        )
