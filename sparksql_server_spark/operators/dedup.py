@@ -1091,3 +1091,80 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("embeddings",))
     return spark.sql(_semdedup_sql(spark_dot, spark_norm))
+
+
+# ---------------------------------------------------------------------------
+# exact shared-substring runs (token-level, Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+_RUN_W = 5  # token n-gram width
+_RUN_TOP = 100
+
+
+def _runs_sql(dialect: str) -> str:
+    """Shared shape: positional token 5-grams, equi-join on gram text,
+    diagonal (p1-p2) gaps-and-islands to recover maximal runs."""
+    if dialect == "spark":
+        words = spark_words("text")
+        n_pos = f"CASE WHEN size(w) >= {_RUN_W} THEN sequence(1, size(w) - {_RUN_W - 1}) ELSE array() END"
+        gram = " , ' ', ".join(f"element_at(w, i + {k})" for k in range(_RUN_W))
+        gen = f"SELECT doc_id, i AS pos, concat({gram}) AS g FROM w LATERAL VIEW explode({n_pos}) t AS i"
+    else:
+        words = duck_words("text")
+        gram = " || ' ' || ".join(f"w[i + {k}]" for k in range(_RUN_W))
+        gen = (
+            f"SELECT doc_id, i AS pos, {gram} AS g FROM w, "
+            f"LATERAL unnest(range(1, greatest(len(w) - {_RUN_W - 1}, 0) + 1)) t(i)"
+        )
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+grams AS ({gen}),
+hits AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+isl AS (
+  SELECT d1, d2, p1 - p2 AS diag, p1,
+         p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2
+                                 ORDER BY p1) AS island
+  FROM hits),
+runs AS (
+  SELECT d1, d2, CAST(count(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY d1, d2, diag, island)
+SELECT d1, d2,
+       CAST(max(run_len) + {_RUN_W - 1} AS BIGINT) AS longest_shared_tokens,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(run_len) AS BIGINT) AS n_shared_grams
+FROM runs GROUP BY d1, d2
+ORDER BY longest_shared_tokens DESC, d1, d2
+LIMIT {_RUN_TOP}
+"""
+
+
+@query("dedup_exact_substring_runs", oracle=_runs_sql("duck"))
+def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shared-passage detection (the Lee et al. 2022
+    'Deduplicating Training Data' shape, token-level): every positional
+    token 5-gram joins across documents, and consecutive matches on
+    the same alignment diagonal (p1 - p2) are folded into maximal runs
+    with the gaps-and-islands idiom — a shared run of R grams proves a
+    verbatim shared span of R+4 tokens, reported per pair with run
+    counts. Where dedup_winnowing SAMPLES fingerprints (probabilistic
+    density, threshold guarantee), this is the exact positional
+    ground truth — the pair you use to audit the sampler's recall and
+    to cut actual byte ranges out of training documents.
+
+    Determinism: gram text equality, integer positions/diagonals/
+    counts — zero float columns; total ORDER BY.
+
+    Scale: gram generation is map-only (explode bounded by tokens per
+    doc); the join is blocked by gram TEXT — hot grams are exactly the
+    boilerplate the DF cutoff family prices (winnowing's _WIN_MAX_DF;
+    here the measured max bucket is 6 on the synthetic corpus, so no
+    cutoff is wired, and one belongs at the same place if a real
+    corpus needs it). Islands shuffle on (d1, d2, diag) — fine-
+    grained, collision-free keys. At 100 TB the gram relation is the
+    suffix-index artifact the pipeline persists and probes
+    incrementally, the dedup_lsh_incremental shape.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_runs_sql("spark"))
