@@ -455,3 +455,75 @@ def stats_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_cms_sql())
+
+
+_JK_B = 32  # jackknife blocks
+
+
+def _jackknife_sql() -> str:
+    """Dialect-neutral SQL: hash rows into 32 blocks, one exact-decimal
+    aggregation per (group, block), leave-one-block-out means, and the
+    block-jackknife standard error of the per-priority mean price."""
+    return f"""
+WITH blk AS (
+  SELECT o_orderpriority AS grp,
+         ((o_orderkey * 2654435761) % 2147483648) % {_JK_B} AS b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
+  FROM orders
+  GROUP BY o_orderpriority, ((o_orderkey * 2654435761) % 2147483648) % {_JK_B}),
+tot AS (
+  SELECT grp, CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(CAST(s AS DECIMAL(24,6))) AS DOUBLE) AS s_tot,
+         CAST(count(*) AS BIGINT) AS b_used
+  FROM blk GROUP BY grp),
+loo AS (
+  SELECT blk.grp,
+         (t.s_tot - blk.s) / (t.n_tot - blk.n) AS mean_i,
+         t.s_tot / t.n_tot AS mean_all,
+         t.n_tot, t.b_used
+  FROM blk JOIN tot t ON blk.grp = t.grp),
+jk AS (
+  SELECT grp,
+         min(mean_all) AS mean_price,
+         min(n_tot) AS n_orders,
+         min(b_used) AS b_used,
+         sum((mean_i - mean_all) * (mean_i - mean_all)) AS ss
+  FROM loo GROUP BY grp)
+SELECT grp AS o_orderpriority,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(round(mean_price, 6) AS DOUBLE) AS mean_price,
+       CAST(round(sqrt(ss * (b_used - 1) / b_used), 6) AS DOUBLE) AS jackknife_se,
+       CAST(round(mean_price - 1.96 * sqrt(ss * (b_used - 1) / b_used), 6)
+            AS DOUBLE) AS ci_lo,
+       CAST(round(mean_price + 1.96 * sqrt(ss * (b_used - 1) / b_used), 6)
+            AS DOUBLE) AS ci_hi
+FROM jk
+ORDER BY o_orderpriority
+"""
+
+
+@query("stats_jackknife_ci", _jackknife_sql())
+def stats_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-jackknife confidence interval for the mean order price per
+    priority — uncertainty quantification as pure dataflow, no RNG:
+    rows land in 32 blocks by multiplicative hash of the order key
+    (reproducible across engines/reruns/partitionings, unlike sampled
+    bootstraps), each block's exact-decimal sum/count feed
+    leave-one-block-out means, and the delete-block jackknife variance
+    yields the SE and a 95% CI.
+
+    Determinism: block assignment and per-block sums are exact
+    (integer hash, DECIMAL accumulation); the only order-dependent
+    float reduction is the 32-term squared-deviation sum (error
+    ~1e-14 vs 6-dp rounding).
+
+    Scale: ONE aggregation keyed by (group, block) — 32x the groups of
+    a plain mean, still combinable and tiny — then a 32-row-per-group
+    join and rollup. This is the mergeable-uncertainty shape: daily
+    (group, block) sums fold across days by addition, so the CI of any
+    window is computable from stored partials without re-scanning raw
+    data (same storytelling as the sketch set, but for error bars).
+    """
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_jackknife_sql())
