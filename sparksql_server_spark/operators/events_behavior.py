@@ -144,3 +144,60 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_dau_wau_sql("spark"))
+
+
+def _lateness_sql(sec: str) -> str:
+    """Shared shape: per event-type stream in event_id (arrival)
+    order, lateness = running max event-time minus own event-time;
+    rolled into a per-type lateness histogram with the max."""
+    return f"""
+WITH arr AS (
+  SELECT event_type,
+         {sec} AS ts_sec,
+         max({sec}) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS high_water
+  FROM events),
+late AS (
+  SELECT event_type, high_water - ts_sec AS late_sec FROM arr),
+bucketed AS (
+  SELECT event_type,
+         CASE WHEN late_sec = 0 THEN 0
+              WHEN late_sec <= 60 THEN 1
+              WHEN late_sec <= 300 THEN 2
+              WHEN late_sec <= 900 THEN 3
+              ELSE 4 END AS bucket,
+         late_sec
+  FROM late)
+SELECT event_type,
+       CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(late_sec) AS BIGINT) AS max_late_sec
+FROM bucketed
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@query("events_watermark_lateness", oracle=_lateness_sql(_DUCK_SEC))
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning audit: how late do events actually arrive?
+    Per event-type stream in arrival order (event_id is the ingestion
+    sequence), lateness = running-max event time minus own event time,
+    folded into an on-time/1min/5min/15min/over histogram with the
+    worst straggler per stream. This is the batch profile that picks
+    `withWatermark`'s delay for the streaming operators in
+    streaming/events.py — set it below the observed tail and the
+    stateful ops drop real data; far above and state lingers.
+
+    Determinism: epoch-seconds integers end-to-end (the
+    unix_timestamp/floor(epoch()) pairing of this module); running
+    max over a total (event_type, event_id) order; integer buckets.
+
+    Scale: one shuffle keyed by event_type for the running-max window
+    (arrival order rides the sort within each stream partition —
+    exactly how a per-source ingestion log is already laid out), then
+    a combinable histogram rollup. No global ordering anywhere.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_lateness_sql(_SPARK_SEC))
