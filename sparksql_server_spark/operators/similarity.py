@@ -627,3 +627,82 @@ def sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("embeddings",))
     return spark.sql(_trunc_recall_sql("spark"))
+
+
+_PCA_ELEMS_SPARK = """
+  SELECT vec_id, i, CAST(element_at(embedding, i) AS DOUBLE) AS x
+  FROM embeddings LATERAL VIEW explode(sequence(1, size(embedding))) t AS i"""
+_PCA_ELEMS_DUCK = """
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)"""
+
+
+def _pca_sql(elems: str) -> str:
+    """Two matrix-free power iterations for the top principal
+    direction, shared across dialects. Every cross-row reduction goes
+    through the exact-DECIMAL pattern (emb_centroid_stats precedent),
+    so both engines compute identical iterates bit-for-bit; v0 is the
+    uniform direction with 1/8 = 2^-3 exact."""
+    return f"""
+WITH dims AS ({elems}),
+s1 AS (  -- per-row projection onto v0 = (0.125, ..., 0.125)
+  SELECT vec_id,
+         CAST(sum(CAST(x * 0.125 AS DECIMAL(28,18))) AS DOUBLE) AS s
+  FROM dims GROUP BY vec_id),
+t1 AS (  -- t1 = X^T (X v0), exact per-dimension accumulation
+  SELECT d.i,
+         CAST(sum(CAST(d.x * s1.s AS DECIMAL(28,18))) AS DOUBLE) AS t
+  FROM dims d JOIN s1 ON d.vec_id = s1.vec_id
+  GROUP BY d.i),
+n1 AS (SELECT CAST(sum(CAST(t * t AS DECIMAL(38,24))) AS DOUBLE) AS nsq FROM t1),
+v1 AS (SELECT i, t / sqrt(nsq) AS v FROM t1 CROSS JOIN n1),
+s2 AS (  -- per-row projection onto v1
+  SELECT d.vec_id,
+         CAST(sum(CAST(d.x * v1.v AS DECIMAL(28,18))) AS DOUBLE) AS s
+  FROM dims d JOIN v1 ON d.i = v1.i
+  GROUP BY d.vec_id),
+t2 AS (
+  SELECT d.i,
+         CAST(sum(CAST(d.x * s2.s AS DECIMAL(28,18))) AS DOUBLE) AS t
+  FROM dims d JOIN s2 ON d.vec_id = s2.vec_id
+  GROUP BY d.i),
+n2 AS (SELECT CAST(sum(CAST(t * t AS DECIMAL(38,24))) AS DOUBLE) AS nsq FROM t2)
+SELECT t2.i AS dim,
+       CAST(round(t2.t / sqrt(n2.nsq), 6) AS DOUBLE) AS loading,
+       CAST(round(sqrt(n2.nsq), 6) AS DOUBLE) AS rayleigh_norm
+FROM t2 CROSS JOIN n2
+ORDER BY dim
+"""
+
+
+@query("emb_pca_power_iteration", oracle=_pca_sql(_PCA_ELEMS_DUCK))
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by TWO matrix-
+    free power iterations — v <- X^T(Xv), normalize — entirely as
+    dataflow: the iterate is a 64-row relation, the data is touched
+    as (vec_id, dim, x) triples, and no Gram matrix is ever formed.
+    Output: the 64 loadings of the second iterate plus its Rayleigh
+    norm (the dominant-eigenvalue estimate the driver loop of a full
+    PCA would watch for convergence). The variance-dominant direction
+    is the embedding-curation primitive behind whitening, outlier
+    scoring, and the 'dominant cluster' diagnostics of SemDeDup-style
+    pipelines.
+
+    Determinism: every cross-row reduction (projections, per-dim
+    accumulations, norms) goes through the exact-DECIMAL cast-sum
+    pattern, so iteration order cannot perturb the iterate; remaining
+    float ops (divide, sqrt, one rounded output) are IEEE-identical.
+    v0 = uniform/8 with 0.125 exact in binary.
+
+    Scale: per iteration — one (vec_id)-keyed aggregation (the
+    projection), one (dim)-keyed aggregation (the accumulation), and
+    a broadcast of the 64-row iterate; cost is 2 passes over the
+    triples per iteration with combinable partial aggregates, the
+    textbook distributed power method. Fixed 2 iterations keep the
+    plan straight-line for the oracle (graph_pagerank_entities
+    convention); a production loop adds localCheckpoint rounds, not a
+    new shape.
+    """
+    register_tables(spark, sf_dir, ("embeddings",))
+    return spark.sql(_pca_sql(_PCA_ELEMS_SPARK))
