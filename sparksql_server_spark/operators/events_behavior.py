@@ -146,58 +146,67 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dau_wau_sql("spark"))
 
 
-def _lateness_sql(sec: str) -> str:
+def _arrival_sql(sec: str) -> str:
     """Shared shape: per event-type stream in event_id (arrival)
-    order, lateness = running max event-time minus own event-time;
-    rolled into a per-type lateness histogram with the max."""
+    order — inter-arrival gap histogram plus the out-of-order event
+    count (event time below the running high-water mark)."""
     return f"""
 WITH arr AS (
   SELECT event_type,
          {sec} AS ts_sec,
+         lag({sec}) OVER (PARTITION BY event_type ORDER BY event_id)
+           AS prev_sec,
          max({sec}) OVER (PARTITION BY event_type ORDER BY event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS high_water
   FROM events),
 late AS (
-  SELECT event_type, high_water - ts_sec AS late_sec FROM arr),
-bucketed AS (
   SELECT event_type,
-         CASE WHEN late_sec = 0 THEN 0
-              WHEN late_sec <= 60 THEN 1
-              WHEN late_sec <= 300 THEN 2
-              WHEN late_sec <= 900 THEN 3
-              ELSE 4 END AS bucket,
-         late_sec
-  FROM late)
-SELECT event_type,
-       CAST(bucket AS INT) AS bucket,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(max(late_sec) AS BIGINT) AS max_late_sec
-FROM bucketed
-GROUP BY event_type, bucket
-ORDER BY event_type, bucket
+         CAST(sum(CASE WHEN ts_sec < high_water THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_out_of_order
+  FROM arr GROUP BY event_type),
+gaps AS (
+  SELECT event_type,
+         ts_sec - prev_sec AS gap,
+         CASE WHEN ts_sec - prev_sec <= 60 THEN 0
+              WHEN ts_sec - prev_sec <= 600 THEN 1
+              WHEN ts_sec - prev_sec <= 1800 THEN 2
+              WHEN ts_sec - prev_sec <= 3600 THEN 3
+              ELSE 4 END AS gap_bucket
+  FROM arr WHERE prev_sec IS NOT NULL)
+SELECT g.event_type,
+       CAST(g.gap_bucket AS INT) AS gap_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(max(g.gap) AS BIGINT) AS max_gap_sec,
+       CAST(min(l.n_out_of_order) AS BIGINT) AS n_out_of_order
+FROM gaps g JOIN late l ON g.event_type = l.event_type
+GROUP BY g.event_type, g.gap_bucket
+ORDER BY g.event_type, g.gap_bucket
 """
 
 
-@query("events_watermark_lateness", oracle=_lateness_sql(_DUCK_SEC))
-def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark-tuning audit: how late do events actually arrive?
-    Per event-type stream in arrival order (event_id is the ingestion
-    sequence), lateness = running-max event time minus own event time,
-    folded into an on-time/1min/5min/15min/over histogram with the
-    worst straggler per stream. This is the batch profile that picks
-    `withWatermark`'s delay for the streaming operators in
-    streaming/events.py — set it below the observed tail and the
-    stateful ops drop real data; far above and state lingers.
+@query("events_arrival_profile", oracle=_arrival_sql(_DUCK_SEC))
+def events_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-arrival profile — the batch numbers that tune the
+    streaming operators in streaming/events.py: per event-type stream
+    in arrival order (event_id is the ingestion sequence), the
+    inter-arrival gap histogram (<=1min / <=10min / <=30min / <=1h /
+    over — picks the sessionize gap and trigger interval) and the
+    out-of-order event count vs the running event-time high-water
+    mark (the `withWatermark` delay input; 0 on this corpus — the
+    generator emits in order, and the column PROVES that rather than
+    assuming it).
 
     Determinism: epoch-seconds integers end-to-end (the
     unix_timestamp/floor(epoch()) pairing of this module); running
-    max over a total (event_type, event_id) order; integer buckets.
+    max/lag over a total (event_type, event_id) order; integer
+    buckets and counts.
 
-    Scale: one shuffle keyed by event_type for the running-max window
-    (arrival order rides the sort within each stream partition —
-    exactly how a per-source ingestion log is already laid out), then
-    a combinable histogram rollup. No global ordering anywhere.
+    Scale: one shuffle keyed by event_type for the ordered windows
+    (arrival order rides the within-partition sort — exactly how a
+    per-source ingestion log is already laid out), then a combinable
+    histogram rollup joined with the 5-row lateness rollup. No global
+    ordering anywhere.
     """
     register_tables(spark, sf_dir, ("events",))
-    return spark.sql(_lateness_sql(_SPARK_SEC))
+    return spark.sql(_arrival_sql(_SPARK_SEC))
