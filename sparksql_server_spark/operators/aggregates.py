@@ -239,7 +239,12 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-partition/cross-day merge — a year of daily register
     tables folds with one 64-row-per-group max, no raw re-scan;
     that is how distinct-users-per-anything survives at petabyte
-    scale. Plan: two combinable aggregations ((type, bucket) ->
+    scale. CAPACITY: ids fold through user_id % 2^31 before the
+    finalizer, so the distinguishable universe is ~2.1e9 — above
+    that (snowflake-style 64-bit ids) the estimate saturates; widen
+    by avalanching in a 61-bit mod-prime domain with sub-2^31
+    multipliers (products stay < 2^63), same plan shape. Plan: two
+    combinable aggregations ((type, bucket) ->
     max, type -> sum) plus the exact branch's distinct for the audit
     column — the exact branch is the one you DROP in production,
     leaving no distinct shuffle at all.

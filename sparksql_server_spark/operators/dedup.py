@@ -1018,9 +1018,10 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEM_CELLS = 16  # coarse centroids: vec_id in [100, 116), similarity.py convention
-_SEM_EPS = (0.45, 0.40, 0.35, 0.30)  # pruning-threshold sweep (calibrated: max
-# observed within-cell cosine on the synthetic embeddings is ~0.49, so the grid
-# brackets the regime where the operator actually removes vectors)
+_SEM_EPS = (0.45, 0.40, 0.35, 0.30)  # pruning-threshold sweep (calibrated:
+# max observed within-cell cosine on the synthetic embeddings is ~0.49 at
+# sf0.01 and ~0.60 at sf0.1, so the grid sits inside the regime where the
+# operator actually removes vectors at every test scale)
 
 
 def _semdedup_sql(dot, norm) -> str:

@@ -168,20 +168,21 @@ late AS (
 gaps AS (
   SELECT event_type,
          ts_sec - prev_sec AS gap,
-         CASE WHEN ts_sec - prev_sec <= 60 THEN 0
+         CASE WHEN ts_sec - prev_sec < 0 THEN -1
+              WHEN ts_sec - prev_sec <= 60 THEN 0
               WHEN ts_sec - prev_sec <= 600 THEN 1
               WHEN ts_sec - prev_sec <= 1800 THEN 2
               WHEN ts_sec - prev_sec <= 3600 THEN 3
               ELSE 4 END AS gap_bucket
   FROM arr WHERE prev_sec IS NOT NULL)
-SELECT g.event_type,
-       CAST(g.gap_bucket AS INT) AS gap_bucket,
-       CAST(count(*) AS BIGINT) AS n_gaps,
-       CAST(max(g.gap) AS BIGINT) AS max_gap_sec,
+SELECT l.event_type,
+       CAST(coalesce(g.gap_bucket, -2) AS INT) AS gap_bucket,
+       CAST(count(g.gap_bucket) AS BIGINT) AS n_gaps,
+       CAST(coalesce(max(g.gap), 0) AS BIGINT) AS max_gap_sec,
        CAST(min(l.n_out_of_order) AS BIGINT) AS n_out_of_order
-FROM gaps g JOIN late l ON g.event_type = l.event_type
-GROUP BY g.event_type, g.gap_bucket
-ORDER BY g.event_type, g.gap_bucket
+FROM late l LEFT JOIN gaps g ON g.event_type = l.event_type
+GROUP BY l.event_type, g.gap_bucket
+ORDER BY l.event_type, gap_bucket
 """
 
 
@@ -191,7 +192,11 @@ def events_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming operators in streaming/events.py: per event-type stream
     in arrival order (event_id is the ingestion sequence), the
     inter-arrival gap histogram (<=1min / <=10min / <=30min / <=1h /
-    over — picks the sessionize gap and trigger interval) and the
+    over, with out-of-order arrivals in their own bucket -1 so a
+    negative gap can never masquerade as 'on time', and streams too
+    small to have any gap emitted as bucket -2 so no stream is
+    silently absent — picks the sessionize gap and trigger interval)
+    and the
     out-of-order event count vs the running event-time high-water
     mark (the `withWatermark` delay input; 0 on this corpus — the
     generator emits in order, and the column PROVES that rather than

@@ -231,17 +231,24 @@ _Z_PROBE_X = 100  # point probes for the pruning audit
 _Z_PROBE_Y = 77
 
 
-def _zorder_sql() -> str:
-    """Dialect-neutral SQL: Morton-interleave two 8-bit key buckets
-    with pure integer arithmetic (bit k of v = floor(v / 2^k) % 2 —
-    no engine bit operators needed), lay rows into 16 equal-z-range
-    'files' vs 16 x-range files, and audit min/max-stats pruning for a
-    point probe on each dimension under both layouts."""
-    z_terms = " + ".join(
-        f"(CAST(floor(x / {1 << k}) AS BIGINT) % 2) * {1 << (2 * k)}"
-        f" + (CAST(floor(y / {1 << k}) AS BIGINT) % 2) * {1 << (2 * k + 1)}"
+def zorder_terms(x: str = "x", y: str = "y") -> str:
+    """The Morton-interleave expression over two bound 8-bit columns —
+    bit k of v = floor(v / 2^k) % 2, no engine bit operators needed.
+    Module-level so the property test exercises THIS text (a typo here
+    must fail the injectivity test, not a test-local copy)."""
+    return " + ".join(
+        f"(CAST(floor({x} / {1 << k}) AS BIGINT) % 2) * {1 << (2 * k)}"
+        f" + (CAST(floor({y} / {1 << k}) AS BIGINT) % 2) * {1 << (2 * k + 1)}"
         for k in range(_Z_BITS)
     )
+
+
+def _zorder_sql() -> str:
+    """Dialect-neutral SQL: Morton-interleave two 8-bit key buckets,
+    lay rows into 16 equal-z-range 'files' vs 16 x-range files, and
+    audit min/max-stats pruning for a point probe on each dimension
+    under both layouts."""
+    z_terms = zorder_terms()
     z_span = (1 << (2 * _Z_BITS)) // _Z_FILES
     x_span = (1 << _Z_BITS) // _Z_FILES
     return f"""

@@ -467,11 +467,11 @@ def _jackknife_sql() -> str:
     return f"""
 WITH blk AS (
   SELECT o_orderpriority AS grp,
-         ((o_orderkey * 2654435761) % 2147483648) % {_JK_B} AS b,
+         (((o_orderkey % 2147483648) * 2654435761) % 1000000007) % {_JK_B} AS b,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
   FROM orders
-  GROUP BY o_orderpriority, ((o_orderkey * 2654435761) % 2147483648) % {_JK_B}),
+  GROUP BY o_orderpriority, (((o_orderkey % 2147483648) * 2654435761) % 1000000007) % {_JK_B}),
 tot AS (
   SELECT grp, CAST(sum(n) AS BIGINT) AS n_tot,
          CAST(sum(CAST(s AS DECIMAL(24,6))) AS DOUBLE) AS s_tot,
@@ -508,8 +508,13 @@ def stats_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-jackknife confidence interval for the mean order price per
     priority — uncertainty quantification as pure dataflow, no RNG:
     rows land in 32 blocks by multiplicative hash of the order key
-    (reproducible across engines/reruns/partitionings, unlike sampled
-    bootstraps), each block's exact-decimal sum/count feed
+    folded through a prime modulus — taking 2^31 residues mod 32 would
+    keep only the key's unmixed low 5 bits (sparse dbgen-style key
+    spaces then populate a fraction of the blocks and silently inflate
+    the SE); the prime fold spreads every key bit, the pre-mod keeps
+    the product under 2^62 for ANSI BIGINT, and the assignment stays
+    reproducible across engines/reruns/partitionings, unlike sampled
+    bootstraps — each block's exact-decimal sum/count feed
     leave-one-block-out means, and the delete-block jackknife variance
     yields the SE and a 95% CI.
 

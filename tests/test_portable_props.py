@@ -172,13 +172,9 @@ def test_zorder_interleave_matches_reference_and_is_injective(pairs):
     reference and never collides on distinct (x, y) — the property
     pipeline_zorder_audit's file ranges rest on. Evaluated in DuckDB
     (the oracle engine); the Spark text is character-identical."""
-    from sparksql_server_spark.operators.sampling import _Z_BITS
+    from sparksql_server_spark.operators.sampling import zorder_terms
 
-    terms = " + ".join(
-        f"(CAST(floor(x / {1 << k}) AS BIGINT) % 2) * {1 << (2 * k)}"
-        f" + (CAST(floor(y / {1 << k}) AS BIGINT) % 2) * {1 << (2 * k + 1)}"
-        for k in range(_Z_BITS)
-    )
+    terms = zorder_terms()
     con = duckdb.connect()
     vals = ", ".join(f"({x}, {y})" for x, y in pairs)
     rows = con.execute(
