@@ -168,54 +168,77 @@ _HLL_MUL2 = 0xC2B2AE35
 _HLL_M31 = 1 << 31
 
 
-def _hll_sql(dialect: str) -> str:
+def _hll_bitops(dialect: str):
+    """(xor, shift-right) expression builders per dialect."""
     if dialect == "spark":
-        xor = lambda a, b: f"({a} ^ {b})"  # noqa: E731
-        shr = lambda a, n: f"shiftright({a}, {n})"  # noqa: E731
-    else:
-        xor = lambda a, b: f"xor({a}, {b})"  # noqa: E731
-        shr = lambda a, n: f"({a} >> {n})"  # noqa: E731
-    return f"""
-WITH m0 AS (
-  SELECT event_type, user_id % {_HLL_M31} AS h FROM events),
-m1 AS (SELECT event_type, {xor('h', shr('h', 16))} AS h FROM m0),
-m2 AS (SELECT event_type, (h * {_HLL_MUL1}) % {_HLL_M31} AS h FROM m1),
-m3 AS (SELECT event_type, {xor('h', shr('h', 13))} AS h FROM m2),
-m4 AS (SELECT event_type, (h * {_HLL_MUL2}) % {_HLL_M31} AS h FROM m3),
-m5 AS (SELECT event_type, {xor('h', shr('h', 16))} AS h FROM m4),
+        return (
+            lambda a, b: f"({a} ^ {b})",
+            lambda a, n: f"shiftright({a}, {n})",
+        )
+    return (
+        lambda a, b: f"xor({a}, {b})",
+        lambda a, n: f"({a} >> {n})",
+    )
+
+
+def _hll_regs_ctes(dialect: str, src: str) -> str:
+    """The finalizer chain + register build as CTE text, over ``src``
+    (a relation exposing columns (g, user_id)); ends with ``regs`` =
+    (g, bucket, m_j). Shared by the audit query and the set-operations
+    query so both hash identically — the merge property depends on it."""
+    xor, shr = _hll_bitops(dialect)
+    return f"""m0 AS (
+  SELECT g, user_id % {_HLL_M31} AS h FROM {src}),
+m1 AS (SELECT g, {xor('h', shr('h', 16))} AS h FROM m0),
+m2 AS (SELECT g, (h * {_HLL_MUL1}) % {_HLL_M31} AS h FROM m1),
+m3 AS (SELECT g, {xor('h', shr('h', 13))} AS h FROM m2),
+m4 AS (SELECT g, (h * {_HLL_MUL2}) % {_HLL_M31} AS h FROM m3),
+m5 AS (SELECT g, {xor('h', shr('h', 16))} AS h FROM m4),
 b AS (
-  SELECT event_type,
+  SELECT g,
          h % {_HLL_M} AS bucket,
          {shr('h', 6)} AS w
   FROM m5),
 regs AS (
-  SELECT event_type, bucket,
+  SELECT g, bucket,
          MAX(CASE WHEN w > 0 THEN 26 - length(bin(w)) ELSE 26 END) AS m_j
-  FROM b GROUP BY event_type, bucket),
-sketch AS (
-  SELECT event_type,
+  FROM b GROUP BY g, bucket)"""
+
+
+# estimation over a (g, bucket, m_j) register relation named ``{regs}``:
+# harmonic mean + linear-counting fallback, ending with fin = (g, hll)
+def _hll_est_ctes(regs: str) -> str:
+    return f"""sketch AS (
+  SELECT g,
          sum(power(2.0, -m_j)) AS sum_pow,
          CAST(count(*) AS BIGINT) AS n_active
-  FROM regs GROUP BY event_type),
+  FROM {regs} GROUP BY g),
 est AS (
-  SELECT event_type,
+  SELECT g,
          {_HLL_M} - n_active AS n_zero,
          {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
            / (sum_pow + ({_HLL_M} - n_active)) AS raw
   FROM sketch),
 fin AS (
-  SELECT event_type,
+  SELECT g,
          CASE WHEN raw <= 2.5 * {_HLL_M} AND n_zero > 0
               THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / n_zero)
               ELSE raw END AS hll
-  FROM est),
+  FROM est)"""
+
+
+def _hll_sql(dialect: str) -> str:
+    src = "(SELECT event_type AS g, user_id FROM events)"
+    return f"""
+WITH {_hll_regs_ctes(dialect, src)},
+{_hll_est_ctes('regs')},
 exact AS (
   SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
   FROM events GROUP BY event_type)
 SELECT e.event_type, e.exact_users,
        CAST(round(f.hll, 6) AS DOUBLE) AS hll_estimate,
        CAST(round(f.hll / e.exact_users - 1, 6) AS DOUBLE) AS rel_error
-FROM exact e JOIN fin f ON e.event_type = f.event_type
+FROM exact e JOIN fin f ON e.event_type = f.g
 ORDER BY e.event_type
 """
 
@@ -251,3 +274,79 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_hll_sql("spark"))
+
+
+_SETOP_VAL = 100.0  # membership filter (calibrated: at every test SF the two
+# sets differ and the true intersection is strictly smaller than either side,
+# so the algebra is exercised on genuinely distinct sets)
+
+
+def _hll_setops_sql(dialect: str) -> str:
+    """Shared shape: registers for set A (high-value click users) and
+    set B (high-value purchase users); the UNION sketch is the
+    per-bucket MAX of the two register tables — the merge itself,
+    exercised inside the query — and the intersection estimate is
+    inclusion-exclusion over the three estimates."""
+    src = f"""(SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS g,
+         user_id
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value >= {_SETOP_VAL})"""
+    return f"""
+WITH {_hll_regs_ctes(dialect, src)},
+merged AS (
+  SELECT * FROM regs
+  UNION ALL
+  SELECT 'u' AS g, bucket, max(m_j) AS m_j FROM regs GROUP BY bucket),
+{_hll_est_ctes('merged')},
+wide AS (
+  SELECT max(CASE WHEN g = 'a' THEN hll END) AS est_a,
+         max(CASE WHEN g = 'b' THEN hll END) AS est_b,
+         max(CASE WHEN g = 'u' THEN hll END) AS est_union
+  FROM fin),
+exact AS (
+  SELECT CAST(count(DISTINCT CASE WHEN g = 'a' THEN user_id END) AS BIGINT)
+           AS exact_a,
+         CAST(count(DISTINCT CASE WHEN g = 'b' THEN user_id END) AS BIGINT)
+           AS exact_b,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+  FROM {src} x),
+inter AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM (SELECT user_id FROM {src} x
+        GROUP BY user_id HAVING count(DISTINCT g) = 2) t)
+SELECT CAST(round(w.est_a, 6) AS DOUBLE) AS est_a,
+       CAST(round(w.est_b, 6) AS DOUBLE) AS est_b,
+       CAST(round(w.est_union, 6) AS DOUBLE) AS est_union,
+       CAST(round(w.est_a + w.est_b - w.est_union, 6) AS DOUBLE)
+         AS est_intersection,
+       e.exact_a, e.exact_b, e.exact_union, i.exact_intersection
+FROM wide w CROSS JOIN exact e CROSS JOIN inter i
+"""
+
+
+@query("agg_hll_set_ops", _hll_setops_sql("duck"))
+def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra on HyperLogLog sketches, with the merge
+    EXERCISED rather than asserted: set A = high-value click users,
+    set B = high-value purchase users; the union's register table is
+    literally `max(m_j) per bucket` over A's and B's registers (the
+    exact operation that folds daily sketches at 100 TB), and the
+    intersection comes from inclusion-exclusion over the three
+    estimates — the standard HLL answer to 'how many users did both',
+    computable from stored sketches alone, no raw re-scan. All four
+    estimates sit next to their exact counterparts.
+
+    Determinism: same integer finalizer/register pipeline as
+    agg_hll_mergeable (shared CTE builders — the sketches hash
+    identically by construction); register max/merge is integer; the
+    estimates round at 6 dp.
+
+    Scale: the register build is one combinable aggregation over
+    2x64 groups; the merge adds a 128-row aggregation; everything
+    after operates on <= 192 register rows. The exact branch is the
+    audit-only distinct production drops. Inclusion-exclusion error
+    compounds (sigma_intersection ~ sigma_a + sigma_b + sigma_union) —
+    the known trade the audit columns make visible.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_hll_setops_sql("spark"))
