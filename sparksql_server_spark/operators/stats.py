@@ -532,3 +532,71 @@ def stats_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(_jackknife_sql())
+
+
+_AB_SQL = f"""
+WITH assigned AS (
+  SELECT event_type,
+         (((user_id % 2147483648) * 2654435761) % 1000000007) % 2 AS arm,
+         value
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT event_type, arm,
+         CAST(count(*) AS BIGINT) AS n,
+         {_m('value', 2)} AS s,
+         {_m('value * value', 4)} AS ss
+  FROM assigned GROUP BY event_type, arm),
+wide AS (
+  SELECT event_type,
+         max(CASE WHEN arm = 0 THEN n END) AS na,
+         max(CASE WHEN arm = 1 THEN n END) AS nb,
+         max(CASE WHEN arm = 0 THEN s END) AS sa,
+         max(CASE WHEN arm = 1 THEN s END) AS sb,
+         max(CASE WHEN arm = 0 THEN ss END) AS ssa,
+         max(CASE WHEN arm = 1 THEN ss END) AS ssb
+  FROM m GROUP BY event_type),
+stats AS (
+  SELECT event_type, na, nb,
+         sa / na AS ma, sb / nb AS mb,
+         (ssa - sa * sa / na) / (na - 1) / na AS va_n,
+         (ssb - sb * sb / nb) / (nb - 1) / nb AS vb_n
+  FROM wide)
+SELECT event_type,
+       na AS n_a, nb AS n_b,
+       CAST(round(ma, 6) AS DOUBLE) AS mean_a,
+       CAST(round(mb, 6) AS DOUBLE) AS mean_b,
+       CAST(round((ma - mb) / sqrt(va_n + vb_n), 6) AS DOUBLE) AS welch_t,
+       CAST(round((va_n + vb_n) * (va_n + vb_n)
+              / (va_n * va_n / (na - 1) + vb_n * vb_n / (nb - 1)), 6)
+            AS DOUBLE) AS welch_df
+FROM stats
+ORDER BY event_type
+"""
+
+
+@query("stats_ab_welch_ttest", _AB_SQL)
+def stats_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — Welch's unequal-variance t-test per
+    event type, with DETERMINISTIC arm assignment: users hash into
+    arms via the prime-folded multiplicative mix (the
+    stats_jackknife_ci hash — every key bit spreads, and assignment is
+    reproducible across engines/reruns, which a real experiment
+    platform requires for consistent user bucketing). Reports per-arm
+    means, the Welch t statistic, and the Welch-Satterthwaite degrees
+    of freedom; the null decision is the caller's threshold on |t|.
+    On this corpus value is arm-independent by construction, so t
+    hovers near 0 — the negative control an experiment pipeline
+    validates itself with (an A/A test).
+
+    Determinism: arm assignment and counts are integer; sums go
+    through the exact-DECIMAL pattern (value carries 2 decimals, its
+    square exactly 4); every derived statistic is a short chain of
+    exact-input IEEE ops rounded at 6 dp.
+
+    Scale: ONE combinable aggregation keyed by (event_type, arm) —
+    the moment sums are the experiment's mergeable state (daily
+    partials fold by addition, the jackknife/sketch storytelling),
+    and the readout runs from stored partials without raw re-scans.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_AB_SQL)
