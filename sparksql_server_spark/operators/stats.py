@@ -600,3 +600,78 @@ def stats_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_AB_SQL)
+
+
+_CUPED_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+def _cuped_sql() -> str:
+    """Dialect-neutral SQL: per-user pre/post means (exact-decimal
+    inner sums), decimal-folded user-level moments, CUPED theta and
+    the achieved variance reduction."""
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < {_CUPED_SPLIT}
+                       THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS s_pre,
+         count(CASE WHEN ts < {_CUPED_SPLIT} THEN 1 END) AS n_pre,
+         CAST(sum(CASE WHEN ts >= {_CUPED_SPLIT}
+                       THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS s_post,
+         count(CASE WHEN ts >= {_CUPED_SPLIT} THEN 1 END) AS n_post
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id),
+xy AS (
+  SELECT user_id, s_pre / n_pre AS x, s_post / n_post AS y
+  FROM per_user WHERE n_pre > 0 AND n_post > 0),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,20))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,20))) AS DOUBLE) AS sxy
+  FROM xy),
+stats AS (
+  SELECT n,
+         (sxy - sx * sy / n) / (n - 1) AS cov_xy,
+         (sxx - sx * sx / n) / (n - 1) AS var_x,
+         (syy - sy * sy / n) / (n - 1) AS var_y
+  FROM m)
+SELECT n AS n_users,
+       CAST(round(cov_xy / var_x, 6) AS DOUBLE) AS theta,
+       CAST(round(var_y, 6) AS DOUBLE) AS var_y,
+       CAST(round(var_y - cov_xy * cov_xy / var_x, 6) AS DOUBLE) AS var_y_cuped,
+       CAST(round(100 * cov_xy * cov_xy / (var_x * var_y), 6) AS DOUBLE)
+         AS variance_reduction_pct
+FROM stats
+"""
+
+
+@query("stats_cuped_adjustment", _cuped_sql())
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al., WSDM 2013) — the industry-standard
+    experiment variance-reduction readout: each user's pre-period mean
+    value is the control covariate for their post-period metric;
+    theta = cov(x,y)/var(x) is the adjustment coefficient, and the
+    reduction column is the fraction of metric variance the covariate
+    removes (rho^2) — i.e. how much smaller an experiment this
+    telemetry could run. Pairs with stats_ab_welch_ttest: Welch reads
+    the experiment, CUPED shrinks the sample size it needs.
+
+    Determinism: the inner pre/post sums are exact DECIMAL over
+    2-decimal values; user-level means are single exact divisions;
+    the user-level moment sums fold through the DECIMAL-cast pattern
+    (emb_centroid_stats precedent) so accumulation order cannot
+    perturb them; final statistics are short exact-input IEEE chains
+    rounded at 6 dp.
+
+    Scale: one user-keyed aggregation (pre and post in the SAME pass
+    via conditional aggregates — not two scans), then a single-group
+    moment fold; both combinable. The per-user pre-period relation is
+    the covariate table an experiment platform persists per cohort —
+    computed once, joined by every subsequent experiment readout.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_cuped_sql())
