@@ -425,3 +425,57 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_chunk_sql("spark"))
+
+
+def _manifest_sql(dialect: str) -> str:
+    """Shared shape: per-(source, lang) order-insensitive content
+    address (xor + modular sum of per-doc content hashes) and corpus
+    totals; a global manifest row rides along via GROUPING SETS."""
+    h = spark_char_hash("text") if dialect == "spark" else duck_char_hash("text")
+    return f"""
+WITH d AS (
+  SELECT source, lang,
+         {h} AS content_hash,
+         n_chars
+  FROM documents),
+m AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         CAST(bit_xor(content_hash) AS BIGINT) AS xor_hash,
+         CAST(sum(content_hash) % 1000000007 AS BIGINT) AS sum_hash
+  FROM d
+  GROUP BY GROUPING SETS ((source, lang), ()))
+SELECT coalesce(source, '*') AS source,
+       coalesce(lang, '*') AS lang,
+       n_docs, n_chars, xor_hash, sum_hash
+FROM m
+ORDER BY source, lang
+"""
+
+
+@query("pipeline_corpus_manifest", oracle=_manifest_sql("duck"))
+def pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed corpus manifest — the provenance primitive a
+    training pipeline versions datasets by: per (source, lang) and for
+    the whole corpus (the GROUPING SETS total row), the doc count,
+    byte count, and TWO order-insensitive content addresses (xor and
+    modular sum of per-document content hashes — two independent
+    folds so a swapped pair of edits cannot collide both). Two corpus
+    snapshots are byte-identical in content iff their manifests match,
+    with no ordering or partitioning sensitivity; a changed partition
+    is localized by its (source, lang) row.
+
+    Determinism: the portable rolling hash and integer folds — xor
+    and modular sum are associative-commutative, so ANY aggregation
+    order gives the same address (the point of the design).
+
+    Scale: one map-only hash pass + one combinable aggregation; the
+    per-group addresses fold across shards/days by xor/sum-mod, so
+    incremental ingestion updates the manifest from partials — the
+    same mergeable-state shape as the sketch set, applied to
+    provenance. GROUPING SETS shares the scan between the group rows
+    and the corpus row.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_manifest_sql("spark"))
