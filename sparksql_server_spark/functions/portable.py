@@ -105,3 +105,15 @@ def duck_shingles(w: str, n: int = 3) -> str:
         f"list_transform(range(1, greatest(len({w}) - {n - 1}, 0) + 1), "
         f"i -> {parts})"
     )
+
+
+def prime_mix(k: str) -> str:
+    """Prime-folded multiplicative mix of an integer key — identical
+    text in both dialects. The pre-mod bounds the product under 2^62
+    (ANSI BIGINT safe for any key), and the prime fold spreads every
+    key bit before any small-modulus residue is taken: raw 2^31
+    residues mod a power of two keep only the key's unmixed low bits
+    (stride-2^k key spaces then collapse onto a fraction of the
+    buckets — the jackknife/HLL review finding). Used for jackknife
+    blocks, A/B arm assignment, and any future bucket-by-hash."""
+    return f"((({k}) % 2147483648) * 2654435761) % 1000000007"

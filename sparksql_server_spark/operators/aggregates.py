@@ -309,18 +309,16 @@ exact AS (
          CAST(count(DISTINCT CASE WHEN g = 'b' THEN user_id END) AS BIGINT)
            AS exact_b,
          CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
-  FROM {src} x),
-inter AS (
-  SELECT CAST(count(*) AS BIGINT) AS exact_intersection
-  FROM (SELECT user_id FROM {src} x
-        GROUP BY user_id HAVING count(DISTINCT g) = 2) t)
+  FROM {src} x)
 SELECT CAST(round(w.est_a, 6) AS DOUBLE) AS est_a,
        CAST(round(w.est_b, 6) AS DOUBLE) AS est_b,
        CAST(round(w.est_union, 6) AS DOUBLE) AS est_union,
        CAST(round(w.est_a + w.est_b - w.est_union, 6) AS DOUBLE)
          AS est_intersection,
-       e.exact_a, e.exact_b, e.exact_union, i.exact_intersection
-FROM wide w CROSS JOIN exact e CROSS JOIN inter i
+       e.exact_a, e.exact_b, e.exact_union,
+       CAST(e.exact_a + e.exact_b - e.exact_union AS BIGINT)
+         AS exact_intersection
+FROM wide w CROSS JOIN exact e
 """
 
 

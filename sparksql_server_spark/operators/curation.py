@@ -443,11 +443,13 @@ m AS (
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_chars,
          CAST(bit_xor(content_hash) AS BIGINT) AS xor_hash,
-         CAST(sum(content_hash) % 1000000007 AS BIGINT) AS sum_hash
+         CAST(CAST(sum(CAST(content_hash AS DECIMAL(38,0))) AS DECIMAL(38,0))
+              % 1000000007 AS BIGINT) AS sum_hash,
+         CAST(grouping(source) AS INT) AS is_total
   FROM d
   GROUP BY GROUPING SETS ((source, lang), ()))
-SELECT coalesce(source, '*') AS source,
-       coalesce(lang, '*') AS lang,
+SELECT CASE WHEN is_total = 1 THEN '*' ELSE source END AS source,
+       CASE WHEN is_total = 1 THEN '*' ELSE lang END AS lang,
        n_docs, n_chars, xor_hash, sum_hash
 FROM m
 ORDER BY source, lang
@@ -464,7 +466,12 @@ def pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds so a swapped pair of edits cannot collide both). Two corpus
     snapshots are byte-identical in content iff their manifests match,
     with no ordering or partitioning sensitivity; a changed partition
-    is localized by its (source, lang) row.
+    is localized by its (source, lang) row. The corpus-total row is
+    marked by GROUPING(), not a NULL-coalesce, so a genuine NULL
+    source can never impersonate it; the modular sum accumulates in
+    DECIMAL(38,0) (exact past 1e29 documents) before the fold, so
+    ANSI BIGINT can never overflow mid-aggregate and both engines
+    agree at any corpus size.
 
     Determinism: the portable rolling hash and integer folds — xor
     and modular sum are associative-commutative, so ANY aggregation

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparksql_server_spark.catalog import register_tables, table
+from sparksql_server_spark.functions.portable import prime_mix
 from sparksql_server_spark.operators.registry import query
 
 
@@ -467,11 +468,11 @@ def _jackknife_sql() -> str:
     return f"""
 WITH blk AS (
   SELECT o_orderpriority AS grp,
-         (((o_orderkey % 2147483648) * 2654435761) % 1000000007) % {_JK_B} AS b,
+         ({prime_mix('o_orderkey')}) % {_JK_B} AS b,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
   FROM orders
-  GROUP BY o_orderpriority, (((o_orderkey % 2147483648) * 2654435761) % 1000000007) % {_JK_B}),
+  GROUP BY o_orderpriority, ({prime_mix('o_orderkey')}) % {_JK_B}),
 tot AS (
   SELECT grp, CAST(sum(n) AS BIGINT) AS n_tot,
          CAST(sum(CAST(s AS DECIMAL(24,6))) AS DOUBLE) AS s_tot,
@@ -537,7 +538,7 @@ def stats_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AB_SQL = f"""
 WITH assigned AS (
   SELECT event_type,
-         (((user_id % 2147483648) * 2654435761) % 1000000007) % 2 AS arm,
+         ({prime_mix('user_id')}) % 2 AS arm,
          value
   FROM events WHERE value IS NOT NULL),
 m AS (
