@@ -229,3 +229,24 @@ def test_hll_finalizer_survives_structured_id_spaces():
         assert 0.5 * true_n <= est <= 2.0 * true_n, (
             f"{name}: estimate {est} vs true {true_n} — avalanche regressed"
         )
+
+
+@given(stride_pow=st.integers(1, 12), mod=st.sampled_from([2, 16, 32, 64]))
+@_SETTINGS
+def test_prime_mix_spreads_structured_key_spaces(stride_pow, mod):
+    """functions.portable.prime_mix must populate (nearly) every
+    residue class even when keys share all their low bits — the
+    jackknife/HLL review failure mode, pinned for every consumer of
+    the helper. Evaluated in DuckDB; the expression text is
+    dialect-identical."""
+    from sparksql_server_spark.functions.portable import prime_mix
+
+    stride = 1 << stride_pow
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(DISTINCT ({prime_mix('k')}) % {mod}) "
+        f"FROM (SELECT unnest(range(0, 512)) * {stride} AS k)"
+    ).fetchone()[0]
+    assert n >= mod * 0.9, (
+        f"stride-{stride} keys populated {n}/{mod} residues — mix regressed"
+    )
