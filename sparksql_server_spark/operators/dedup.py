@@ -1169,3 +1169,92 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_runs_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# LSH retrieval quality: precision/recall vs exact-Jaccard ground truth
+# ---------------------------------------------------------------------------
+
+_EVAL_TAU = 0.5  # ground-truth resemblance threshold
+
+
+def _lsh_eval_sql(dialect: str) -> str:
+    """Shared shape: ONE distinct-shingle relation feeds both the
+    MinHash->banding candidate pipeline and the exact-Jaccard truth
+    pipeline; the readout counts the overlap."""
+    if dialect == "spark":
+        words, shingles = spark_words("text"), spark_shingles("w")
+        ex = f"SELECT DISTINCT doc_id, shingle FROM w LATERAL VIEW explode({shingles}) t AS shingle"
+        hash_ = spark_char_hash("shingle")
+        bands = (
+            f"SELECT doc_id, band, band_sig FROM mh "
+            f"LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig"
+        )
+    else:
+        words, shingles = duck_words("text"), duck_shingles("w")
+        ex = (
+            "SELECT DISTINCT doc_id, shingle FROM "
+            f"(SELECT doc_id, unnest({shingles}) AS shingle FROM w)"
+        )
+        hash_ = duck_char_hash("shingle")
+        bands = _DUCK_BANDS
+    return f"""
+WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+sh AS ({ex}),
+h AS (SELECT doc_id, {hash_} AS h, shingle FROM sh),
+mh AS (SELECT doc_id, {_MH_MINS} FROM (SELECT doc_id, h FROM h) t GROUP BY doc_id),
+bs AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bs a JOIN bs b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+truth AS (
+  SELECT inter.d1, inter.d2
+  FROM inter JOIN sz sa ON sa.doc_id = inter.d1
+             JOIN sz sb ON sb.doc_id = inter.d2
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_EVAL_TAU}),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM cand c JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2) AS n_hit)
+SELECT n_truth, n_candidates, n_hit,
+       CAST(round(CAST(n_hit AS DOUBLE) / n_candidates, 6) AS DOUBLE)
+         AS precision_at_tau,
+       CAST(round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS DOUBLE)
+         AS recall_at_tau
+FROM counts
+"""
+
+
+@query("dedup_lsh_eval_pr", oracle=_lsh_eval_sql("duck"))
+def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality closure for the dedup family: the MinHash+LSH
+    candidate set (dedup_minhash_lsh's exact pipeline, un-truncated)
+    scored against exact-Jaccard ground truth at tau=0.5 — precision
+    (how much verification work the bands waste) and recall (what the
+    sampler misses; the 4-band/4-row S-curve gives P(candidate) =
+    1-(1-j^4)^4, ~0.74 at j=0.5, rising steeply above). These two
+    numbers are what you tune K/R against before spending a 100 TB
+    verification pass; dedup_minhash_calibration audits the ESTIMATOR,
+    this audits the RETRIEVAL.
+
+    Determinism: the truth side is integer set arithmetic with one
+    exact-input division compared to tau; candidate membership is the
+    integer banding pipeline; counts are integers, the two ratios
+    round at 6 dp.
+
+    Scale: both branches hang off ONE distinct-shingle relation; the
+    truth join is blocked by shingle (sum of bucket^2, the
+    ngram-jaccard shape with its documented DF-cutoff escape), and at
+    100 TB you run this on a SAMPLE of blocks — the plan is identical,
+    only the input relation shrinks — because ground truth is the
+    expensive thing the production path exists to avoid.
+    """
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_lsh_eval_sql("spark"))
