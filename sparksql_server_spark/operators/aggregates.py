@@ -348,3 +348,124 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_hll_setops_sql("spark"))
+
+
+def _hll_running_sql(dialect: str) -> str:
+    """Shared shape: daily HLL registers (shared finalizer CTEs), an
+    as-of grid join carrying each bucket's cumulative max rank to
+    every day, per-day estimates, and the exact first-seen cumulative
+    series for the audit column."""
+    src = "(SELECT CAST(ts AS DATE) AS g, user_id FROM events)"
+    return f"""
+WITH {_hll_regs_ctes(dialect, src)},
+days AS (SELECT DISTINCT g AS day FROM regs),
+buckets AS (SELECT DISTINCT bucket FROM regs),
+cum AS (
+  SELECT d.day, bk.bucket, max(r.m_j) AS m_j
+  FROM days d
+  CROSS JOIN buckets bk
+  LEFT JOIN regs r ON r.bucket = bk.bucket AND r.g <= d.day
+  GROUP BY d.day, bk.bucket),
+sketch AS (
+  SELECT day,
+         sum(CASE WHEN m_j IS NOT NULL THEN power(2.0, -m_j) END) AS sum_pow,
+         CAST(count(m_j) AS BIGINT) AS n_active
+  FROM cum GROUP BY day),
+est AS (
+  SELECT day,
+         {_HLL_M} - n_active AS n_zero,
+         {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+           / (coalesce(sum_pow, 0) + ({_HLL_M} - n_active)) AS raw
+  FROM sketch),
+fin AS (
+  SELECT day,
+         CASE WHEN raw <= 2.5 * {_HLL_M} AND n_zero > 0
+              THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / n_zero)
+              ELSE raw END AS hll
+  FROM est),
+first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+  GROUP BY user_id),
+news AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+         FROM first_seen GROUP BY first_day),
+exact AS (
+  SELECT d.day,
+         CAST(sum(coalesce(n.n_new, 0))
+              OVER (ORDER BY d.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS exact_users_to_date
+  FROM days d LEFT JOIN news n ON n.day = d.day)
+SELECT e.day, e.exact_users_to_date,
+       CAST(round(f.hll, 6) AS DOUBLE) AS hll_estimate,
+       CAST(round(f.hll / e.exact_users_to_date - 1, 6) AS DOUBLE) AS rel_error
+FROM exact e JOIN fin f ON e.day = f.day
+ORDER BY e.day
+"""
+
+
+@query("agg_hll_running_distinct", _hll_running_sql("duck"))
+def agg_hll_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Distinct users to date', daily — the dashboard series that is
+    impossible to maintain exactly at 100 TB without re-scanning
+    history, produced here from SKETCH STATE ONLY: each day's HLL
+    registers (shared finalizer CTEs with the audit/set-ops queries)
+    fold forward via a per-bucket cumulative max, so day d's estimate
+    reads exactly the stored daily registers, never raw history. The
+    exact first-seen cumulative series rides along as the audit.
+
+    Determinism: the register pipeline is integer; the as-of grid
+    join and cumulative max are integer; per-day estimates are the
+    shared harmonic/linear-counting formula rounded at 6 dp; the
+    exact side is a first-seen groupBy plus one running sum of
+    integers.
+
+    Scale: daily registers are the persisted state (64 rows/day);
+    the carry-forward grid is |days| x 64 rows and the as-of join is
+    O(|days|^2 x 64) on that TINY relation — independent of event
+    volume, the entire point. The exact branch (one user-keyed
+    groupBy) is the audit production drops; first-seen itself stays
+    cheap because min(day) per user is combinable.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_hll_running_sql(dialect="spark"))
+
+
+_NVR_SQL = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+first_seen AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id),
+daily AS (
+  SELECT d.day,
+         CAST(count(DISTINCT d.user_id) AS BIGINT) AS active_users,
+         CAST(count(DISTINCT CASE WHEN f.first_day = d.day
+                                  THEN d.user_id END) AS BIGINT) AS new_users
+  FROM d JOIN first_seen f ON d.user_id = f.user_id
+  GROUP BY d.day)
+SELECT day, active_users, new_users,
+       CAST(active_users - new_users AS BIGINT) AS returning_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS users_to_date
+FROM daily
+ORDER BY day
+"""
+
+
+@query("events_new_vs_returning", _NVR_SQL)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split plus the cumulative user
+    count — the acquisition/retention panel next to events_dau_wau's
+    activity view: a user is 'new' on their first-seen day and
+    'returning' on every later active day.
+
+    Determinism: dates and integer counts end-to-end.
+
+    Scale: first-seen is one combinable user-keyed aggregation (the
+    persisted user-birthday table a real pipeline keeps — appended,
+    never recomputed); the daily rollup joins events to it on user_id
+    (co-partitioned with the groupBy's shuffle) and the running total
+    is a window over |days| rows. No distinct-over-history anywhere —
+    cumulative counts derive from first-seen days, the same trick the
+    exact branch of agg_hll_running_distinct uses.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_NVR_SQL)
