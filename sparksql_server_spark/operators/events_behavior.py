@@ -215,3 +215,62 @@ def events_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("events",))
     return spark.sql(_arrival_sql(_SPARK_SEC))
+
+
+def _ltv_sql(sec: str) -> str:
+    """Shared shape: weekly signup cohorts, per-(cohort, age) exact
+    value sums, cumulative LTV per cohort member via a window over the
+    tiny cell table."""
+    return f"""
+WITH a AS (SELECT user_id, value,
+                  CAST(floor({sec} / 604800) AS BIGINT) AS week
+           FROM events WHERE value IS NOT NULL),
+cohort AS (SELECT user_id, min(week) AS cohort_week
+           FROM a GROUP BY user_id),
+csize AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+          FROM cohort GROUP BY cohort_week),
+cells AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS age_weeks,
+         CAST(sum(CAST(a.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM a JOIN cohort c ON a.user_id = c.user_id
+  GROUP BY c.cohort_week, a.week - c.cohort_week),
+cum AS (
+  SELECT cohort_week, age_weeks,
+         sum(revenue) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_revenue
+  FROM cells)
+SELECT cm.cohort_week, CAST(cm.age_weeks AS BIGINT) AS age_weeks,
+       s.cohort_users,
+       CAST(round(cm.cum_revenue, 6) AS DOUBLE) AS cum_revenue,
+       CAST(round(cm.cum_revenue / s.cohort_users, 6) AS DOUBLE)
+         AS ltv_per_user
+FROM cum cm JOIN csize s ON cm.cohort_week = s.cohort_week
+ORDER BY cm.cohort_week, cm.age_weeks
+"""
+
+
+@query("events_cohort_ltv", oracle=_ltv_sql(_DUCK_SEC))
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — the value companion to
+    events_retention_cohort's count matrix: users group into weekly
+    signup cohorts, and each (cohort, age) cell reports the cohort's
+    CUMULATIVE revenue and per-user lifetime value at that age (the
+    curve whose plateau prices an acquisition budget).
+
+    Determinism: week arithmetic is epoch-seconds integer division
+    (this module's pairing); revenue sums go through the exact-DECIMAL
+    pattern per cell; the cumulative window then adds exact-input
+    doubles in one deterministic order (ordered window frame, not an
+    unordered aggregation), so both engines accumulate identically;
+    one rounded division by an integer cohort size.
+
+    Scale: one user-keyed aggregation for cohort assignment (the same
+    persisted user-birthday table events_new_vs_returning reads), a
+    co-partitioned join back, one combinable (cohort, age) rollup —
+    the window runs over the weeks x weeks cell table, never over raw
+    events. Cohort tables at 100 TB are exactly this shape with more
+    weeks.
+    """
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_ltv_sql(_SPARK_SEC))
