@@ -354,37 +354,27 @@ def _hll_running_sql(dialect: str) -> str:
     """Shared shape: daily HLL registers (shared finalizer CTEs), an
     as-of grid join carrying each bucket's cumulative max rank to
     every day, per-day estimates, and the exact first-seen cumulative
-    series for the audit column."""
-    src = "(SELECT CAST(ts AS DATE) AS g, user_id FROM events)"
+    series for the audit column. Days are epoch-day INTEGERS
+    (floor(epoch-seconds/86400), the events_behavior convention) —
+    CAST(ts AS DATE) is session-timezone-dependent in Spark and would
+    shift midnight-adjacent events off the tz-naive oracle's days."""
+    sec = "unix_timestamp(ts)" if dialect == "spark" else "CAST(floor(epoch(ts)) AS BIGINT)"
+    src = f"(SELECT CAST(floor({sec} / 86400) AS BIGINT) AS g, user_id FROM events)"
     return f"""
 WITH {_hll_regs_ctes(dialect, src)},
 days AS (SELECT DISTINCT g AS day FROM regs),
 buckets AS (SELECT DISTINCT bucket FROM regs),
 cum AS (
-  SELECT d.day, bk.bucket, max(r.m_j) AS m_j
+  SELECT d.day AS g, bk.bucket, max(r.m_j) AS m_j
   FROM days d
   CROSS JOIN buckets bk
   LEFT JOIN regs r ON r.bucket = bk.bucket AND r.g <= d.day
   GROUP BY d.day, bk.bucket),
-sketch AS (
-  SELECT day,
-         sum(CASE WHEN m_j IS NOT NULL THEN power(2.0, -m_j) END) AS sum_pow,
-         CAST(count(m_j) AS BIGINT) AS n_active
-  FROM cum GROUP BY day),
-est AS (
-  SELECT day,
-         {_HLL_M} - n_active AS n_zero,
-         {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
-           / (coalesce(sum_pow, 0) + ({_HLL_M} - n_active)) AS raw
-  FROM sketch),
-fin AS (
-  SELECT day,
-         CASE WHEN raw <= 2.5 * {_HLL_M} AND n_zero > 0
-              THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / n_zero)
-              ELSE raw END AS hll
-  FROM est),
+active AS (SELECT g, bucket, m_j FROM cum WHERE m_j IS NOT NULL),
+{_hll_est_ctes('active')},
 first_seen AS (
-  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+  SELECT user_id,
+         min(CAST(floor({sec} / 86400) AS BIGINT)) AS first_day FROM events
   GROUP BY user_id),
 news AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
          FROM first_seen GROUP BY first_day),
@@ -398,7 +388,7 @@ exact AS (
 SELECT e.day, e.exact_users_to_date,
        CAST(round(f.hll, 6) AS DOUBLE) AS hll_estimate,
        CAST(round(f.hll / e.exact_users_to_date - 1, 6) AS DOUBLE) AS rel_error
-FROM exact e JOIN fin f ON e.day = f.day
+FROM exact e JOIN fin f ON e.day = f.g
 ORDER BY e.day
 """
 
@@ -430,8 +420,11 @@ def agg_hll_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hll_running_sql(dialect="spark"))
 
 
-_NVR_SQL = """
-WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+def _nvr_sql(dialect: str) -> str:
+    sec = "unix_timestamp(ts)" if dialect == "spark" else "CAST(floor(epoch(ts)) AS BIGINT)"
+    return f"""
+WITH d AS (SELECT CAST(floor({sec} / 86400) AS BIGINT) AS day, user_id
+           FROM events),
 first_seen AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id),
 daily AS (
   SELECT d.day,
@@ -450,7 +443,7 @@ ORDER BY day
 """
 
 
-@query("events_new_vs_returning", _NVR_SQL)
+@query("events_new_vs_returning", _nvr_sql("duck"))
 def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily new-vs-returning user split plus the cumulative user
     count — the acquisition/retention panel next to events_dau_wau's
@@ -465,7 +458,8 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (co-partitioned with the groupBy's shuffle) and the running total
     is a window over |days| rows. No distinct-over-history anywhere —
     cumulative counts derive from first-seen days, the same trick the
-    exact branch of agg_hll_running_distinct uses.
+    exact branch of agg_hll_running_distinct uses. Days are epoch-day
+    integers (tz-independent, the events_behavior convention).
     """
     register_tables(spark, sf_dir, ("events",))
-    return spark.sql(_NVR_SQL)
+    return spark.sql(_nvr_sql("spark"))

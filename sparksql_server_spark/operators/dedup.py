@@ -97,36 +97,51 @@ _DUCK_BANDS = " UNION ALL ".join(
 )
 
 
+def _mh_candidate_ctes(dialect: str) -> str:
+    """The canonical MinHash->banding candidate pipeline as CTE text —
+    w (word arrays), sh (distinct shingles), h (shingle hashes), mh
+    (signatures), bs (band rows), cand (candidate pairs). ONE
+    definition consumed by dedup_minhash_lsh AND dedup_lsh_eval_pr, so
+    the eval provably scores the exact production pipeline — the
+    shared-text discipline of _hll_regs_ctes/prime_mix."""
+    if dialect == "spark":
+        words, shingles = spark_words("text"), spark_shingles("w")
+        ex = f"SELECT DISTINCT doc_id, shingle FROM w LATERAL VIEW explode({shingles}) t AS shingle"
+        hash_ = spark_char_hash("shingle")
+        bands = (
+            f"SELECT doc_id, band, band_sig FROM mh "
+            f"LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig"
+        )
+    else:
+        words, shingles = duck_words("text"), duck_shingles("w")
+        ex = (
+            "SELECT DISTINCT doc_id, shingle FROM "
+            f"(SELECT doc_id, unnest({shingles}) AS shingle FROM w)"
+        )
+        hash_ = duck_char_hash("shingle")
+        bands = _DUCK_BANDS
+    return f"""w AS (SELECT doc_id, {words} AS w FROM documents),
+sh AS ({ex}),
+h AS (SELECT doc_id, {hash_} AS h FROM sh),
+mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
+bs AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bs a JOIN bs b
+           ON a.band = b.band AND a.band_sig = b.band_sig
+          AND a.doc_id < b.doc_id)"""
+
+
 def _minhash_spark() -> str:
     return f"""
-WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id, shingle
-       FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle),
-h AS (SELECT doc_id, {spark_char_hash('shingle')} AS h FROM sh),
-mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
-bs AS (SELECT doc_id, band, band_sig FROM mh
-       LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig),
-pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-          FROM bs a JOIN bs b
-            ON a.band = b.band AND a.band_sig = b.band_sig
-           AND a.doc_id < b.doc_id)
-SELECT d1, d2 FROM pairs ORDER BY d1, d2 LIMIT 1000
+WITH {_mh_candidate_ctes('spark')}
+SELECT d1, d2 FROM cand ORDER BY d1, d2 LIMIT 1000
 """
 
 
 def _minhash_duck() -> str:
     return f"""
-WITH w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id, shingle FROM
-         (SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)),
-h AS (SELECT doc_id, {duck_char_hash('shingle')} AS h FROM sh),
-mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
-bs AS ({_DUCK_BANDS}),
-pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-          FROM bs a JOIN bs b
-            ON a.band = b.band AND a.band_sig = b.band_sig
-           AND a.doc_id < b.doc_id)
-SELECT d1, d2 FROM pairs ORDER BY d1, d2 LIMIT 1000
+WITH {_mh_candidate_ctes('duck')}
+SELECT d1, d2 FROM cand ORDER BY d1, d2 LIMIT 1000
 """
 
 
@@ -1179,35 +1194,13 @@ _EVAL_TAU = 0.5  # ground-truth resemblance threshold
 
 
 def _lsh_eval_sql(dialect: str) -> str:
-    """Shared shape: ONE distinct-shingle relation feeds both the
-    MinHash->banding candidate pipeline and the exact-Jaccard truth
-    pipeline; the readout counts the overlap."""
-    if dialect == "spark":
-        words, shingles = spark_words("text"), spark_shingles("w")
-        ex = f"SELECT DISTINCT doc_id, shingle FROM w LATERAL VIEW explode({shingles}) t AS shingle"
-        hash_ = spark_char_hash("shingle")
-        bands = (
-            f"SELECT doc_id, band, band_sig FROM mh "
-            f"LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig"
-        )
-    else:
-        words, shingles = duck_words("text"), duck_shingles("w")
-        ex = (
-            "SELECT DISTINCT doc_id, shingle FROM "
-            f"(SELECT doc_id, unnest({shingles}) AS shingle FROM w)"
-        )
-        hash_ = duck_char_hash("shingle")
-        bands = _DUCK_BANDS
+    """Shared shape: the CANONICAL candidate chain (_mh_candidate_ctes
+    — same text dedup_minhash_lsh executes) plus the exact-Jaccard
+    truth pipeline off the same distinct-shingle relation; the readout
+    counts the overlap. Ratios guard n=0 with nullif so an empty
+    truth/candidate set reads as NULL on both engines, not NaN."""
     return f"""
-WITH w AS (SELECT doc_id, {words} AS w FROM documents),
-sh AS ({ex}),
-h AS (SELECT doc_id, {hash_} AS h, shingle FROM sh),
-mh AS (SELECT doc_id, {_MH_MINS} FROM (SELECT doc_id, h FROM h) t GROUP BY doc_id),
-bs AS ({bands}),
-cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         FROM bs a JOIN bs b
-           ON a.band = b.band AND a.band_sig = b.band_sig
-          AND a.doc_id < b.doc_id),
+WITH {_mh_candidate_ctes(dialect)},
 sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
@@ -1224,9 +1217,9 @@ counts AS (
          (SELECT CAST(count(*) AS BIGINT)
           FROM cand c JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2) AS n_hit)
 SELECT n_truth, n_candidates, n_hit,
-       CAST(round(CAST(n_hit AS DOUBLE) / n_candidates, 6) AS DOUBLE)
+       CAST(round(CAST(n_hit AS DOUBLE) / nullif(n_candidates, 0), 6) AS DOUBLE)
          AS precision_at_tau,
-       CAST(round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS DOUBLE)
+       CAST(round(CAST(n_hit AS DOUBLE) / nullif(n_truth, 0), 6) AS DOUBLE)
          AS recall_at_tau
 FROM counts
 """
@@ -1239,7 +1232,10 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored against exact-Jaccard ground truth at tau=0.5 — precision
     (how much verification work the bands waste) and recall (what the
     sampler misses; the 4-band/4-row S-curve gives P(candidate) =
-    1-(1-j^4)^4, ~0.74 at j=0.5, rising steeply above). These two
+    1-(1-j^4)^4 — ~0.23 at j=0.5, ~0.5 at j~0.61, ~0.95 at j~0.8 —
+    so measured recall 1.0 here means the corpus's true pairs sit
+    well above the tau=0.5 waterline, not that banding is free).
+    These two
     numbers are what you tune K/R against before spending a 100 TB
     verification pass; dedup_minhash_calibration audits the ESTIMATOR,
     this audits the RETRIEVAL.

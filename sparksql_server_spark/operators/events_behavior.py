@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.functions.portable import dsum
 from sparksql_server_spark.operators.registry import query
 
 _SPARK_SEC = "unix_timestamp(ts)"
@@ -224,14 +225,14 @@ def _ltv_sql(sec: str) -> str:
     return f"""
 WITH a AS (SELECT user_id, value,
                   CAST(floor({sec} / 604800) AS BIGINT) AS week
-           FROM events WHERE value IS NOT NULL),
+           FROM events),
 cohort AS (SELECT user_id, min(week) AS cohort_week
            FROM a GROUP BY user_id),
 csize AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
           FROM cohort GROUP BY cohort_week),
 cells AS (
   SELECT c.cohort_week, a.week - c.cohort_week AS age_weeks,
-         CAST(sum(CAST(a.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         coalesce({dsum('a.value', 2)}, 0) AS revenue
   FROM a JOIN cohort c ON a.user_id = c.user_id
   GROUP BY c.cohort_week, a.week - c.cohort_week),
 cum AS (
@@ -256,11 +257,14 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_retention_cohort's count matrix: users group into weekly
     signup cohorts, and each (cohort, age) cell reports the cohort's
     CUMULATIVE revenue and per-user lifetime value at that age (the
-    curve whose plateau prices an acquisition budget).
+    curve whose plateau prices an acquisition budget). Cohort
+    assignment uses ALL events (the same first-seen definition as
+    events_new_vs_returning, so one persisted birthday table serves
+    both); only the revenue sums skip NULL values.
 
     Determinism: week arithmetic is epoch-seconds integer division
-    (this module's pairing); revenue sums go through the exact-DECIMAL
-    pattern per cell; the cumulative window then adds exact-input
+    (this module's pairing); revenue sums go through portable.dsum
+    (the exact-DECIMAL pattern) per cell; the cumulative window then adds exact-input
     doubles in one deterministic order (ordered window frame, not an
     unordered aggregation), so both engines accumulate identically;
     one rounded division by an integer cohort size.
