@@ -313,25 +313,53 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+_SHINGLE_MAX_DF = 100  # shingles present in more docs than this are dropped
+# BEFORE the pair self-join (same boilerplate-suppression cutoff as
+# winnowing's _WIN_MAX_DF below): a corpus-frequent 3-gram ("terms of
+# service") otherwise generates df^2 pair rows before any HAVING prunes.
+# Post-cutoff every join bucket is <= _SHINGLE_MAX_DF wide, so the join is
+# bounded by |shingles| * maxDF instead of the hottest shingle's df^2.
+# The denominators (per-doc shingle counts) are computed over the SURVIVING
+# shingles so jaccard/containment stay internally consistent (<= 1.0); this
+# is the standard semantics — similarity over the discriminative shingle
+# set, with non-discriminative boilerplate excluded from both numerator and
+# denominator. The DuckDB oracle applies the identical cutoff.
 
-def _jaccard_spark() -> str:
+
+def _shingle_kept_spark() -> str:
+    """Spark side of the shingle-set build, through the DF cutoff —
+    materialized ONCE behind a cache because counts and both pair-join
+    sides consume it (as a CTE Spark re-expands the whole
+    regexp/split/explode/distinct pipeline per consumer; measured 3×
+    the work at sf0.1). The cutoff is a count() window over shingle,
+    not a groupBy+join, so the shingle-set pipeline has exactly one
+    consumer chain inside this statement."""
     return f"""
 WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, shingle
        FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle),
-counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-          HAVING count(*) >= 2)
-SELECT d1, d2,
-       round(shared / (ca.n + cb.n - shared), 6) AS jaccard
-FROM inter
-JOIN counts ca ON d1 = ca.doc_id
-JOIN counts cb ON d2 = cb.doc_id
-ORDER BY jaccard DESC, d1, d2
-LIMIT 500
+dfc AS (SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS c
+        FROM sh)
+SELECT doc_id, shingle FROM dfc WHERE c <= {_SHINGLE_MAX_DF}
 """
+
+
+def _shingle_kept_materialized(spark: SparkSession) -> DataFrame:
+    """Build the DF-cutoff shingle table once and spill it to scratch
+    parquet; return a scan over the spill. Three consumers (per-doc
+    counts + both pair-join sides) read the compact columnar spill
+    instead of re-running the text pipeline, the final orderBy+limit
+    stays a TakeOrderedAndProject (no full-result materialization),
+    and no block-manager cache outlives the call. At 100 TB the spill
+    target is the checkpoint dir on object store and the file IS the
+    persistent dedup artifact (incremental screening joins new batches
+    against it)."""
+    from sparksql_server_spark.operators.scratch import CacheScope
+
+    return CacheScope(spark).finish(
+        spark.sql(_shingle_kept_spark()), "shingle_kept"
+    )
 
 
 def _jaccard_duck() -> str:
@@ -339,9 +367,14 @@ def _jaccard_duck() -> str:
 WITH w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, shingle FROM
          (SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)),
-counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+df AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+kept AS (SELECT s.doc_id, s.shingle
+         FROM sh s JOIN df ON s.shingle = df.shingle
+         WHERE df.c <= {_SHINGLE_MAX_DF}),
+counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM kept a JOIN kept b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
           HAVING count(*) >= 2)
 SELECT d1, d2,
@@ -359,36 +392,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-word shingle) Jaccard over candidate pairs that
     share ≥2 shingles — top pairs by similarity.
 
-    Scale: the shingle self-join is the hot spot (Σ per-shingle
-    bucket²); at 100 TB, pre-hash the shingle to an 8-byte join key in
-    a materialized intermediate and cap bucket width by dropping
-    ultra-common shingles (document-frequency cutoff) — the MinHash
-    variant above is the preferred scale path, this is the exact
-    verifier run on its candidates. (Pre-hashing inside this single
-    statement is a net loss: the CTE inlines and the hash evaluates
-    once per reference.)
+    Scale: the shingle self-join is blocked by shingle value with a
+    document-frequency cutoff applied BEFORE the join (df <=
+    _SHINGLE_MAX_DF, the winnowing _WIN_MAX_DF machinery): every join
+    bucket is capped, so pair-row work is Σ bucket² bounded by
+    |shingles| · maxDF instead of the hottest boilerplate shingle's
+    df². The MinHash variant above is the preferred 100 TB first pass;
+    this is the exact verifier run on its candidates. (Pre-hashing the
+    shingle to an 8-byte key inside this single statement is a net
+    loss: the CTE inlines and the hash evaluates once per reference;
+    the kept-shingle table is therefore materialized once behind a
+    CacheScope — counts and both join sides consume it — and at 100 TB
+    the same table is the persistent artifact, checkpointed to object
+    store and reused for incremental screening.)
     """
     register_tables(spark, sf_dir, ("documents",))
-    return spark.sql(_jaccard_spark())
-
-
-def _containment_spark() -> str:
-    return f"""
-WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id, shingle
-       FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle),
-counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-          HAVING count(*) >= 2)
-SELECT d1, d2, CAST(shared AS BIGINT) AS shared, CAST(ca.n AS BIGINT) AS n_d1,
-       round(shared / ca.n, 6) AS containment
-FROM inter JOIN counts ca ON d1 = ca.doc_id
-WHERE 4 * shared >= ca.n
-ORDER BY containment DESC, d1, d2
-LIMIT 500
-"""
+    kept = _shingle_kept_materialized(spark)
+    counts = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    return (
+        inter.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("d2") == F.col("cb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("shared")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(500)
+    )
 
 
 def _containment_duck() -> str:
@@ -396,9 +442,14 @@ def _containment_duck() -> str:
 WITH w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, shingle FROM
          (SELECT doc_id, unnest({duck_shingles('w')}) AS shingle FROM w)),
-counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+df AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+kept AS (SELECT s.doc_id, s.shingle
+         FROM sh s JOIN df ON s.shingle = df.shingle
+         WHERE df.c <= {_SHINGLE_MAX_DF}),
+counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          FROM kept a JOIN kept b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
           GROUP BY a.doc_id, b.doc_id
           HAVING count(*) >= 2)
 SELECT d1, d2, CAST(shared AS BIGINT) AS shared, CAST(ca.n AS BIGINT) AS n_d1,
@@ -423,13 +474,41 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold compares integers (4*shared >= n ≡ containment >= 0.25);
     the only float op is one division, rounded to 6 dp on both engines.
 
-    Scale: same blocked shingle self-join as dedup_ngram_jaccard
-    (Σ per-shingle bucket², DF-cutoff for ultra-common shingles at
-    100 TB); ordered pairs cost 2× the unordered join output but no
-    extra shuffle — the pair aggregation key is (d1, d2) either way.
+    Scale: same blocked shingle self-join as dedup_ngram_jaccard, with
+    the same pre-join DF cutoff (df <= _SHINGLE_MAX_DF) capping every
+    join bucket — Σ bucket² bounded by |shingles| · maxDF; ordered
+    pairs cost 2× the unordered join output but no extra shuffle — the
+    pair aggregation key is (d1, d2) either way. The kept-shingle
+    table builds once behind a CacheScope (counts + both join sides
+    consume it), same as dedup_ngram_jaccard.
     """
     register_tables(spark, sf_dir, ("documents",))
-    return spark.sql(_containment_spark())
+    kept = _shingle_kept_materialized(spark)
+    counts = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    return (
+        inter.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
+        .filter(4 * F.col("shared") >= F.col("ca.n"))
+        .select(
+            "d1",
+            "d2",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.col("ca.n").cast("bigint").alias("n_d1"),
+            F.round(F.col("shared") / F.col("ca.n"), 6).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "d1", "d2")
+        .limit(500)
+    )
 
 
 # winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
