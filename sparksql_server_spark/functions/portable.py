@@ -109,11 +109,19 @@ def duck_shingles(w: str, n: int = 3) -> str:
 
 def prime_mix(k: str) -> str:
     """Prime-folded multiplicative mix of an integer key — identical
-    text in both dialects. The pre-mod bounds the product under 2^62
-    (ANSI BIGINT safe for any key), and the prime fold spreads every
-    key bit before any small-modulus residue is taken: raw 2^31
-    residues mod a power of two keep only the key's unmixed low bits
-    (stride-2^k key spaces then collapse onto a fraction of the
-    buckets — the jackknife/HLL review finding). Used for jackknife
-    blocks, A/B arm assignment, and any future bucket-by-hash."""
-    return f"((({k}) % 2147483648) * 2654435761) % 1000000007"
+    text in both dialects. The double-mod folds NEGATIVE keys to a
+    nonnegative residue first (both engines give ``%`` the dividend's
+    sign, so a single mod on a negative key yields a negative mix —
+    rows then land in no jackknife block / A/B arm; ADVICE r5 #3).
+    The residue is < 2^31, so the product is at most
+    (2^31-1)*2654435761 ≈ 5.7e18 < 2^63-1 (ANSI BIGINT safe for any
+    key), and the prime fold spreads every key bit before any
+    small-modulus residue is taken: raw 2^31 residues mod a power of
+    two keep only the key's unmixed low bits (stride-2^k key spaces
+    then collapse onto a fraction of the buckets — the jackknife/HLL
+    review finding). Used for jackknife blocks, A/B arm assignment,
+    and any future bucket-by-hash."""
+    return (
+        f"((((({k}) % 2147483648) + 2147483648) % 2147483648)"
+        f" * 2654435761) % 1000000007"
+    )

@@ -314,7 +314,13 @@ WITH bounds AS (
          CAST(count(value) AS BIGINT) AS n
   FROM events),
 binned AS (
-  SELECT CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / {_QSK_BINS})),
+  -- nullif guards the degenerate distribution (constant or single
+  -- value -> hi == lo -> 0-width bins): the NULL bin coalesces to 0
+  -- so every row lands in bin 0 on both engines instead of a NaN
+  -- sketch (ADVICE r5 #4)
+  SELECT CAST(least(coalesce(
+                floor((e.value - b.lo) / (nullif(b.hi - b.lo, 0) / {_QSK_BINS})),
+                0),
               {_QSK_BINS} - 1) AS BIGINT) AS bin
   FROM events e CROSS JOIN bounds b
   WHERE e.value IS NOT NULL),
@@ -484,13 +490,20 @@ loo AS (
          t.s_tot / t.n_tot AS mean_all,
          t.n_tot, t.b_used
   FROM blk JOIN tot t ON blk.grp = t.grp),
+loo_mean AS (
+  -- the delete-one jackknife variance centers on the MEAN OF THE
+  -- LEAVE-ONE-OUT ESTIMATES, not the overall mean: with unequal
+  -- hash-block sizes the two differ and mean_all-centering
+  -- systematically inflates the SE (ADVICE r5 #5)
+  SELECT grp, avg(mean_i) AS m_bar FROM loo GROUP BY grp),
 jk AS (
-  SELECT grp,
+  SELECT loo.grp,
          min(mean_all) AS mean_price,
          min(n_tot) AS n_orders,
          min(b_used) AS b_used,
-         sum((mean_i - mean_all) * (mean_i - mean_all)) AS ss
-  FROM loo GROUP BY grp)
+         sum((mean_i - m.m_bar) * (mean_i - m.m_bar)) AS ss
+  FROM loo JOIN loo_mean m ON loo.grp = m.grp
+  GROUP BY loo.grp)
 SELECT grp AS o_orderpriority,
        CAST(n_orders AS BIGINT) AS n_orders,
        CAST(round(mean_price, 6) AS DOUBLE) AS mean_price,
@@ -517,7 +530,9 @@ def stats_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across engines/reruns/partitionings, unlike sampled
     bootstraps — each block's exact-decimal sum/count feed
     leave-one-block-out means, and the delete-block jackknife variance
-    yields the SE and a 95% CI.
+    (squared deviations centered on the mean of the leave-one-out
+    estimates — mean_all-centering inflates the SE when hash blocks
+    are unequal) yields the SE and a 95% CI.
 
     Determinism: block assignment and per-block sums are exact
     (integer hash, DECIMAL accumulation); the only order-dependent

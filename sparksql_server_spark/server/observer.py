@@ -63,9 +63,14 @@ from sparksql_server_spark.server.cache import CacheManager
 # undercounting every later column. The explain renderer may still
 # truncate very wide schemas ("... N more fields") — then the count is
 # a lower bound and read_fraction errs toward declining, never over-
-# admitting.
+# admitting. Both gaps are tempered — no second 'Scan ' may appear
+# between the format capture and its Location, or between Location and
+# ReadSchema — so a scan node that prints no Location (Scan
+# ExistingRDD) fails to match instead of pairing with the NEXT file
+# scan's Location and mis-attributing its format (ADVICE r5 #1).
 _SCAN_BLOCK = re.compile(
-    r"Scan\s+(\w+)\s.*?Location:[^\[\n]*\[([^\]]*)\].*?ReadSchema:\s*struct<([^\n]*)",
+    r"Scan\s+(\w+)\s(?:(?!\bScan\s).)*?Location:[^\[\n]*\[([^\]]*)\]"
+    r"(?:(?!\bScan\s).)*?ReadSchema:\s*struct<([^\n]*)",
     re.S,
 )
 
@@ -188,7 +193,14 @@ class ScanObserver:
                     per_exec[source] = (fmt, ncols)
             for source, (fmt, ncols) in per_exec.items():
                 total = self._table_width(self.source_views[source])
-                frac = min(1.0, ncols / total) if total else 1.0
+                if not total:
+                    # unknown table width — unknown DECLINES, matching
+                    # the admission convention everywhere else in this
+                    # module (_dir_bytes etc.); counting it as frac=1.0
+                    # would make lookup failures full-benefit evidence
+                    # (ADVICE r5 #2)
+                    continue
+                frac = min(1.0, ncols / total)
                 self._recent.setdefault(source, deque()).append((now, frac, fmt))
                 self.stats["scans_seen"] += 1
         # advance the mark over contiguous processed ids; the set holds

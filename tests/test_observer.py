@@ -66,6 +66,22 @@ def test_scan_events_parses_live_plan(spark):
     assert 0 < ncols <= 3
 
 
+def test_scan_events_do_not_cross_scan_boundaries():
+    """A scan node that prints no Location (Scan ExistingRDD) must NOT
+    pair with the NEXT file scan's Location/ReadSchema — that consumed
+    the real scan and attributed format 'existingrdd' to its source
+    (ADVICE r5 #1)."""
+    desc = (
+        "*(2) Project [a#1]\n"
+        "+- Scan ExistingRDD[a#1]\n"
+        "+- Scan parquet default.t\n"
+        "   Location: InMemoryFileIndex(1 paths)[file:/data/t.parquet]\n"
+        "   ReadSchema: struct<b:int,c:int>\n"
+    )
+    events = scan_events(desc)
+    assert events == [("/data/t.parquet", "parquet", 2)]
+
+
 # -- unit: low-water bookkeeping over out-of-order completions --------------
 
 
@@ -95,6 +111,14 @@ class _FakeExec:
 
 class _FakeSpark:
     """Just enough session surface for ScanObserver.poll_once."""
+
+    def table(self, view):
+        # known 1-column table: read_fraction resolves (unknown width
+        # would decline the scan event entirely)
+        class _T:
+            columns = ["a"]
+
+        return _T()
 
     def __init__(self):
         self.execs: list[_FakeExec] = []
@@ -176,6 +200,37 @@ def test_low_water_survives_out_of_order_completion():
     # re-poll: nothing recounted
     obs.poll_once()
     assert obs.stats["executions_seen"] == 2 and obs.stats["scans_seen"] == 2
+
+
+def test_unknown_table_width_declines_scan_evidence():
+    """A failed view lookup (width 0) must NOT default to
+    read_fraction 1.0 — unknown declines, matching every other
+    admission input in the module (ADVICE r5 #2)."""
+    fake = _FakeSpark()
+
+    def _broken_table(view):
+        raise RuntimeError("no such view")
+
+    fake.table = _broken_table
+    obs = ScanObserver.__new__(ScanObserver)
+    obs.spark = fake
+    obs.cache = None
+    obs.source_views = {"/src/t.parquet": "t"}
+    obs.window_seconds = 120.0
+    obs.min_repeats = 99
+    obs._recent = {}
+    obs._seen = set()
+    obs._low_water = None
+    obs.stats = {"executions_seen": 0, "scans_seen": 0, "sources_cached": 0}
+    obs._prime = lambda now: []
+
+    fake.execs = []
+    obs.poll_once()  # bootstrap
+    fake.execs = [_FakeExec(1, True, _DESC), _FakeExec(2, True, _DESC)]
+    obs.poll_once()
+    assert obs.stats["executions_seen"] == 2
+    assert obs.stats["scans_seen"] == 0  # evidence declined, not frac=1.0
+    assert obs._recent == {}
 
 
 # -- integration: out-of-band sessions prime the cache ----------------------

@@ -250,3 +250,48 @@ def test_prime_mix_spreads_structured_key_spaces(stride_pow, mod):
     assert n >= mod * 0.9, (
         f"stride-{stride} keys populated {n}/{mod} residues — mix regressed"
     )
+
+
+@given(lo=st.integers(-(2**62), -1))
+@_SETTINGS
+def test_prime_mix_is_nonnegative_for_negative_keys(lo):
+    """Negative keys must fold to a nonnegative residue BEFORE the
+    prime multiply — a single-mod mix is negative for them in both
+    engines, so rows land in no jackknife block / A/B arm (ADVICE r5
+    #3). Pins arm ∈ {0,1} and block ∈ [0, B) for any BIGINT key."""
+    from sparksql_server_spark.functions.portable import prime_mix
+
+    con = duckdb.connect()
+    mix, arm = con.execute(
+        f"SELECT ({prime_mix('k')}), ({prime_mix('k')}) % 2 "
+        f"FROM (SELECT {lo}::BIGINT AS k)"
+    ).fetchone()
+    assert 0 <= mix < 1000000007
+    assert arm in (0, 1)
+
+
+def test_quantile_sketch_degenerate_distribution(spark):
+    """A constant-valued events.value column gives hi == lo: without
+    the nullif guard the bin width is 0 and the sketch degenerates to
+    NaN/NULL bins (ADVICE r5 #4). Both engines must return the clean
+    answer: every quantile estimate equals the constant, error 0."""
+    from sparksql_server_spark.catalog import register_tables
+    from sparksql_server_spark.operators.stats import _qsketch_sql
+    from tests.conftest import SF_DIR
+
+    try:
+        spark.range(100).selectExpr("CAST(42.5 AS DOUBLE) AS value") \
+            .createOrReplaceTempView("events")
+        rows = spark.sql(_qsketch_sql("spark")).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert r.exact_value == 42.5
+            assert r.sketch_estimate == 42.5
+            assert r.abs_error == 0.0
+    finally:
+        register_tables(spark, SF_DIR, ("events",))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT 42.5 AS value FROM range(100)")
+    for q, exact_v, sketch_v, err in con.execute(_qsketch_sql("duck")).fetchall():
+        assert exact_v == 42.5 and sketch_v == 42.5 and err == 0.0
