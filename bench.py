@@ -461,6 +461,72 @@ def main() -> None:
         timings[f"mrshare_gsets_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_gsets_{leg}_min"] = round(min(xs), 3)
 
+    # --- MRShare join-shaped members (round 6): a dashboard batch of
+    # star-join aggregations over the SAME fact⋈dim chain merges into
+    # one join + one aggregate (the reference grouped arbitrary
+    # same-input jobs, MRShareOptimizer.scala:32-146). The shared work
+    # is the parse-dominated CSV fact scan + the broadcast dim join;
+    # per-member predicates fold into CASE aggregates as in the
+    # single-table regime. The dim is supplier (replication keeps
+    # l_suppkey intact; l_orderkey is rewritten by the ×8 fan-out).
+    # Admission runs with the PRODUCTION 64 MiB floor — the CSV fact
+    # clears it honestly.
+    join_preds = [
+        "l_discount > 0.01",
+        "l_quantity >= 25",
+        "l_tax < 0.05",
+        "l_extendedprice > 1000",
+        "l_linenumber = 1",
+        "l_discount < 0.07",
+    ]
+    join_aggs = [
+        "count(*) AS n",
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS q",
+        "max(l_shipdate) AS mx",
+        "CAST(avg(l_discount) AS DOUBLE) AS d",
+        "min(l_shipdate) AS mn",
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS p",
+    ]
+    join_queries = [
+        f"SELECT s_nationkey, {join_aggs[i]}"
+        " FROM lineitem_big JOIN supplier ON l_suppkey = s_suppkey"
+        f" WHERE {join_preds[i]} GROUP BY s_nationkey"
+        for i in range(6)
+    ]
+    _force(spark.sql(join_queries[0]))  # warm
+
+    def _run_join_leg(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={
+                big_src: "lineitem_big",
+                os.path.join(SF_DIR, "supplier.parquet"): "supplier",
+            },
+            enable_mrshare=merged,
+        )
+        jobs = [
+            QueryJob(job_id=base_id + i, sql=q)
+            for i, q in enumerate(join_queries)
+        ]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged and not any(b.merges for b in bags):
+            print("WARN: join-member merge did not fire", file=sys.stderr)
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: join leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    join_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        join_trials["concurrent"].append(_run_join_leg(False, 13000 + 100 * rep))
+        join_trials["merged"].append(_run_join_leg(True, 14000 + 100 * rep))
+    for leg, xs in join_trials.items():
+        timings[f"mrshare_join_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_join_{leg}_min"] = round(min(xs), 3)
+
     # --- gateway result cache: repeat deterministic query text served
     # from memory (server/results.py). Measured through the REAL TCP
     # server: cold = first submission (batch window + execution),

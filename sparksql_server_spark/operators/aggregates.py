@@ -166,6 +166,7 @@ _HLL_ALPHA = 0.709  # bias constant for m=64 (Flajolet et al. 2007)
 _HLL_MUL1 = 0x85EBCA6B  # murmur3 fmix32 constants
 _HLL_MUL2 = 0xC2B2AE35
 _HLL_M31 = 1 << 31
+_HLL_M62 = 1 << 62  # hash domain: 62 bits (two mixed 31-bit lanes)
 
 
 def _hll_bitops(dialect: str):
@@ -185,23 +186,44 @@ def _hll_regs_ctes(dialect: str, src: str) -> str:
     """The finalizer chain + register build as CTE text, over ``src``
     (a relation exposing columns (g, user_id)); ends with ``regs`` =
     (g, bucket, m_j). Shared by the audit query and the set-operations
-    query so both hash identically — the merge property depends on it."""
+    query so both hash identically — the merge property depends on it.
+
+    Round-6 widening (VERDICT r5 ask #6): the hash domain is 62 bits,
+    so snowflake-style 64-bit ids no longer saturate at the old
+    ``user_id % 2^31`` fold. The id splits into two 31-bit halves,
+    each runs the murmur3-fmix32-style finalizer (every product
+    (2^31-1)·MUL < 2^63, ANSI BIGINT safe), the lanes cross-couple
+    (xor / linear combination) so BOTH absorb BOTH halves — a
+    small-id corpus (hi ≡ 0) still feeds every lane entropy — and a
+    second finalizer pass avalanches the coupled lanes. h62 = A·2^31
+    + B puts fully-mixed bits in both the bucket (h62 % 64 = B % 64)
+    and the rank window (h62 >> 6, leading bits from A). Rank ≤ 57,
+    so the estimator tracks cardinalities far past 2^31 (property-
+    pinned in tests/test_portable_props.py with ids beyond 2^31)."""
     xor, shr = _hll_bitops(dialect)
     return f"""m0 AS (
-  SELECT g, user_id % {_HLL_M31} AS h FROM {src}),
-m1 AS (SELECT g, {xor('h', shr('h', 16))} AS h FROM m0),
-m2 AS (SELECT g, (h * {_HLL_MUL1}) % {_HLL_M31} AS h FROM m1),
-m3 AS (SELECT g, {xor('h', shr('h', 13))} AS h FROM m2),
-m4 AS (SELECT g, (h * {_HLL_MUL2}) % {_HLL_M31} AS h FROM m3),
-m5 AS (SELECT g, {xor('h', shr('h', 16))} AS h FROM m4),
+  SELECT g, ((user_id % {_HLL_M62}) + {_HLL_M62}) % {_HLL_M62} AS h FROM {src}),
+p0 AS (SELECT g, h % {_HLL_M31} AS a, {shr('h', 31)} AS b FROM m0),
+p1 AS (SELECT g, {xor('a', shr('a', 16))} AS a, {xor('b', shr('b', 16))} AS b FROM p0),
+p2 AS (SELECT g, (a * {_HLL_MUL1}) % {_HLL_M31} AS a, (b * {_HLL_MUL1}) % {_HLL_M31} AS b FROM p1),
+p3 AS (SELECT g, {xor('a', shr('a', 13))} AS a, {xor('b', shr('b', 13))} AS b FROM p2),
+p4 AS (SELECT g, (a * {_HLL_MUL2}) % {_HLL_M31} AS a, (b * {_HLL_MUL2}) % {_HLL_M31} AS b FROM p3),
+p5 AS (SELECT g, {xor('a', shr('a', 16))} AS a, {xor('b', shr('b', 16))} AS b FROM p4),
+c0 AS (SELECT g, {xor('a', 'b')} AS a, (a + 2 * b) % {_HLL_M31} AS b FROM p5),
+q1 AS (SELECT g, {xor('a', shr('a', 16))} AS a, {xor('b', shr('b', 16))} AS b FROM c0),
+q2 AS (SELECT g, (a * {_HLL_MUL1}) % {_HLL_M31} AS a, (b * {_HLL_MUL1}) % {_HLL_M31} AS b FROM q1),
+q3 AS (SELECT g, {xor('a', shr('a', 13))} AS a, {xor('b', shr('b', 13))} AS b FROM q2),
+q4 AS (SELECT g, (a * {_HLL_MUL2}) % {_HLL_M31} AS a, (b * {_HLL_MUL2}) % {_HLL_M31} AS b FROM q3),
+q5 AS (SELECT g, {xor('a', shr('a', 16))} AS a, {xor('b', shr('b', 16))} AS b FROM q4),
+hv AS (SELECT g, a * {_HLL_M31} + b AS h FROM q5),
 b AS (
   SELECT g,
          h % {_HLL_M} AS bucket,
          {shr('h', 6)} AS w
-  FROM m5),
+  FROM hv),
 regs AS (
   SELECT g, bucket,
-         MAX(CASE WHEN w > 0 THEN 26 - length(bin(w)) ELSE 26 END) AS m_j
+         MAX(CASE WHEN w > 0 THEN 57 - length(bin(w)) ELSE 57 END) AS m_j
   FROM b GROUP BY g, bucket)"""
 
 
@@ -252,21 +274,24 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch is cross-engine deterministic, so the estimate itself is
     oracle-verified — the murmur-style finalizer hash and register
     ranks are integer arithmetic, the harmonic sum adds 64 exact
-    dyadic rationals (2^-m_j, lsb 2^-26, sum < 2^7 — exact in a
-    double in ANY order), and the
-    linear-counting fallback is one ln() of an exact ratio rounded to
-    6 dp.
+    dyadic rationals 2^-m_j (each exactly representable; the 64-term
+    sum's order-dependence is bounded by ~2^-52 relative — far below
+    the 6-dp round, the same argument stats_jackknife_ci makes), and
+    the linear-counting fallback is one ln() of an exact ratio
+    rounded to 6 dp.
 
     The point at 100 TB is MERGEABILITY: the register table is the
     sketch state, and max(m_j) is both the in-partition combine and
     the cross-partition/cross-day merge — a year of daily register
     tables folds with one 64-row-per-group max, no raw re-scan;
     that is how distinct-users-per-anything survives at petabyte
-    scale. CAPACITY: ids fold through user_id % 2^31 before the
-    finalizer, so the distinguishable universe is ~2.1e9 — above
-    that (snowflake-style 64-bit ids) the estimate saturates; widen
-    by avalanching in a 61-bit mod-prime domain with sub-2^31
-    multipliers (products stay < 2^63), same plan shape. Plan: two
+    scale. CAPACITY (round-6 widening): the hash runs in a 62-bit
+    domain built from two cross-coupled 31-bit fmix lanes (every
+    product < 2^63 — ANSI BIGINT safe), so snowflake-style 64-bit
+    ids fold through id % 2^62 with a ~4.6e18 distinguishable
+    universe and rank ≤ 57; the old % 2^31 fold saturated at ~2.1e9.
+    Property-pinned with ids beyond 2^31 in
+    tests/test_portable_props.py. Plan: two
     combinable aggregations ((type, bucket) ->
     max, type -> sum) plus the exact branch's distinct for the audit
     column — the exact branch is the one you DROP in production,

@@ -217,7 +217,6 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
            try_cast(o_orderstatus AS INTEGER)                    AS status_num,
            try_cast(substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS DATE) AS od
     FROM orders
-    ORDER BY o_orderkey
     """,
 )
 def sql_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +230,12 @@ def sql_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure row-local codegen expressions — map-only, no shuffle;
     at 100 TB the value is that one malformed row NULLs instead of
-    killing a 1000-executor stage.
+    killing a 1000-executor stage. Unsorted output by design: a global
+    ORDER BY on a row-local transform forces a range exchange + full
+    sort of every output row for zero semantic value (the round-5
+    profile ask — the sort was 80% of the query's 2.8 s; the driver's
+    comparison is order-insensitive, and per-row results have no
+    inherent order).
     """
     o = table(spark, sf_dir, "orders")
     return o.selectExpr(
@@ -240,4 +244,4 @@ def sql_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "try_cast(substr(o_orderpriority, 1, 1) AS INTEGER)          AS prio_num",
         "try_cast(o_orderstatus AS INTEGER)                          AS status_num",
         "try_cast(substr(CAST(o_orderdate AS STRING), 1, 10) AS DATE) AS od",
-    ).orderBy("o_orderkey")
+    )

@@ -42,11 +42,17 @@ relation become ONE Catalyst plan:
 
 Parsing is deliberately conservative (prototype-parity with the
 reference, which only ever merged WordCount-shaped jobs): the canonical
-``SELECT keys+aggs FROM one_table [alias] [WHERE p] GROUP BY keys
-[HAVING h] [ORDER BY o] [LIMIT n]`` shape is merged; anything else —
-joins, subqueries, window functions, expressions we cannot alias
-stably — is DECLINED and runs unchanged on the normal path. A declined
-merge costs nothing.
+``SELECT keys+aggs FROM rel [WHERE p] GROUP BY keys [HAVING h]
+[ORDER BY o] [LIMIT n]`` shape is merged, where ``rel`` is a single
+table or — round-6 widening (VERDICT r5 ask #2) — an IDENTICAL chain
+of plain inner joins of named tables (``fact JOIN dim ON …``, the
+dashboard star shape; the reference grouped arbitrary same-input jobs,
+MRShareOptimizer.scala:32-146). The join stays inside the merged
+statement: one scan per base table feeds every member and AQE
+broadcasts the dim sides as it would for any single member. Anything
+else — outer joins, subqueries, window functions, expressions we
+cannot alias stably — is DECLINED and runs unchanged on the normal
+path. A declined merge costs nothing.
 
 Presentation clauses (HAVING / ORDER BY / LIMIT — round-5 widening:
 real dashboard aggregations virtually always carry one, and the
@@ -80,9 +86,10 @@ from sparksql_server_spark.server.model import QueryJob
 AGG_FUNCS = ("sum", "count", "min", "max", "avg")
 
 # statements containing these at top level are not mergeable shapes
-# (HAVING/ORDER/LIMIT are parsed, not rejected — round-5 widening)
+# (HAVING/ORDER/LIMIT are parsed, not rejected — round-5 widening;
+# JOIN is parsed, not rejected — round-6 widening: an identical chain
+# of plain inner joins is a mergeable FROM shape)
 _REJECT_TOP = (
-    "join",
     "union",
     "intersect",
     "except",
@@ -232,14 +239,77 @@ def _strip_qualifiers(text: str, names: list[str]) -> str:
     return "".join(out)
 
 
+_JOIN_DISALLOWED = re.compile(
+    r"\b(left|right|full|cross|outer|semi|anti|natural|using|values)\b", re.I
+)
+
+
+def _parse_join_from(from_text: str) -> Optional[str]:
+    """Canonical signature of an inner-join FROM chain, or None.
+
+    Round-6 widening (VERDICT r5 ask #2; reference parity:
+    MRShareOptimizer.scala:32-146 grouped ARBITRARY same-input jobs):
+    ``fact [AS f] JOIN dim [AS d] ON cond [JOIN dim2 ... ON ...]`` —
+    plain/INNER joins of simple named tables only. Outer joins, USING,
+    comma (implicit cross) joins, subqueries in FROM or ON, and
+    anything else decline. Members must write the SAME chain (same
+    tables, aliases, ON conditions, modulo case/whitespace) to share a
+    signature — the conservative bar: dashboard batches are generated
+    SQL, so identical FROM text is the common case, and a near-miss
+    merely runs unmerged.
+
+    The merged plan keeps the join inside the shared statement, so one
+    scan of every base table feeds all members, and Catalyst/AQE
+    broadcast the dim sides exactly as they would for any single
+    member — the 100 TB star-join shape."""
+    text = re.sub(r"\binner\s+join\b", "join", from_text, flags=re.I)
+    depth, instr = _scan(text)
+    for i, c in enumerate(text):
+        if c == "," and depth[i] == 0 and not instr[i]:
+            return None  # implicit comma join
+    for m in _JOIN_DISALLOWED.finditer(text):
+        if depth[m.start()] == 0 and not instr[m.start()]:
+            return None
+    cuts = [
+        m
+        for m in re.finditer(r"\bjoin\b", text, re.I)
+        if depth[m.start()] == 0 and not instr[m.start()]
+    ]
+    if not cuts:
+        return None
+    segs: list[str] = []
+    last = 0
+    for m in cuts:
+        segs.append(text[last: m.start()])
+        last = m.end()
+    segs.append(text[last:])
+    if not re.fullmatch(
+        r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", segs[0].strip(), re.I
+    ):
+        return None
+    for seg in segs[1:]:
+        m2 = re.match(
+            r"^\s*([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+on\s+(.+)$",
+            seg.strip(),
+            re.I | re.S,
+        )
+        if not m2 or re.search(r"\bselect\b", m2.group(3), re.I):
+            return None
+    return "join:" + _canon(text)
+
+
 @dataclass
 class ParsedAgg:
     """One mergeable aggregation query, decomposed."""
 
-    table: str  # lowercased simple identifier
+    table: str  # lowercased simple identifier, or 'join:<canon>' chain
     where: Optional[str]  # raw predicate text (no trailing keywords)
     group_canon: tuple[str, ...]  # sorted canonical GROUP BY exprs
     group_raw: dict[str, str]  # canonical -> raw text (for SQL emission)
+    # FROM-clause text for merged-SQL emission: the bare lowercased
+    # table name for single-table members, the first member's raw join
+    # chain for join-shaped members
+    from_raw: str = ""
     # select items in original order:
     #   ("key", canon_expr, out_alias)
     #   ("agg", raw_expr, calls, out_alias) — calls = aggregate calls
@@ -468,17 +538,35 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
 
     select_list = s[len("select"): m_from.start()]
     from_text = s[m_from.end(): ends["from"]].strip()
+    # any top-level JOIN must sit inside the FROM slice (valid SQL
+    # puts it nowhere else; a stray match means the clause slicing is
+    # not to be trusted — decline)
+    for m_j in re.finditer(r"\bjoin\b", s, re.I):
+        if not instr[m_j.start()] and depth[m_j.start()] == 0:
+            if not (m_from.end() <= m_j.start() < ends["from"]):
+                return None
     m_tbl = re.fullmatch(
         r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", from_text, re.I
     )
-    if not m_tbl:
-        return None
-    table = m_tbl.group(1)
-    table_alias = m_tbl.group(2)
-    # re-emission is FROM <table> (no alias): strip alias/table
-    # qualifiers from every expression slice so references resolve
-    # there and differently-aliased members share one signature
-    quals = [table_alias, table]
+    if m_tbl:
+        table = m_tbl.group(1)
+        table_alias = m_tbl.group(2)
+        # re-emission is FROM <table> (no alias): strip alias/table
+        # qualifiers from every expression slice so references resolve
+        # there and differently-aliased members share one signature
+        quals = [table_alias, table]
+        table_key = table.lower()
+        from_raw = table_key
+    else:
+        sig = _parse_join_from(from_text)
+        if sig is None:
+            return None
+        # join members keep their qualifiers: aliases resolve against
+        # the re-emitted join chain verbatim, and signature equality
+        # already requires identical aliasing
+        quals = []
+        table_key = sig
+        from_raw = re.sub(r"\s+", " ", from_text)
 
     where = None
     if m_where:
@@ -526,7 +614,11 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
     group_canon = tuple(sorted(group_raw))
 
     parsed = ParsedAgg(
-        table=table.lower(), where=where, group_canon=group_canon, group_raw=group_raw
+        table=table_key,
+        where=where,
+        group_canon=group_canon,
+        group_raw=group_raw,
+        from_raw=from_raw,
     )
     for item in _split_top(select_list):
         idepth, iinstr = _scan(item)
@@ -633,7 +725,7 @@ def _build_merge(
     ``members`` all share a table (and, when not ``grouping_sets``, a
     grouping signature).
     """
-    table = members[0][1].table
+    table = members[0][1].from_raw or members[0][1].table
     raw_of: dict[str, str] = {}
     for _, p in members:
         for c, r in p.group_raw.items():

@@ -100,8 +100,13 @@ def test_parse_expression_key_and_case_folding():
 @pytest.mark.parametrize(
     "sql",
     [
-        # joins / set ops / sorts / windows — not the mergeable shape
-        "SELECT c_name, count(*) AS n FROM customer c JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
+        # outer/implicit/subquery joins, set ops, sorts, windows — not
+        # the mergeable shape (plain inner-join chains ARE, round 6)
+        "SELECT c_name, count(*) AS n FROM customer c LEFT JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
+        "SELECT c_name, count(*) AS n FROM customer c JOIN orders o USING (c_custkey) GROUP BY c_name",
+        "SELECT c_name, count(*) AS n FROM customer c, orders o WHERE c_custkey = o_custkey GROUP BY c_name",
+        "SELECT c_name, count(*) AS n FROM customer c JOIN (SELECT * FROM orders) o ON c_custkey = o_custkey GROUP BY c_name",
+        "SELECT c_name, count(*) AS n FROM customer c CROSS JOIN orders o GROUP BY c_name",
         # presentation clauses outside the provably-rewritable surface
         "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_tax",  # non-key raw column
         "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag LIMIT ALL",
@@ -673,3 +678,93 @@ def test_merged_plan_scans_table_once(spark, executor):
 
     leaves = _re.findall(r"FileScan|BatchScan", physical)
     assert len(leaves) == 1
+
+
+# ---------------------------------------------------------------------------
+# round-6 widening: join-shaped members (VERDICT r5 ask #2)
+
+
+STAR_JOIN = [
+    "SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sq"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    " WHERE l_discount > 0.02 GROUP BY o_orderpriority",
+    "SELECT o_orderpriority, avg(l_extendedprice) AS ap"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    " WHERE l_quantity >= 25 GROUP BY o_orderpriority",
+]
+
+
+def test_parse_join_chain_shapes():
+    p0 = parse_agg_query(STAR_JOIN[0])
+    p1 = parse_agg_query(STAR_JOIN[1])
+    assert p0 is not None and p0.table.startswith("join:")
+    assert p0.table == p1.table  # identical chain -> shared signature
+    # INNER JOIN spells the same signature
+    alt = STAR_JOIN[0].replace("JOIN orders", "INNER JOIN orders")
+    assert parse_agg_query(alt).table == p0.table
+    # a different ON condition is a different signature
+    other = STAR_JOIN[0].replace(
+        "ON l_orderkey = o_orderkey", "ON l_orderkey = o_orderkey AND l_tax > 0"
+    )
+    po = parse_agg_query(other)
+    assert po is not None and po.table != p0.table
+
+
+def test_star_join_members_merge_matches_independent(spark, executor):
+    jobs, bags = _run_and_compare(spark, executor, STAR_JOIN, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.merges[0].grouping_sets == 1
+    assert bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_aliased_star_join_members_merge_matches_independent(spark, executor):
+    sqls = [
+        "SELECT o.o_orderpriority AS pri, sum(l.l_quantity) AS sq"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " WHERE l.l_discount > 0.02 GROUP BY o.o_orderpriority",
+        "SELECT o.o_orderpriority AS pri, count(*) AS n"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " GROUP BY o.o_orderpriority",
+    ]
+    _run_and_compare(spark, executor, sqls, {0, 1})
+
+
+def test_star_join_grouping_sets_merge_matches_independent(spark, executor):
+    sqls = [
+        STAR_JOIN[0],
+        "SELECT o_orderstatus, count(*) AS n"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " GROUP BY o_orderstatus",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.merges[0].grouping_sets == 2
+
+
+def test_join_and_single_table_members_do_not_cross_merge(spark, executor):
+    """A join chain over orders and a bare orders aggregation share a
+    base table but NOT an input relation — merging them would change
+    row multiplicity. They must stay separate signatures."""
+    sqls = [
+        STAR_JOIN[0],
+        "SELECT o_orderpriority, count(*) AS n FROM orders"
+        " GROUP BY o_orderpriority",
+    ]
+    _run_and_compare(spark, executor, sqls, set())
+
+
+def test_merged_join_plan_scans_each_table_once(spark, executor):
+    """The merged star-join plan reads each base table exactly once —
+    one lineitem scan + one orders scan feed both members (vs 2+2
+    unmerged)."""
+    import re as _re
+
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(STAR_JOIN)]
+    plans = plan_merges(jobs)
+    assert len(plans) == 1 and len(plans[0].jobs) == 2
+    merged = spark.sql(plans[0].merged_sql)
+    physical = merged._jdf.queryExecution().executedPlan().toString()
+    leaves = _re.findall(r"FileScan|BatchScan", physical)
+    assert len(leaves) == 2
+    assert physical.count("lineitem.parquet") == 1
+    assert physical.count("orders.parquet") == 1

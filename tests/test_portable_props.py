@@ -295,3 +295,46 @@ def test_quantile_sketch_degenerate_distribution(spark):
     con.execute("CREATE VIEW events AS SELECT 42.5 AS value FROM range(100)")
     for q, exact_v, sketch_v, err in con.execute(_qsketch_sql("duck")).fetchall():
         assert exact_v == 42.5 and sketch_v == 42.5 and err == 0.0
+
+
+def test_hll_wide_ids_beyond_2_31(spark):
+    """Round-6 widening: ids past the old 2^31 fold (snowflake-style
+    64-bit ids, plus a 2^31-stride space whose LOW half is constant)
+    must still estimate within HLL's m=64 error envelope, and the
+    Spark and DuckDB sketches must agree exactly (the oracle
+    property) — both engines run the identical widened 62-bit hash."""
+    from sparksql_server_spark.operators.aggregates import _hll_sql
+
+    id_spaces = {
+        # snowflake-ish: timestamp<<22 | worker<<12 | seq
+        "snowflake": [(1700000000000 + i) << 22 | (i % 32) << 12 | (i % 4096)
+                      for i in range(1500)],
+        # hi-half-only entropy: lo 31 bits constant — the case a naive
+        # lo-based bucket/rank collapses on
+        "hi_stride": [(i << 31) | 12345 for i in range(1, 1501)],
+        "beyond31_dense": [2**31 + i for i in range(1500)],
+    }
+    con = duckdb.connect()
+    for name, ids in id_spaces.items():
+        true_n = len(set(ids))
+        vals = ", ".join(f"({u})" for u in ids)
+        con.execute(
+            "CREATE OR REPLACE VIEW events AS "
+            f"SELECT 'a' AS event_type, user_id FROM (VALUES {vals}) t(user_id)"
+        )
+        duck_rows = con.execute(_hll_sql("duck")).fetchall()
+        est = duck_rows[0][2]
+        assert 0.5 * true_n <= est <= 2.0 * true_n, (
+            f"{name}: duck estimate {est} vs true {true_n}"
+        )
+        spark.createDataFrame(
+            [("a", u) for u in ids], "event_type string, user_id long"
+        ).createOrReplaceTempView("events")
+        try:
+            spark_rows = [tuple(r) for r in spark.sql(_hll_sql("spark")).collect()]
+            assert spark_rows == [tuple(r) for r in duck_rows], name
+        finally:
+            from sparksql_server_spark.catalog import register_tables
+            from tests.conftest import SF_DIR
+
+            register_tables(spark, SF_DIR, ("events",))
