@@ -178,8 +178,19 @@ class BatchExecutor:
             for bag in bags:
                 if len(bag.jobs) < 2:
                     continue
+                # prime-only jobs (jdbc_proxy window members) never
+                # merge: their demux result would be discarded — the
+                # client's own engine runs the full original statement
+                # — so a merge admitted on their count is pure waste.
+                # They still count for bag membership and cache
+                # admission below, which IS their sharing payoff.
                 for mp in plan_merges(
-                    [j for j in bag.jobs if j.status is JobStatus.QUEUED],
+                    [
+                        j
+                        for j in bag.jobs
+                        if j.status is JobStatus.QUEUED
+                        and not j.props.get("prime_only")
+                    ],
                     max_grouping_sets=self.mrshare_max_grouping_sets,
                 ):
                     if self._merge_source_bytes(mp) < self.mrshare_min_bytes:
@@ -384,6 +395,15 @@ class BatchExecutor:
         )
         start = time.monotonic()
         try:
+            if job.props.get("prime_only"):
+                # window-priming member (server/jdbc_proxy.py): its
+                # analysis fed detection and its presence fed cache
+                # admission; the one real execution happens in the
+                # client's own engine after the gate releases — running
+                # it here too would be the double-execution this mode
+                # exists to avoid
+                job.status = JobStatus.DONE
+                return
             # rewritten_sql = MRShare demux over the persisted merged
             # aggregate (set by _materialize_merge); absent on the
             # normal path

@@ -282,6 +282,26 @@ class WorkSharingServer:
         self.batcher.submit(job)
         return job
 
+    def prime(self, sql: str, timeout: float = 300.0) -> None:
+        """Window-gate for out-of-band doors (server/jdbc_proxy.py):
+        admit ``sql`` to the batching window as a PRIME-ONLY job —
+        analysis, bag membership, and the caching rewrite run; the
+        execution itself is skipped because the caller's own engine
+        (HiveServer2) performs the one real execution after this
+        returns, against whatever the batch cached. Blocks until the
+        statement's batch has run (the reference imposed exactly this
+        window latency on every client, WorksharingExecutor.scala:65-98).
+
+        Commands are not gated — they pass straight to the caller's
+        engine — but they conservatively flush the gateway result
+        cache: a JDBC DDL may change the shared catalog that cached
+        gateway results were derived from."""
+        if not self.executor._is_query(sql):
+            self.results.invalidate_all()
+            return
+        job = self.submit(sql, {"prime_only": True})
+        job.done_event.wait(timeout)
+
     def handle_request(self, req: dict[str, Any]) -> dict[str, Any]:
         if "status" in req:  # {"status": id} -> poll a submitted job
             job = self._jobs.get(int(req["status"]))

@@ -1171,3 +1171,300 @@ class TestSqlScripting:
             client_request(srv.address, {"sql": "DROP TABLE IF EXISTS script_ctr"})
             srv.shutdown()
             srv.executor.cache.clear()
+
+
+# -- JDBC-line proxy (server/jdbc_proxy.py) --------------------------------
+#
+# Reference parity: ALL clients through the window
+# (WorksharingExecutor.scala:65-98). The proxy holds a Thrift client's
+# ExecuteStatement frames until the gateway's window has admitted the
+# statement (prime-only job: analysis + bag + cache rewrite, no
+# execution), then forwards the ORIGINAL bytes to HiveServer2.
+
+import socket
+import struct as _st
+import threading as _th
+
+from sparksql_server_spark.server.jdbc_proxy import (
+    JdbcLineProxy,
+    parse_call,
+    statements_in_frame,
+)
+
+
+def _tstr(b: bytes) -> bytes:
+    return _st.pack(">i", len(b)) + b
+
+
+def _exec_stmt_call(sql: str, seq: int = 7) -> bytes:
+    """A real strict-TBinaryProtocol ExecuteStatement call, built from
+    the public TCLIService IDL: args{1: TExecuteStatementReq{1:
+    TSessionHandle{1: THandleIdentifier{1: guid, 2: secret}}, 2:
+    statement, 3: confOverlay map, 4: runAsync bool}}."""
+    hid = (
+        b"\x0b" + _st.pack(">h", 1) + _tstr(b"\x01" * 16)
+        + b"\x0b" + _st.pack(">h", 2) + _tstr(b"\x02" * 16)
+        + b"\x00"
+    )
+    sess = b"\x0c" + _st.pack(">h", 1) + hid + b"\x00"
+    req = (
+        b"\x0c" + _st.pack(">h", 1) + sess
+        + b"\x0b" + _st.pack(">h", 2) + _tstr(sql.encode())
+        + b"\x0d" + _st.pack(">h", 3) + b"\x0b\x0b" + _st.pack(">i", 0)
+        + b"\x02" + _st.pack(">h", 4) + b"\x00"
+        + b"\x00"
+    )
+    args = b"\x0c" + _st.pack(">h", 1) + req + b"\x00"
+    return (
+        _st.pack(">I", 0x80010001)
+        + _tstr(b"ExecuteStatement")
+        + _st.pack(">i", seq)
+        + args
+    )
+
+
+def _open_session_call() -> bytes:
+    # OpenSession args{1: TOpenSessionReq{1: i32 client_protocol}}
+    req = b"\x08" + _st.pack(">h", 1) + _st.pack(">i", 11) + b"\x00"
+    args = b"\x0c" + _st.pack(">h", 1) + req + b"\x00"
+    return (
+        _st.pack(">I", 0x80010001) + _tstr(b"OpenSession") + _st.pack(">i", 1) + args
+    )
+
+
+def _sasl_handshake() -> bytes:
+    # TSaslClientTransport: START(mechanism) then OK(initial response)
+    mech, initial = b"PLAIN", b"\x00anonymous\x00anonymous"
+    return (
+        b"\x01" + _st.pack(">i", len(mech)) + mech
+        + b"\x02" + _st.pack(">i", len(initial)) + initial
+    )
+
+
+def _frame(msg: bytes) -> bytes:
+    return _st.pack(">i", len(msg)) + msg
+
+
+class _Upstream:
+    """Fake HiveServer2: records the exact bytes of each connection."""
+
+    def __init__(self):
+        self.conns: list[bytearray] = []
+        self._lock = _th.Lock()
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.address = self._srv.getsockname()
+        self._thread = _th.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        try:
+            while True:
+                c, _ = self._srv.accept()
+                with self._lock:
+                    rec = bytearray()
+                    self.conns.append(rec)
+                _th.Thread(target=self._read, args=(c, rec), daemon=True).start()
+        except OSError:
+            pass
+
+    def _read(self, c, rec):
+        try:
+            while chunk := c.recv(1 << 16):
+                with self._lock:
+                    rec.extend(chunk)
+        except OSError:
+            pass
+
+    def wait_bytes(self, total: int, timeout: float = 30.0) -> int:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with self._lock:
+                got = sum(len(r) for r in self.conns)
+            if got >= total:
+                return got
+            time.sleep(0.02)
+        return got
+
+    def close(self):
+        self._srv.close()
+
+
+class TestThriftParsing:
+    def test_extracts_statement_and_end(self):
+        sql = "SELECT count(*) FROM lineitem WHERE l_tax > 0.01"
+        msg = _exec_stmt_call(sql)
+        end, name, stmt = parse_call(msg + b"XTRA")
+        assert (end, name, stmt) == (len(msg), "ExecuteStatement", sql)
+
+    def test_non_execute_calls_skip_generically(self):
+        msg = _open_session_call()
+        end, name, stmt = parse_call(msg)
+        assert (end, name, stmt) == (len(msg), "OpenSession", None)
+
+    def test_every_prefix_is_incomplete_not_error(self):
+        """A split TCP read can end at ANY byte: every strict prefix
+        must return None (wait for more), never a ValueError that would
+        demote the connection to blind."""
+        msg = _exec_stmt_call("SELECT 1")
+        for i in range(len(msg)):
+            assert parse_call(msg[:i]) is None, i
+
+    def test_garbage_raises_for_blind_demotion(self):
+        with pytest.raises(ValueError):
+            parse_call(b"\x00\x00\x00\x05hello world")
+
+    def test_statements_in_frame(self):
+        a, b = _exec_stmt_call("SELECT 1"), _exec_stmt_call("SELECT 2")
+        assert statements_in_frame(a + b) == ["SELECT 1", "SELECT 2"]
+        assert statements_in_frame(_open_session_call()) == []
+        assert statements_in_frame(b"not thrift at all") == []
+
+
+class TestJdbcLineProxy:
+    def test_raw_mode_gates_and_forwards_verbatim(self):
+        """NOSASL stream: messages forwarded byte-identically (split
+        reads included); ExecuteStatement SQL reaches the gate."""
+        ups = _Upstream()
+        gated = []
+        proxy = JdbcLineProxy(ups.address, gate=gated.append).start()
+        try:
+            payload = _open_session_call() + _exec_stmt_call("SELECT 42 AS x")
+            with socket.create_connection(proxy.address) as s:
+                for i in range(0, len(payload), 13):  # torn packets
+                    s.sendall(payload[i : i + 13])
+                    time.sleep(0.001)
+                assert ups.wait_bytes(len(payload)) == len(payload)
+            assert bytes(ups.conns[0]) == payload
+            assert gated == ["SELECT 42 AS x"]
+            assert proxy.stats["blind_connections"] == 0
+        finally:
+            proxy.stop()
+            ups.close()
+
+    def test_sasl_mode_gates_frames(self):
+        ups = _Upstream()
+        gated = []
+        proxy = JdbcLineProxy(ups.address, gate=gated.append).start()
+        try:
+            payload = (
+                _sasl_handshake()
+                + _frame(_open_session_call())
+                + _frame(_exec_stmt_call("SELECT 7 AS y"))
+            )
+            with socket.create_connection(proxy.address) as s:
+                s.sendall(payload)
+                assert ups.wait_bytes(len(payload)) == len(payload)
+            assert bytes(ups.conns[0]) == payload
+            assert gated == ["SELECT 7 AS y"]
+        finally:
+            proxy.stop()
+            ups.close()
+
+    def test_unknown_protocol_demotes_to_blind(self):
+        ups = _Upstream()
+        gated = []
+        proxy = JdbcLineProxy(ups.address, gate=gated.append).start()
+        try:
+            payload = b"\x16\x03\x01garbage-tls-hello" * 3
+            with socket.create_connection(proxy.address) as s:
+                s.sendall(payload)
+                assert ups.wait_bytes(len(payload)) == len(payload)
+            assert bytes(ups.conns[0]) == payload
+            assert gated == []
+            assert proxy.stats["blind_connections"] == 1
+        finally:
+            proxy.stop()
+            ups.close()
+
+    def test_gate_failure_never_blocks_the_wire(self):
+        def bomb(sql):
+            raise RuntimeError("window on fire")
+
+        ups = _Upstream()
+        proxy = JdbcLineProxy(ups.address, gate=bomb).start()
+        try:
+            payload = _exec_stmt_call("SELECT 1")
+            with socket.create_connection(proxy.address) as s:
+                s.sendall(payload)
+                assert ups.wait_bytes(len(payload)) == len(payload)
+            assert bytes(ups.conns[0]) == payload
+        finally:
+            proxy.stop()
+            ups.close()
+
+    def test_proxied_same_scan_statements_share_one_caching_bag(self, spark):
+        """VERDICT r5 #3 done-criterion: two proxy-submitted same-scan
+        queries land in one CACHING bag — pre-execution, through the
+        window, like the reference ran every client."""
+        srv = WorkSharingServer(spark, SF_DIR, window_size=2, max_wait=10.0)
+        srv.executor.cache = CacheManager(
+            spark,
+            budget_bytes=1 << 30,
+            min_bytes=0,
+            benefit_factor=0.0,
+            columnar_benefit_factor=0.0,
+        )
+        srv.start()
+        ups = _Upstream()
+        proxy = JdbcLineProxy(ups.address, gate=srv.prime).start()
+        q1 = "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+        q2 = "SELECT l_linestatus, count(*) AS n FROM lineitem GROUP BY l_linestatus"
+        payloads = {}
+
+        def client(name, sql):
+            p = _sasl_handshake() + _frame(_exec_stmt_call(sql))
+            payloads[name] = p
+            with socket.create_connection(proxy.address) as s:
+                s.sendall(p)
+                # hold the connection until the gate releases the frame
+                # upstream (wait_bytes below observes it)
+                time.sleep(0.1)
+
+        try:
+            t1 = _th.Thread(target=client, args=("a", q1))
+            t2 = _th.Thread(target=client, args=("b", q2))
+            t1.start(); t2.start()
+            t1.join(timeout=60); t2.join(timeout=60)
+            assert not (t1.is_alive() or t2.is_alive()), "proxy held a client forever"
+            total = sum(len(p) for p in payloads.values())
+            assert ups.wait_bytes(total) == total
+            # byte-exact pass-through, per connection
+            got = sorted(bytes(r) for r in ups.conns)
+            assert got == sorted(payloads.values())
+            # ONE window batch, TWO jobs, ONE caching bag over lineitem
+            stats = srv.executor.stats
+            assert stats["batches"] == 1, stats
+            assert stats["jobs_run"] == 2, stats
+            assert stats["caching_bags"] == 1, stats
+            assert proxy.stats["statements_gated"] == 2
+            lineitem_src = next(
+                s for s in source_view_map(SF_DIR) if "lineitem" in s
+            )
+            assert lineitem_src in srv.executor.cache.cached_sources
+            # prime-only members never executed in the gateway (the
+            # client's engine owns the one real execution)
+            jobs = list(srv._jobs.values())
+            assert len(jobs) == 2
+            assert all(j.props.get("prime_only") for j in jobs)
+            assert all(j.status is JobStatus.DONE for j in jobs)
+            assert all(j.rows is None for j in jobs)
+        finally:
+            proxy.stop()
+            ups.close()
+            srv.shutdown()
+            srv.executor.cache.clear()
+
+    def test_proxied_command_flushes_result_cache(self, spark):
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1)
+        srv.start()
+        try:
+            q = "SELECT r_regionkey FROM region ORDER BY r_regionkey"
+            client_request(srv.address, {"sql": q})
+            assert client_request(srv.address, {"sql": q}).get("cached") is True
+            # a command arriving through the proxy gate may change the
+            # shared catalog — conservatively flush served results
+            srv.prime("DROP TABLE IF EXISTS proxy_no_such_table")
+            assert "cached" not in client_request(srv.address, {"sql": q})
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()

