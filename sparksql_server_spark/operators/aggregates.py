@@ -375,47 +375,103 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hll_setops_sql("spark"))
 
 
-def _hll_running_sql(dialect: str) -> str:
-    """Shared shape: daily HLL registers (shared finalizer CTEs), an
-    as-of grid join carrying each bucket's cumulative max rank to
-    every day, per-day estimates, and the exact first-seen cumulative
-    series for the audit column. Days are epoch-day INTEGERS
-    (floor(epoch-seconds/86400), the events_behavior convention) —
-    CAST(ts AS DATE) is session-timezone-dependent in Spark and would
-    shift midnight-adjacent events off the tz-naive oracle's days."""
+def _hll_running_rest_sql(dialect: str, regs_rel: str) -> str:
+    """Everything downstream of the daily register table: the as-of
+    grid join carrying each bucket's cumulative max rank to every day,
+    per-day estimates, and the exact first-seen cumulative series for
+    the audit column. ``regs_rel`` names the (g, bucket, m_j) register
+    relation. Days are epoch-day INTEGERS (floor(epoch-seconds/86400),
+    the events_behavior convention) — CAST(ts AS DATE) is
+    session-timezone-dependent in Spark and would shift
+    midnight-adjacent events off the tz-naive oracle's days.
+
+    Two plan-shape constraints, both measured (r6/r7):
+
+    * days/buckets deliberately do NOT read the register relation:
+      Spark inlines CTE/subquery references, so `SELECT DISTINCT g
+      FROM regs` would re-execute the full per-event hash pipeline
+      once per reference (measured 3.4x regression, r6). The day
+      column needs no hash (read events directly) and the bucket
+      domain is the literal 0..63 range; unhit buckets only ever
+      produce NULL cumulative maxima, filtered before the estimate —
+      results identical.
+    * NESTED SUBQUERIES, not a WITH clause: Spark's CacheManager
+      performs cached-plan substitution on the analyzed plan but does
+      not rewrite inside WithCTE nodes, so any `WITH ...` in the
+      outer query silently bypasses the persisted register table and
+      recomputes the hash pipeline from parquet (verified: identical
+      query 0 vs 1 InMemoryTableScan with/without the WITH)."""
     sec = "unix_timestamp(ts)" if dialect == "spark" else "CAST(floor(epoch(ts)) AS BIGINT)"
-    src = f"(SELECT CAST(floor({sec} / 86400) AS BIGINT) AS g, user_id FROM events)"
+    buckets = (
+        "SELECT explode(sequence(0, 63)) AS bucket"
+        if dialect == "spark"
+        else "SELECT * FROM range(0, 64) t(bucket)"
+    )
+    days = (
+        f"SELECT DISTINCT CAST(floor({sec} / 86400) AS BIGINT) AS day"
+        " FROM events"
+    )
+    active = f"""
+      SELECT g, bucket, m_j FROM (
+        SELECT d.day AS g, bk.bucket, max(r.m_j) AS m_j
+        FROM ({days}) d
+        CROSS JOIN ({buckets}) bk
+        LEFT JOIN {regs_rel} r ON r.bucket = bk.bucket AND r.g <= d.day
+        GROUP BY d.day, bk.bucket
+      ) cum WHERE m_j IS NOT NULL"""
+    fin = f"""
+    SELECT g,
+           CASE WHEN raw <= 2.5 * {_HLL_M} AND n_zero > 0
+                THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / n_zero)
+                ELSE raw END AS hll
+    FROM (
+      SELECT g,
+             {_HLL_M} - n_active AS n_zero,
+             {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+               / (sum_pow + ({_HLL_M} - n_active)) AS raw
+      FROM (
+        SELECT g,
+               sum(power(2.0, -m_j)) AS sum_pow,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM ({active}) a GROUP BY g
+      ) sketch
+    ) est"""
+    exact = f"""
+    SELECT d.day,
+           CAST(sum(coalesce(n.n_new, 0))
+                OVER (ORDER BY d.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS exact_users_to_date
+    FROM ({days}) d
+    LEFT JOIN (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+      FROM (
+        SELECT user_id,
+               min(CAST(floor({sec} / 86400) AS BIGINT)) AS first_day
+        FROM events GROUP BY user_id
+      ) first_seen GROUP BY first_day
+    ) n ON n.day = d.day"""
     return f"""
-WITH {_hll_regs_ctes(dialect, src)},
-days AS (SELECT DISTINCT g AS day FROM regs),
-buckets AS (SELECT DISTINCT bucket FROM regs),
-cum AS (
-  SELECT d.day AS g, bk.bucket, max(r.m_j) AS m_j
-  FROM days d
-  CROSS JOIN buckets bk
-  LEFT JOIN regs r ON r.bucket = bk.bucket AND r.g <= d.day
-  GROUP BY d.day, bk.bucket),
-active AS (SELECT g, bucket, m_j FROM cum WHERE m_j IS NOT NULL),
-{_hll_est_ctes('active')},
-first_seen AS (
-  SELECT user_id,
-         min(CAST(floor({sec} / 86400) AS BIGINT)) AS first_day FROM events
-  GROUP BY user_id),
-news AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
-         FROM first_seen GROUP BY first_day),
-exact AS (
-  SELECT d.day,
-         CAST(sum(coalesce(n.n_new, 0))
-              OVER (ORDER BY d.day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS exact_users_to_date
-  FROM days d LEFT JOIN news n ON n.day = d.day)
 SELECT e.day, e.exact_users_to_date,
        CAST(round(f.hll, 6) AS DOUBLE) AS hll_estimate,
        CAST(round(f.hll / e.exact_users_to_date - 1, 6) AS DOUBLE) AS rel_error
-FROM exact e JOIN fin f ON e.day = f.g
+FROM ({exact}) e JOIN ({fin}) f ON e.day = f.g
 ORDER BY e.day
 """
+
+
+def _hll_running_src(dialect: str) -> str:
+    sec = "unix_timestamp(ts)" if dialect == "spark" else "CAST(floor(epoch(ts)) AS BIGINT)"
+    return f"(SELECT CAST(floor({sec} / 86400) AS BIGINT) AS g, user_id FROM events)"
+
+
+def _hll_running_sql(dialect: str) -> str:
+    """One-statement form (the DuckDB oracle; DuckDB materializes CTEs
+    sensibly, so the single statement is fine there)."""
+    return (
+        f"WITH {_hll_regs_ctes(dialect, _hll_running_src(dialect))}"
+        + _hll_running_rest_sql(dialect, "regs")
+    )
 
 
 @query("agg_hll_running_distinct", _hll_running_sql("duck"))
@@ -440,9 +496,27 @@ def agg_hll_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume, the entire point. The exact branch (one user-keyed
     groupBy) is the audit production drops; first-seen itself stays
     cheap because min(day) per user is combinable.
+
+    Plan note (r7): the register table is materialized as a cached
+    DataFrame rather than a CTE. Left inline, Catalyst's
+    InferFiltersFromConstraints pushes the grid join's
+    isnotnull(bucket) through the 12 collapsed projections,
+    duplicating the ENTIRE per-event hash expression inside a scan
+    Filter — and the resulting >2x-deep tree kicks the stage out of
+    whole-stage codegen (interpreted evaluation, measured 4.6 s vs
+    0.6 s for the register build alone at sf0.1). The
+    InMemoryRelation is an optimizer barrier AND the honest 100 TB
+    shape: daily registers (64 rows/day) ARE what a production
+    pipeline persists; the grid never touches raw events.
     """
     register_tables(spark, sf_dir, ("events",))
-    return spark.sql(_hll_running_sql(dialect="spark"))
+    regs = spark.sql(
+        f"WITH {_hll_regs_ctes('spark', _hll_running_src('spark'))} "
+        "SELECT g, bucket, m_j FROM regs"
+    )
+    regs.persist()
+    regs.createOrReplaceTempView("hll_daily_regs")
+    return spark.sql(_hll_running_rest_sql("spark", "hll_daily_regs"))
 
 
 def _nvr_sql(dialect: str) -> str:
