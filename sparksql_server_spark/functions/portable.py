@@ -50,7 +50,7 @@ def davg(x: str, scale: int = 6) -> str:
     return f"({dsum(x, scale)} / count({x}))"
 
 
-def spark_char_hash(expr: str) -> str:
+def spark_char_hash(expr: str, base: int = 31) -> str:
     """Rolling char hash of a string expression — Spark SQL dialect.
 
     Splits into a char array first: per-index ``substring(s, i, 1)``
@@ -58,21 +58,26 @@ def spark_char_hash(expr: str) -> str:
     slower on document-length strings), while ``split(s, '')`` walks
     it once. Empty string folds to 0 either way (split('','')=['']
     and ascii('')=0).
+
+    ``base`` selects the polynomial base; callers needing a SECOND
+    independent hash lane (60-bit SimHash) pass a different base
+    (131) — the two polynomials over the same mod-P field are
+    uncorrelated for distinct strings.
     """
     return (
         f"aggregate(transform(split({expr}, ''), "
         f"c -> bigint(ascii(c))), 0L, "
-        f"(acc, c) -> (acc * 31 + c) % {MOD_P})"
+        f"(acc, c) -> (acc * {base} + c) % {MOD_P})"
     )
 
 
-def duck_char_hash(expr: str) -> str:
+def duck_char_hash(expr: str, base: int = 31) -> str:
     """Rolling char hash of a string expression — DuckDB dialect."""
     return (
         f"list_reduce(list_prepend(0::BIGINT, "
         f"list_transform(range(1, length({expr}) + 1), "
         f"i -> ascii(substr({expr}, i, 1))::BIGINT)), "
-        f"(acc, c) -> (acc * 31 + c) % {MOD_P})"
+        f"(acc, c) -> (acc * {base} + c) % {MOD_P})"
     )
 
 

@@ -161,23 +161,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (28-bit portable variant)
+# SimHash (60-bit portable, two 30-bit char-hash lanes)
 # ---------------------------------------------------------------------------
 
-# 28 bits: the portable char hash is mod 1e9+7 (~2^30), so bits 0..27
-# are uniform; 28 = 4 blocks x 7 bits gives the pair retriever
-# 128-value bands (16-bit/4-bit blocks measured 27 s at sf0.1 — 16
-# bucket values per band make the candidate join quadratic-ish).
-_SH_BITS = 28
+# 60 bits from TWO independent rolling char hashes (bases 31 and 131,
+# both mod 1e9+7 ≈ 2^30): bits 0..29 come from lane h1, bits 30..59
+# from lane h2. r6 used a single lane (28 bits → 4x7-bit blocks =
+# only 512 retrieval buckets — a hard Σ bucket² ≈ N²/512 ceiling, the
+# worst ×10 scaling exponent in the corpus at 0.76). 60 bits gives the
+# pair retriever 4 x 15-bit blocks = 4x32768 buckets, so bucket width
+# tracks genuine similarity instead of signature-space exhaustion.
+_SH_BITS = 60
+_SH_LANE = 30  # bits per hash lane
+
 # per-bit signed sums as parallel aggregates (single GROUP BY pass; the
-# explode-by-bit form inflates the token-hash table 28x), then combine
-# the 28 signs into the signature integer.
+# explode-by-bit form inflates the token-hash table 60x), then combine
+# the 60 signs into the signature integer. The hash lanes are computed
+# ONCE per token in the projection below the partial aggregate (plan
+# verified: the sums reference bound columns h1/h2, not inlined hash
+# expressions).
+def _sh_bit(b: int, shr) -> str:
+    lane, off = ("h1", b) if b < _SH_LANE else ("h2", b - _SH_LANE)
+    return f"{shr(lane, off)} & 1 = 1"
+
+
 _SH_SUMS_SPARK = ", ".join(
-    f"sum(CASE WHEN shiftright(h, {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
+    f"sum(CASE WHEN {_sh_bit(b, lambda h, n: f'shiftright({h}, {n})')} "
+    f"THEN 1 ELSE -1 END) AS w{b}"
     for b in range(_SH_BITS)
 )
 _SH_SUMS_DUCK = ", ".join(
-    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}"
+    f"sum(CASE WHEN {_sh_bit(b, lambda h, n: f'({h} >> {n})')} "
+    f"THEN 1 ELSE -1 END) AS w{b}"
     for b in range(_SH_BITS)
 )
 _SH_COMBINE = " + ".join(
@@ -189,7 +204,8 @@ def _simhash_spark() -> str:
     return f"""
 WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
 tok AS (SELECT DISTINCT doc_id, tok FROM w LATERAL VIEW explode(w) t AS tok),
-th AS (SELECT doc_id, {spark_char_hash('tok')} AS h FROM tok),
+th AS (SELECT doc_id, {spark_char_hash('tok')} AS h1,
+              {spark_char_hash('tok', base=131)} AS h2 FROM tok),
 bits AS (SELECT doc_id, {_SH_SUMS_SPARK} FROM th GROUP BY doc_id)
 SELECT doc_id, CAST({_SH_COMBINE} AS BIGINT) AS simhash
 FROM bits ORDER BY doc_id
@@ -201,7 +217,8 @@ def _simhash_duck() -> str:
 WITH w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
 tok AS (SELECT DISTINCT doc_id, tok FROM
           (SELECT doc_id, unnest(w) AS tok FROM w)),
-th AS (SELECT doc_id, {duck_char_hash('tok')} AS h FROM tok),
+th AS (SELECT doc_id, {duck_char_hash('tok')} AS h1,
+              {duck_char_hash('tok', base=131)} AS h2 FROM tok),
 bits AS (SELECT doc_id, {_SH_SUMS_DUCK} FROM th GROUP BY doc_id)
 SELECT doc_id, CAST({_SH_COMBINE} AS BIGINT) AS simhash
 FROM bits ORDER BY doc_id
@@ -210,19 +227,19 @@ FROM bits ORDER BY doc_id
 
 @query("dedup_simhash", oracle=_simhash_duck())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signature per document (28-bit portable variant; the
-    production path widens to 64-bit by swapping the hash — the plan
-    shape is identical).
+    """SimHash signature per document — 60-bit portable variant from
+    two independent 30-bit rolling-hash lanes (bases 31/131 mod 1e9+7;
+    engine-native 64-bit hashes can't cross-check against the oracle).
 
     Scale: token explode → two keyed aggregations; near-dup candidates
-    then group by simhash value (hamming-0) or by rotated prefixes for
+    then group by simhash value (hamming-0) or by block banding for
     hamming<=k — never all-pairs (dedup_simhash_pairs below).
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_simhash_spark())
 
 
-# hamming<=3 retrieval: split the 28-bit signature into 4 blocks of 7
+# hamming<=3 retrieval: split the 60-bit signature into 4 blocks of 15
 # bits; by pigeonhole, any pair within hamming 3 agrees EXACTLY on at
 # least one block, so candidates come from equi-joining on
 # (block index, block value) — never an all-pairs cross join.
@@ -288,22 +305,24 @@ WHERE hamming <= {_SH_K}
 @query("dedup_simhash_pairs", oracle=_simhash_pairs_duck())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate retrieval: all pairs within hamming
-    distance 3, via 4-way block banding over the 16-bit signature
+    distance 3, via 4-way block banding over the 60-bit signature
     (reference behavior target: near-dup detection over the shared
     corpus; completes the signature-only dedup_simhash into a
     retriever).
 
     Scale: candidates come from an equi-join on (block index, block
     value) — cost Σ bucket², never N²; block entropy decides bucket
-    width (4-bit blocks = 16 values measured 27 s at sf0.1; 7-bit =
-    128 values; the production 64-bit signature uses 16-bit blocks).
-    The emit-once predicate (pair emitted only from its FIRST agreeing
-    block, checked bitwise from the two signatures in the join
-    condition) removes the dedup DISTINCT entirely, and there is no
-    presentation sort — on this self-similar corpus the result is
-    ~5 M pairs at sf0.1, and a global sort would re-execute the plan
-    for range sampling. After the (broadcastable) block join the query
-    is one codegen map: xor → bit_count → filter.
+    width. The r6 28-bit signature's 7-bit blocks gave only 4x128=512
+    bucket values — a constant ceiling that made candidate cost trend
+    toward N²/512 (×10 exponent 0.76, the corpus's worst); 15-bit
+    blocks give 4x32768 buckets, so bucket width tracks genuine
+    similarity, not signature-space exhaustion. The emit-once
+    predicate (pair emitted only from its FIRST agreeing block,
+    checked bitwise from the two signatures in the join condition)
+    removes the dedup DISTINCT entirely, and there is no presentation
+    sort (a global sort would re-execute the plan for range sampling).
+    After the (broadcastable) block join the query is one codegen map:
+    xor → bit_count → filter.
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_simhash_pairs_spark())

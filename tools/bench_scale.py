@@ -177,6 +177,19 @@ def _time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
 
 
 def main() -> None:
+    # selection: default = HEAVY tail; `--all` = the full corpus (the
+    # r6 verdict's ask — a constant-factor drift anywhere shows up as
+    # an outlier ratio without waiting for a regression to hit the
+    # top-5); explicit names = just those (quick re-measure after a
+    # targeted fix). Subset runs MERGE into the existing
+    # BENCH_SCALE.json so partial re-runs never erase corpus coverage.
+    argv = sys.argv[1:]
+    if argv == ["--all"]:
+        names = list(QUERIES)
+    elif argv:
+        names = argv
+    else:
+        names = HEAVY
     spark = get_session(app_name="bench-scale", cpus=CPUS)
     build_scaled(spark)
     big_rows = spark.read.parquet(f"{SCALE_DIR}/lineitem.parquet").count()
@@ -187,9 +200,15 @@ def main() -> None:
         "lineitem_rows_big": big_rows,
         "queries": {},
     }
+    if os.path.exists(OUT) and set(names) != set(QUERIES):
+        try:
+            with open(OUT) as f:
+                out["queries"] = json.load(f).get("queries", {})
+        except Exception:
+            pass
     import math
 
-    for name in HEAVY:
+    for name in names:
         if name not in QUERIES:
             out["queries"][name] = {"err": "unknown query"}
             continue
