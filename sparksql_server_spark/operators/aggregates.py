@@ -168,6 +168,19 @@ _HLL_MUL2 = 0xC2B2AE35
 _HLL_M31 = 1 << 31
 _HLL_M62 = 1 << 62  # hash domain: 62 bits (two mixed 31-bit lanes)
 
+# REGISTER FORMAT VERSION. The r6 62-bit widening changed the register
+# format incompatibly (rank base 26 -> 57 and different bucket
+# assignment): merging a persisted register table built under the old
+# 31-bit hash with a new one would produce silently-wrong estimates,
+# not an error. Any pipeline that PERSISTS register tables (the 100 TB
+# deployment shape this module's queries model) must stamp this tag
+# into the table path / a format column, refuse cross-version max()
+# merges, and rebuild pre-widening tables from raw events. The repo's
+# own queries materialize registers per run, so no migration applies
+# here — the tag exists so persisted-state deployments inherit the
+# gate, the standard discipline of mergeable-sketch systems.
+HLL_REGISTER_FORMAT = "hll-m64-h62-v2"
+
 
 def _hll_bitops(dialect: str):
     """(xor, shift-right) expression builders per dialect."""

@@ -244,6 +244,9 @@ class JdbcLineProxy:
     ) -> None:
         self.upstream = upstream
         self.gate = gate
+        # counters are read-modify-write from concurrent handler/pump
+        # threads; dict += is not atomic in CPython (ADVICE r6)
+        self._stats_lock = threading.Lock()
         self.stats = {
             "connections": 0,
             "statements_gated": 0,
@@ -253,7 +256,7 @@ class JdbcLineProxy:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
-                outer.stats["connections"] += 1
+                outer._bump("connections")
                 try:
                     up = socket.create_connection(outer.upstream, timeout=300)
                 except OSError:
@@ -294,6 +297,10 @@ class JdbcLineProxy:
         self._tcp.shutdown()
         self._tcp.server_close()
 
+    def _bump(self, counter: str) -> None:
+        with self._stats_lock:
+            self.stats[counter] += 1
+
     # -- pumps -------------------------------------------------------------
 
     @staticmethod
@@ -313,7 +320,7 @@ class JdbcLineProxy:
             pass
 
     def _gate_safely(self, sql: str) -> None:
-        self.stats["statements_gated"] += 1
+        self._bump("statements_gated")
         try:
             self.gate(sql)
         except Exception:  # sharing is best-effort; the query is not
@@ -341,7 +348,7 @@ class JdbcLineProxy:
                         mode = "sasl"
                     else:
                         mode = "blind"
-                        self.stats["blind_connections"] += 1
+                        self._bump("blind_connections")
                 if mode == "blind":
                     up.sendall(buf)
                     buf = b""
@@ -353,7 +360,7 @@ class JdbcLineProxy:
                     # before it already went out inside _drain) and
                     # stop interpreting this connection
                     mode = "blind"
-                    self.stats["blind_connections"] += 1
+                    self._bump("blind_connections")
                     up.sendall(buf)
                     buf = b""
         except OSError:

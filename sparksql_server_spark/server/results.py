@@ -12,10 +12,16 @@ Safety rules (all conservative):
   inline results never);
 - queries containing non-deterministic or time-dependent functions
   (rand, uuid, now, current_timestamp/date, …) are never cached;
-- ANY command (DDL/DML/CACHE/SET…) through the gateway invalidates the
-  WHOLE cache — per-table invalidation would need write-set tracking,
-  and a false retention is a wrong answer while a false invalidation
-  only costs a re-run;
+- commands invalidate by WRITE SET: each cached entry records the
+  tables its plan read (from the detector's leaf fingerprints), and a
+  command whose target tables parse out of its SQL flushes only the
+  intersecting entries — a log INSERT no longer zeroes the dashboard
+  hit rate. Any command whose write set canNOT be resolved (SET, ADD
+  JAR, unrecognized syntax) keeps the whole-cache flush: a false
+  retention is a wrong answer while a false invalidation only costs a
+  re-run. EVERY flush — scoped or full — bumps the put-epoch, so a
+  query in flight concurrently with any command can never insert its
+  (possibly pre-change) result afterwards;
 - entries expire after ``ttl_seconds`` and the table is LRU-bounded.
 
 At 100 TB this is the cheapest tier of the storage hierarchy: a repeat
@@ -45,6 +51,71 @@ _NONDET_BARE = re.compile(r"\b(current_timestamp|current_date|localtimestamp)\b"
 
 def cacheable_sql(sql: str) -> bool:
     return not (_NONDETERMINISTIC.search(sql) or _NONDET_BARE.search(sql))
+
+
+# write-set extraction: statement shapes whose TARGET relation is
+# syntactically fixed. One alternation, first capture group = target.
+# Matching is on the literal-stripped normalized text so a table name
+# inside a string can't spoof it. Anything that doesn't match resolves
+# to None -> whole-cache flush (SET changes evaluation semantics, ADD
+# JAR/unknown syntax could do anything).
+_WRITE_TARGET = re.compile(
+    r"^\s*(?:"
+    r"INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.`]+)"
+    r"|UPDATE\s+([\w.`]+)\s"
+    r"|DELETE\s+FROM\s+([\w.`]+)"
+    r"|MERGE\s+INTO\s+([\w.`]+)"
+    r"|DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?([\w.`]+)"
+    r"|ALTER\s+(?:TABLE|VIEW)\s+([\w.`]+)"
+    r"|TRUNCATE\s+(?:TABLE\s+)?([\w.`]+)"
+    r"|CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP\s+|TEMPORARY\s+)?"
+    r"(?:TABLE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)"
+    r"|REFRESH\s+(?:TABLE\s+)?([\w.`]+)"
+    r"|ANALYZE\s+TABLE\s+([\w.`]+)"
+    r"|(?:CACHE\s+(?:LAZY\s+)?|UNCACHE\s+)TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`]+)"
+    r")",
+    re.I,
+)
+
+
+def _bare_name(name: str) -> str:
+    """`db`.`tbl` / db.tbl -> tbl (cached entries key tables by the
+    unqualified basename of their scan fingerprints)."""
+    return name.replace("`", "").rsplit(".", 1)[-1].lower()
+
+
+def command_write_set(sql: str) -> Optional[frozenset[str]]:
+    """The set of table names a command statement writes/redefines, or
+    None when the statement shape isn't recognized (callers must then
+    flush everything). Multi-statement inputs are not a gateway shape
+    (one request = one statement), so only the head is inspected."""
+    m = _WRITE_TARGET.match(sql.strip())
+    if not m:
+        return None
+    target = next(g for g in m.groups() if g)
+    return frozenset({_bare_name(target)})
+
+
+_EXTENSIONS = (".parquet", ".orc", ".csv", ".json", ".txt", ".avro", ".xml")
+
+
+def tables_from_fingerprints(fingerprints) -> frozenset[str]:
+    """Map scan fingerprints (normalized source paths, see
+    plans/analysis.py::scan_fingerprints) to invalidation keys: the
+    full path AND the basename with a known data extension stripped
+    (``/data/sf0.1/part.parquet`` -> {that path, 'part'}), so both a
+    ``INSERT INTO part`` write set and a sink job's output PATH can
+    intersect it."""
+    keys: set[str] = set()
+    for path in fingerprints:
+        keys.add(path)
+        base = path.rsplit("/", 1)[-1].lower()
+        for ext in _EXTENSIONS:
+            if base.endswith(ext):
+                base = base[: -len(ext)]
+                break
+        keys.add(base)
+    return frozenset(keys)
 
 
 def _normalize_outside_literals(sql: str) -> str:
@@ -94,7 +165,9 @@ class ResultCache:
         # only compact results are worth pinning
         self.max_rows_per_entry = max_rows_per_entry
         self._lock = threading.Lock()
-        self._entries: OrderedDict[tuple, tuple[float, dict]] = OrderedDict()
+        self._entries: OrderedDict[
+            tuple, tuple[float, dict, Optional[frozenset[str]]]
+        ] = OrderedDict()
         self.hits = 0
         self.misses = 0
         self.invalidations = 0
@@ -115,7 +188,7 @@ class ResultCache:
             if hit is None:
                 self.misses += 1
                 return None
-            stored_at, payload = hit
+            stored_at, payload, _tables = hit
             if time.monotonic() - stored_at > self.ttl:
                 del self._entries[key]
                 self.misses += 1
@@ -124,14 +197,25 @@ class ResultCache:
             self.hits += 1
             return dict(payload)
 
-    def put(self, key: tuple, payload: dict, generation: Optional[int] = None) -> None:
+    def put(
+        self,
+        key: tuple,
+        payload: dict,
+        generation: Optional[int] = None,
+        tables: Optional[frozenset[str]] = None,
+    ) -> None:
+        """``tables`` is the entry's read set (invalidation keys from
+        ``tables_from_fingerprints``). None means unknown — such an
+        entry is invalidated by EVERY scoped flush, so an integration
+        that can't supply read sets degrades to the old whole-cache
+        behavior rather than to stale retention."""
         rows = payload.get("rows")
         if rows is not None and len(rows) > self.max_rows_per_entry:
             return  # too large to pin — re-running is cheaper than RAM
         with self._lock:
             if generation is not None and generation != self.generation:
                 return  # invalidated since the caller captured the epoch
-            self._entries[key] = (time.monotonic(), dict(payload))
+            self._entries[key] = (time.monotonic(), dict(payload), tables)
             self._entries.move_to_end(key)
             while len(self._entries) > self.max_entries:
                 self._entries.popitem(last=False)
@@ -145,6 +229,34 @@ class ResultCache:
             # insert their (possibly pre-command) results afterwards
             self.generation += 1
             self._entries.clear()
+
+    def invalidate_tables(self, tables: frozenset[str]) -> None:
+        """Flush entries whose read set intersects ``tables`` (or whose
+        read set is unknown). The epoch still advances — an in-flight
+        put cannot prove its plan didn't read the written table, so
+        every concurrent insertion is discarded (over-discard is a
+        re-run; under-discard is a wrong answer)."""
+        with self._lock:
+            doomed = [
+                k
+                for k, (_, _, read_set) in self._entries.items()
+                if read_set is None or read_set & tables
+            ]
+            if doomed:
+                self.invalidations += 1
+            for k in doomed:
+                del self._entries[k]
+            self.generation += 1
+
+    def bump_generation(self) -> None:
+        """Advance the put-epoch WITHOUT flushing: called at command
+        ARRIVAL (before it executes), so a query racing the command in
+        the same batch can never insert a result that may reflect the
+        command's in-progress state (ADVICE r6 medium). Existing
+        entries stay valid — they predate the command's effect and the
+        post-execution flush removes whichever the command touches."""
+        with self._lock:
+            self.generation += 1
 
     def __len__(self) -> int:
         with self._lock:

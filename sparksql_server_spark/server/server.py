@@ -59,7 +59,12 @@ from sparksql_server_spark.functions.udfs import register_udfs, register_udtfs
 from sparksql_server_spark.server.batcher import WindowBatcher
 from sparksql_server_spark.server.cache import CacheManager
 from sparksql_server_spark.server.model import QueryJob
-from sparksql_server_spark.server.results import ResultCache, cacheable_sql
+from sparksql_server_spark.server.results import (
+    ResultCache,
+    cacheable_sql,
+    command_write_set,
+    tables_from_fingerprints,
+)
 from sparksql_server_spark.server.scheduler import BatchExecutor
 
 import os
@@ -87,6 +92,7 @@ class WorkSharingServer:
         observe_out_of_band: bool = False,
         max_sessions: int = 64,
         session_idle_timeout: float = 3600.0,
+        jdbc_command_reflush_seconds: float = 5.0,
     ) -> None:
         self.spark = spark
         register_tables(spark, sf_dir)
@@ -130,6 +136,9 @@ class WorkSharingServer:
         # idle-timeout contract of every SQL server).
         self.max_sessions = max_sessions
         self.session_idle_timeout = session_idle_timeout
+        # prime(): delay before a JDBC command's second result-cache
+        # flush — sized past frame-forward + HiveServer2 execution
+        self.jdbc_command_reflush_seconds = jdbc_command_reflush_seconds
         self._sessions: dict[str, tuple[SparkSession, float]] = {}
         self._session_lock = threading.Lock()
         # cross-session result sharing (round 6 — the reference's whole
@@ -139,8 +148,9 @@ class WorkSharingServer:
         # share one cache namespace. The moment a session runs ANY
         # command (temp view, SET, DDL — anything that could change how
         # ITS text resolves) it is marked dirty and keys privately from
-        # then on; the command also flushes the whole cache (existing
-        # rule), so nothing stale survives the transition either way.
+        # then on; the command also bumps the put-epoch at arrival and
+        # flushes its write set (whole cache when unparseable) after
+        # running, so nothing stale survives the transition either way.
         self._dirty_sessions: set[str] = set()
         self._stop = threading.Event()
         self._loop_thread = threading.Thread(target=self._run_loop, daemon=True)
@@ -204,15 +214,13 @@ class WorkSharingServer:
                 continue
             try:
                 self.executor.run_batch(batch)
-                # a command anywhere in the batch (empty fingerprint
-                # set = not a plan-producing query) may have changed
+                # a command anywhere in the batch may have changed
                 # table state; a SINK job ("output" prop) may have
                 # overwritten a path a cached query read. Flush served
-                # results regardless of the client's wait mode.
-                if any(
-                    not j.fingerprints or j.props.get("output") for j in batch
-                ):
-                    self.results.invalidate_all()
+                # results regardless of the client's wait mode —
+                # scoped to the batch's union write set when every
+                # writer's target resolves, whole-cache otherwise.
+                self._flush_results_for_batch(batch)
             except Exception as exc:  # noqa: BLE001 — loop must survive
                 # run_batch guards per-job analyze/execute, but a fault
                 # in detection or the cache rewrite would otherwise kill
@@ -226,6 +234,58 @@ class WorkSharingServer:
                         job.status = JobStatus.ERROR
                         job.error = f"batch failed: {type(exc).__name__}: {exc}"
                         job.done_event.set()
+
+    def _resolve_write_set(
+        self, sql: str, session: SparkSession
+    ) -> frozenset[str] | None:
+        """Write set of a command, expanded to invalidation keys:
+        the parsed target names PLUS the targets' current scan
+        fingerprints (path + basename). Resolution runs at command
+        ARRIVAL, before execution — a table's name and its storage
+        location basename can differ (CREATE ... LOCATION), cached
+        entries key by fingerprint paths, and resolving pre-execution
+        is the only moment a DROP target or a to-be-replaced view
+        still resolves to the files today's entries actually read.
+        None = unparseable statement -> callers flush everything."""
+        ws = command_write_set(sql)
+        if ws is None:
+            return None
+        from sparksql_server_spark.plans.analysis import scan_fingerprints
+
+        keys: set[str] = set(ws)
+        for t in ws:
+            try:
+                keys |= tables_from_fingerprints(
+                    scan_fingerprints(session.table(t))
+                )
+            except Exception:
+                # target doesn't exist yet (CREATE) or isn't a
+                # relation — nothing can have read it under this name
+                pass
+        return frozenset(keys)
+
+    def _flush_results_for_batch(self, batch) -> None:
+        """Post-execution result-cache flush, scoped to the batch's
+        write set. Writers: commands (write set resolved at arrival in
+        handle_request, carried on the job) and sink jobs (write set =
+        the output path, plus its basename so a sink overwriting
+        ``/x/part.parquet`` flushes entries that read table ``part``).
+        One unresolvable writer -> whole flush."""
+        write_set: set[str] = set()
+        for j in batch:
+            if not self.executor._is_query(j.sql):
+                ws = j.props.get("_resolved_write_set", ...)
+                if ws is ...:  # command that bypassed handle_request
+                    ws = command_write_set(j.sql)
+                if ws is None:
+                    self.results.invalidate_all()
+                    return
+                write_set |= ws
+            out = j.props.get("output")
+            if out:
+                write_set |= tables_from_fingerprints({str(out).rstrip("/")})
+        if write_set:
+            self.results.invalidate_tables(frozenset(write_set))
 
     # -- request handling -------------------------------------------------
 
@@ -293,11 +353,32 @@ class WorkSharingServer:
         window latency on every client, WorksharingExecutor.scala:65-98).
 
         Commands are not gated — they pass straight to the caller's
-        engine — but they conservatively flush the gateway result
-        cache: a JDBC DDL may change the shared catalog that cached
-        gateway results were derived from."""
+        engine — but they flush the gateway result cache (scoped to the
+        parsed write set, whole cache when unresolvable): a JDBC DDL
+        may change the shared catalog that cached gateway results were
+        derived from. The command only EXECUTES on HiveServer2 after
+        this returns and the proxy forwards the frame, so a gateway
+        query could run and cache a pre-change result in that window —
+        the flush therefore runs twice: immediately (read-your-writes
+        for anything already cached) and again on a short timer sized
+        past frame-forward + HiveServer2 execution latency (ADVICE r6:
+        without the re-flush, a result cached inside the window
+        survives until TTL). The epoch bump at arrival additionally
+        discards every put from a query in flight across this call."""
         if not self.executor._is_query(sql):
-            self.results.invalidate_all()
+            self.results.bump_generation()
+            ws = self._resolve_write_set(sql, self.spark)
+
+            def _flush() -> None:
+                if ws is None:
+                    self.results.invalidate_all()
+                else:
+                    self.results.invalidate_tables(ws)
+
+            _flush()
+            t = threading.Timer(self.jdbc_command_reflush_seconds, _flush)
+            t.daemon = True
+            t.start()
             return
         job = self.submit(sql, {"prime_only": True})
         job.done_event.wait(timeout)
@@ -346,15 +427,37 @@ class WorkSharingServer:
             props["output"] = req["output"]
 
         # result cache (server/results.py): repeat deterministic query
-        # text with inline results is served from the gateway; any
-        # command conservatively flushes the whole cache after running
+        # text with inline results is served from the gateway; commands
+        # flush by write set after running (whole cache when the write
+        # set can't be parsed)
         is_query = self.executor._is_query(sql)
         sid = req.get("session")
-        if not is_query and sid is not None:
-            # conservative: mark BEFORE execution (a failed command may
-            # still have partially changed session state)
-            with self._session_lock:
-                self._dirty_sessions.add(sid)
+        resolved_ws: frozenset[str] | None = None
+        if not is_query:
+            # bump the put-epoch at ARRIVAL, before the command runs: a
+            # query batched concurrently with this command could
+            # otherwise execute with the command's in-progress session/
+            # catalog state visible and insert that result under a
+            # still-valid epoch (ADVICE r6 medium). Existing entries
+            # stay — they predate the command; the post-batch scoped
+            # flush removes the ones it touches.
+            self.results.bump_generation()
+            # resolve the write set NOW (a DROP target still exists;
+            # a replaced view still points at the files cached entries
+            # read) and carry it for the post-execution flushes
+            resolved_ws = self._resolve_write_set(sql, session)
+            props["_resolved_write_set"] = resolved_ws
+            if sid is not None:
+                # conservative: mark BEFORE execution (a failed command
+                # may still have partially changed session state)
+                with self._session_lock:
+                    self._dirty_sessions.add(sid)
+        # epoch captured BEFORE the clean/dirty check AND before
+        # submit: a same-session command arriving between this line and
+        # put() marks the session dirty + bumps the epoch, so the
+        # stale-keyed insertion below is discarded rather than served
+        # to other clean sessions
+        rc_generation = self.results.generation
         rc_key = None
         if (
             is_query
@@ -370,23 +473,30 @@ class WorkSharingServer:
                 cached["cached"] = True
                 return cached
 
-        # epoch captured BEFORE submit: if any command/sink invalidates
-        # while this query is in flight, put() below discards the entry
-        # instead of caching a result that predates the change
-        rc_generation = self.results.generation
         job = self.submit(sql, props, session=None if session is self.spark else session)
         if req.get("wait", True):
             job.done_event.wait()
             result = job.result()
             if not is_query:
-                self.results.invalidate_all()
-            elif (
+                # synchronous read-your-writes: flush before replying so
+                # this client's immediate next query can't hit a stale
+                # entry in the window before the batch loop's own flush
+                if resolved_ws is None:
+                    self.results.invalidate_all()
+                else:
+                    self.results.invalidate_tables(resolved_ws)
+            if is_query and (
                 rc_key is not None
                 and job.status.value == "done"
                 and job.rows is not None
                 and not job.props.get("truncated")
             ):
-                self.results.put(rc_key, result, generation=rc_generation)
+                self.results.put(
+                    rc_key,
+                    result,
+                    generation=rc_generation,
+                    tables=tables_from_fingerprints(job.fingerprints),
+                )
             return result
         return {"id": job.job_id, "status": job.status.value}
 

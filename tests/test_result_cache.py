@@ -80,6 +80,71 @@ def test_oversized_result_not_pinned():
     assert rc.get(k) is not None
 
 
+@pytest.mark.parametrize(
+    "sql,expect",
+    [
+        ("INSERT INTO part VALUES (1)", {"part"}),
+        ("INSERT OVERWRITE TABLE db.part SELECT 1", {"part"}),
+        ("UPDATE `sales`.`orders` SET x = 1", {"orders"}),
+        ("DELETE FROM lineitem WHERE 1=1", {"lineitem"}),
+        ("MERGE INTO tgt USING src ON tgt.k = src.k WHEN MATCHED THEN DELETE",
+         {"tgt"}),
+        ("DROP TABLE IF EXISTS old_t", {"old_t"}),
+        ("drop view v1", {"v1"}),
+        ("ALTER TABLE part ADD COLUMNS (z INT)", {"part"}),
+        ("TRUNCATE TABLE part", {"part"}),
+        ("CREATE OR REPLACE TEMPORARY VIEW v AS SELECT 1", {"v"}),
+        ("CREATE TABLE t2 AS SELECT * FROM part", {"t2"}),
+        ("REFRESH TABLE part", {"part"}),
+        ("CACHE TABLE part", {"part"}),
+        ("UNCACHE TABLE IF EXISTS part", {"part"}),
+        ("SET spark.sql.shuffle.partitions=8", None),
+        ("ADD JAR /tmp/x.jar", None),
+        ("BEGIN SELECT 1; END", None),
+    ],
+)
+def test_command_write_set(sql, expect):
+    from sparksql_server_spark.server.results import command_write_set
+
+    got = command_write_set(sql)
+    assert (got if got is None else set(got)) == expect
+
+
+def test_invalidate_tables_scoped_and_epoch():
+    """Scoped flush removes intersecting + unknown-read-set entries,
+    keeps the rest, and ALWAYS advances the put-epoch so racing
+    in-flight puts are discarded (ADVICE r6 medium)."""
+    from sparksql_server_spark.server.results import ResultCache
+
+    rc = ResultCache()
+    ka, kb, ku = (ResultCache.key(None, s) for s in ("qa", "qb", "qu"))
+    rc.put(ka, {"v": "a"}, tables=frozenset({"part", "/x/part.parquet"}))
+    rc.put(kb, {"v": "b"}, tables=frozenset({"region"}))
+    rc.put(ku, {"v": "u"}, tables=None)  # unknown read set
+    g0 = rc.generation
+    rc.invalidate_tables(frozenset({"part"}))
+    assert rc.get(ka) is None, "entry reading the written table flushes"
+    assert rc.get(ku) is None, "unknown read set flushes on every scope"
+    assert rc.get(kb) == {"v": "b"}, "untouched table survives"
+    assert rc.generation == g0 + 1
+    # an in-flight put captured before the scoped flush is discarded
+    rc.put(kb, {"v": "stale"}, generation=g0, tables=frozenset({"region"}))
+    assert rc.get(kb) == {"v": "b"}
+
+
+def test_bump_generation_discards_puts_without_flushing():
+    from sparksql_server_spark.server.results import ResultCache
+
+    rc = ResultCache()
+    k1, k2 = ResultCache.key(None, "q1"), ResultCache.key(None, "q2")
+    rc.put(k1, {"v": 1}, tables=frozenset({"t"}))
+    g0 = rc.generation
+    rc.bump_generation()  # command ARRIVED (hasn't executed yet)
+    assert rc.get(k1) == {"v": 1}, "existing entries predate the command"
+    rc.put(k2, {"v": 2}, generation=g0)
+    assert rc.get(k2) is None, "racing put must be discarded"
+
+
 def test_lru_and_ttl():
     rc = ResultCache(max_entries=2, ttl_seconds=0.2)
     k1, k2, k3 = (ResultCache.key(None, s) for s in ("a", "b", "c"))
@@ -112,21 +177,70 @@ def test_repeat_query_served_from_cache(server):
     assert stats["result_cache_hits"] >= 1
 
 
-def test_command_invalidates_cache(server, tmp_path):
+def test_command_invalidation_is_write_set_scoped(server, tmp_path):
+    """r6 verdict ask #4: INSERT into table A must keep cached results
+    for B and invalidate A's — whole-cache flushes on every command
+    zeroed the dashboard hit rate the moment a workload mixed DML."""
+    out = str(tmp_path / "t_scoped")
+    mk = client_request(
+        server.address,
+        {"sql": f"CREATE TABLE rc_scope USING parquet LOCATION '{out}' "
+                "AS SELECT r_regionkey AS k FROM region"},
+    )
+    assert mk["status"] == "done", mk
+    try:
+        qa = "SELECT count(*) AS n FROM rc_scope"
+        a1 = client_request(server.address, {"sql": qa})
+        b1 = client_request(server.address, {"sql": Q})
+        assert a1["status"] == "done" and b1["status"] == "done"
+        # both now cached
+        assert client_request(server.address, {"sql": qa}).get("cached") is True
+        assert client_request(server.address, {"sql": Q}).get("cached") is True
+        # write A: only A's entry flushes; B (region) survives
+        ins = client_request(
+            server.address, {"sql": "INSERT INTO rc_scope VALUES (999)"}
+        )
+        assert ins["status"] == "done", ins
+        a2 = client_request(server.address, {"sql": qa})
+        assert "cached" not in a2, "entry reading the written table must flush"
+        assert a2["rows"][0][0] == a1["rows"][0][0] + 1  # and see the write
+        assert client_request(server.address, {"sql": Q}).get("cached") is True, (
+            "entry reading an untouched table must survive the command"
+        )
+    finally:
+        client_request(server.address, {"sql": "DROP TABLE IF EXISTS rc_scope"})
+
+
+def test_unresolvable_command_flushes_everything(server):
+    """A command whose write set can't be parsed (SET changes
+    evaluation semantics for anything) keeps the conservative
+    whole-cache flush."""
     client_request(server.address, {"sql": Q})
     assert client_request(server.address, {"sql": Q}).get("cached") is True
-    # any command flushes (conservative whole-cache invalidation)
-    out = str(tmp_path / "t_inval")
-    reply = client_request(
-        server.address,
-        {"sql": f"CREATE TABLE rc_inval USING parquet LOCATION '{out}' AS SELECT * FROM region"},
+    r = client_request(
+        server.address, {"sql": "SET spark.sql.shuffle.partitions=32"}
     )
-    assert reply["status"] == "done", reply
-    try:
-        refreshed = client_request(server.address, {"sql": Q})
-        assert "cached" not in refreshed and refreshed["status"] == "done"
-    finally:
-        client_request(server.address, {"sql": "DROP TABLE IF EXISTS rc_inval"})
+    assert r["status"] == "done", r
+    refreshed = client_request(server.address, {"sql": Q})
+    assert "cached" not in refreshed and refreshed["status"] == "done"
+
+
+def test_drop_table_invalidates_its_entries(server, tmp_path):
+    out = str(tmp_path / "t_drop")
+    mk = client_request(
+        server.address,
+        {"sql": f"CREATE TABLE rc_drop USING parquet LOCATION '{out}' "
+                "AS SELECT 1 AS one"},
+    )
+    assert mk["status"] == "done", mk
+    qa = "SELECT sum(one) AS s FROM rc_drop"
+    client_request(server.address, {"sql": qa})
+    assert client_request(server.address, {"sql": qa}).get("cached") is True
+    assert client_request(server.address, {"sql": "DROP TABLE rc_drop"})[
+        "status"
+    ] == "done"
+    gone = client_request(server.address, {"sql": qa})
+    assert gone["status"] == "error" and "cached" not in gone
 
 
 def test_clean_sessions_share_results(server):

@@ -1461,9 +1461,17 @@ class TestJdbcLineProxy:
             q = "SELECT r_regionkey FROM region ORDER BY r_regionkey"
             client_request(srv.address, {"sql": q})
             assert client_request(srv.address, {"sql": q}).get("cached") is True
-            # a command arriving through the proxy gate may change the
-            # shared catalog — conservatively flush served results
+            # a resolvable command through the proxy gate flushes by
+            # write set — an unrelated DROP keeps the region entry (r7
+            # scoped invalidation) ...
             srv.prime("DROP TABLE IF EXISTS proxy_no_such_table")
+            assert client_request(srv.address, {"sql": q}).get("cached") is True
+            # ... a command touching the read table flushes it ...
+            srv.prime("REFRESH TABLE region")
+            assert "cached" not in client_request(srv.address, {"sql": q})
+            # ... and an unresolvable command still flushes everything
+            assert client_request(srv.address, {"sql": q}).get("cached") is True
+            srv.prime("SET spark.sql.ansi.enabled=false")
             assert "cached" not in client_request(srv.address, {"sql": q})
         finally:
             srv.shutdown()
