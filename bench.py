@@ -527,6 +527,46 @@ def main() -> None:
         timings[f"mrshare_join_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_join_{leg}_min"] = round(min(xs), 3)
 
+    # --- MRShare LEFT-join members (round 7, VERDICT r6 ask #5): the
+    # same star batch with the join type dashboard generators actually
+    # emit. Identical chain across members -> identical (null-extended)
+    # shared relation -> same CASE-fold; this leg proves the merge win
+    # survives the LEFT regime.
+    left_queries = [q.replace(" JOIN supplier", " LEFT JOIN supplier")
+                    for q in join_queries]
+
+    def _run_left_leg(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={
+                big_src: "lineitem_big",
+                os.path.join(SF_DIR, "supplier.parquet"): "supplier",
+            },
+            enable_mrshare=merged,
+        )
+        jobs = [
+            QueryJob(job_id=base_id + i, sql=q)
+            for i, q in enumerate(left_queries)
+        ]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged and not any(b.merges for b in bags):
+            print("WARN: left-join merge did not fire", file=sys.stderr)
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: left-join leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    left_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        left_trials["concurrent"].append(_run_left_leg(False, 17000 + 100 * rep))
+        left_trials["merged"].append(_run_left_leg(True, 18000 + 100 * rep))
+    for leg, xs in left_trials.items():
+        timings[f"mrshare_leftjoin_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_leftjoin_{leg}_min"] = round(min(xs), 3)
+
     # --- gateway result cache: repeat deterministic query text served
     # from memory (server/results.py). Measured through the REAL TCP
     # server: cold = first submission (batch window + execution),

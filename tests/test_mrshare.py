@@ -100,9 +100,12 @@ def test_parse_expression_key_and_case_folding():
 @pytest.mark.parametrize(
     "sql",
     [
-        # outer/implicit/subquery joins, set ops, sorts, windows — not
-        # the mergeable shape (plain inner-join chains ARE, round 6)
-        "SELECT c_name, count(*) AS n FROM customer c LEFT JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
+        # non-admissible joins, set ops, sorts, windows — not the
+        # mergeable shape (inner chains are since round 6, LEFT chains
+        # since round 7)
+        "SELECT c_name, count(*) AS n FROM customer c RIGHT JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
+        "SELECT c_name, count(*) AS n FROM customer c FULL OUTER JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
+        "SELECT c_name, count(*) AS n FROM customer c LEFT SEMI JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
         "SELECT c_name, count(*) AS n FROM customer c JOIN orders o USING (c_custkey) GROUP BY c_name",
         "SELECT c_name, count(*) AS n FROM customer c, orders o WHERE c_custkey = o_custkey GROUP BY c_name",
         "SELECT c_name, count(*) AS n FROM customer c JOIN (SELECT * FROM orders) o ON c_custkey = o_custkey GROUP BY c_name",
@@ -751,6 +754,149 @@ def test_join_and_single_table_members_do_not_cross_merge(spark, executor):
         " GROUP BY o_orderpriority",
     ]
     _run_and_compare(spark, executor, sqls, set())
+
+
+# round-7: the SplitMRShareJobs-analog grouping DP (VERDICT r6 ask #6)
+
+
+def _light_member(i: int) -> str:
+    return (
+        f"SELECT l_returnflag, l_linestatus, max(l_tax) AS m{i}"
+        f" FROM lineitem WHERE l_linenumber = {i % 7} "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def _distinct_member(i: int, col: str) -> str:
+    return (
+        f"SELECT l_returnflag, l_linestatus, count(DISTINCT {col}) AS nd{i}"
+        f" FROM lineitem WHERE l_linenumber = {i % 7} "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def test_dp_splits_mixed_bag_instead_of_merging_flat(spark, executor):
+    """12 same-signature members, 10 light + 2 carrying a DISTINCT
+    aggregate each. Merged flat, the two distinct groups force an
+    Expand x3 over the whole relation that taxes all 12 members
+    (modeled 38 vs 18 for the split); the DP must keep the light ten
+    in ONE merged plan and leave the distinct carriers out of it —
+    NOT decline the whole bag (the pre-DP behavior when the distinct
+    cap tripped)."""
+    sqls = [_light_member(i) for i in range(10)] + [
+        _distinct_member(10, "l_suppkey"),
+        _distinct_member(11, "l_partkey"),
+    ]
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
+    plans = plan_merges(jobs)
+    merged_ids = sorted(j.job_id for mp in plans for j in mp.jobs)
+    # one distinct group is Expand-free in Spark, so the DP absorbs the
+    # FIRST carrier into the light merge for free; the SECOND would tip
+    # the merged plan to two distinct groups (Expand x3 taxing all 12)
+    # and must stay out
+    assert merged_ids == list(range(11)), (
+        "lights + one distinct carrier merge; the second stays out"
+    )
+    assert len(plans) == 1 and len(plans[0].jobs) == 11
+    # end-to-end: merged == independent, the unmerged member still correct
+    _run_and_compare(spark, executor, sqls, set(range(11)))
+
+
+def test_dp_keeps_single_distinct_member_in_the_merge(spark, executor):
+    """ONE distinct group costs no Expand (Spark plans a single
+    distinct without it), so a bag of lights + one single-distinct
+    member merges flat — the DP must not over-split."""
+    sqls = [_light_member(i) for i in range(4)] + [
+        _distinct_member(4, "l_suppkey")
+    ]
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
+    plans = plan_merges(jobs)
+    assert len(plans) == 1 and len(plans[0].jobs) == 5
+    _run_and_compare(spark, executor, sqls, {0, 1, 2, 3, 4})
+
+
+def test_dp_member_cap_bounds_plan_width():
+    """|group| > max_members_per_merge is infeasible as one plan: 12
+    members under a cap of 5 split into ceil(12/5)-ish merged plans,
+    every one within the cap, all members still merged somewhere."""
+    sqls = [_light_member(i) for i in range(12)]
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
+    plans = plan_merges(jobs, max_members_per_merge=5)
+    assert all(len(mp.jobs) <= 5 for mp in plans)
+    assert sorted(j.job_id for mp in plans for j in mp.jobs) == list(range(12))
+    assert len(plans) == 3
+
+
+def test_dp_all_light_bag_still_merges_flat():
+    sqls = [_light_member(i) for i in range(10)]
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
+    plans = plan_merges(jobs)
+    assert len(plans) == 1 and len(plans[0].jobs) == 10
+
+
+# round-7 widening: LEFT-join star members (VERDICT r6 ask #5) — the
+# default shape of dashboard SQL generators. Orders without lineitems
+# don't exist in TPC-H, so the LEFT side here is orders LEFT JOIN a
+# FILTERED-by-nothing lineitem — null extension exercised through
+# customer, where customers without orders DO exist.
+
+
+LEFT_STAR = [
+    "SELECT c_mktsegment, count(*) AS n, count(o_orderkey) AS no"
+    " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+    " WHERE c_acctbal > 0 GROUP BY c_mktsegment",
+    "SELECT c_mktsegment, sum(o_totalprice) AS st"
+    " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+    " WHERE c_acctbal <= 0 GROUP BY c_mktsegment",
+]
+
+
+def test_parse_left_join_chain_shapes():
+    p0 = parse_agg_query(LEFT_STAR[0])
+    p1 = parse_agg_query(LEFT_STAR[1])
+    assert p0 is not None and p0.table.startswith("join:")
+    assert p0.table == p1.table  # identical LEFT chain -> shared signature
+    # LEFT OUTER JOIN spells the same signature
+    alt = LEFT_STAR[0].replace("LEFT JOIN", "LEFT OUTER JOIN")
+    assert parse_agg_query(alt).table == p0.table
+    # join TYPE is part of the signature: the inner chain never merges
+    # with the left chain (different row multiplicity for unmatched rows)
+    inner = LEFT_STAR[0].replace("LEFT JOIN", "JOIN")
+    pi = parse_agg_query(inner)
+    assert pi is not None and pi.table != p0.table
+    # RIGHT/FULL still decline
+    assert parse_agg_query(LEFT_STAR[0].replace("LEFT", "RIGHT")) is None
+    assert parse_agg_query(LEFT_STAR[0].replace("LEFT", "FULL OUTER")) is None
+
+
+def test_left_join_members_merge_matches_independent(spark, executor):
+    """Merged == independent over a LEFT chain whose null-extended rows
+    are REAL (customers without orders): the shared relation includes
+    them once, and each member's CASE-folded predicate/aggregate sees
+    exactly what its standalone run would."""
+    jobs, bags = _run_and_compare(spark, executor, LEFT_STAR, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_left_and_inner_join_members_do_not_cross_merge(spark, executor):
+    sqls = [
+        LEFT_STAR[0],
+        LEFT_STAR[0].replace("LEFT JOIN", "JOIN"),
+    ]
+    _run_and_compare(spark, executor, sqls, set())
+
+
+def test_merged_left_join_plan_scans_each_table_once(spark, executor):
+    import re as _re
+
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(LEFT_STAR)]
+    plans = plan_merges(jobs)
+    assert len(plans) == 1 and len(plans[0].jobs) == 2
+    merged = spark.sql(plans[0].merged_sql)
+    physical = merged._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("customer.parquet") == 1
+    assert physical.count("orders.parquet") == 1
 
 
 def test_merged_join_plan_scans_each_table_once(spark, executor):

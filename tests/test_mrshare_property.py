@@ -119,7 +119,7 @@ def test_merged_demux_equals_direct_on_duckdb(duck_li, batch):
     jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(batch)]
     for j in jobs:  # all generated shapes must be parseable...
         assert parse_agg_query(j.sql) is not None, j.sql
-    plans = plan_merges(jobs, max_distinct_aggs=10)
+    plans = plan_merges(jobs, max_distinct_aggs=10, cost_split=False)
     # ...and same-signature batches must merge into ONE plan
     assert len(plans) == 1 and len(plans[0].jobs) == len(jobs)
     mp = plans[0]
