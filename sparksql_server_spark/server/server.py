@@ -402,7 +402,16 @@ class WorkSharingServer:
         Queries resolve against the ROOT session: substitution is only
         reachable from connections that have run no command, and such
         connections see exactly the shared catalog — the same
-        clean-session argument the cross-client result cache rests on."""
+        clean-session argument the cross-client result cache rests on.
+
+        Cost note: a query whose result exceeds the inline cap is
+        executed here, discarded, and re-executed by HiveServer2 after
+        the fallback forward — the substitution trade pays for
+        dashboard-sized results (where the merge/cache/result-cache
+        wins live) and taxes bulk extracts. Deployments serving
+        mostly-bulk JDBC traffic should run the proxy without
+        ``answer`` (round-6 behavior: window priming only, single
+        execution always)."""
         try:
             if not self.executor._is_query(sql):
                 return {"passthrough": "command"}
