@@ -872,10 +872,13 @@ def _build_merge(
 
 
 # modeled cost of reading+decoding the shared source once, in units of
-# one aggregate pass over the same rows. 2.0 reflects the measured
-# regime between the CSV fact scans (parse-dominated, scan >> agg) and
-# parquet (scan ~ agg); the reference hardcoded its analogous constants
-# outright (fileSize=9800, B, m — MRShareOptimizer.scala:36-40).
+# one Expand pass over the same rows. Any value > 1 yields the same
+# decisions under the once-per-group Expand charge (see _split_members:
+# the maximum Expand saving from splitting a feasible group is 2, an
+# extra group always costs a scan); 2.0 is kept explicit so the model
+# stays a cost model rather than a boolean. The reference hardcoded its
+# analogous constants outright (fileSize=9800, B, m —
+# MRShareOptimizer.scala:36-40).
 _SCAN_WEIGHT = 2.0
 
 
@@ -898,17 +901,26 @@ def _split_members(
 
     Model, in input-relation-volume units (all members share one
     signature, hence one source and one row count):
-        cost(group) = scan (1.0) + expand_factor x |group|
+        cost(group) = scan_weight + expand_factor
         expand_factor = 1 if D <= 1 else D + 1
-    A group is infeasible as a merge when D > max_distinct_aggs
-    (Expand blowup cap, as before) or |group| > max_members (bounds
-    CASE columns per row and demux round-trips per plan — previously
-    unbounded within a bag). Members sort by distinct count (the
-    reference sorted by p_i), so the DP only needs consecutive splits;
-    the split separating 10 light members from 2 distinct-carrying
-    ones scores 18 vs 37 merged-flat — and unlike the old blanket
-    decline (which ran ALL 12 unmerged at cost 24), the light ten
-    still merge."""
+    The Expand factor charges ONCE per group, not per member — this is
+    MEASURED, not assumed: on the admitted regime (sources past the
+    64 MiB floor, e.g. the bench's 8x CSV fact), a 12-member bag with
+    two single-distinct carriers ran 1.86 s merged flat vs 2.22 s as
+    [lights]+[distincts] vs 3.49 s unmerged. Per-member CASE-folded
+    aggregate columns are whole-stage-codegen-fused and essentially
+    free next to a source scan, so an earlier per-member multiplier
+    (which made the DP split that bag) charged merging for work the
+    engine doesn't do. Under this calibration flat always wins within
+    feasibility, and the DP's remaining — and real — job is
+    CONSTRAINT-DRIVEN packing: a group is infeasible as a merge when
+    D > max_distinct_aggs (Expand blowup cap, as before) or |group| >
+    max_members (bounds CASE columns per row and demux round-trips per
+    plan — previously unbounded within a bag). Where the pre-DP
+    planner declined an over-cap bag WHOLESALE (all members unmerged),
+    the DP packs maximal feasible groups: members sort by distinct
+    count (the reference sorted by p_i), so consecutive splits
+    suffice."""
     ms = sorted(members, key=lambda jp: (jp[1].n_distinct_aggs, jp[0].job_id))
     n = len(ms)
     d = [p.n_distinct_aggs for _, p in ms]
@@ -920,7 +932,7 @@ def _split_members(
         if k > 1 and (big_d > max_distinct_aggs or k > max_members):
             return inf
         factor = 1.0 if big_d <= 1 else big_d + 1.0
-        return _SCAN_WEIGHT + factor * k
+        return _SCAN_WEIGHT + factor
 
     dp = [0.0] + [inf] * n
     back = [0] * (n + 1)
