@@ -231,6 +231,21 @@ def main() -> None:
         if isinstance(v.get("ratio"), (int, float)) and v["ratio"] > COPIES * 1.3
     }
     out["superlinear"] = sup
+    # regression list: the ranked worst x10 trends. Re-running a subset
+    # after a fix updates its row; comparing this list round-over-round
+    # catches constant-factor drifts (like r6's HLL CTE regression)
+    # before they reach the expensive tail.
+    ranked = sorted(
+        (
+            (k, v)
+            for k, v in out["queries"].items()
+            if isinstance(v.get("ratio"), (int, float))
+        ),
+        key=lambda kv: -kv[1]["ratio"],
+    )
+    out["worst_trends"] = [
+        {"query": k, **v} for k, v in ranked[:15]
+    ]
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"wrote": OUT, "superlinear": sup}))
