@@ -197,7 +197,11 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines); ties in x contribute a fixed rank-sum regardless of
     their internal order, so the row_number tiebreak cannot change the
     statistic. Scale: one o_custkey shuffle + one global rank window
-    over the per-customer rollup (rows = customers, not orders).
+    over the per-customer rollup (rows = customers, not orders). At
+    billions of customers the rank window takes the same two-pass
+    rewrite as abc_pareto_parts (range-partition by x, per-partition
+    partial ranks/sums, broadcast partition offsets) — or the binned
+    Lorenz-curve form when an approximate Gini suffices.
     """
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(_GINI_SQL)

@@ -298,9 +298,9 @@ scored AS (
   FROM contrib GROUP BY doc_id)
 SELECT doc_id, bm25,
        CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
-FROM scored
+FROM (SELECT doc_id, bm25 FROM scored
+      ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOP}) top
 ORDER BY bm25 DESC, doc_id
-LIMIT {_BM25_TOP}
 """
 
 
@@ -318,9 +318,12 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     only query-term postings ever shuffle (the classic inverted-index
     access path, expressed relationally); df aggregates tf's tiny
     output; dl/stats are document-count-sized; the final top-k is a
-    TakeOrdered over |matching docs|. At 100 TB the only large shuffle
-    is the postings aggregation, proportional to query-term frequency,
-    not corpus size.
+    TakeOrdered over |matching docs| — the rank column is computed by
+    a window AFTER the LIMIT, over 20 rows, never a global
+    single-partition window over every scored document (r7: the
+    pre-LIMIT global row_number was the one serial construct here).
+    At 100 TB the only large shuffle is the postings aggregation,
+    proportional to query-term frequency, not corpus size.
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_bm25_sql("spark"))
