@@ -1784,3 +1784,122 @@ class TestThriftSubstitution:
             srv.shutdown()
             srv.executor.cache.clear()
             ups.close()
+
+
+class TestThriftEncoderProperties:
+    """The synthesized replies are hand-rolled wire code — property-pin
+    them against the generic reader: every encode decodes to the fields
+    sent, and (split-read robustness) no strict prefix decodes."""
+
+    def test_fetch_roundtrip_property(self):
+        from hypothesis import given, settings, strategies as st
+        from sparksql_server_spark.server.jdbc_proxy import encode_fetch_resp
+
+        cell = st.one_of(
+            st.none(),
+            st.integers(-2**31, 2**31),
+            st.text(max_size=20),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            ncols=st.integers(0, 5),
+            nrows=st.integers(0, 30),
+            seqid=st.integers(-2**31, 2**31 - 1),
+            data=st.data(),
+        )
+        def prop(ncols, nrows, seqid, data):
+            cols = [
+                [data.draw(cell) for _ in range(nrows)] for _ in range(ncols)
+            ]
+            msg = encode_fetch_resp(seqid, cols)
+            end, name, seq, d = _t_reply(msg)
+            assert (end, name, seq) == (len(msg), "FetchResults", seqid)
+            assert d[0][2] is False  # hasMoreRows
+            got = d[0][3][3]
+            assert len(got) == ncols
+            for j, col in enumerate(got):
+                vals, nulls = col[7][1], col[7][2]
+                assert len(vals) == nrows
+                for i in range(nrows):
+                    is_null = bool(nulls[i // 8] & (1 << (i % 8)))
+                    if cols[j][i] is None:
+                        assert is_null and vals[i] == b""
+                    else:
+                        assert not is_null
+                        assert vals[i] == str(cols[j][i]).encode()
+
+        prop()
+
+    def test_metadata_roundtrip_property(self):
+        from hypothesis import given, settings, strategies as st
+        from sparksql_server_spark.server.jdbc_proxy import encode_metadata_resp
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            names=st.lists(st.text(min_size=1, max_size=30), max_size=8),
+            seqid=st.integers(-2**31, 2**31 - 1),
+        )
+        def prop(names, seqid):
+            msg = encode_metadata_resp(seqid, names)
+            end, name, seq, d = _t_reply(msg)
+            assert (end, name, seq) == (len(msg), "GetResultSetMetadata", seqid)
+            descs = d[0][2][1]
+            assert [cd[1].decode() for cd in descs] == names
+            assert [cd[3] for cd in descs] == list(range(1, len(names) + 1))
+            for cd in descs:  # STRING_TYPE in every TTypeDesc
+                assert cd[2][1][0][1][1] == 7
+
+        prop()
+
+    def test_no_strict_prefix_decodes(self):
+        from sparksql_server_spark.server.jdbc_proxy import (
+            encode_execute_resp,
+            encode_fetch_resp,
+        )
+
+        for msg in (
+            encode_execute_resp(3, b"G" * 16, b"S" * 16),
+            encode_fetch_resp(4, [["a", None], [1, 2]]),
+        ):
+            for i in range(len(msg)):
+                try:
+                    end, *_ = _t_reply(msg[:i])
+                except Exception:
+                    continue
+                assert end > i, "a strict prefix must never parse complete"
+
+    def test_sequential_statements_one_connection(self):
+        """One connection, three statements in sequence: substituted →
+        command (demotes) → formerly-substitutable query now forwards.
+        The op handles of the first statement stay serviceable after
+        the demotion (the client may close them late)."""
+        ups = _Upstream()
+
+        def answer(sql):
+            if "SET" in sql:
+                return {"passthrough": "command"}
+            return {"columns": ["x"], "rows": [["1"]]}
+
+        proxy = JdbcLineProxy(ups.address, gate=lambda s: None, answer=answer).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                c.sendall(_exec_stmt_call("SELECT 1", seq=1))
+                _n, _s, d = _recv_reply(c)
+                guid = d[0][2][1][1]
+                c.sendall(_exec_stmt_call("SET a=1", seq=2))
+                m3 = _exec_stmt_call("SELECT 1", seq=3)
+                c.sendall(m3)
+                # both the command and the post-command query forwarded
+                got = ups.wait_bytes(1)
+                assert got > 0
+                # late CloseOperation on the pre-demotion handle still
+                # answered locally
+                c.sendall(_op_call("CloseOperation", guid, 4))
+                name, _seq, d = _recv_reply(c)
+                assert name == "CloseOperation" and d[0][1][1] == 0
+            assert proxy.stats["statements_answered"] == 1
+        finally:
+            proxy.stop()
+            ups.close()
