@@ -19,18 +19,23 @@ change beyond the port number:
                      HiveServer2 executes against the warm cache
 
 It is a byte-level pass-through: every byte the client sends reaches
-HiveServer2 unmodified and in order. The only intervention is TIMING —
-a frame carrying an ``ExecuteStatement`` call is held until the
-gateway's window has admitted the statement as a prime-only job and the
-batch (detection + cache rewrite) has run. Concurrent dashboard clients
-therefore land in ONE window batch, their shared scan is detected and
-cached ONCE, and each client's own HiveServer2 execution — the single
-real execution per statement, there is no double-run — reads the
-InMemoryRelation. The MERGE rewrite stays gateway-only by construction:
-a pass-through cannot substitute a rewritten result into the Thrift
-response stream (HiveServer2 computes its own answer), so merged
-aggregation still requires the JSON gateway; the forgone increment is
-measured in server/thrift.py's docstring.
+HiveServer2 unmodified and in order. The baseline intervention is
+TIMING — a frame carrying an ``ExecuteStatement`` call is held until
+the gateway's window has admitted the statement as a prime-only job and
+the batch (detection + cache rewrite) has run. Concurrent dashboard
+clients therefore land in ONE window batch, their shared scan is
+detected and cached ONCE, and each client's own HiveServer2 execution
+reads the InMemoryRelation.
+
+Round 7 adds the second regime, SUBSTITUTION (``answer=``, see
+JdbcLineProxy docstring): statements the gateway can fully answer are
+never forwarded at all — the proxy synthesizes the Thrift operation
+lifecycle from the gateway's (possibly MRShare-merged) execution, so
+the merge win reaches JDBC clients too. Substitution is fenced by a
+per-connection cleanliness bit: a non-benign OpenSession configuration
+overlay (set:hivevar/engine confs, non-default database — connect-time
+session state the gateway cannot see) or the first command statement
+demotes the connection to gate+forward for its remaining lifetime.
 
 Wire knowledge used (all public Apache Thrift / HiveServer2 spec):
 
@@ -257,15 +262,89 @@ _OP_METHODS = frozenset(
 )
 
 
+def _open_conf_from_args(buf: bytes, pos: int) -> tuple[int, dict[str, str]]:
+    """TOpenSessionReq's configuration overlay (field 4,
+    map<string,string>), plus the args end offset. The overlay is the
+    connect-time session state the gateway cannot see — substitution
+    must know it."""
+    conf: dict[str, str] = {}
+    while True:
+        _need(buf, pos, 1)
+        ft = buf[pos]
+        pos += 1
+        if ft == _STOP:
+            return pos, conf
+        _need(buf, pos, 2)
+        (fid,) = struct.unpack_from(">h", buf, pos)
+        pos += 2
+        if ft == _STRUCT and fid == 1:  # TOpenSessionReq
+            while True:
+                _need(buf, pos, 1)
+                rt = buf[pos]
+                pos += 1
+                if rt == _STOP:
+                    break
+                _need(buf, pos, 2)
+                (rid,) = struct.unpack_from(">h", buf, pos)
+                pos += 2
+                if rt == _MAP and rid == 4:  # configuration
+                    _need(buf, pos, 6)
+                    kt, vt = buf[pos], buf[pos + 1]
+                    (n,) = struct.unpack_from(">i", buf, pos + 2)
+                    if n < 0:
+                        raise ValueError("negative map size")
+                    pos += 6
+                    for _ in range(n):
+                        if kt == _STRING and vt == _STRING:
+                            _need(buf, pos, 4)
+                            (kl,) = struct.unpack_from(">i", buf, pos)
+                            _need(buf, pos + 4, kl)
+                            k = buf[pos + 4 : pos + 4 + kl].decode("utf-8", "replace")
+                            pos += 4 + kl
+                            _need(buf, pos, 4)
+                            (vl,) = struct.unpack_from(">i", buf, pos)
+                            _need(buf, pos + 4, vl)
+                            v = buf[pos + 4 : pos + 4 + vl].decode("utf-8", "replace")
+                            pos += 4 + vl
+                            conf[k] = v
+                        else:
+                            pos = _skip(buf, pos, kt)
+                            pos = _skip(buf, pos, vt)
+                else:
+                    pos = _skip(buf, pos, rt)
+        else:
+            pos = _skip(buf, pos, ft)
+
+
+def benign_open_conf(conf: dict[str, str]) -> bool:
+    """True when a connect-time configuration overlay cannot change
+    what a shared-catalog query means: the default database selection
+    and server-side thrift transport knobs (fetch sizing etc. — they
+    shape RESPONSE BATCHING, which the substitution controls anyway,
+    never query semantics). Anything else — set:hivevar substitutions,
+    engine/exec confs, a non-default database — must demote the
+    connection to gate+forward."""
+    for k, v in conf.items():
+        if k == "use:database":
+            if v != "default":
+                return False
+        elif k.startswith("set:hiveconf:hive.server2."):
+            continue
+        else:
+            return False
+    return True
+
+
 def parse_call_ex(
     buf: bytes, pos: int = 0
 ) -> Optional[tuple[int, str, int, Optional[str], Optional[bytes], int]]:
     """Parse one strict-TBinaryProtocol CALL message starting at
     ``pos``. Returns ``(end, method_name, seqid, statement, op_guid,
-    fetch_type)`` — ``statement`` for ExecuteStatement, ``op_guid``
-    for operation-scoped methods — or None when the buffer ends
-    mid-message (read more and retry). Raises ValueError on bytes
-    that are not a strict Thrift message."""
+    fetch_type, open_conf)`` — ``statement`` for ExecuteStatement,
+    ``op_guid`` for operation-scoped methods, ``open_conf`` (the
+    configuration overlay map) for OpenSession — or None when the
+    buffer ends mid-message (read more and retry). Raises ValueError
+    on bytes that are not a strict Thrift message."""
     try:
         _need(buf, pos, 4)
         (version,) = struct.unpack_from(">I", buf, pos)
@@ -285,13 +364,16 @@ def parse_call_ex(
         stmt: Optional[str] = None
         guid: Optional[bytes] = None
         fetch_type = 0
+        open_conf: Optional[dict] = None
         if name == "ExecuteStatement":
             pos, stmt = _statement_from_args(buf, pos)
         elif name in _OP_METHODS:
             pos, guid, fetch_type = _handle_guid_from_args(buf, pos)
+        elif name == "OpenSession":
+            pos, open_conf = _open_conf_from_args(buf, pos)
         else:
             pos = _skip(buf, pos, _STRUCT)
-        return pos, name, seqid, stmt, guid, fetch_type
+        return pos, name, seqid, stmt, guid, fetch_type, open_conf
     except _Incomplete:
         return None
 
@@ -302,7 +384,7 @@ def parse_call(buf: bytes, pos: int = 0) -> Optional[tuple[int, str, Optional[st
     parsed = parse_call_ex(buf, pos)
     if parsed is None:
         return None
-    end, name, _seqid, stmt, _guid, _ft = parsed
+    end, name, _seqid, stmt, _guid, _ft, _conf = parsed
     return end, name, stmt
 
 
@@ -678,7 +760,11 @@ class JdbcLineProxy:
                     return buf, True
                 if parsed is None:
                     break  # incomplete message
-                end, name, seqid, stmt, guid, ftype = parsed
+                end, name, seqid, stmt, guid, ftype, oconf = parsed
+                if name == "OpenSession" and oconf and not benign_open_conf(oconf):
+                    # connect-time session state the gateway cannot
+                    # see: no substitution on this connection, ever
+                    conn.clean = False
                 reply = self._local_reply(conn, name, seqid, stmt, guid, ftype)
                 if reply is not None:
                     with conn.wlock:
@@ -737,7 +823,9 @@ class JdbcLineProxy:
             return None
         if parsed is None or parsed[0] != len(payload):
             return None
-        _end, name, seqid, stmt, guid, ftype = parsed
+        _end, name, seqid, stmt, guid, ftype, oconf = parsed
+        if name == "OpenSession" and oconf and not benign_open_conf(oconf):
+            conn.clean = False
         return self._local_reply(conn, name, seqid, stmt, guid, ftype)
 
     def _local_reply(

@@ -1903,3 +1903,85 @@ class TestThriftEncoderProperties:
         finally:
             proxy.stop()
             ups.close()
+
+
+def _open_session_with_conf(conf: dict, seq: int = 1) -> bytes:
+    """OpenSession args{1: TOpenSessionReq{1: i32 protocol,
+    4: map<string,string> configuration}}."""
+    entries = b""
+    for k, v in conf.items():
+        entries += _tstr(k.encode()) + _tstr(v.encode())
+    cmap = (
+        b"\x0d" + _st.pack(">h", 4)
+        + b"\x0b\x0b" + _st.pack(">i", len(conf)) + entries
+    )
+    req = (
+        b"\x08" + _st.pack(">h", 1) + _st.pack(">i", 11)
+        + cmap
+        + b"\x00"
+    )
+    args = b"\x0c" + _st.pack(">h", 1) + req + b"\x00"
+    return (
+        _st.pack(">I", 0x80010001) + _tstr(b"OpenSession")
+        + _st.pack(">i", seq) + args
+    )
+
+
+class TestOpenSessionConfFence:
+    def test_benign_conf_keeps_substitution(self):
+        from sparksql_server_spark.server.jdbc_proxy import benign_open_conf
+
+        assert benign_open_conf({})
+        assert benign_open_conf({"use:database": "default"})
+        assert benign_open_conf(
+            {"set:hiveconf:hive.server2.thrift.resultset.default.fetch.size": "500"}
+        )
+        assert not benign_open_conf({"use:database": "prod"})
+        assert not benign_open_conf({"set:hivevar:x": "1"})
+        assert not benign_open_conf({"set:hiveconf:spark.sql.ansi.enabled": "true"})
+
+    def test_non_benign_open_conf_demotes_connection(self):
+        """A connection opened with engine confs must never be
+        substituted — the overlay changes what its queries mean on
+        HiveServer2 and the gateway cannot reproduce it."""
+        ups = _Upstream()
+        proxy = JdbcLineProxy(
+            ups.address,
+            gate=lambda s: None,
+            answer=lambda s: {"columns": ["x"], "rows": [["1"]]},
+        ).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                opens = _open_session_with_conf(
+                    {"set:hiveconf:spark.sql.ansi.enabled": "true"}
+                )
+                c.sendall(opens)
+                ups.wait_bytes(len(opens))  # OpenSession still forwards
+                msg = _exec_stmt_call("SELECT 1", seq=2)
+                c.sendall(msg)
+                # forwarded, NOT answered
+                assert ups.wait_bytes(len(opens) + len(msg)) == len(opens) + len(msg)
+            assert proxy.stats["statements_answered"] == 0
+        finally:
+            proxy.stop()
+            ups.close()
+
+    def test_default_db_open_conf_substitutes(self):
+        ups = _Upstream()
+        proxy = JdbcLineProxy(
+            ups.address,
+            gate=lambda s: None,
+            answer=lambda s: {"columns": ["x"], "rows": [["1"]]},
+        ).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                opens = _open_session_with_conf({"use:database": "default"})
+                c.sendall(opens)
+                ups.wait_bytes(len(opens))
+                c.sendall(_exec_stmt_call("SELECT 1", seq=2))
+                name, _seq, d = _recv_reply(c)
+                assert name == "ExecuteStatement" and d[0][1][1] == 0
+            assert proxy.stats["statements_answered"] == 1
+        finally:
+            proxy.stop()
+            ups.close()
