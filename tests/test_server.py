@@ -1985,3 +1985,44 @@ class TestOpenSessionConfFence:
         finally:
             proxy.stop()
             ups.close()
+
+
+def test_substituted_repeat_statement_hits_result_cache(spark):
+    """Two JDBC clients sending the SAME statement through the
+    substituting proxy: the second is answered from the gateway
+    RESULT CACHE (clean sessions share one namespace) — no Spark
+    execution at all, the cheapest tier of the sharing hierarchy now
+    reachable from the Thrift door."""
+    from sparksql_server_spark.server import WorkSharingServer
+
+    srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1)
+    srv.start()
+    ups = _Upstream()
+    proxy = JdbcLineProxy(
+        ups.address, gate=srv.prime, answer=srv.answer_jdbc
+    ).start()
+    try:
+        sql = ("SELECT r_name, count(*) AS n FROM region"
+               " GROUP BY r_name ORDER BY r_name")
+        hits0 = srv.results.stats()["result_cache_hits"]
+
+        def run(seq):
+            with socket.create_connection(proxy.address) as c:
+                c.sendall(_exec_stmt_call(sql, seq=seq))
+                _n, _s, d = _recv_reply(c)
+                guid = d[0][2][1][1]
+                c.sendall(_fetch_call(guid, seq + 1))
+                _n, _s, d = _recv_reply(c)
+                return [col[7][1] for col in d[0][3][3]]
+
+        first = run(10)
+        second = run(20)
+        assert first == second and len(first[0]) == 5
+        assert srv.results.stats()["result_cache_hits"] >= hits0 + 1
+        assert proxy.stats["statements_answered"] == 2
+        assert sum(len(r) for r in ups.conns) == 0
+    finally:
+        proxy.stop()
+        srv.shutdown()
+        srv.executor.cache.clear()
+        ups.close()
