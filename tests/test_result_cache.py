@@ -294,3 +294,32 @@ def test_nondeterministic_query_not_cached(server):
     client_request(server.address, {"sql": sql})
     again = client_request(server.address, {"sql": sql})
     assert "cached" not in again
+
+
+def test_jdbc_command_reflush_timer_closes_the_window(spark):
+    """ADVICE r6: prime() flushes BEFORE the JDBC command executes on
+    HiveServer2, so a gateway query racing that window can cache a
+    pre-change result that would otherwise live until TTL. The delayed
+    second flush must remove it."""
+    from sparksql_server_spark.server import WorkSharingServer, client_request
+
+    srv = WorkSharingServer(
+        spark, SF_DIR, window_size=1, max_wait=0.1,
+        jdbc_command_reflush_seconds=2.0,
+    )
+    srv.start()
+    try:
+        q = "SELECT count(*) AS n FROM region"
+        # JDBC command arrives at the gate (flush #1 fires now; the
+        # command itself would execute on HiveServer2 AFTER this)
+        srv.prime("REFRESH TABLE region")
+        # the racing gateway query executes and caches inside the
+        # pre-execution window
+        client_request(srv.address, {"sql": q})
+        assert client_request(srv.address, {"sql": q}).get("cached") is True
+        # after the re-flush delay the entry is gone
+        time.sleep(2.5)
+        assert "cached" not in client_request(srv.address, {"sql": q})
+    finally:
+        srv.shutdown()
+        srv.executor.cache.clear()
