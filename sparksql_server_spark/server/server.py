@@ -274,6 +274,13 @@ class WorkSharingServer:
         write_set: set[str] = set()
         for j in batch:
             if not self.executor._is_query(j.sql):
+                if j.props.get("_rc_flushed"):
+                    # wait-path commands flush synchronously after
+                    # completion (read-your-writes); re-flushing here
+                    # runs LATE on the loop thread and would wipe
+                    # entries legitimately cached AFTER the command
+                    # finished (observed as a flaky full-suite test)
+                    continue
                 ws = j.props.get("_resolved_write_set", ...)
                 if ws is ...:  # command that bypassed handle_request
                     ws = command_write_set(j.sql)
@@ -490,6 +497,12 @@ class WorkSharingServer:
             # read) and carry it for the post-execution flushes
             resolved_ws = self._resolve_write_set(sql, session)
             props["_resolved_write_set"] = resolved_ws
+            if req.get("wait", True):
+                # the wait path below flushes synchronously after the
+                # command completes; claim it NOW so the batch loop's
+                # flush (which may run before this handler wakes)
+                # skips the job either way
+                props["_rc_flushed"] = True
             if sid is not None:
                 # conservative: mark BEFORE execution (a failed command
                 # may still have partially changed session state)
@@ -523,7 +536,9 @@ class WorkSharingServer:
             if not is_query:
                 # synchronous read-your-writes: flush before replying so
                 # this client's immediate next query can't hit a stale
-                # entry in the window before the batch loop's own flush
+                # entry; mark the job so the batch loop does NOT
+                # re-flush later (a late redundant flush would wipe
+                # entries cached after the command completed)
                 if resolved_ws is None:
                     self.results.invalidate_all()
                 else:
