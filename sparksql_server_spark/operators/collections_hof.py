@@ -34,8 +34,7 @@ from sparksql_server_spark.operators.registry import query
            CAST(list_reduce(list_prepend(0, list_transform(words,
                 w -> length(w))), (acc, v) -> acc + v) AS INT)    AS total_chars
     FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
-    ORDER BY p_partkey
-    """,
+""",
 )
 def hof_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform / filter / exists / forall / aggregate over the
@@ -61,7 +60,7 @@ def hof_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, v: acc + v
         ).alias("total_chars"),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -76,8 +75,7 @@ def hof_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_sort(embedding)[len(embedding)]::DOUBLE, 6) AS max_elem,
            round(list_sort(embedding)[1]::DOUBLE, 6)             AS min_elem
     FROM embeddings
-    ORDER BY vec_id
-    """,
+""",
 )
 def hof_zip_with_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zip_with (vector against its own reverse — a self-convolution
@@ -101,7 +99,7 @@ def hof_zip_with_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(conv, 6).alias("self_conv"),
         F.round(F.element_at(srt, F.size(emb)).cast("double"), 6).alias("max_elem"),
         F.round(F.element_at(srt, 1).cast("double"), 6).alias("min_elem"),
-    ).orderBy("vec_id")
+    )
 
 
 @query(
@@ -149,8 +147,7 @@ def map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part),
          range(1, 6) t(i)
     WHERE i <= len(words)
-    ORDER BY p_partkey, pos
-    """,
+""",
 )
 def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode as a lateral view: one row per (part, word position).
@@ -165,7 +162,6 @@ def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey", (F.col("pos0") + 1).cast("int").alias("pos"), "word"
         )
-        .orderBy("p_partkey", "pos")
     )
 
 
@@ -178,8 +174,7 @@ def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_contains(flags, 'R')                          AS saw_return
     FROM (SELECT l_orderkey AS o_orderkey, list(l_returnflag) AS flags
           FROM lineitem GROUP BY l_orderkey)
-    ORDER BY o_orderkey
-    """,
+""",
 )
 def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list → array_distinct / array_sort / array_contains —
@@ -197,4 +192,4 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.array_distinct("flags")).alias("n_distinct"),
         F.array_contains("flags", "R").alias("saw_return"),
-    ).orderBy("o_orderkey")
+    )

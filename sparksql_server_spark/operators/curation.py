@@ -123,7 +123,7 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _confusion_sql(dialect: str, words_expr: str) -> str:
-    pred = _langid_sql(dialect, words_expr).replace("ORDER BY doc_id", "")
+    pred = _langid_sql(dialect, words_expr)
     return f"""
 WITH pred AS ({pred}),
 joined AS (
@@ -398,7 +398,6 @@ txt AS (SELECT doc_id, k, {joined} AS chunk_text,
 SELECT doc_id, CAST(k AS INT) AS chunk_idx, n_words,
        CAST({hash_fn('chunk_text')} AS BIGINT) AS chunk_hash
 FROM txt
-ORDER BY doc_id, chunk_idx
 """
 
 
@@ -452,7 +451,6 @@ SELECT CASE WHEN is_total = 1 THEN '*' ELSE source END AS source,
        CASE WHEN is_total = 1 THEN '*' ELSE lang END AS lang,
        n_docs, n_chars, xor_hash, sum_hash
 FROM m
-ORDER BY source, lang
 """
 
 

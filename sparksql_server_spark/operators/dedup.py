@@ -41,7 +41,6 @@ SELECT md5(text) AS text_md5,
        min(doc_id) AS keep_id
 FROM documents
 GROUP BY text
-ORDER BY keep_id
 """
 
 _EXACT_SPARK = """
@@ -50,7 +49,6 @@ SELECT md5(cast(text AS BINARY)) AS text_md5,
        min(doc_id) AS keep_id
 FROM documents
 GROUP BY text
-ORDER BY keep_id
 """
 
 
@@ -208,7 +206,7 @@ th AS (SELECT doc_id, {spark_char_hash('tok')} AS h1,
               {spark_char_hash('tok', base=131)} AS h2 FROM tok),
 bits AS (SELECT doc_id, {_SH_SUMS_SPARK} FROM th GROUP BY doc_id)
 SELECT doc_id, CAST({_SH_COMBINE} AS BIGINT) AS simhash
-FROM bits ORDER BY doc_id
+FROM bits
 """
 
 
@@ -221,7 +219,7 @@ th AS (SELECT doc_id, {duck_char_hash('tok')} AS h1,
               {duck_char_hash('tok', base=131)} AS h2 FROM tok),
 bits AS (SELECT doc_id, {_SH_SUMS_DUCK} FROM th GROUP BY doc_id)
 SELECT doc_id, CAST({_SH_COMBINE} AS BIGINT) AS simhash
-FROM bits ORDER BY doc_id
+FROM bits
 """
 
 
@@ -266,7 +264,7 @@ _MASK = (1 << _SH_BLOCK_BITS) - 1
 
 
 def _simhash_pairs_spark() -> str:
-    sig = _simhash_spark().replace("ORDER BY doc_id", "")
+    sig = _simhash_spark()
     return f"""
 WITH sig AS ({sig}),
 blocks AS (
@@ -285,7 +283,7 @@ WHERE hamming <= {_SH_K}
 
 
 def _simhash_pairs_duck() -> str:
-    sig = _simhash_duck().replace("ORDER BY doc_id", "")
+    sig = _simhash_duck()
     return f"""
 WITH sig AS ({sig}),
 blocks AS (
@@ -745,7 +743,7 @@ reach(node, r) AS (
   UNION
   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
 SELECT node AS doc_id, min(r) AS cluster_id
-FROM reach GROUP BY node ORDER BY doc_id
+FROM reach GROUP BY node
 """
 
 
@@ -825,7 +823,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = labels.unionByName(singletons)
     # spill the |documents|-sized label table, release edges + the last
     # labels generation — no scoped block survives the return
-    return scope.finish(result, "dedup_clusters").orderBy("doc_id")
+    return scope.finish(result, "dedup_clusters")
 
 
 def _prefix_filter_sql() -> str:
@@ -873,7 +871,6 @@ SELECT doc_a, doc_b,
        round(CAST(i AS DOUBLE) / (sza + szb - i), 6) AS jaccard
 FROM inter
 WHERE 16 * i >= 6 * (sza + szb)
-ORDER BY doc_a, doc_b
 """
 
 

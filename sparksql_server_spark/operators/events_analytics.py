@@ -34,7 +34,6 @@ SELECT bar_start, event_type,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)          AS volume,
        CAST(count(*) AS BIGINT)                                   AS n_events
 FROM b GROUP BY bar_start, event_type
-ORDER BY bar_start, event_type
 """,
 )
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +65,7 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("bar_start", "event_type")
+
     )
 
 
@@ -295,7 +294,6 @@ grouped AS (
 SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
        CAST(count(*) AS BIGINT) AS streak_days
 FROM grouped GROUP BY user_id, grp
-ORDER BY user_id, streak_start
 """,
 )
 def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,7 +323,7 @@ def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
         .select("user_id", "streak_start", "streak_end", "streak_days")
-        .orderBy("user_id", "streak_start")
+
     )
 
 
@@ -396,7 +394,6 @@ WITH ranked AS (
   FROM events)
 SELECT event_id, user_id, event_type
 FROM ranked WHERE rn = 1
-ORDER BY event_id
 """
 
 

@@ -25,8 +25,7 @@ from sparksql_server_spark.operators.registry import query
            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY window_start, event_type
-    ORDER BY window_start, event_type
-    """,
+""",
 )
 def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling window via date_trunc (plain groupBy at scale)."""
@@ -40,7 +39,7 @@ def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
-        .orderBy("window_start", "event_type")
+
     )
 
 
@@ -181,7 +180,6 @@ SELECT user_id,
          IS NULL AS is_current
 FROM events
 WHERE event_type = 'purchase'
-ORDER BY user_id, valid_from, event_id
 """
 
 

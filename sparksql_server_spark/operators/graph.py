@@ -158,8 +158,10 @@ def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     # materialize while `weighted` is cached, then drop every scoped
-    # block; re-apply the ordering on the (|nodes|-sized) spill scan
-    return scope.finish(result, "graph_pagerank").orderBy("node")
+    # block (no presentation sort: the result is |nodes|-sized —
+    # corpus-proportional — and the driver's comparator is
+    # order-insensitive)
+    return scope.finish(result, "graph_pagerank")
 
 
 @query(

@@ -68,8 +68,7 @@ def join_inner_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
-    ORDER BY c_custkey
-    """,
+""",
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with their order count, keeping zero-order customers."""
@@ -79,7 +78,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
-        .orderBy("c_custkey")
+
     )
 
 
@@ -91,8 +90,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS total_spend
     FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey
-    ORDER BY c_custkey
-    """,
+""",
 )
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
@@ -105,7 +103,7 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_spend")
         )
-        .orderBy("c_custkey")
+
     )
 
 
@@ -151,8 +149,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_totalprice > 100000)
-    ORDER BY c_custkey
-    """,
+""",
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS → left-semi join: no duplication, right side reduced to keys."""
@@ -161,7 +158,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+
     )
 
 
@@ -240,7 +237,6 @@ merged AS (
               ELSE 'updated' END              AS merge_action
   FROM updates u LEFT JOIN customer c ON u.c_custkey = c.c_custkey)
 SELECT * FROM merged
-ORDER BY c_custkey
 """
 
 

@@ -41,7 +41,6 @@ SELECT user_id, event_id,
        view_value_prior
 FROM feat
 WHERE event_type = 'purchase'
-ORDER BY user_id, event_id
 """
 
 

@@ -75,8 +75,7 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            md5(text)                                  AS content_md5,
            CAST(ascii(substr(text, 1, 1)) AS INT)     AS first_byte
     FROM documents
-    ORDER BY doc_id
-    """,
+""",
 )
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: utf-8 payload + typed metadata (byte
@@ -89,8 +88,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                md5(cast(text AS BINARY))                    AS content_md5,
                CAST(ascii(substring(text, 1, 1)) AS INT)    AS first_byte
         FROM documents
-        ORDER BY doc_id
-        """
+"""
     )
 
 
@@ -105,8 +103,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) * 31
                 + ascii(substr(text, 1, 1)) AS BIGINT)          AS checksum
     FROM documents
-    ORDER BY doc_id
-    """,
+""",
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode / feature-extract via mapInPandas (Arrow batches).
@@ -118,7 +115,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return d.mapInPandas(_decode_batch, schema=_DECODE_SCHEMA).orderBy("doc_id")
+    return d.mapInPandas(_decode_batch, schema=_DECODE_SCHEMA)
 
 
 _FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off long, frame_px int"
@@ -157,8 +154,7 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
           FROM documents),
          range(1, 4) t(i)
     WHERE (i - 1) * {_FRAME_STRIDE} < n_frames
-    ORDER BY doc_id, frame_idx
-    """,
+""",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: every 10th frame of each video-like payload,
@@ -173,6 +169,4 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return d.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA).orderBy(
-        "doc_id", "frame_idx"
-    )
+    return d.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)

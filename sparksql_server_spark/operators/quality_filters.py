@@ -74,7 +74,6 @@ SELECT b.doc_id,
          CAST(t.dup_trigram_n AS DOUBLE) / CAST(t.n_trigrams AS DOUBLE) > 0.5
          AS flagged_repetitive
 FROM bi_doc b JOIN tri_doc t ON b.doc_id = t.doc_id
-ORDER BY b.doc_id
 """
 
 
@@ -132,7 +131,6 @@ SELECT doc_id,
        CAST({count_m(_PHONE_RE)} AS BIGINT) AS n_phones,
        CAST({count_m(_IP_RE)} AS BIGINT)    AS n_ips
 FROM planted
-ORDER BY doc_id
 """
 
 
@@ -193,7 +191,6 @@ ranked AS (
   FROM scored)
 SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df, score
 FROM ranked WHERE rnk <= {_TOP_TERMS}
-ORDER BY doc_id, rnk
 """
 
 

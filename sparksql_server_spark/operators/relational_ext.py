@@ -118,8 +118,7 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-    ORDER BY o_orderkey
-    """,
+""",
 )
 def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("orders", "customer"))
@@ -127,8 +126,7 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-        ORDER BY o_orderkey
-        """
+"""
     )
 
 
@@ -139,8 +137,7 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey = c_custkey)
              AS n_orders
     FROM customer
-    ORDER BY c_custkey
-    """,
+""",
 )
 def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery — Catalyst decorrelates it into a
@@ -152,8 +149,7 @@ def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey = c_custkey)
                  AS n_orders
         FROM customer
-        ORDER BY c_custkey
-        """
+"""
     )
 
 
@@ -165,7 +161,6 @@ SELECT o_orderkey,
        COALESCE(NULLIF(o_orderstatus, 'O'), 'open')   AS status_label,
        (o_orderstatus = 'F') AND (o_totalprice > 100000) AS big_finished
 FROM orders
-ORDER BY o_orderkey
 """
 
 
@@ -186,8 +181,7 @@ def case_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
            lpad(CAST(p_size AS VARCHAR), 4, '0')        AS size_padded,
            levenshtein(p_brand, 'Brand#00')             AS brand_dist
     FROM part
-    ORDER BY p_partkey
-    """,
+""",
 )
 def string_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp extract/replace, split_part, lpad, levenshtein — all
@@ -201,7 +195,7 @@ def string_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
         F.levenshtein("p_brand", F.lit("Brand#00")).alias("brand_dist"),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -213,8 +207,7 @@ def string_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(quarter(o_orderdate) AS INT)                          AS qtr,
            CAST(dayofmonth(o_orderdate) AS INT)                       AS dom
     FROM orders
-    ORDER BY o_orderkey
-    """,
+""",
 )
 def date_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """add_months/last_day/quarter/day (both engines clamp month-end
@@ -227,7 +220,7 @@ def date_funcs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(d).alias("month_end"),
         F.quarter("o_orderdate").cast("int").alias("qtr"),
         F.dayofmonth("o_orderdate").cast("int").alias("dom"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -271,8 +264,7 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL BY NAME
       SELECT s_acctbal AS acctbal, s_nationkey AS nationkey, 'supplier' AS party
       FROM supplier)
-    ORDER BY party, nationkey, acctbal
-    """,
+""",
 )
 def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unionByName: positional-order-independent union."""
@@ -286,7 +278,7 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey"),
         F.lit("supplier").alias("party"),
     )
-    return c.unionByName(s).orderBy("party", "nationkey", "acctbal")
+    return c.unionByName(s)
 
 
 _ASOF_SQL = """

@@ -35,8 +35,7 @@ def _mix_col(k: str) -> F.Column:
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
     WHERE {_MIX.format(k='o_orderkey')} % 100 < 10
-    ORDER BY o_orderkey
-    """,
+""",
 )
 def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% Bernoulli sample of orders, keyed on o_orderkey. The
@@ -46,7 +45,6 @@ def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.filter(_mix_col("o_orderkey") % 100 < 10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey")
     )
 
 

@@ -26,8 +26,7 @@ from sparksql_server_spark.operators.registry import query
            CAST(length(p_name) AS INT)          AS name_len
     FROM part
     WHERE p_type LIKE '%O%'
-    ORDER BY p_partkey
-    """,
+""",
 )
 def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
@@ -40,7 +39,7 @@ def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.concat("p_brand", F.lit(" / "), "p_type")).alias("brand_type"),
             F.length("p_name").cast("int").alias("name_len"),
         )
-        .orderBy("p_partkey")
+
     )
 
 
@@ -54,8 +53,7 @@ def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT)
              AS days_to_1998
     FROM orders
-    ORDER BY o_orderkey
-    """,
+""",
 )
 def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
@@ -67,7 +65,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("int")
         .alias("days_to_1998"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -78,8 +76,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(l_discount - l_tax)              AS disc_tax_gap,
            CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kbucket
     FROM lineitem
-    ORDER BY l_orderkey, l_linenumber
-    """,
+""",
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -90,7 +87,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
         F.abs(F.col("l_discount") - F.col("l_tax")).alias("disc_tax_gap"),
         F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_kbucket"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @query(
@@ -102,8 +99,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(embedding, x -> x > CAST(0.1 AS DOUBLE))) AS INT) AS n_big,
            list_contains([0, 1, 2], label)                      AS low_label
     FROM embeddings
-    ORDER BY vec_id
-    """,
+""",
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
@@ -115,7 +111,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.array(F.lit(0), F.lit(1), F.lit(2)), F.col("label")).alias(
             "low_label"
         ),
-    ).orderBy("vec_id")
+    )
 
 
 @query(
@@ -154,8 +150,7 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(json_extract(props, '$.k') AS INT) % 7 = 0  AS k_div7,
            json_valid(props)                                AS is_valid
     FROM events
-    ORDER BY event_id
-    """,
+""",
 )
 def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-full JSON parsing: from_json into a typed struct (vs
@@ -171,7 +166,7 @@ def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         (F.col("p.k") % 7 == 0).alias("k_div7"),
         (F.from_json("props", "k INT").isNotNull()).alias("is_valid"),
-    ).orderBy("event_id")
+    )
 
 
 @query(

@@ -106,8 +106,7 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_nationkey AS nationkey FROM customer
       EXCEPT ALL
       SELECT s_nationkey AS nationkey FROM supplier)
-    ORDER BY nationkey
-    """,
+""",
 )
 def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset difference: keeps surplus duplicates (a nation with 40
@@ -115,7 +114,7 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _cust_nations(spark, sf_dir)
         .exceptAll(_supp_nations(spark, sf_dir))
-        .orderBy("nationkey")
+
     )
 
 

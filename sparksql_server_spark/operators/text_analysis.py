@@ -57,7 +57,6 @@ SELECT doc_id,
             ELSE 'unk' END AS pred_lang,
        s_en, s_es, s_de, s_fr
 FROM scores
-ORDER BY doc_id
 """
 
 
@@ -94,7 +93,6 @@ SELECT doc_id,
        length(text) = n_chars                            AS n_chars_ok
 FROM w
 WHERE {size_w} > 0
-ORDER BY doc_id
 """
 
 
@@ -118,7 +116,6 @@ SELECT doc_id,
        CAST({ws} AS BIGINT)  AS n_ws_tokens,
        CAST({bpe} AS BIGINT) AS n_re_tokens
 FROM documents
-ORDER BY doc_id
 """
 
 
@@ -138,7 +135,6 @@ SELECT doc_id,
        {ch('text')} AS fingerprint,
        {ch(prefix)} AS prefix_fingerprint
 FROM documents
-ORDER BY doc_id
 """
 
 
@@ -176,7 +172,6 @@ gated AS (SELECT * FROM feat
 canon AS (SELECT text, min(doc_id) AS keep_id FROM gated GROUP BY text)
 SELECT g.doc_id, g.source, g.lang, g.n_words, g.stopword_ratio, g.n_re_tokens
 FROM gated g JOIN canon c ON g.doc_id = c.keep_id
-ORDER BY g.doc_id
 """
 
 

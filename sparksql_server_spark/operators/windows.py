@@ -140,8 +140,7 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
       FROM orders)
     WHERE rn <= 3
-    ORDER BY o_custkey, rn
-    """,
+""",
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer: window rank + filter. Spark pushes the
@@ -152,5 +151,4 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-        .orderBy("o_custkey", "rn")
     )

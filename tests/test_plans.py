@@ -170,3 +170,26 @@ def test_q16_not_in_plans_as_anti_join(spark):
     against the tiny supplier dim."""
     plan = plan_of(spark, "tpch_q16_supplier_part_kinds")
     assert "LeftAnti" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact",
+        "sample_bernoulli_hash",
+        "topk_per_group",
+        "hof_array_lambdas",
+        "array_set_ops",
+        "lateral_posexplode",
+    ],
+)
+def test_corpus_sized_results_carry_no_presentation_sort(spark, name):
+    """Queries whose result is corpus-proportional must not end in a
+    global sort: at 100 TB a presentation ORDER BY is an extra
+    range-partitioned shuffle feeding a serial merge on fetch, for
+    ordering no downstream consumer relies on (the driver's comparator
+    is order-insensitive). A global sort is the only thing that plans
+    an ``Exchange rangepartitioning`` — window functions and
+    sort-merge joins sort within hash partitions — so its absence is
+    the gate."""
+    assert "rangepartitioning" not in plan_of(spark, name)
