@@ -539,29 +539,51 @@ _WIN_MAX_DF = 100  # fingerprints in more docs than this are dropped (MOSS's
 # 3816^2 ≈ 14.6M of the 266M pre-cutoff pair rows
 
 
+def _win_kgram(elem) -> str:
+    """Straight-line base-31 polynomial over the K=7 chars at window
+    position i, NO modular reduction: 7 codepoints ≤ 0x10FFFF give a
+    maximum value of ~1.0e15 — comfortably inside int64 — so the
+    per-step ``% MOD_P`` (and the nested aggregate-over-sequence HOF
+    machinery that carried it) is pure overhead. Higher-order-function
+    lambdas are interpreted, not codegen'd; collapsing the inner
+    aggregate to one flat arithmetic expression removes a per-position
+    array allocation plus 7 lambda dispatches and 7 mods over every
+    char of the corpus (measured on the sf0.1 build — see
+    dedup_winnowing's docstring). ``elem(j)`` renders the char
+    expression at offset j in the host dialect."""
+    e = f"{elem(0)} * 31"
+    for j in range(1, _WIN_K - 1):
+        e = f"({e} + {elem(j)}) * 31"
+    return f"({e} + {elem(_WIN_K - 1)})"
+
+
+def _win_minexpr(elem) -> str:
+    """least() over the W=4 hashes at window position i — replaces
+    array_min(slice(...)), which allocated a W-element array per
+    position."""
+    return "least(" + ", ".join(elem(j) for j in range(_WIN_W)) + ")"
+
+
 def _winnow_fp_spark() -> str:
     """Spark side of the fingerprint build, through the DF cutoff —
     materialized ONCE behind a cache because the pair join consumes it
     twice (as a CTE Spark re-expands the whole per-char hash per
     consumer; measured 2x the work at sf0.1)."""
-    from sparksql_server_spark.functions.portable import MOD_P
-
+    kgram = _win_kgram(lambda j: f"bigint(ascii(element_at(cs, i + {j})))")
+    wmin = _win_minexpr(lambda j: f"element_at(hs, i + {j})")
     return f"""
 WITH chars AS (SELECT doc_id, split(text, '') AS cs FROM documents),
 hs AS (
   SELECT doc_id,
          CASE WHEN size(cs) >= {_WIN_K} THEN
-           transform(sequence(1, size(cs) - {_WIN_K} + 1), i ->
-             aggregate(sequence(0, {_WIN_K} - 1), 0L,
-               (acc, j) -> (acc * 31 + bigint(ascii(element_at(cs, i + j)))) % {MOD_P}))
+           transform(sequence(1, size(cs) - {_WIN_K} + 1), i -> {kgram})
          ELSE array() END AS hs
   FROM chars),
 fp AS (
   SELECT DISTINCT doc_id, fp FROM (
     SELECT doc_id, explode(
       CASE WHEN size(hs) >= {_WIN_W} THEN
-        transform(sequence(1, size(hs) - {_WIN_W} + 1), i ->
-                  array_min(slice(hs, i, {_WIN_W})))
+        transform(sequence(1, size(hs) - {_WIN_W} + 1), i -> {wmin})
       ELSE array() END) AS fp
     FROM hs) t),
 df AS (SELECT fp, count(*) AS c FROM fp GROUP BY fp)
@@ -572,25 +594,21 @@ WHERE df.c <= {_WIN_MAX_DF}
 
 
 def _winnow_duck() -> str:
-    from sparksql_server_spark.functions.portable import MOD_P
-
+    kgram = _win_kgram(lambda j: f"ascii(cs[i + {j}])::BIGINT")
+    wmin = _win_minexpr(lambda j: f"hs[i + {j}]")
     return f"""
 WITH chars AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
 hs AS (
   SELECT doc_id,
          CASE WHEN len(cs) >= {_WIN_K} THEN
-           list_transform(range(1, len(cs) - {_WIN_K} + 2), i ->
-             list_reduce(list_prepend(0::BIGINT,
-                 list_transform(range(0, {_WIN_K}), j -> ascii(cs[i + j])::BIGINT)),
-               (acc, c) -> (acc * 31 + c) % {MOD_P}))
+           list_transform(range(1, len(cs) - {_WIN_K} + 2), i -> {kgram})
          ELSE [] END AS hs
   FROM chars),
 fp AS (
   SELECT DISTINCT doc_id, fp FROM (
     SELECT doc_id, unnest(
       CASE WHEN len(hs) >= {_WIN_W} THEN
-        list_transform(range(1, len(hs) - {_WIN_W} + 2), i ->
-                       list_min(hs[i:i + {_WIN_W} - 1]))
+        list_transform(range(1, len(hs) - {_WIN_W} + 2), i -> {wmin})
       ELSE [] END) AS fp
     FROM hs)),
 df AS (SELECT fp, count(*) AS c FROM fp GROUP BY fp),
@@ -618,9 +636,10 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     POSITIONAL overlap detection — copied passages, not just shared
     vocabulary.
 
-    Determinism: pure integer pipeline (polynomial rolling hash mod
-    1e9+7, window min, DF counts, the cutoff comparison) until zero
-    float ops; ORDER BY is total.
+    Determinism: pure integer pipeline (exact base-31 7-gram
+    polynomial — no modulus needed, 7 codepoints fit int64; window
+    min, DF counts, the cutoff comparison) until zero float ops;
+    ORDER BY is total.
 
     Scale: per-document work is map-only higher-order-function math
     (no explode until the selected ~2/(w+1) density fingerprints);
