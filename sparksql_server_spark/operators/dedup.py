@@ -95,30 +95,48 @@ _DUCK_BANDS = " UNION ALL ".join(
 )
 
 
-def _mh_candidate_ctes(dialect: str) -> str:
-    """The canonical MinHash->banding candidate pipeline as CTE text —
-    w (word arrays), sh (distinct shingles), h (shingle hashes), mh
-    (signatures), bs (band rows), cand (candidate pairs). ONE
-    definition consumed by dedup_minhash_lsh AND dedup_lsh_eval_pr, so
-    the eval provably scores the exact production pipeline — the
-    shared-text discipline of _hll_regs_ctes/prime_mix."""
+def _sh_canonical_sql(dialect: str) -> tuple[str, str]:
+    """(w_cte_body, sh_select) — the canonical word-array + distinct
+    3-gram shingle relation, the ONE text every consumer embeds."""
     if dialect == "spark":
         words, shingles = spark_words("text"), spark_shingles("w")
         ex = f"SELECT DISTINCT doc_id, shingle FROM w LATERAL VIEW explode({shingles}) t AS shingle"
-        hash_ = spark_char_hash("shingle")
-        bands = (
-            f"SELECT doc_id, band, band_sig FROM mh "
-            f"LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig"
-        )
     else:
         words, shingles = duck_words("text"), duck_shingles("w")
         ex = (
             "SELECT DISTINCT doc_id, shingle FROM "
             f"(SELECT doc_id, unnest({shingles}) AS shingle FROM w)"
         )
+    return f"SELECT doc_id, {words} AS w FROM documents", ex
+
+
+def _mh_candidate_ctes(dialect: str, sh_from: str | None = None) -> str:
+    """The canonical MinHash->banding candidate pipeline as CTE text —
+    w (word arrays), sh (distinct shingles), h (shingle hashes), mh
+    (signatures), bs (band rows), cand (candidate pairs). ONE
+    definition consumed by dedup_minhash_lsh AND dedup_lsh_eval_pr, so
+    the eval provably scores the exact production pipeline — the
+    shared-text discipline of _hll_regs_ctes/prime_mix.
+
+    ``sh_from``: name of a pre-materialized relation holding the
+    canonical (doc_id, shingle) rows — built by executing THIS
+    function's own w/sh text and spilling it (scratch.spill), so the
+    pipeline scored is still the canonical one. Callers whose query
+    consumes sh from several CTE branches pass it to stop Spark's
+    CTE inlining from re-running the explode+DISTINCT per branch."""
+    w_body, ex = _sh_canonical_sql(dialect)
+    if dialect == "spark":
+        hash_ = spark_char_hash("shingle")
+        bands = (
+            f"SELECT doc_id, band, band_sig FROM mh "
+            f"LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig"
+        )
+    else:
         hash_ = duck_char_hash("shingle")
         bands = _DUCK_BANDS
-    return f"""w AS (SELECT doc_id, {words} AS w FROM documents),
+    if sh_from is not None:
+        ex = f"SELECT doc_id, shingle FROM {sh_from}"
+    return f"""w AS ({w_body}),
 sh AS ({ex}),
 h AS (SELECT doc_id, {hash_} AS h FROM sh),
 mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
@@ -982,9 +1000,13 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # cached: za and zb are DIFFERENTLY-ALIASED projections of this
+    # aggregate, so exchange reuse does not kick in — uncached, each
+    # broadcast build re-runs the collect_list shuffle over the shingle
+    # relation (measured: the verify stage halves with the cache)
     arrs = sh.groupBy("doc_id").agg(
         F.collect_list("shingle").alias("arr"), F.count("*").alias("sz")
-    )
+    ).cache()
     za = arrs.select(
         F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("sz").alias("sza")
     )
@@ -1328,14 +1350,17 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVAL_TAU = 0.5  # ground-truth resemblance threshold
 
 
-def _lsh_eval_sql(dialect: str) -> str:
+def _lsh_eval_sql(dialect: str, sh_from: str | None = None) -> str:
     """Shared shape: the CANONICAL candidate chain (_mh_candidate_ctes
     — same text dedup_minhash_lsh executes) plus the exact-Jaccard
     truth pipeline off the same distinct-shingle relation; the readout
-    counts the overlap. Ratios guard n=0 with nullif so an empty
-    truth/candidate set reads as NULL on both engines, not NaN."""
+    FULL-JOINs candidates against truth so each side executes exactly
+    once (three scalar-subquery counts would re-run the banding chain
+    and the truth join twice each — Spark inlines CTE references).
+    Ratios guard n=0 with nullif so an empty truth/candidate set reads
+    as NULL on both engines, not NaN."""
     return f"""
-WITH {_mh_candidate_ctes(dialect)},
+WITH {_mh_candidate_ctes(dialect, sh_from=sh_from)},
 sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
@@ -1346,11 +1371,16 @@ truth AS (
   FROM inter JOIN sz sa ON sa.doc_id = inter.d1
              JOIN sz sb ON sb.doc_id = inter.d2
   WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_EVAL_TAU}),
+marked AS (
+  SELECT CASE WHEN c.d1 IS NOT NULL THEN 1 END AS in_c,
+         CASE WHEN t.d1 IS NOT NULL THEN 1 END AS in_t
+  FROM cand c FULL JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2),
 counts AS (
-  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
-         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
-         (SELECT CAST(count(*) AS BIGINT)
-          FROM cand c JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2) AS n_hit)
+  SELECT CAST(count(in_t) AS BIGINT) AS n_truth,
+         CAST(count(in_c) AS BIGINT) AS n_candidates,
+         CAST(count(CASE WHEN in_c = 1 AND in_t = 1 THEN 1 END) AS BIGINT)
+           AS n_hit
+  FROM marked)
 SELECT n_truth, n_candidates, n_hit,
        CAST(round(CAST(n_hit AS DOUBLE) / nullif(n_candidates, 0), 6) AS DOUBLE)
          AS precision_at_tau,
@@ -1387,5 +1417,17 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the input relation shrinks — because ground truth is the
     expensive thing the production path exists to avoid.
     """
+    from sparksql_server_spark.operators.scratch import spill
+
     register_tables(spark, sf_dir, ("documents",))
-    return spark.sql(_lsh_eval_sql("spark"))
+    # the distinct-shingle relation feeds FOUR branches (hash chain,
+    # sizes, both truth-join sides); as inlined CTE text Spark would
+    # re-run the explode+DISTINCT per branch, and a .cache() would be
+    # bypassed inside the WITH (CacheManager does not rewrite under
+    # WithCTE) — so materialize it once as a scratch-parquet barrier,
+    # built from the SAME canonical w/sh text the production pipeline
+    # uses
+    w_body, ex = _sh_canonical_sql("spark")
+    sh = spill(spark, spark.sql(f"WITH w AS ({w_body}) {ex}"), "lsh_eval_sh")
+    sh.createOrReplaceTempView("lsh_eval_sh_mat")
+    return spark.sql(_lsh_eval_sql("spark", sh_from="lsh_eval_sh_mat"))

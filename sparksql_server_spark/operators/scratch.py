@@ -57,6 +57,25 @@ def _next_path(name: str) -> str:
     return os.path.join(_SCRATCH_ROOT, f"{name}_{n}")
 
 
+def spill(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    """Materialize an INTERMEDIATE relation to scratch parquet and
+    return a scan over it — a plan barrier for multi-consumer
+    subtrees that must not re-execute per reference.
+
+    Why not .cache(): a cached plan referenced from SQL text wrapped
+    in a WITH clause is silently bypassed — Spark's CacheManager does
+    not substitute cached plans inside WithCTE nodes (verified, the
+    agg_hll_running_distinct r6 regression) — and anonymous caches
+    compete with the server CacheManager's budget. A parquet-backed
+    relation is a plain LogicalRelation: every consumer, CTE or not,
+    scans the spill. At 100 TB this is `df.checkpoint()` to the
+    cluster's reliable store; size it by the INTERMEDIATE relation
+    (token indexes, candidate sets), never the raw inputs."""
+    path = _next_path(name)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Ids of every RDD currently pinned in the block manager
     (cache(), persist(), localCheckpoint() all register here)."""
