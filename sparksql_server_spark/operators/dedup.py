@@ -750,16 +750,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicate clustering: connected components over the near-dup graph
 # ---------------------------------------------------------------------------
 
-_CC_EDGE_SPARK = f"""
+# the MinHash chain through the band rows — executed ONCE and spilled
+# (the band self-join references bs from both sides; inlined CTE text
+# would run the whole per-shingle hash pipeline twice)
+_CC_BANDS_SPARK = f"""
 WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, shingle
        FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle),
 h AS (SELECT doc_id, {spark_char_hash('shingle')} AS h FROM sh),
-mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
-bs AS (SELECT doc_id, band, band_sig FROM mh
-       LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig)
+mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id)
+SELECT doc_id, band, band_sig FROM mh
+LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig
+"""
+
+# both directions off the spilled band relation, one pass
+_CC_EDGE_FROM_BANDS = """
 SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-FROM bs a JOIN bs b
+FROM {bands} a JOIN {bands} b
   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id <> b.doc_id
 """
 
@@ -808,11 +815,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         unpersist_ids,
     )
 
+    from sparksql_server_spark.operators.scratch import spill
+
     register_tables(spark, sf_dir, ("documents",))
     scope = CacheScope(spark)
     # materialize the edge set ONCE — the loop must iterate over rows,
-    # not re-run the MinHash pipeline every round
-    edges = spark.sql(_CC_EDGE_SPARK).localCheckpoint(eager=True)
+    # not re-run the MinHash pipeline every round; the band relation
+    # itself spills first so the self-join's two sides scan ~4 rows/doc
+    # of parquet instead of each re-running the shingle-hash chain
+    spill(spark, spark.sql(_CC_BANDS_SPARK), "cc_bands").createOrReplaceTempView(
+        "cc_bands_mat"
+    )
+    edges = spark.sql(
+        _CC_EDGE_FROM_BANDS.format(bands="cc_bands_mat")
+    ).localCheckpoint(eager=True)
     # only nodes with edges need propagation; isolated docs are their
     # own cluster and skip the loop entirely (at 100 TB the duplicate
     # subgraph is a small fraction of the corpus)
