@@ -122,8 +122,10 @@ def _mh_candidate_ctes(dialect: str, sh_from: str | None = None) -> str:
     canonical (doc_id, shingle) rows — built by executing THIS
     function's own w/sh text and spilling it (scratch.spill), so the
     pipeline scored is still the canonical one. Callers whose query
-    consumes sh from several CTE branches pass it to stop Spark's
-    CTE inlining from re-running the explode+DISTINCT per branch."""
+    consumes sh from several DIFFERENTLY-KEYED branches pass it to
+    stop Spark's CTE inlining from re-running the explode+DISTINCT
+    per branch. (cand's symmetric bs self-join needs no such barrier:
+    ReuseExchange computes the identical subtree once at runtime.)"""
     w_body, ex = _sh_canonical_sql(dialect)
     if dialect == "spark":
         hash_ = spark_char_hash("shingle")
@@ -170,7 +172,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, so cost is Σ bucket², concentrated only on genuinely
     similar docs. All K=16 minhash permutations are computed as
     parallel min() aggregates in one pass over the shingle hashes —
-    no row inflation anywhere.
+    no row inflation anywhere. The band self-join needs NO barrier:
+    its two sides are the identical bs subtree exchanged on the same
+    (band, band_sig) key, so Spark's ReuseExchange computes the chain
+    once at runtime — a spill barrier here was measured SLOWER
+    (parquet round-trip for work the reuse already deduped); contrast
+    dedup_lsh_eval_pr, whose four differently-keyed sh consumers
+    defeat exchange reuse and do need the spill.
     """
     register_tables(spark, sf_dir, ("documents",))
     return spark.sql(_minhash_spark())
@@ -750,9 +758,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicate clustering: connected components over the near-dup graph
 # ---------------------------------------------------------------------------
 
-# the MinHash chain through the band rows — executed ONCE and spilled
-# (the band self-join references bs from both sides; inlined CTE text
-# would run the whole per-shingle hash pipeline twice)
+# the MinHash chain through the band rows — executed standalone and
+# spilled before the edge self-join. NOT for dedup of the join sides
+# (ReuseExchange computes the symmetric bs subtree once either way):
+# splitting the plan at the natural LSH-index boundary nearly halves
+# the query's FIRST execution (4.1 -> 2.4 s at sf0.1 — analysis +
+# codegen of one giant plan costs more than two small ones), which is
+# the regime a one-shot gateway query lives in; steady-state repeats
+# pay ~0.15 s for the parquet round-trip. The spilled band relation
+# is also the artifact a production pipeline persists as its LSH
+# index.
 _CC_BANDS_SPARK = f"""
 WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, shingle
@@ -821,8 +836,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scope = CacheScope(spark)
     # materialize the edge set ONCE — the loop must iterate over rows,
     # not re-run the MinHash pipeline every round; the band relation
-    # itself spills first so the self-join's two sides scan ~4 rows/doc
-    # of parquet instead of each re-running the shingle-hash chain
+    # spills first (see _CC_BANDS_SPARK: first-execution plan split,
+    # and the persisted-LSH-index shape)
     spill(spark, spark.sql(_CC_BANDS_SPARK), "cc_bands").createOrReplaceTempView(
         "cc_bands_mat"
     )
@@ -1446,4 +1461,7 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_body, ex = _sh_canonical_sql("spark")
     sh = spill(spark, spark.sql(f"WITH w AS ({w_body}) {ex}"), "lsh_eval_sh")
     sh.createOrReplaceTempView("lsh_eval_sh_mat")
+    # cand's band self-join needs no barrier of its own: both sides
+    # are the identical bs subtree (ReuseExchange dedupes it), and a
+    # measured bands spill came out slower than letting reuse fire
     return spark.sql(_lsh_eval_sql("spark", sh_from="lsh_eval_sh_mat"))
