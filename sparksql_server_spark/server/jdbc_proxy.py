@@ -460,20 +460,86 @@ def encode_status_resp(seqid: int) -> bytes:
     return _reply("GetOperationStatus", seqid, body)
 
 
-def encode_metadata_resp(seqid: int, columns: list[str]) -> bytes:
-    """TGetResultSetMetadataResp: every column presented as
-    STRING_TYPE (=7) — the substitution renders values as strings,
-    which beeline/JDBC display identically; typed getters are the
-    documented limitation of the prototype."""
-    prim = _f_i32(1, 7) + b"\x00"  # TPrimitiveTypeEntry{STRING_TYPE}
-    entry = _f_struct(1, prim) + b"\x00"  # TTypeEntry union
-    typedesc = (
-        _fld(_LIST, 1, bytes([_STRUCT]) + struct.pack(">i", 1) + entry) + b"\x00"
-    )
-    descs = b"".join(
-        _f_str(1, c.encode()) + _f_struct(2, typedesc) + _f_i32(3, i + 1) + b"\x00"
-        for i, c in enumerate(columns)
-    )
+# column kind -> (TColumn union field id, thrift element type, packer,
+# null placeholder). Mirrors HiveServer2's columnar V6 result encoding:
+# integral/floating/boolean columns ship in their native TColumn arm;
+# dates, timestamps, decimals and complex values ship as strings (that
+# is Hive's own wire format for them — typed JDBC getters parse the
+# string client-side).
+_COL_ENC = {
+    "bool": (1, 2, lambda v: b"\x01" if v else b"\x00", False),
+    "i64": (5, 10, lambda v: struct.pack(">q", v), 0),
+    "double": (6, 4, lambda v: struct.pack(">d", v), 0.0),
+}
+
+# Hive TTypeId values for the column types the substitution emits
+_HIVE_BOOLEAN, _HIVE_BIGINT, _HIVE_DOUBLE = 0, 4, 6
+_HIVE_STRING, _HIVE_TIMESTAMP, _HIVE_DATE = 7, 8, 17
+
+
+def column_kinds(columns: list[list]) -> tuple[list[str], list[int]]:
+    """(encoding kind, Hive TTypeId) per column, inferred from the
+    collected Python values — Spark columns are homogeneously typed,
+    so the first non-null value decides and a mixed column (never
+    produced by a DataFrame collect) falls back to strings.
+    int64-overflowing Python ints (possible via DECIMAL(38)) and every
+    non-scalar render as strings, which is also Hive's wire format for
+    those types."""
+    import datetime as _dt
+
+    kinds: list[str] = []
+    type_ids: list[int] = []
+    for col in columns:
+        nn = [v for v in col if v is not None]
+        kind, tid = "string", _HIVE_STRING
+        if nn:
+            v0 = nn[0]
+            if isinstance(v0, bool):
+                if all(isinstance(v, bool) for v in nn):
+                    kind, tid = "bool", _HIVE_BOOLEAN
+            elif isinstance(v0, int):
+                if all(
+                    isinstance(v, int)
+                    and not isinstance(v, bool)
+                    and -(1 << 63) <= v < (1 << 63)
+                    for v in nn
+                ):
+                    kind, tid = "i64", _HIVE_BIGINT
+            elif isinstance(v0, float):
+                if all(isinstance(v, float) for v in nn):
+                    kind, tid = "double", _HIVE_DOUBLE
+            elif isinstance(v0, _dt.datetime):
+                if all(isinstance(v, _dt.datetime) for v in nn):
+                    tid = _HIVE_TIMESTAMP
+            elif isinstance(v0, _dt.date):
+                if all(
+                    isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+                    for v in nn
+                ):
+                    tid = _HIVE_DATE
+        kinds.append(kind)
+        type_ids.append(tid)
+    return kinds, type_ids
+
+
+def encode_metadata_resp(
+    seqid: int, columns: list[str], type_ids: list[int] | None = None
+) -> bytes:
+    """TGetResultSetMetadataResp with per-column TPrimitiveTypeEntry —
+    BIGINT/DOUBLE/BOOLEAN for native-typed result columns,
+    TIMESTAMP/DATE for temporal columns (shipped as strings, Hive's
+    own wire form), STRING otherwise (or for untyped callers)."""
+    descs = b""
+    for i, c in enumerate(columns):
+        tid = type_ids[i] if type_ids else _HIVE_STRING
+        prim = _f_i32(1, tid) + b"\x00"  # TPrimitiveTypeEntry{type}
+        entry = _f_struct(1, prim) + b"\x00"  # TTypeEntry union
+        typedesc = (
+            _fld(_LIST, 1, bytes([_STRUCT]) + struct.pack(">i", 1) + entry) + b"\x00"
+        )
+        descs += (
+            _f_str(1, c.encode()) + _f_struct(2, typedesc) + _f_i32(3, i + 1) + b"\x00"
+        )
     schema = (
         _fld(_LIST, 1, bytes([_STRUCT]) + struct.pack(">i", len(columns)) + descs)
         + b"\x00"
@@ -482,34 +548,56 @@ def encode_metadata_resp(seqid: int, columns: list[str]) -> bytes:
     return _reply("GetResultSetMetadata", seqid, body)
 
 
-def _string_column(values: list) -> bytes:
-    """TColumn{7: TStringColumn{values, nulls-bitmask}} — NULLs render
-    as empty strings with their bitmask bit set (bit i%8 of byte i//8,
-    Hive's little-endian-within-byte convention)."""
+def _encode_column(values: list, kind: str = "string") -> bytes:
+    """One TColumn union arm with a nulls bitmask (bit i%8 of byte
+    i//8, Hive's little-endian-within-byte convention). NULLs carry
+    the arm's placeholder value with their bitmask bit set."""
     n = len(values)
-    items = bytearray()
     nulls = bytearray((n + 7) // 8 or 1)
-    for i, v in enumerate(values):
-        if v is None:
-            nulls[i // 8] |= 1 << (i % 8)
-            s = b""
-        else:
-            s = str(v).encode()
-        items += struct.pack(">i", len(s)) + s
+    if kind == "string":
+        items = bytearray()
+        for i, v in enumerate(values):
+            if v is None:
+                nulls[i // 8] |= 1 << (i % 8)
+                s = b""
+            else:
+                s = str(v).encode()
+            items += struct.pack(">i", len(s)) + s
+        field_id, elem_type, payload = 7, _STRING, bytes(items)
+    else:
+        field_id, elem_type, pack, placeholder = _COL_ENC[kind]
+        items = bytearray()
+        for i, v in enumerate(values):
+            if v is None:
+                nulls[i // 8] |= 1 << (i % 8)
+                v = placeholder
+            items += pack(v)
+        payload = bytes(items)
     col = (
-        _fld(_LIST, 1, bytes([_STRING]) + struct.pack(">i", n) + bytes(items))
+        _fld(_LIST, 1, bytes([elem_type]) + struct.pack(">i", n) + payload)
         + _f_str(2, bytes(nulls))
         + b"\x00"
     )
-    return _f_struct(7, col) + b"\x00"  # TColumn union, field 7 = stringVal
+    return _f_struct(field_id, col) + b"\x00"  # TColumn union
 
 
-def encode_fetch_resp(seqid: int, columns: list[list]) -> bytes:
+def _string_column(values: list) -> bytes:
+    return _encode_column(values, "string")
+
+
+def encode_fetch_resp(
+    seqid: int, columns: list[list], kinds: list[str] | None = None
+) -> bytes:
     """TFetchResultsResp with a columnar (protocol V6+) TRowSet.
     ``columns`` is column-major data; pass [] for an exhausted/log
-    fetch. hasMoreRows=False always — the full inline result ships in
-    one batch (bounded by the gateway's inline-row cap upstream)."""
-    cols = b"".join(_string_column(c) for c in columns)
+    fetch. ``kinds`` (from column_kinds) selects each column's TColumn
+    arm; untyped callers get all-strings. hasMoreRows=False always —
+    the full inline result ships in one batch (bounded by the
+    gateway's inline-row cap upstream)."""
+    cols = b"".join(
+        _encode_column(c, kinds[j] if kinds else "string")
+        for j, c in enumerate(columns)
+    )
     rowset = (
         _f_i64(1, 0)
         + _fld(_LIST, 2, bytes([_STRUCT]) + struct.pack(">i", 0))  # rows: []
@@ -577,18 +665,20 @@ class JdbcLineProxy:
     answer (``WorkSharingServer.answer_jdbc``) is NOT forwarded —
     the proxy synthesizes the TExecuteStatementResp itself and serves
     the operation lifecycle (GetOperationStatus → FINISHED,
-    GetResultSetMetadata → all-STRING schema, FetchResults → one
-    columnar V6 row batch, Close/CancelOperation) from the gateway
-    result. Two same-signature statements arriving in one window then
-    cost ONE merged execution and HiveServer2 never runs either — the
+    GetResultSetMetadata → typed schema, FetchResults → one columnar
+    V6 row batch, Close/CancelOperation) from the gateway result. Two
+    same-signature statements arriving in one window then cost ONE
+    merged execution and HiveServer2 never runs either — the
     reference's all-clients-through-the-window endpoint, completed.
     Substitution is per-connection conservative: the first command
     statement (SET/USE/DDL — anything mutating HiveServer2 session
     state the gateway cannot see) demotes the connection to gate+
-    forward for its remaining lifetime. Limitations, documented: all
-    result columns present as STRING (beeline renders identically;
-    typed JDBC getters see strings), and results bigger than the
-    gateway's inline-row cap fall back to forwarding."""
+    forward for its remaining lifetime. Result columns ship in their
+    native TColumn arms (BIGINT/DOUBLE/BOOLEAN; temporal and decimal
+    values as strings under TIMESTAMP/DATE/STRING type ids — Hive's
+    own wire form, so typed JDBC getters work). Limitation,
+    documented: results bigger than the gateway's inline-row cap fall
+    back to forwarding."""
 
     def __init__(
         self,
@@ -856,9 +946,15 @@ class JdbcLineProxy:
             import os as _os
 
             op_guid, secret = _os.urandom(16), _os.urandom(16)
+            names = list(res.get("columns") or [])
+            rows = [list(r) for r in res.get("rows") or []]
+            colmajor = [[row[i] for row in rows] for i in range(len(names))]
+            kinds, type_ids = column_kinds(colmajor)
             conn.ops[op_guid] = {
-                "columns": list(res.get("columns") or []),
-                "rows": [list(r) for r in res.get("rows") or []],
+                "columns": names,
+                "colmajor": colmajor,
+                "kinds": kinds,
+                "type_ids": type_ids,
                 "fetched": False,
             }
             self._bump("statements_answered")
@@ -869,20 +965,16 @@ class JdbcLineProxy:
         if name == "GetOperationStatus":
             return encode_status_resp(seqid)
         if name == "GetResultSetMetadata":
-            return encode_metadata_resp(seqid, op["columns"])
+            return encode_metadata_resp(seqid, op["columns"], op["type_ids"])
         if name == "FetchResults":
             if ftype != 0:  # operation-log fetch: empty batch
                 return encode_fetch_resp(seqid, [])
             if op["fetched"]:
                 return encode_fetch_resp(
-                    seqid, [[] for _ in op["columns"]]
+                    seqid, [[] for _ in op["columns"]], op["kinds"]
                 )
             op["fetched"] = True
-            cols = [
-                [row[i] for row in op["rows"]]
-                for i in range(len(op["columns"]))
-            ]
-            return encode_fetch_resp(seqid, cols)
+            return encode_fetch_resp(seqid, op["colmajor"], op["kinds"])
         if name in ("CloseOperation", "CancelOperation"):
             if name == "CloseOperation":
                 conn.ops.pop(guid, None)

@@ -1617,14 +1617,17 @@ class TestThriftSubstitution:
                 name, _seq, d = _recv_reply(c)
                 cols = [cd[1].decode() for cd in d[0][2][1]]
                 assert (name, cols) == ("GetResultSetMetadata", ["k", "n"])
+                # typed schema: k is STRING(7), n is BIGINT(4)
+                assert [cd[2][1][0][1][1] for cd in d[0][2][1]] == [7, 4]
                 c.sendall(_fetch_call(guid, 8))
                 name, _seq, d = _recv_reply(c)
                 assert name == "FetchResults" and d[0][2] is False
                 col_k, col_n = d[0][3][3]
                 assert col_k[7][1] == [b"a", b"b", b""]
                 assert col_k[7][2] == b"\x04"  # row 2 NULL
-                assert col_n[7][1] == [b"1", b"", b"3"]
-                assert col_n[7][2] == b"\x02"  # row 1 NULL
+                # int column ships in the native i64 arm (union field 5)
+                assert col_n[5][1] == [1, 0, 3]  # NULL placeholder 0
+                assert col_n[5][2] == b"\x02"  # row 1 NULL
                 # a second fetch is empty (one-shot result)
                 c.sendall(_fetch_call(guid, 9))
                 _name, _seq, d = _recv_reply(c)
@@ -1757,15 +1760,25 @@ class TestThriftSubstitution:
                     c.sendall(_fetch_call(guid, seq + 1))
                     _name, _seq, d = _recv_reply(c)
                     cols = d[0][3][3]
-                    vals = [col[7][1] for col in cols]
-                    nulls = [col[7][2] for col in cols]
+                    # columns arrive in their typed TColumn arms now —
+                    # read whichever union field each column used
+                    arms = [next(iter(col)) for col in cols]
+                    vals = [col[arm][1] for col, arm in zip(cols, arms)]
+                    nulls = [col[arm][2] for col, arm in zip(cols, arms)]
+
+                    def cell(j, i):
+                        if nulls[j][i // 8] & (1 << (i % 8)):
+                            return None
+                        v = vals[j][i]
+                        if arms[j] == 7:
+                            return v.decode()
+                        if arms[j] == 6:
+                            return str(_st.unpack(">d", v)[0])
+                        return str(v)
+
                     rows = set()
                     for i in range(len(vals[0])):
-                        rows.add(tuple(
-                            None if nulls[j][i // 8] & (1 << (i % 8))
-                            else vals[j][i].decode()
-                            for j in range(len(vals))
-                        ))
+                        rows.add(tuple(cell(j, i) for j in range(len(vals))))
                     results[name] = rows
 
             ta = _th.Thread(target=run, args=("a", qa, 10))
@@ -1852,6 +1865,96 @@ class TestThriftEncoderProperties:
                 assert cd[2][1][0][1][1] == 7
 
         prop()
+
+    def test_typed_fetch_roundtrip_property(self):
+        """Typed TColumn arms: per-column homogeneous bool/i64/double/
+        string data (with NULLs) encodes into the arm column_kinds
+        picks and decodes back to the exact values."""
+        import struct as _s
+
+        from hypothesis import given, settings, strategies as st
+        from sparksql_server_spark.server.jdbc_proxy import (
+            column_kinds,
+            encode_fetch_resp,
+        )
+
+        arm_for = {"bool": 1, "i64": 5, "double": 6, "string": 7}
+        colgen = st.one_of(
+            st.lists(st.none() | st.booleans(), max_size=20),
+            st.lists(st.none() | st.integers(-(2**63), 2**63 - 1), max_size=20),
+            st.lists(
+                st.none() | st.floats(allow_nan=False, allow_infinity=False),
+                max_size=20,
+            ),
+            st.lists(st.none() | st.text(max_size=12), max_size=20),
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(seqid=st.integers(-(2**31), 2**31 - 1), data=st.data())
+        def prop(seqid, data):
+            ncols = data.draw(st.integers(0, 4))
+            nrows = data.draw(st.integers(0, 20))
+            cols = [data.draw(colgen)[:nrows] + [None] * 0 for _ in range(ncols)]
+            cols = [c + [None] * (nrows - len(c)) for c in cols]
+            kinds, _tids = column_kinds(cols)
+            msg = encode_fetch_resp(seqid, cols, kinds)
+            end, name, seq, d = _t_reply(msg)
+            assert (end, name, seq) == (len(msg), "FetchResults", seqid)
+            got = d[0][3][3]
+            assert len(got) == ncols
+            for j, col in enumerate(got):
+                arm = arm_for[kinds[j]]
+                assert list(col.keys()) == [arm]
+                vals, nulls = col[arm][1], col[arm][2]
+                assert len(vals) == nrows
+                for i in range(nrows):
+                    is_null = bool(nulls[i // 8] & (1 << (i % 8)))
+                    if cols[j][i] is None:
+                        assert is_null
+                    else:
+                        assert not is_null
+                        v = cols[j][i]
+                        if kinds[j] == "double":
+                            assert _s.unpack(">d", vals[i])[0] == v
+                        elif kinds[j] == "string":
+                            assert vals[i] == str(v).encode()
+                        else:
+                            assert vals[i] == v
+
+        prop()
+
+    def test_column_kinds_inference(self):
+        import datetime as dt
+
+        from sparksql_server_spark.server.jdbc_proxy import column_kinds
+
+        cols = [
+            [1, 2, None],                      # i64 / BIGINT
+            [True, None, False],               # bool / BOOLEAN
+            [1.5, None],                       # double / DOUBLE
+            ["a", None],                       # string / STRING
+            [dt.datetime(2026, 1, 1, 2), None],  # string / TIMESTAMP
+            [dt.date(2026, 1, 1), None],       # string / DATE
+            [1, "x"],                          # mixed -> string / STRING
+            [1 << 70],                         # overflows i64 -> string
+            [None, None],                      # all-null -> string
+            [],                                # empty -> string
+        ]
+        kinds, tids = column_kinds(cols)
+        assert kinds == [
+            "i64", "bool", "double", "string", "string",
+            "string", "string", "string", "string", "string",
+        ]
+        assert tids == [4, 0, 6, 7, 8, 17, 7, 7, 7, 7]
+
+    def test_metadata_type_ids(self):
+        from sparksql_server_spark.server.jdbc_proxy import encode_metadata_resp
+
+        msg = encode_metadata_resp(9, ["a", "b", "c"], [4, 6, 17])
+        end, name, seq, d = _t_reply(msg)
+        assert (end, name, seq) == (len(msg), "GetResultSetMetadata", 9)
+        descs = d[0][2][1]
+        assert [cd[2][1][0][1][1] for cd in descs] == [4, 6, 17]
 
     def test_no_strict_prefix_decodes(self):
         from sparksql_server_spark.server.jdbc_proxy import (
@@ -2013,11 +2116,13 @@ def test_substituted_repeat_statement_hits_result_cache(spark):
                 guid = d[0][2][1][1]
                 c.sendall(_fetch_call(guid, seq + 1))
                 _n, _s, d = _recv_reply(c)
-                return [col[7][1] for col in d[0][3][3]]
+                # typed arms: r_name in stringVal(7), n in i64Val(5)
+                return [col[next(iter(col))][1] for col in d[0][3][3]]
 
         first = run(10)
         second = run(20)
         assert first == second and len(first[0]) == 5
+        assert all(isinstance(v, int) for v in first[1])  # native i64 arm
         assert srv.results.stats()["result_cache_hits"] >= hits0 + 1
         assert proxy.stats["statements_answered"] == 2
         assert sum(len(r) for r in ups.conns) == 0
