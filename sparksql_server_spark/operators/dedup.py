@@ -490,15 +490,22 @@ kept AS (SELECT s.doc_id, s.shingle
          FROM sh s JOIN df ON s.shingle = df.shingle
          WHERE df.c <= {_SHINGLE_MAX_DF}),
 counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+inter AS (SELECT a.doc_id AS lo, b.doc_id AS hi, count(*) AS shared
           FROM kept a JOIN kept b
-            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
-          HAVING count(*) >= 2)
-SELECT d1, d2, CAST(shared AS BIGINT) AS shared, CAST(ca.n AS BIGINT) AS n_d1,
-       round(shared / ca.n, 6) AS containment
-FROM inter JOIN counts ca ON d1 = ca.doc_id
-WHERE 4 * shared >= ca.n
+          HAVING count(*) >= 2),
+sized AS (SELECT i.lo, i.hi, i.shared, ca.n AS n_lo, cb.n AS n_hi
+          FROM inter i JOIN counts ca ON i.lo = ca.doc_id
+                       JOIN counts cb ON i.hi = cb.doc_id),
+directed AS (
+  SELECT lo AS d1, hi AS d2, shared, n_lo AS n_d1 FROM sized
+  UNION ALL
+  SELECT hi AS d1, lo AS d2, shared, n_hi AS n_d1 FROM sized)
+SELECT d1, d2, CAST(shared AS BIGINT) AS shared, CAST(n_d1 AS BIGINT) AS n_d1,
+       round(shared / n_d1, 6) AS containment
+FROM directed
+WHERE 4 * shared >= n_d1
 ORDER BY containment DESC, d1, d2
 LIMIT 500
 """
@@ -519,35 +526,67 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same blocked shingle self-join as dedup_ngram_jaccard, with
     the same pre-join DF cutoff (df <= _SHINGLE_MAX_DF) capping every
-    join bucket — Σ bucket² bounded by |shingles| · maxDF; ordered
-    pairs cost 2× the unordered join output but no extra shuffle — the
-    pair aggregation key is (d1, d2) either way. The kept-shingle
-    table builds once behind a CacheScope (counts + both join sides
-    consume it), same as dedup_ngram_jaccard.
+    join bucket — Σ bucket² bounded by |shingles| · maxDF. Direction
+    is DERIVED, not joined: |A∩B| is symmetric, so the pair join and
+    its aggregation run once over unordered (lo < hi) pairs and each
+    aggregated pair explodes into its two directed rows against the
+    broadcast size table — half the join output and half the
+    pair-shuffle of the ordered (<>) formulation for the identical
+    result set. The kept-shingle table builds once behind a
+    CacheScope (counts + both join sides consume it), same as
+    dedup_ngram_jaccard.
     """
     register_tables(spark, sf_dir, ("documents",))
     kept = _shingle_kept_materialized(spark)
     counts = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = kept.alias("a"), kept.alias("b")
+    # UNORDERED pair aggregation (doc_id <), then both directed rows
+    # explode from each aggregated pair: |A∩B| is symmetric, so the
+    # ordered (<>) join aggregated every intersection twice — half the
+    # join output and half the pair-shuffle for the same result set
     inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .groupBy(F.col("a.doc_id").alias("lo"), F.col("b.doc_id").alias("hi"))
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= 2)
     )
+    ca = counts.select(F.col("doc_id").alias("lo"), F.col("n").alias("n_lo"))
+    cb = counts.select(F.col("doc_id").alias("hi"), F.col("n").alias("n_hi"))
+    directed = (
+        inter.join(F.broadcast(ca), "lo")
+        .join(F.broadcast(cb), "hi")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lo").alias("d1"),
+                        F.col("hi").alias("d2"),
+                        F.col("shared").alias("shared"),
+                        F.col("n_lo").alias("n_d1"),
+                    ),
+                    F.struct(
+                        F.col("hi").alias("d1"),
+                        F.col("lo").alias("d2"),
+                        F.col("shared").alias("shared"),
+                        F.col("n_hi").alias("n_d1"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
     return (
-        inter.join(counts.alias("ca"), F.col("d1") == F.col("ca.doc_id"))
-        .filter(4 * F.col("shared") >= F.col("ca.n"))
+        directed.filter(4 * F.col("shared") >= F.col("n_d1"))
         .select(
             "d1",
             "d2",
             F.col("shared").cast("bigint").alias("shared"),
-            F.col("ca.n").cast("bigint").alias("n_d1"),
-            F.round(F.col("shared") / F.col("ca.n"), 6).alias("containment"),
+            F.col("n_d1").cast("bigint").alias("n_d1"),
+            F.round(F.col("shared") / F.col("n_d1"), 6).alias("containment"),
         )
         .orderBy(F.desc("containment"), "d1", "d2")
         .limit(500)
