@@ -806,15 +806,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the regime a one-shot gateway query lives in; steady-state repeats
 # pay ~0.15 s for the parquet round-trip. The spilled band relation
 # is also the artifact a production pipeline persists as its LSH
-# index.
+# index. Composed from the CANONICAL chain text (_mh_candidate_ctes)
+# so the cluster graph can never drift from the LSH pipeline it is
+# documented to share; the unreferenced cand CTE is pruned at
+# analysis.
 _CC_BANDS_SPARK = f"""
-WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id, shingle
-       FROM w LATERAL VIEW explode({spark_shingles('w')}) t AS shingle),
-h AS (SELECT doc_id, {spark_char_hash('shingle')} AS h FROM sh),
-mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id)
-SELECT doc_id, band, band_sig FROM mh
-LATERAL VIEW stack({_MH_K // _MH_R}, {_STACK_ARGS}) s AS band, band_sig
+WITH {_mh_candidate_ctes('spark')}
+SELECT doc_id, band, band_sig FROM bs
 """
 
 # both directions off the spilled band relation, one pass

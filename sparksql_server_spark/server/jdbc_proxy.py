@@ -477,15 +477,50 @@ _HIVE_BOOLEAN, _HIVE_BIGINT, _HIVE_DOUBLE = 0, 4, 6
 _HIVE_STRING, _HIVE_TIMESTAMP, _HIVE_DATE = 7, 8, 17
 
 
-def column_kinds(columns: list[list]) -> tuple[list[str], list[int]]:
-    """(encoding kind, Hive TTypeId) per column, inferred from the
-    collected Python values — Spark columns are homogeneously typed,
-    so the first non-null value decides and a mixed column (never
-    produced by a DataFrame collect) falls back to strings.
-    int64-overflowing Python ints (possible via DECIMAL(38)) and every
-    non-scalar render as strings, which is also Hive's wire format for
-    those types."""
+# Spark dtype simpleString (prefix) -> (encoding kind, Hive TTypeId).
+# Schema-first: when the gateway ships df.dtypes, the declared type
+# decides — an empty or all-NULL result keeps its column types and the
+# same statement always reports the same schema.
+_DTYPE_KINDS = {
+    "boolean": ("bool", _HIVE_BOOLEAN),
+    "tinyint": ("i64", _HIVE_BIGINT),
+    "smallint": ("i64", _HIVE_BIGINT),
+    "int": ("i64", _HIVE_BIGINT),
+    "bigint": ("i64", _HIVE_BIGINT),
+    "float": ("double", _HIVE_DOUBLE),
+    "double": ("double", _HIVE_DOUBLE),
+    "date": ("string", _HIVE_DATE),
+    "timestamp": ("string", _HIVE_TIMESTAMP),  # also timestamp_ntz
+}
+
+
+def column_kinds(
+    columns: list[list], dtypes: list[str] | None = None
+) -> tuple[list[str], list[int]]:
+    """(encoding kind, Hive TTypeId) per column.
+
+    Schema-first: with ``dtypes`` (Spark ``df.dtypes`` simpleStrings,
+    shipped by the gateway) the declared type decides, so empty and
+    all-NULL results report the same schema as populated ones.
+    Without dtypes, fall back to inferring from the collected Python
+    values — Spark columns are homogeneously typed, so the first
+    non-null value decides and a mixed column (never produced by a
+    DataFrame collect) falls back to strings. int64-overflowing
+    Python ints (possible via DECIMAL(38)) and every non-scalar
+    render as strings, which is also Hive's wire format for those
+    types."""
     import datetime as _dt
+
+    if dtypes is not None and len(dtypes) == len(columns):
+        kinds, type_ids = [], []
+        for dt_str in dtypes:
+            base = dt_str.split("(")[0]
+            if base == "timestamp_ntz":
+                base = "timestamp"
+            kind, tid = _DTYPE_KINDS.get(base, ("string", _HIVE_STRING))
+            kinds.append(kind)
+            type_ids.append(tid)
+        return kinds, type_ids
 
     kinds: list[str] = []
     type_ids: list[int] = []
@@ -579,10 +614,6 @@ def _encode_column(values: list, kind: str = "string") -> bytes:
         + b"\x00"
     )
     return _f_struct(field_id, col) + b"\x00"  # TColumn union
-
-
-def _string_column(values: list) -> bytes:
-    return _encode_column(values, "string")
 
 
 def encode_fetch_resp(
@@ -949,7 +980,7 @@ class JdbcLineProxy:
             names = list(res.get("columns") or [])
             rows = [list(r) for r in res.get("rows") or []]
             colmajor = [[row[i] for row in rows] for i in range(len(names))]
-            kinds, type_ids = column_kinds(colmajor)
+            kinds, type_ids = column_kinds(colmajor, res.get("dtypes"))
             conn.ops[op_guid] = {
                 "columns": names,
                 "colmajor": colmajor,

@@ -38,6 +38,10 @@ class QueryJob:
     error: str | None = None
     rows: list[tuple] | None = None
     columns: list[str] | None = None
+    # Spark type simpleStrings per column (df.dtypes) — the JDBC
+    # proxy derives wire types from the SCHEMA, not the values, so
+    # empty/all-NULL results keep their declared column types
+    dtypes: list[str] | None = None
     n_rows: int | None = None
     elapsed: float | None = None
     fingerprints: frozenset[str] = frozenset()
@@ -68,6 +72,8 @@ class QueryJob:
             out["error"] = self.error
         if self.columns is not None:
             out["columns"] = self.columns
+        if self.dtypes is not None:
+            out["dtypes"] = self.dtypes
         if self.n_rows is not None:
             out["n_rows"] = self.n_rows
         if self.rows is not None:

@@ -437,6 +437,7 @@ class BatchExecutor:
                 truncated = len(rows) > MAX_INLINE_ROWS
                 rows = rows[:MAX_INLINE_ROWS]
                 job.columns = list(df.columns)
+                job.dtypes = [t for _c, t in df.dtypes]
                 job.rows = [tuple(r) for r in rows]
                 job.n_rows = len(rows)
                 if truncated:

@@ -431,7 +431,11 @@ class WorkSharingServer:
             or res.get("truncated")
         ):
             return None
-        return {"columns": res.get("columns") or [], "rows": res["rows"]}
+        return {
+            "columns": res.get("columns") or [],
+            "dtypes": res.get("dtypes"),
+            "rows": res["rows"],
+        }
 
     def handle_request(self, req: dict[str, Any]) -> dict[str, Any]:
         if "status" in req:  # {"status": id} -> poll a submitted job

@@ -1947,6 +1947,29 @@ class TestThriftEncoderProperties:
         ]
         assert tids == [4, 0, 6, 7, 8, 17, 7, 7, 7, 7]
 
+    def test_schema_first_kinds_survive_empty_and_allnull_results(self):
+        """With the gateway's df.dtypes shipped, the declared schema
+        decides the wire types — an empty or all-NULL result reports
+        the same column types as a populated one (value inference
+        would degrade them to STRING)."""
+        from sparksql_server_spark.server.jdbc_proxy import column_kinds
+
+        dtypes = ["string", "bigint", "double", "boolean",
+                  "timestamp", "date", "decimal(18,6)", "array<float>"]
+        for cols in (
+            [[] for _ in dtypes],                       # zero rows
+            [[None, None] for _ in dtypes],             # all-NULL rows
+        ):
+            kinds, tids = column_kinds(cols, dtypes)
+            assert kinds == ["string", "i64", "double", "bool",
+                             "string", "string", "string", "string"]
+            assert tids == [7, 4, 6, 0, 8, 17, 7, 7]
+        # int columns are widened to the i64 arm under a BIGINT id
+        assert column_kinds([[1]], ["int"]) == (["i64"], [4])
+        # length mismatch or missing dtypes -> value inference
+        assert column_kinds([[1, 2]], None)[0] == ["i64"]
+        assert column_kinds([[1], [2]], ["bigint"])[0] == ["i64", "i64"]
+
     def test_metadata_type_ids(self):
         from sparksql_server_spark.server.jdbc_proxy import encode_metadata_resp
 
