@@ -179,21 +179,24 @@ def _statement_from_args(buf: bytes, pos: int) -> tuple[int, Optional[str]]:
             pos = _skip(buf, pos, ft)
 
 
-def _handle_guid_from_args(buf: bytes, pos: int) -> tuple[int, Optional[bytes], int]:
+def _handle_guid_from_args(
+    buf: bytes, pos: int
+) -> tuple[int, Optional[bytes], int, int]:
     """Walk a TCLIService request args struct extracting the operation/
-    session handle guid and (for FetchResults) the fetchType; returns
-    (end, guid|None, fetch_type). Path: args field 1 (the *Req struct)
-    → field 1 (T{Operation,Session}Handle) → field 1
-    (THandleIdentifier) → field 1 (binary guid). Everything else is
-    skipped generically."""
+    session handle guid and (for FetchResults) the fetchType and
+    orientation; returns (end, guid|None, fetch_type, orientation).
+    Path: args field 1 (the *Req struct) → field 1
+    (T{Operation,Session}Handle) → field 1 (THandleIdentifier) →
+    field 1 (binary guid). Everything else is skipped generically."""
     guid: Optional[bytes] = None
     fetch_type = 0
+    orientation = 0  # TFetchOrientation.FETCH_NEXT
     while True:
         _need(buf, pos, 1)
         ft = buf[pos]
         pos += 1
         if ft == _STOP:
-            return pos, guid, fetch_type
+            return pos, guid, fetch_type, orientation
         _need(buf, pos, 2)
         (fid,) = struct.unpack_from(">h", buf, pos)
         pos += 2
@@ -243,6 +246,10 @@ def _handle_guid_from_args(buf: bytes, pos: int) -> tuple[int, Optional[bytes], 
                     _need(buf, pos, 2)
                     (fetch_type,) = struct.unpack_from(">h", buf, pos)
                     pos += 2
+                elif rt == _I32 and rid == 2:  # TFetchResultsReq.orientation
+                    _need(buf, pos, 4)
+                    (orientation,) = struct.unpack_from(">i", buf, pos)
+                    pos += 4
                 else:
                     pos = _skip(buf, pos, rt)
         else:
@@ -262,18 +269,23 @@ _OP_METHODS = frozenset(
 )
 
 
-def _open_conf_from_args(buf: bytes, pos: int) -> tuple[int, dict[str, str]]:
+def _open_conf_from_args(
+    buf: bytes, pos: int
+) -> tuple[int, dict[str, str], Optional[int]]:
     """TOpenSessionReq's configuration overlay (field 4,
-    map<string,string>), plus the args end offset. The overlay is the
-    connect-time session state the gateway cannot see — substitution
-    must know it."""
+    map<string,string>) and client_protocol (field 1, i32), plus the
+    args end offset. The overlay is the connect-time session state the
+    gateway cannot see — substitution must know it; the protocol
+    version gates the columnar (V6+) result encoding the substitution
+    emits."""
     conf: dict[str, str] = {}
+    proto: Optional[int] = None
     while True:
         _need(buf, pos, 1)
         ft = buf[pos]
         pos += 1
         if ft == _STOP:
-            return pos, conf
+            return pos, conf, proto
         _need(buf, pos, 2)
         (fid,) = struct.unpack_from(">h", buf, pos)
         pos += 2
@@ -287,7 +299,11 @@ def _open_conf_from_args(buf: bytes, pos: int) -> tuple[int, dict[str, str]]:
                 _need(buf, pos, 2)
                 (rid,) = struct.unpack_from(">h", buf, pos)
                 pos += 2
-                if rt == _MAP and rid == 4:  # configuration
+                if rt == _I32 and rid == 1:  # client_protocol
+                    _need(buf, pos, 4)
+                    (proto,) = struct.unpack_from(">i", buf, pos)
+                    pos += 4
+                elif rt == _MAP and rid == 4:  # configuration
                     _need(buf, pos, 6)
                     kt, vt = buf[pos], buf[pos + 1]
                     (n,) = struct.unpack_from(">i", buf, pos + 2)
@@ -337,14 +353,28 @@ def benign_open_conf(conf: dict[str, str]) -> bool:
 
 def parse_call_ex(
     buf: bytes, pos: int = 0
-) -> Optional[tuple[int, str, int, Optional[str], Optional[bytes], int]]:
+) -> Optional[
+    tuple[
+        int,
+        str,
+        int,
+        Optional[str],
+        Optional[bytes],
+        int,
+        int,
+        Optional[dict],
+        Optional[int],
+    ]
+]:
     """Parse one strict-TBinaryProtocol CALL message starting at
     ``pos``. Returns ``(end, method_name, seqid, statement, op_guid,
-    fetch_type, open_conf)`` — ``statement`` for ExecuteStatement,
-    ``op_guid`` for operation-scoped methods, ``open_conf`` (the
-    configuration overlay map) for OpenSession — or None when the
-    buffer ends mid-message (read more and retry). Raises ValueError
-    on bytes that are not a strict Thrift message."""
+    fetch_type, orientation, open_conf, client_protocol)`` —
+    ``statement`` for ExecuteStatement, ``op_guid``/``fetch_type``/
+    ``orientation`` for operation-scoped methods, ``open_conf`` (the
+    configuration overlay map) and ``client_protocol`` for
+    OpenSession — or None when the buffer ends mid-message (read more
+    and retry). Raises ValueError on bytes that are not a strict
+    Thrift message."""
     try:
         _need(buf, pos, 4)
         (version,) = struct.unpack_from(">I", buf, pos)
@@ -364,16 +394,18 @@ def parse_call_ex(
         stmt: Optional[str] = None
         guid: Optional[bytes] = None
         fetch_type = 0
+        orientation = 0
         open_conf: Optional[dict] = None
+        open_proto: Optional[int] = None
         if name == "ExecuteStatement":
             pos, stmt = _statement_from_args(buf, pos)
         elif name in _OP_METHODS:
-            pos, guid, fetch_type = _handle_guid_from_args(buf, pos)
+            pos, guid, fetch_type, orientation = _handle_guid_from_args(buf, pos)
         elif name == "OpenSession":
-            pos, open_conf = _open_conf_from_args(buf, pos)
+            pos, open_conf, open_proto = _open_conf_from_args(buf, pos)
         else:
             pos = _skip(buf, pos, _STRUCT)
-        return pos, name, seqid, stmt, guid, fetch_type, open_conf
+        return pos, name, seqid, stmt, guid, fetch_type, orientation, open_conf, open_proto
     except _Incomplete:
         return None
 
@@ -384,8 +416,7 @@ def parse_call(buf: bytes, pos: int = 0) -> Optional[tuple[int, str, Optional[st
     parsed = parse_call_ex(buf, pos)
     if parsed is None:
         return None
-    end, name, _seqid, stmt, _guid, _ft, _conf = parsed
-    return end, name, stmt
+    return parsed[0], parsed[1], parsed[3]
 
 
 # ---------------------------------------------------------------------------
@@ -667,13 +698,17 @@ def statements_in_frame(payload: bytes) -> list[str]:
 class _Conn:
     """Per-connection interception state."""
 
-    __slots__ = ("clean", "ops", "wlock")
+    __slots__ = ("clean", "ops", "wlock", "skip_gate_once")
 
     def __init__(self) -> None:
         # True until any COMMAND statement passes through: commands
         # mutate HiveServer2 session state the gateway cannot see, so
         # substitution is disabled for the rest of the connection
         self.clean = True
+        # set when answer() already ran the NEXT forwarded statement
+        # through a full window batch before declining substitution —
+        # the forward path then skips its (second) prime gate
+        self.skip_gate_once = False
         # locally-answered operations: guid -> {"columns", "rows",
         # "fetched"} (rows ship once; later fetches return empty)
         self.ops: dict[bytes, dict] = {}
@@ -881,19 +916,24 @@ class JdbcLineProxy:
                     return buf, True
                 if parsed is None:
                     break  # incomplete message
-                end, name, seqid, stmt, guid, ftype, oconf = parsed
-                if name == "OpenSession" and oconf and not benign_open_conf(oconf):
-                    # connect-time session state the gateway cannot
-                    # see: no substitution on this connection, ever
-                    conn.clean = False
-                reply = self._local_reply(conn, name, seqid, stmt, guid, ftype)
+                end, name, seqid, stmt, guid, ftype, orient, oconf, oproto = parsed
+                if name == "OpenSession":
+                    self._apply_open_fence(conn, oconf, oproto)
+                reply = self._local_reply(conn, name, seqid, stmt, guid, ftype, orient)
                 if reply is not None:
                     with conn.wlock:
                         client.sendall(reply)
                     buf = buf[end:]
                     continue
                 if name == "ExecuteStatement" and stmt:
-                    self._gate_safely(stmt)
+                    if conn.skip_gate_once:
+                        # answer() already ran this statement through a
+                        # full window batch before declining — gating it
+                        # again would pay a second window wait for zero
+                        # additional sharing
+                        conn.skip_gate_once = False
+                    else:
+                        self._gate_safely(stmt)
                 up.sendall(buf[:end])
                 buf = buf[end:]
                 continue
@@ -922,6 +962,14 @@ class JdbcLineProxy:
             if len(buf) < 4 + n:
                 break
             payload = buf[4 : 4 + n]
+            # session fences first, over EVERY message in the frame: a
+            # pipelining client may pack a non-benign OpenSession
+            # together with other messages in one frame, and
+            # _frame_local_reply only inspects single-message frames —
+            # without this walk such an overlay would escape demotion
+            # and the connection would keep substituting against state
+            # the gateway cannot see (review r7)
+            self._apply_frame_fences(conn, payload)
             reply = self._frame_local_reply(conn, payload)
             if reply is not None:
                 with conn.wlock:
@@ -929,25 +977,59 @@ class JdbcLineProxy:
                 buf = buf[4 + n :]
                 continue
             for stmt in statements_in_frame(payload):
-                self._gate_safely(stmt)
+                if conn.skip_gate_once:
+                    conn.skip_gate_once = False
+                else:
+                    self._gate_safely(stmt)
             up.sendall(buf[: 4 + n])
             buf = buf[4 + n :]
         return buf, False
 
+    def _apply_open_fence(
+        self, conn: _Conn, oconf: Optional[dict], oproto: Optional[int]
+    ) -> None:
+        """Demote a connection whose OpenSession the substitution
+        cannot serve faithfully: a non-benign configuration overlay
+        (connect-time session state the gateway cannot see), or a
+        client protocol below V6 (=5) — such clients read the
+        row-based TRowSet arm, and the synthesized results are
+        columnar-only, so substituting would hand them empty rows."""
+        if oconf and not benign_open_conf(oconf):
+            conn.clean = False
+        if oproto is not None and oproto < 5:
+            conn.clean = False
+
+    def _apply_frame_fences(self, conn: _Conn, payload: bytes) -> None:
+        """Walk every message in a SASL data frame and apply the
+        OpenSession fences (conf overlay, protocol version).
+        Unparseable payloads apply nothing — they also answer nothing
+        and forward ungated, so no substitution can follow them on a
+        wrong premise."""
+        pos = 0
+        try:
+            while pos < len(payload):
+                parsed = parse_call_ex(payload, pos)
+                if parsed is None:
+                    break
+                pos = parsed[0]
+                if parsed[1] == "OpenSession":
+                    self._apply_open_fence(conn, parsed[7], parsed[8])
+        except ValueError:
+            return
+
     def _frame_local_reply(self, conn: _Conn, payload: bytes) -> Optional[bytes]:
         """Local reply for a SASL data frame, when the frame carries
         exactly ONE message the proxy handles itself; multi-message
-        frames (batching clients) always pass through."""
+        frames (batching clients) always pass through. Session fences
+        were already applied by _apply_frame_fences."""
         try:
             parsed = parse_call_ex(payload, 0)
         except ValueError:
             return None
         if parsed is None or parsed[0] != len(payload):
             return None
-        _end, name, seqid, stmt, guid, ftype, oconf = parsed
-        if name == "OpenSession" and oconf and not benign_open_conf(oconf):
-            conn.clean = False
-        return self._local_reply(conn, name, seqid, stmt, guid, ftype)
+        _end, name, seqid, stmt, guid, ftype, orient, _oconf, _oproto = parsed
+        return self._local_reply(conn, name, seqid, stmt, guid, ftype, orient)
 
     def _local_reply(
         self,
@@ -957,6 +1039,7 @@ class JdbcLineProxy:
         stmt: Optional[str],
         guid: Optional[bytes],
         ftype: int,
+        orient: int = 0,
     ) -> Optional[bytes]:
         """Synthesized response bytes when the proxy owns this request,
         else None (caller gates/forwards as usual)."""
@@ -965,22 +1048,33 @@ class JdbcLineProxy:
                 return None
             try:
                 res = self.answer(stmt)
-            except Exception:
-                return None
-            if res is None:
-                return None  # not answerable — gate + forward
-            if res.get("passthrough") == "command":
-                # mutates HiveServer2 session state the gateway cannot
-                # see: demote this connection for good, forward
-                conn.clean = False
-                return None
-            import os as _os
+                if res is None:
+                    return None  # pre-execution failure — gate + forward
+                if res.get("passthrough") == "command":
+                    # mutates HiveServer2 session state the gateway
+                    # cannot see: demote this connection for good,
+                    # forward
+                    conn.clean = False
+                    return None
+                if res.get("fallback"):
+                    # the gateway DID run the statement through a full
+                    # window batch but the result can't be substituted
+                    # (error/sink/truncated) — forward, but skip the
+                    # gate: a second window pass buys nothing
+                    conn.skip_gate_once = True
+                    return None
+                import os as _os
 
-            op_guid, secret = _os.urandom(16), _os.urandom(16)
-            names = list(res.get("columns") or [])
-            rows = [list(r) for r in res.get("rows") or []]
-            colmajor = [[row[i] for row in rows] for i in range(len(names))]
-            kinds, type_ids = column_kinds(colmajor, res.get("dtypes"))
+                op_guid, secret = _os.urandom(16), _os.urandom(16)
+                names = list(res.get("columns") or [])
+                rows = [list(r) for r in res.get("rows") or []]
+                colmajor = [[row[i] for row in rows] for i in range(len(names))]
+                kinds, type_ids = column_kinds(colmajor, res.get("dtypes"))
+            except Exception:
+                # malformed answer payload (short row, non-iterable):
+                # fall back to gate+forward instead of letting the
+                # exception unwind the connection pump (review r7)
+                return None
             conn.ops[op_guid] = {
                 "columns": names,
                 "colmajor": colmajor,
@@ -1000,6 +1094,11 @@ class JdbcLineProxy:
         if name == "FetchResults":
             if ftype != 0:  # operation-log fetch: empty batch
                 return encode_fetch_resp(seqid, [])
+            if orient == 4:  # TFetchOrientation.FETCH_FIRST: rewind —
+                # HiveServer2 supports re-reading from the start and BI
+                # clients use it; serving empty here would silently
+                # truncate the result (review r7)
+                op["fetched"] = False
             if op["fetched"]:
                 return encode_fetch_resp(
                     seqid, [[] for _ in op["columns"]], op["kinds"]

@@ -1014,10 +1014,24 @@ def plan_merges(
         # which preserves the mandatory row; global singletons here run
         # unmerged.
         members = [(j, p) for j, p in members if p.group_canon]
-        sets = {p.group_canon for _, p in members}
-        if len(members) < 2 or not (2 <= len(sets) <= max_grouping_sets):
+        # pack within the DISTINCT-aggregate budget instead of
+        # all-or-nothing: one over-budget member (e.g. a DP singleton
+        # with several DISTINCTs routed here from regime 1) must not
+        # cost every other leftover its GROUPING SETS merge (review
+        # r7) — cheapest-first keeps the most members, excluded ones
+        # run unmerged exactly as they would have pre-merge
+        members = sorted(
+            members, key=lambda jp: (jp[1].n_distinct_aggs, jp[0].job_id)
+        )
+        kept: list = []
+        budget = max_distinct_aggs
+        for j, p in members:
+            if p.n_distinct_aggs <= budget:
+                kept.append((j, p))
+                budget -= p.n_distinct_aggs
+        kept.sort(key=lambda jp: jp[0].job_id)
+        sets = {p.group_canon for _, p in kept}
+        if len(kept) < 2 or not (2 <= len(sets) <= max_grouping_sets):
             continue
-        if sum(p.n_distinct_aggs for _, p in members) > max_distinct_aggs:
-            continue
-        plans.append(_build_merge(members, grouping_sets=True))
+        plans.append(_build_merge(kept, grouping_sets=True))
     return plans

@@ -88,12 +88,23 @@ def command_write_set(sql: str) -> Optional[frozenset[str]]:
     """The set of table names a command statement writes/redefines, or
     None when the statement shape isn't recognized (callers must then
     flush everything). Multi-statement inputs are not a gateway shape
-    (one request = one statement), so only the head is inspected."""
+    (one request = one statement), so only the head is inspected.
+
+    Both the unqualified basename (cached entries key tables that way)
+    and the full qualified name (so _resolve_write_set can look up
+    ``db.tbl`` in the catalog, not whatever ``tbl`` means in the
+    current database) are returned. ``INSERT OVERWRITE [LOCAL]
+    DIRECTORY`` writes a PATH the regex cannot capture -> None, the
+    whole-cache flush (the captured pseudo-target would otherwise
+    silently scope the flush to a table named 'directory')."""
     m = _WRITE_TARGET.match(sql.strip())
     if not m:
         return None
     target = next(g for g in m.groups() if g)
-    return frozenset({_bare_name(target)})
+    qualified = target.replace("`", "").lower()
+    if qualified in ("directory", "local"):
+        return None
+    return frozenset({_bare_name(target), qualified})
 
 
 _EXTENSIONS = (".parquet", ".orc", ".csv", ".json", ".txt", ".avro", ".xml")
@@ -116,6 +127,26 @@ def tables_from_fingerprints(fingerprints) -> frozenset[str]:
                 break
         keys.add(base)
     return frozenset(keys)
+
+
+def keys_intersect(read_set: frozenset[str], tables: frozenset[str]) -> bool:
+    """Whether a cached entry's read keys intersect a write set.
+    Path-shaped keys (leading '/') match by DIRECTORY CONTAINMENT in
+    either direction, not just equality: a sink overwriting
+    ``/data/t`` must hit an entry whose scan fingerprint is the child
+    file ``/data/t/data.csv``, and a write to a child file must hit
+    an entry that reads the enclosing directory."""
+    if read_set & tables:
+        return True
+    for t in tables:
+        if t.startswith("/"):
+            tp = t.rstrip("/")
+            for r in read_set:
+                if r.startswith("/") and (
+                    r.startswith(tp + "/") or tp.startswith(r.rstrip("/") + "/")
+                ):
+                    return True
+    return False
 
 
 def _normalize_outside_literals(sql: str) -> str:
@@ -177,6 +208,16 @@ class ResultCache:
         # insertion) is discarded instead of resurrecting a pre-command
         # result for up to TTL (ADVICE r4 low)
         self.generation = 0
+        # active write-set taints: (tables-or-None, expiry). A put()
+        # whose read set intersects an unexpired taint is refused —
+        # the command that raised the taint executes OUT OF BAND
+        # (HiveServer2, after the proxy forwards its frame), so for
+        # the taint's lifetime the gateway cannot know whether a
+        # query's input reflects the pre- or mid-command state. No
+        # caching beats caching a maybe-stale answer; reads are
+        # unaffected (entries touching the write set were flushed at
+        # command arrival).
+        self._taints: list[tuple[Optional[frozenset[str]], float]] = []
 
     @staticmethod
     def key(session_id: Optional[str], sql: str) -> tuple:
@@ -215,6 +256,16 @@ class ResultCache:
         with self._lock:
             if generation is not None and generation != self.generation:
                 return  # invalidated since the caller captured the epoch
+            if self._taints:
+                now = time.monotonic()
+                self._taints = [t for t in self._taints if t[1] > now]
+                for t_tables, _exp in self._taints:
+                    if (
+                        t_tables is None
+                        or tables is None
+                        or keys_intersect(tables, t_tables)
+                    ):
+                        return  # read set overlaps an in-flight command
             self._entries[key] = (time.monotonic(), dict(payload), tables)
             self._entries.move_to_end(key)
             while len(self._entries) > self.max_entries:
@@ -232,7 +283,12 @@ class ResultCache:
 
     def invalidate_tables(self, tables: frozenset[str]) -> None:
         """Flush entries whose read set intersects ``tables`` (or whose
-        read set is unknown). The epoch still advances — an in-flight
+        read set is unknown). Path-shaped keys (leading '/') match by
+        DIRECTORY CONTAINMENT in either direction, not just equality:
+        a sink overwriting ``/data/t`` must flush an entry whose scan
+        fingerprint is the child file ``/data/t/data.csv``, and a
+        write to a child file must flush an entry that reads the
+        enclosing directory. The epoch still advances — an in-flight
         put cannot prove its plan didn't read the written table, so
         every concurrent insertion is discarded (over-discard is a
         re-run; under-discard is a wrong answer)."""
@@ -240,13 +296,28 @@ class ResultCache:
             doomed = [
                 k
                 for k, (_, _, read_set) in self._entries.items()
-                if read_set is None or read_set & tables
+                if read_set is None or keys_intersect(read_set, tables)
             ]
             if doomed:
                 self.invalidations += 1
             for k in doomed:
                 del self._entries[k]
             self.generation += 1
+
+    def taint_tables(
+        self, tables: Optional[frozenset[str]], ttl_seconds: float
+    ) -> None:
+        """Refuse puts whose read set intersects ``tables`` (None =
+        every put) until ``ttl_seconds`` from now — for commands that
+        execute OUT OF BAND after this call (JDBC frames forwarded to
+        HiveServer2), whose completion the gateway never observes. A
+        fixed post-forward re-flush alone reopens the window as soon
+        as the command outlives the timer (review r7): the taint
+        instead converts 'maybe cache a mid-command read' into 'don't
+        cache', the safe direction, for a horizon sized generously
+        past any real command."""
+        with self._lock:
+            self._taints.append((tables, time.monotonic() + ttl_seconds))
 
     def bump_generation(self) -> None:
         """Advance the put-epoch WITHOUT flushing: called at command

@@ -93,6 +93,7 @@ class WorkSharingServer:
         max_sessions: int = 64,
         session_idle_timeout: float = 3600.0,
         jdbc_command_reflush_seconds: float = 5.0,
+        jdbc_command_taint_seconds: float = 600.0,
     ) -> None:
         self.spark = spark
         register_tables(spark, sf_dir)
@@ -139,6 +140,12 @@ class WorkSharingServer:
         # prime(): delay before a JDBC command's second result-cache
         # flush — sized past frame-forward + HiveServer2 execution
         self.jdbc_command_reflush_seconds = jdbc_command_reflush_seconds
+        # prime(): horizon during which puts touching a JDBC command's
+        # write set are refused — the command executes out of band and
+        # the gateway never observes its completion, so the re-flush
+        # timer alone reopens the stale-cache window for any command
+        # that outlives it; the taint closes it in the safe direction
+        self.jdbc_command_taint_seconds = jdbc_command_taint_seconds
         self._sessions: dict[str, tuple[SparkSession, float]] = {}
         self._session_lock = threading.Lock()
         # cross-session result sharing (round 6 — the reference's whole
@@ -383,6 +390,21 @@ class WorkSharingServer:
                     self.results.invalidate_tables(ws)
 
             _flush()
+            # the command executes on HiveServer2 AFTER the proxy
+            # forwards the frame, at a time the gateway never
+            # observes: the re-flush timer handles the common fast
+            # command, the write-set taint refuses puts that read the
+            # written tables until a horizon generously past any real
+            # command (a command outliving the timer otherwise
+            # re-opens the stale-cache window — review r7). Only
+            # RESOLVED write shapes taint: the long-running dangers
+            # (INSERT/MERGE ... SELECT) all parse, while ws=None means
+            # SET/ADD JAR-class statements whose effects live in
+            # HiveServer2 session state the gateway's own executions
+            # never see — a 10-minute global put-freeze for those
+            # would cost far more than it protects
+            if ws is not None:
+                self.results.taint_tables(ws, self.jdbc_command_taint_seconds)
             t = threading.Timer(self.jdbc_command_reflush_seconds, _flush)
             t.daemon = True
             t.start()
@@ -397,14 +419,18 @@ class WorkSharingServer:
         as a normal job — detection, caching rewrite AND the MRShare
         merge all apply, so two same-signature proxied statements in
         one window cost one merged execution and HiveServer2 runs
-        neither. Returns {"columns", "rows"} for a complete inline
-        result; {"passthrough": "command"} for commands (the proxy
-        demotes the connection and forwards — commands mutate
-        HiveServer2 session state the gateway cannot see); None when
-        the result can't be substituted faithfully (error, sink job,
-        truncation past the inline cap) — the proxy then gates and
-        forwards as before, and HiveServer2's own execution still
-        benefits from whatever the window cached.
+        neither. Returns {"columns", "dtypes", "rows"} for a complete
+        inline result; {"passthrough": "command"} for commands (the
+        proxy demotes the connection and forwards — commands mutate
+        HiveServer2 session state the gateway cannot see);
+        {"fallback": True} when the statement executed through the
+        window but the result can't be substituted faithfully (error,
+        sink job, truncation past the inline cap) — the proxy then
+        forwards WITHOUT a second prime gate (the window pass already
+        happened) and HiveServer2's own execution still benefits from
+        whatever the window cached; None only when nothing ran
+        (pre-execution failure), where the proxy gates + forwards as
+        in round 6.
 
         Queries resolve against the ROOT session: substitution is only
         reachable from connections that have run no command, and such
@@ -430,7 +456,10 @@ class WorkSharingServer:
             or res.get("rows") is None
             or res.get("truncated")
         ):
-            return None
+            # the statement DID go through a full window batch here —
+            # tell the proxy so its forward path skips the prime gate
+            # (a second window wait buys no additional sharing)
+            return {"fallback": True}
         return {
             "columns": res.get("columns") or [],
             "dtypes": res.get("dtypes"),

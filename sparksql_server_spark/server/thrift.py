@@ -51,7 +51,7 @@ increasing strength:
   ``answer=WorkSharingServer.answer_jdbc``, ANSWERS ``ExecuteStatement``
   from the gateway for clean connections — it synthesizes the complete
   Thrift operation lifecycle (TExecuteStatementResp, operation status,
-  all-STRING result metadata, columnar V6 FetchResults, close) and
+  schema-typed result metadata, columnar V6 FetchResults, close) and
   HiveServer2 never runs the statement. Two same-signature statements
   in one window then cost ONE MRShare-merged execution — the merge win
   the round-6 docstring here recorded as forgone (merged 2.03 s <
@@ -59,9 +59,9 @@ increasing strength:
   reaches JDBC clients too. Verified against the REAL Hive JDBC client
   in tests/test_thrift.py (two concurrent beeline sessions, correct
   rows, merged_plans=1, zero upstream bytes). Limitations are in the
-  proxy docstring: result columns present as STRING, over-inline-cap
-  results fall back to forwarding, the first command demotes its
-  connection to gate+forward.
+  proxy docstring: over-inline-cap results fall back to forwarding,
+  the first command (or a non-benign OpenSession overlay, or a
+  pre-V6 client protocol) demotes its connection to gate+forward.
 
 Single-instance-per-JVM: the port/bind-host travel through process-
 global JVM system properties and HiveThriftServer2 itself is a

@@ -554,6 +554,30 @@ def test_multi_distinct_bound_packs_within_cap(spark, executor):
         assert _rows_equal(sorted(job.rows), exp)
 
 
+def test_over_budget_leftover_does_not_block_gsets_merge():
+    """Review r7: a single over-budget member landing in the (table,
+    session) leftovers (e.g. a DP singleton carrying several DISTINCT
+    aggregates) must not cost every OTHER leftover its GROUPING SETS
+    merge — the budget packs cheapest-first and the over-budget job
+    simply runs unmerged."""
+    from sparksql_server_spark.server.mrshare import plan_merges
+
+    sqls = [
+        "SELECT o_orderstatus AS k, count(*) AS n FROM orders"
+        " GROUP BY o_orderstatus",
+        "SELECT o_orderpriority AS k, count(*) AS n FROM orders"
+        " GROUP BY o_orderpriority",
+        "SELECT o_orderdate AS k, count(DISTINCT o_custkey) AS a,"
+        " count(DISTINCT o_orderkey) AS b, count(DISTINCT o_totalprice) AS c"
+        " FROM orders GROUP BY o_orderdate",
+    ]
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
+    plans = plan_merges(jobs, max_distinct_aggs=2)
+    assert len(plans) == 1
+    assert {j.job_id for j in plans[0].jobs} == {0, 1}
+    assert plans[0].grouping_sets == 2
+
+
 def test_unmergeable_shapes_run_normal_path(spark, executor):
     sqls = [
         SAME_SIG[0],

@@ -64,6 +64,50 @@ def test_put_discards_stale_generation():
     assert rc.get(k) == {"v": 2}
 
 
+def test_insert_overwrite_directory_is_unresolvable():
+    """Review r7: 'INSERT OVERWRITE DIRECTORY' must fall back to the
+    whole-cache flush — the regex would otherwise capture the keyword
+    DIRECTORY (or LOCAL) as a table name and scope the flush to a
+    table nothing reads."""
+    from sparksql_server_spark.server.results import command_write_set
+
+    assert command_write_set("INSERT OVERWRITE DIRECTORY '/data/t' SELECT 1") is None
+    assert (
+        command_write_set("INSERT OVERWRITE LOCAL DIRECTORY '/d' SELECT 1") is None
+    )
+    # a real table target still resolves, qualified AND bare
+    ws = command_write_set("INSERT INTO db2.`tbl` SELECT 1")
+    assert ws == frozenset({"tbl", "db2.tbl"})
+
+
+def test_keys_intersect_directory_containment():
+    """Review r7: a sink writing a directory must hit entries whose
+    scan fingerprint is a child file, and vice versa."""
+    from sparksql_server_spark.server.results import keys_intersect
+
+    assert keys_intersect(frozenset({"/data/t/data.csv"}), frozenset({"/data/t"}))
+    assert keys_intersect(frozenset({"/data/t"}), frozenset({"/data/t/new.csv"}))
+    assert not keys_intersect(frozenset({"/data/tt/x.csv"}), frozenset({"/data/t"}))
+    assert keys_intersect(frozenset({"part"}), frozenset({"part"}))
+    assert not keys_intersect(frozenset({"part"}), frozenset({"orders"}))
+
+
+def test_taint_refuses_overlapping_puts_until_expiry():
+    rc = ResultCache()
+    k1, k2 = ResultCache.key(None, "q1"), ResultCache.key(None, "q2")
+    rc.taint_tables(frozenset({"region"}), ttl_seconds=0.4)
+    rc.put(k1, {"v": 1}, tables=frozenset({"region", "/d/region.parquet"}))
+    assert rc.get(k1) is None  # refused: reads the tainted table
+    rc.put(k2, {"v": 2}, tables=frozenset({"nation"}))
+    assert rc.get(k2) == {"v": 2}  # unrelated read set caches fine
+    # unknown read set cannot prove disjointness -> refused
+    rc.put(ResultCache.key(None, "q3"), {"v": 3}, tables=None)
+    assert rc.get(ResultCache.key(None, "q3")) is None
+    time.sleep(0.45)
+    rc.put(k1, {"v": 4}, tables=frozenset({"region"}))
+    assert rc.get(k1) == {"v": 4}  # taint expired
+
+
 def test_invalidate_advances_generation_even_when_empty():
     rc = ResultCache()
     g0 = rc.generation
@@ -84,8 +128,8 @@ def test_oversized_result_not_pinned():
     "sql,expect",
     [
         ("INSERT INTO part VALUES (1)", {"part"}),
-        ("INSERT OVERWRITE TABLE db.part SELECT 1", {"part"}),
-        ("UPDATE `sales`.`orders` SET x = 1", {"orders"}),
+        ("INSERT OVERWRITE TABLE db.part SELECT 1", {"part", "db.part"}),
+        ("UPDATE `sales`.`orders` SET x = 1", {"orders", "sales.orders"}),
         ("DELETE FROM lineitem WHERE 1=1", {"lineitem"}),
         ("MERGE INTO tgt USING src ON tgt.k = src.k WHEN MATCHED THEN DELETE",
          {"tgt"}),
@@ -296,30 +340,43 @@ def test_nondeterministic_query_not_cached(server):
     assert "cached" not in again
 
 
-def test_jdbc_command_reflush_timer_closes_the_window(spark):
-    """ADVICE r6: prime() flushes BEFORE the JDBC command executes on
-    HiveServer2, so a gateway query racing that window can cache a
-    pre-change result that would otherwise live until TTL. The delayed
-    second flush must remove it."""
+def test_jdbc_command_taint_blocks_caching_in_the_window(spark):
+    """ADVICE r6 + review r7: prime() flushes BEFORE the JDBC command
+    executes on HiveServer2, and a fixed re-flush timer alone reopens
+    the window for any command that outlives it. The write-set taint
+    closes it in the safe direction: while the taint is live, queries
+    READING the written table execute but are not cached (their input
+    may reflect pre- or mid-command state); unrelated tables cache
+    normally; after the taint expires, caching resumes."""
     from sparksql_server_spark.server import WorkSharingServer, client_request
 
     srv = WorkSharingServer(
         spark, SF_DIR, window_size=1, max_wait=0.1,
-        jdbc_command_reflush_seconds=2.0,
+        jdbc_command_reflush_seconds=0.1,
+        jdbc_command_taint_seconds=2.0,
     )
     srv.start()
     try:
         q = "SELECT count(*) AS n FROM region"
+        q_other = "SELECT count(*) AS n FROM nation"
         # JDBC command arrives at the gate (flush #1 fires now; the
         # command itself would execute on HiveServer2 AFTER this)
         srv.prime("REFRESH TABLE region")
-        # the racing gateway query executes and caches inside the
-        # pre-execution window
+        # let the short re-flush timer pass so its generation bump
+        # cannot race the puts this test asserts on
+        time.sleep(0.3)
+        # a racing gateway query over the WRITTEN table runs fine but
+        # its result is refused by the taint — no stale entry can form
+        # no matter how long HiveServer2 takes
+        client_request(srv.address, {"sql": q})
+        assert "cached" not in client_request(srv.address, {"sql": q})
+        # an unrelated table is untouched by the scoped taint
+        client_request(srv.address, {"sql": q_other})
+        assert client_request(srv.address, {"sql": q_other}).get("cached") is True
+        # after the taint horizon, the written table caches again
+        time.sleep(2.1)
         client_request(srv.address, {"sql": q})
         assert client_request(srv.address, {"sql": q}).get("cached") is True
-        # after the re-flush delay the entry is gone
-        time.sleep(2.5)
-        assert "cached" not in client_request(srv.address, {"sql": q})
     finally:
         srv.shutdown()
         srv.executor.cache.clear()

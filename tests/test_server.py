@@ -1455,7 +1455,13 @@ class TestJdbcLineProxy:
             srv.executor.cache.clear()
 
     def test_proxied_command_flushes_result_cache(self, spark):
-        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1)
+        # taint disabled: this test pins the FLUSH scoping; the taint's
+        # put-refusal window has its own test
+        # (test_jdbc_command_taint_blocks_caching_in_the_window)
+        srv = WorkSharingServer(
+            spark, SF_DIR, window_size=1, max_wait=0.1,
+            jdbc_command_taint_seconds=0.0,
+        )
         srv.start()
         try:
             q = "SELECT r_regionkey FROM region ORDER BY r_regionkey"
@@ -1561,9 +1567,11 @@ def _op_call(method: str, guid: bytes, seq: int, extra: bytes = b"") -> bytes:
     )
 
 
-def _fetch_call(guid: bytes, seq: int, fetch_type: int = 0) -> bytes:
+def _fetch_call(
+    guid: bytes, seq: int, fetch_type: int = 0, orientation: int = 0
+) -> bytes:
     extra = (
-        b"\x08" + _st.pack(">h", 2) + _st.pack(">i", 0)      # FETCH_NEXT
+        b"\x08" + _st.pack(">h", 2) + _st.pack(">i", orientation)
         + b"\x0a" + _st.pack(">h", 3) + _st.pack(">q", 1000)  # maxRows
         + b"\x06" + _st.pack(">h", 4) + _st.pack(">h", fetch_type)
     )
@@ -2054,6 +2062,113 @@ def _open_session_with_conf(conf: dict, seq: int = 1) -> bytes:
 
 
 class TestOpenSessionConfFence:
+    def test_fetch_first_rewinds_substituted_result(self):
+        """HiveServer2 supports FETCH_FIRST re-reads and BI clients use
+        them — after the one-shot serve, orientation=FETCH_FIRST(4)
+        must rewind and resend the rows, not silently return empty
+        (review r7)."""
+        ups = _Upstream()
+        proxy = JdbcLineProxy(
+            ups.address,
+            gate=lambda s: None,
+            answer=lambda s: {"columns": ["x"], "rows": [["a"], ["b"]]},
+        ).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                c.sendall(_exec_stmt_call("SELECT 1", seq=1))
+                _n, _s, d = _recv_reply(c)
+                guid = d[0][2][1][1]
+                c.sendall(_fetch_call(guid, 2))
+                _n, _s, d = _recv_reply(c)
+                assert d[0][3][3][0][7][1] == [b"a", b"b"]
+                c.sendall(_fetch_call(guid, 3))  # exhausted
+                _n, _s, d = _recv_reply(c)
+                assert d[0][3][3][0][7][1] == []
+                c.sendall(_fetch_call(guid, 4, orientation=4))  # FETCH_FIRST
+                _n, _s, d = _recv_reply(c)
+                assert d[0][3][3][0][7][1] == [b"a", b"b"]
+        finally:
+            proxy.stop()
+            ups.close()
+
+    def test_pre_v6_protocol_demotes_connection(self):
+        """A client negotiating a protocol below V6 reads the row-based
+        TRowSet arm the synthesized columnar results never fill —
+        substitution must demote such connections to forward (review
+        r7)."""
+        import struct as _s2
+
+        ups = _Upstream()
+        proxy = JdbcLineProxy(
+            ups.address,
+            gate=lambda s: None,
+            answer=lambda s: {"columns": ["x"], "rows": [["1"]]},
+        ).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                req = b"\x08" + _s2.pack(">h", 1) + _s2.pack(">i", 3) + b"\x00"
+                args = b"\x0c" + _s2.pack(">h", 1) + req + b"\x00"
+                opens = (
+                    _s2.pack(">I", 0x80010001) + _tstr(b"OpenSession")
+                    + _s2.pack(">i", 1) + args
+                )
+                c.sendall(opens)
+                ups.wait_bytes(len(opens))
+                msg = _exec_stmt_call("SELECT 1", seq=2)
+                c.sendall(msg)
+                assert ups.wait_bytes(len(opens) + len(msg)) == len(opens) + len(msg)
+            assert proxy.stats["statements_answered"] == 0
+        finally:
+            proxy.stop()
+            ups.close()
+
+    def test_multi_message_frame_open_conf_still_demotes(self):
+        """A pipelining SASL client can pack a non-benign OpenSession
+        with other messages in ONE data frame; the fence must apply to
+        every message in the frame, not only single-message frames
+        (review r7)."""
+        ups = _Upstream()
+        proxy = JdbcLineProxy(
+            ups.address,
+            gate=lambda s: None,
+            answer=lambda s: {"columns": ["x"], "rows": [["1"]]},
+        ).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                hs = _sasl_handshake()
+                c.sendall(hs)
+                ups.wait_bytes(len(hs))
+                opens = _open_session_with_conf({"set:hivevar:x": "1"})
+                packed = _frame(opens + _open_session_call())  # two messages
+                c.sendall(packed)
+                ups.wait_bytes(len(hs) + len(packed))
+                c.sendall(_frame(_exec_stmt_call("SELECT 1", seq=3)))
+                time.sleep(0.3)
+            assert proxy.stats["statements_answered"] == 0
+        finally:
+            proxy.stop()
+            ups.close()
+
+    def test_fallback_answer_skips_second_gate(self):
+        """answer()={'fallback': True} means the statement already went
+        through a full window batch before declining — the forward path
+        must not pay a second prime gate (review r7)."""
+        ups = _Upstream()
+        gated = []
+        proxy = JdbcLineProxy(
+            ups.address, gate=gated.append, answer=lambda s: {"fallback": True}
+        ).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                msg = _exec_stmt_call("SELECT big FROM t")
+                c.sendall(msg)
+                assert ups.wait_bytes(len(msg)) == len(msg)  # forwarded
+            assert gated == []  # no second window pass
+            assert proxy.stats["statements_answered"] == 0
+        finally:
+            proxy.stop()
+            ups.close()
+
     def test_benign_conf_keeps_substitution(self):
         from sparksql_server_spark.server.jdbc_proxy import benign_open_conf
 
