@@ -242,24 +242,36 @@ regs AS (
 
 # estimation over a (g, bucket, m_j) register relation named ``{regs}``:
 # harmonic mean + linear-counting fallback, ending with fin = (g, hll)
-def _hll_est_ctes(regs: str) -> str:
-    return f"""sketch AS (
-  SELECT g,
-         sum(power(2.0, -m_j)) AS sum_pow,
-         CAST(count(*) AS BIGINT) AS n_active
-  FROM {regs} GROUP BY g),
-est AS (
-  SELECT g,
-         {_HLL_M} - n_active AS n_zero,
-         {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
-           / (sum_pow + ({_HLL_M} - n_active)) AS raw
-  FROM sketch),
-fin AS (
+def _hll_finalizer_sql(src: str) -> str:
+    """The (g, hll) estimate over a (g, bucket, m_j) register relation
+    as ONE nested-subquery text — harmonic mean, bias constant, and
+    the linear-counting fallback live here and nowhere else (review
+    r7: the running-distinct query had grown its own copy, so a
+    recalibration would have silently diverged the queries). The CTE
+    form below wraps it; the running-distinct query embeds it
+    directly (its outer statement must stay WITH-free so the
+    CacheManager substitutes the persisted register table)."""
+    return f"""
   SELECT g,
          CASE WHEN raw <= 2.5 * {_HLL_M} AND n_zero > 0
               THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / n_zero)
               ELSE raw END AS hll
-  FROM est)"""
+  FROM (
+    SELECT g,
+           {_HLL_M} - n_active AS n_zero,
+           {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+             / (sum_pow + ({_HLL_M} - n_active)) AS raw
+    FROM (
+      SELECT g,
+             sum(power(2.0, -m_j)) AS sum_pow,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM {src} GROUP BY g
+    ) sketch
+  ) est"""
+
+
+def _hll_est_ctes(regs: str) -> str:
+    return f"fin AS ({_hll_finalizer_sql(regs)})"
 
 
 def _hll_sql(dialect: str) -> str:
@@ -388,7 +400,9 @@ def agg_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hll_setops_sql("spark"))
 
 
-def _hll_running_rest_sql(dialect: str, regs_rel: str) -> str:
+def _hll_running_rest_sql(
+    dialect: str, regs_rel: str, days_from_regs: bool = False
+) -> str:
     """Everything downstream of the daily register table: the as-of
     grid join carrying each bucket's cumulative max rank to every day,
     per-day estimates, and the exact first-seen cumulative series for
@@ -398,16 +412,21 @@ def _hll_running_rest_sql(dialect: str, regs_rel: str) -> str:
     session-timezone-dependent in Spark and would shift
     midnight-adjacent events off the tz-naive oracle's days.
 
-    Two plan-shape constraints, both measured (r6/r7):
+    Plan-shape constraints, all measured (r6/r7):
 
-    * days/buckets deliberately do NOT read the register relation:
-      Spark inlines CTE/subquery references, so `SELECT DISTINCT g
-      FROM regs` would re-execute the full per-event hash pipeline
-      once per reference (measured 3.4x regression, r6). The day
-      column needs no hash (read events directly) and the bucket
-      domain is the literal 0..63 range; unhit buckets only ever
-      produce NULL cumulative maxima, filtered before the estimate —
-      results identical.
+    * ``days_from_regs``: with regs_rel a PERSISTED relation (the
+      Spark path), `SELECT DISTINCT g FROM regs_rel` is a near-free
+      InMemoryTableScan over |days|x64 rows and the right source for
+      the two day-domain references — reading events would scan the
+      raw log twice more (review r7). Every event lands in some
+      bucket, so regs' day set equals events' day set exactly. With
+      regs_rel an INLINE CTE (the single-statement oracle), each
+      reference would re-execute the whole per-event hash pipeline
+      (measured 3.4x regression, r6) — there days must derive from
+      events directly (the day column needs no hash). The bucket
+      domain is the literal 0..63 range either way; unhit buckets
+      only ever produce NULL cumulative maxima, filtered before the
+      estimate.
     * NESTED SUBQUERIES, not a WITH clause: Spark's CacheManager
       performs cached-plan substitution on the analyzed plan but does
       not rewrite inside WithCTE nodes, so any `WITH ...` in the
@@ -421,8 +440,12 @@ def _hll_running_rest_sql(dialect: str, regs_rel: str) -> str:
         else "SELECT * FROM range(0, 64) t(bucket)"
     )
     days = (
-        f"SELECT DISTINCT CAST(floor({sec} / 86400) AS BIGINT) AS day"
-        " FROM events"
+        f"SELECT DISTINCT g AS day FROM {regs_rel}"
+        if days_from_regs
+        else (
+            f"SELECT DISTINCT CAST(floor({sec} / 86400) AS BIGINT) AS day"
+            " FROM events"
+        )
     )
     active = f"""
       SELECT g, bucket, m_j FROM (
@@ -432,23 +455,7 @@ def _hll_running_rest_sql(dialect: str, regs_rel: str) -> str:
         LEFT JOIN {regs_rel} r ON r.bucket = bk.bucket AND r.g <= d.day
         GROUP BY d.day, bk.bucket
       ) cum WHERE m_j IS NOT NULL"""
-    fin = f"""
-    SELECT g,
-           CASE WHEN raw <= 2.5 * {_HLL_M} AND n_zero > 0
-                THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / n_zero)
-                ELSE raw END AS hll
-    FROM (
-      SELECT g,
-             {_HLL_M} - n_active AS n_zero,
-             {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
-               / (sum_pow + ({_HLL_M} - n_active)) AS raw
-      FROM (
-        SELECT g,
-               sum(power(2.0, -m_j)) AS sum_pow,
-               CAST(count(*) AS BIGINT) AS n_active
-        FROM ({active}) a GROUP BY g
-      ) sketch
-    ) est"""
+    fin = _hll_finalizer_sql(f"({active}) a")
     exact = f"""
     SELECT d.day,
            CAST(sum(coalesce(n.n_new, 0))
@@ -522,14 +529,29 @@ def agg_hll_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: daily registers (64 rows/day) ARE what a production
     pipeline persists; the grid never touches raw events.
     """
+    from sparksql_server_spark.operators.scratch import CacheScope
+
     register_tables(spark, sf_dir, ("events",))
+    scope = CacheScope(spark)
     regs = spark.sql(
         f"WITH {_hll_regs_ctes('spark', _hll_running_src('spark'))} "
         "SELECT g, bucket, m_j FROM regs"
     )
     regs.persist()
     regs.createOrReplaceTempView("hll_daily_regs")
-    return spark.sql(_hll_running_rest_sql("spark", "hll_daily_regs"))
+    # scope.finish: materialize the result, then release the register
+    # cache (no scoped block survives the return — the CacheScope
+    # convention; an orphaned InMemoryRelation would both compete with
+    # the server's cache budget and silently serve stale registers if
+    # the parquet underneath were rewritten)
+    out = scope.finish(
+        spark.sql(
+            _hll_running_rest_sql("spark", "hll_daily_regs", days_from_regs=True)
+        ),
+        "hll_running",
+    )
+    spark.catalog.dropTempView("hll_daily_regs")
+    return out
 
 
 def _nvr_sql(dialect: str) -> str:

@@ -185,27 +185,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (60-bit portable, two 30-bit char-hash lanes)
+# SimHash (60-bit portable, four 15-bit lanes)
 # ---------------------------------------------------------------------------
 
-# 60 bits from TWO independent rolling char hashes (bases 31 and 131,
-# both mod 1e9+7 ≈ 2^30): bits 0..29 come from lane h1, bits 30..59
-# from lane h2. r6 used a single lane (28 bits → 4x7-bit blocks =
-# only 512 retrieval buckets — a hard Σ bucket² ≈ N²/512 ceiling, the
-# worst ×10 scaling exponent in the corpus at 0.76). 60 bits gives the
-# pair retriever 4 x 15-bit blocks = 4x32768 buckets, so bucket width
-# tracks genuine similarity instead of signature-space exhaustion.
+# 60 bits from FOUR 15-bit lanes: two independent rolling char hashes
+# (bases 31 and 131, both mod 1e9+7) plus a multiplicative remix of
+# each; bits 15b..15b+14 come from lane b's LOW 15 bits. r6 used a
+# single lane (28 bits → 4x7-bit blocks = only 512 retrieval buckets —
+# a hard Σ bucket² ≈ N²/512 ceiling, the worst ×10 scaling exponent in
+# the corpus at 0.76). 60 bits gives the pair retriever 4 x 15-bit
+# blocks = 4x32768 buckets, so bucket width tracks genuine similarity
+# instead of signature-space exhaustion.
 _SH_BITS = 60
-_SH_LANE = 30  # bits per hash lane
+_SH_LANE = 15  # bits taken per lane — LOW bits only: a mod-(1e9+7)
+# hash is uniform on [0, 1e9+6], so its TOP bits are biased (bit 29:
+# P(1) = 463129095/1e9+7 ≈ 0.463, likewise bit 28) and a biased
+# signature bit degenerates toward 0 under the majority vote for
+# long documents, shrinking the banding retriever's effective bucket
+# count (review r7). Low-15 bits carry bias ≤ 2^15/1e9 ≈ 3e-5 —
+# negligible — so the 60 bits come from FOUR 15-bit lanes: the two
+# base-31/131 char hashes plus one Knuth multiplicative remix of
+# each ((h * 2654435761) % P, product ≤ 2.7e18, int64-safe).
 
 # per-bit signed sums as parallel aggregates (single GROUP BY pass; the
 # explode-by-bit form inflates the token-hash table 60x), then combine
 # the 60 signs into the signature integer. The hash lanes are computed
 # ONCE per token in the projection below the partial aggregate (plan
-# verified: the sums reference bound columns h1/h2, not inlined hash
+# verified: the sums reference bound columns h1..h4, not inlined hash
 # expressions).
+_SH_REMIX = 2654435761  # Knuth's 2^32 / golden ratio
+
+
 def _sh_bit(b: int, shr) -> str:
-    lane, off = ("h1", b) if b < _SH_LANE else ("h2", b - _SH_LANE)
+    lane, off = ("h1", "h2", "h3", "h4")[b // _SH_LANE], b % _SH_LANE
     return f"{shr(lane, off)} & 1 = 1"
 
 
@@ -228,8 +240,11 @@ def _simhash_spark() -> str:
     return f"""
 WITH w AS (SELECT doc_id, {spark_words('text')} AS w FROM documents),
 tok AS (SELECT DISTINCT doc_id, tok FROM w LATERAL VIEW explode(w) t AS tok),
-th AS (SELECT doc_id, {spark_char_hash('tok')} AS h1,
-              {spark_char_hash('tok', base=131)} AS h2 FROM tok),
+th0 AS (SELECT doc_id, {spark_char_hash('tok')} AS h1,
+               {spark_char_hash('tok', base=131)} AS h2 FROM tok),
+th AS (SELECT doc_id, h1, h2,
+              (h1 * {_SH_REMIX}) % {MOD_P} AS h3,
+              (h2 * {_SH_REMIX}) % {MOD_P} AS h4 FROM th0),
 bits AS (SELECT doc_id, {_SH_SUMS_SPARK} FROM th GROUP BY doc_id)
 SELECT doc_id, CAST({_SH_COMBINE} AS BIGINT) AS simhash
 FROM bits
@@ -241,8 +256,11 @@ def _simhash_duck() -> str:
 WITH w AS (SELECT doc_id, {duck_words('text')} AS w FROM documents),
 tok AS (SELECT DISTINCT doc_id, tok FROM
           (SELECT doc_id, unnest(w) AS tok FROM w)),
-th AS (SELECT doc_id, {duck_char_hash('tok')} AS h1,
-              {duck_char_hash('tok', base=131)} AS h2 FROM tok),
+th0 AS (SELECT doc_id, {duck_char_hash('tok')} AS h1,
+               {duck_char_hash('tok', base=131)} AS h2 FROM tok),
+th AS (SELECT doc_id, h1, h2,
+              (h1 * {_SH_REMIX}) % {MOD_P} AS h3,
+              (h2 * {_SH_REMIX}) % {MOD_P} AS h4 FROM th0),
 bits AS (SELECT doc_id, {_SH_SUMS_DUCK} FROM th GROUP BY doc_id)
 SELECT doc_id, CAST({_SH_COMBINE} AS BIGINT) AS simhash
 FROM bits
@@ -252,7 +270,8 @@ FROM bits
 @query("dedup_simhash", oracle=_simhash_duck())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature per document — 60-bit portable variant from
-    two independent 30-bit rolling-hash lanes (bases 31/131 mod 1e9+7;
+    four 15-bit lanes (rolling hashes base 31/131 mod 1e9+7 plus a
+    multiplicative remix of each — low bits only, see the lane note;
     engine-native 64-bit hashes can't cross-check against the oracle).
 
     Scale: token explode → two keyed aggregations; near-dup candidates
@@ -1249,7 +1268,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly.
 _SEM_MIN_CELLS = 16
 _SEM_K = (
-    "(SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))"
+    f"(SELECT greatest({_SEM_MIN_CELLS}, CAST(ceil(sqrt(count(*))) AS BIGINT))"
     " FROM embeddings)"
 )
 _SEM_EPS = (0.45, 0.40, 0.35, 0.30)  # pruning-threshold sweep (calibrated:

@@ -187,6 +187,13 @@ def main() -> None:
     if argv == ["--all"]:
         names = list(QUERIES)
     elif argv:
+        # validate BEFORE touching the output file: subset runs merge
+        # into BENCH_SCALE.json, so a typo'd or flag-like argument
+        # would otherwise persist a phantom {'err': ...} row through
+        # every future merge (review r7)
+        bad = [n for n in argv if n not in QUERIES]
+        if bad:
+            sys.exit(f"unknown queries (nothing written): {bad}")
         names = argv
     else:
         names = HEAVY
