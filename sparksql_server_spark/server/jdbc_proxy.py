@@ -351,6 +351,77 @@ def benign_open_conf(conf: dict[str, str]) -> bool:
     return True
 
 
+import re as _re
+
+_BENIGN_SET_READ = _re.compile(r"^[A-Za-z_][\w.\-:]*$")
+
+
+def benign_jdbc_command(sql: str) -> bool:
+    """True for session-housekeeping commands that provably cannot
+    change what a shared-catalog query means — so the proxy may keep
+    the connection SUBSTITUTION-CLEAN across them (VERDICT r7 ask #1:
+    BI tools open every connection with ``USE db`` / ``SET ...``
+    housekeeping, and demoting on those turned the merge-substitution
+    path off for exactly the clients it targets; the reference ran all
+    clients through the window unconditionally,
+    WorksharingExecutor.scala:65-98).
+
+    Whitelisted, mirroring :func:`benign_open_conf` (the connect-time
+    overlay form of the same statements):
+
+    - ``USE default`` — selects the database the gateway already
+      resolves against; any other database demotes.
+    - bare ``SET`` / ``SET -v`` / ``SET <key>`` (no ``=``) — pure
+      conf READS; HiveServer2 answers from its own session state and
+      nothing changes.
+    - ``SET hive.server2.*=...`` — thrift transport/fetch knobs; they
+      shape response batching (which substitution controls anyway),
+      never query semantics.
+    - bare ``RESET`` — restores conf defaults; reachable while clean
+      only when nothing non-benign was ever set, so it is a no-op.
+
+    Everything else (other SETs, hivevar substitutions, DDL/DML,
+    ADD JAR, multi-statement text) returns False and demotes as
+    before. The statement is STILL FORWARDED to HiveServer2 either
+    way — the whitelist only decides whether substitution stays on."""
+    s = sql
+    while True:  # strip leading comments (BI tools prepend them)
+        s = s.lstrip()
+        if s.startswith("--"):
+            nl = s.find("\n")
+            if nl < 0:
+                return False  # comment-only text — not ours to judge
+            s = s[nl + 1 :]
+        elif s.startswith("/*"):
+            end = s.find("*/")
+            if end < 0:
+                return False
+            s = s[end + 2 :]
+        else:
+            break
+    s = s.strip()
+    while s.endswith(";"):
+        s = s[:-1].rstrip()
+    if ";" in s:  # multi-statement — never whitelist compound text
+        return False
+    low = s.lower()
+    if low == "reset":
+        return True
+    if low.startswith("use ") or low == "use":
+        db = s[3:].strip().strip("`").lower()
+        return db == "default"
+    if low in ("set", "set -v"):
+        return True
+    if low.startswith("set "):
+        body = s[4:].strip()
+        if "=" not in body:
+            # read of a single key (SET foo.bar) — pure read
+            return _BENIGN_SET_READ.match(body) is not None
+        key = body.split("=", 1)[0].strip().lower()
+        return key.startswith("hive.server2.")
+    return False
+
+
 def parse_call_ex(
     buf: bytes, pos: int = 0
 ) -> Optional[
@@ -705,9 +776,11 @@ class _Conn:
         # mutate HiveServer2 session state the gateway cannot see, so
         # substitution is disabled for the rest of the connection
         self.clean = True
-        # set when answer() already ran the NEXT forwarded statement
-        # through a full window batch before declining substitution —
-        # the forward path then skips its (second) prime gate
+        # set when the NEXT forwarded statement must skip the prime
+        # gate: answer() already ran it through a full window batch
+        # before declining substitution (a second window wait buys
+        # nothing), or it is whitelisted benign housekeeping with no
+        # catalog effect to flush (benign_jdbc_command)
         self.skip_gate_once = False
         # locally-answered operations: guid -> {"columns", "rows",
         # "fetched"} (rows ship once; later fetches return empty)
@@ -1055,6 +1128,16 @@ class JdbcLineProxy:
                     # cannot see: demote this connection for good,
                     # forward
                     conn.clean = False
+                    return None
+                if res.get("passthrough") == "benign":
+                    # session housekeeping that provably cannot change
+                    # query semantics (USE default, conf reads,
+                    # hive.server2.* transport knobs — see
+                    # benign_jdbc_command): forward so HiveServer2's
+                    # session stays consistent, but do NOT demote, and
+                    # skip the gate — there is no catalog effect to
+                    # flush and no scan to share (VERDICT r7 ask #1)
+                    conn.skip_gate_once = True
                     return None
                 if res.get("fallback"):
                     # the gateway DID run the statement through a full

@@ -57,6 +57,7 @@ from pyspark.sql import SparkSession
 from sparksql_server_spark.catalog import TABLES, register_tables
 from sparksql_server_spark.functions.udfs import register_udfs, register_udtfs
 from sparksql_server_spark.server.batcher import WindowBatcher
+from sparksql_server_spark.server.jdbc_proxy import benign_jdbc_command
 from sparksql_server_spark.server.cache import CacheManager
 from sparksql_server_spark.server.model import QueryJob
 from sparksql_server_spark.server.results import (
@@ -380,6 +381,14 @@ class WorkSharingServer:
         survives until TTL). The epoch bump at arrival additionally
         discards every put from a query in flight across this call."""
         if not self.executor._is_query(sql):
+            if benign_jdbc_command(sql):
+                # whitelisted housekeeping (USE default, conf reads,
+                # hive.server2.* knobs — benign_jdbc_command): no
+                # catalog effect, so no flush, no taint, no epoch bump.
+                # Without this, every BI connect's `USE default` cost a
+                # whole-cache invalidation (its write set is
+                # unresolvable → invalidate_all)
+                return
             self.results.bump_generation()
             ws = self._resolve_write_set(sql, self.spark)
 
@@ -447,6 +456,15 @@ class WorkSharingServer:
         execution always)."""
         try:
             if not self.executor._is_query(sql):
+                if benign_jdbc_command(sql):
+                    # session housekeeping with provably no semantic
+                    # effect (USE default, conf reads, hive.server2.*
+                    # transport knobs): the proxy forwards it but KEEPS
+                    # substitution enabled — BI tools emit these at
+                    # connect, and demoting on them turned the merge
+                    # win off for exactly the clients it targets
+                    # (VERDICT r7 ask #1)
+                    return {"passthrough": "benign"}
                 return {"passthrough": "command"}
             res = self.handle_request({"sql": sql})
         except Exception:

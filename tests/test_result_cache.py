@@ -340,6 +340,36 @@ def test_nondeterministic_query_not_cached(server):
     assert "cached" not in again
 
 
+def test_benign_jdbc_housekeeping_preserves_cache_and_substitution(server):
+    """VERDICT r7 ask #1 (gateway half): whitelisted housekeeping
+    through the JDBC gate neither flushes the result cache nor opens a
+    taint, and answer_jdbc classifies it as benign passthrough so the
+    proxy keeps the connection substitution-clean."""
+    from sparksql_server_spark.server import client_request
+
+    q = "SELECT count(*) AS n FROM region"
+    client_request(server.address, {"sql": q})
+    assert client_request(server.address, {"sql": q}).get("cached") is True
+    for cmd in (
+        "USE `default`",
+        "use default",
+        "SET",
+        "SET -v",
+        "SET hive.server2.thrift.resultset.max.fetch.size",
+        "SET hive.server2.thrift.resultset.max.fetch.size=500",
+        "RESET",
+    ):
+        server.prime(cmd)
+        assert server.answer_jdbc(cmd) == {"passthrough": "benign"}, cmd
+    # housekeeping left the cached entry alone
+    assert client_request(server.address, {"sql": q}).get("cached") is True
+    # non-benign commands still classify as demoting commands
+    assert server.answer_jdbc("USE warehouse2") == {"passthrough": "command"}
+    assert server.answer_jdbc("SET spark.sql.ansi.enabled=true") == {
+        "passthrough": "command"
+    }
+
+
 def test_jdbc_command_taint_blocks_caching_in_the_window(spark):
     """ADVICE r6 + review r7: prime() flushes BEFORE the JDBC command
     executes on HiveServer2, and a fixed re-flush timer alone reopens

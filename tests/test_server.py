@@ -1320,6 +1320,58 @@ class TestThriftParsing:
         assert statements_in_frame(b"not thrift at all") == []
 
 
+class TestBenignJdbcCommand:
+    """Whitelist for session-housekeeping statements that keep a
+    proxied connection substitution-clean (VERDICT r7 ask #1)."""
+
+    @pytest.mark.parametrize(
+        "sql",
+        [
+            "USE default",
+            "use `default`",
+            "  USE DEFAULT ; ",
+            "-- connect\nUSE default",
+            "/* BI tool */ USE default",
+            "SET",
+            "SET -v",
+            "set -V",
+            "SET hive.server2.thrift.resultset.max.fetch.size",
+            "SET mapreduce.job.reduces",
+            "SET hive.server2.thrift.resultset.max.fetch.size=1000",
+            "SET hive.server2.logging.operation.level = NONE",
+            "RESET",
+            "reset;",
+        ],
+    )
+    def test_benign(self, sql):
+        from sparksql_server_spark.server.jdbc_proxy import benign_jdbc_command
+
+        assert benign_jdbc_command(sql), sql
+
+    @pytest.mark.parametrize(
+        "sql",
+        [
+            "USE warehouse2",
+            "USE",
+            "SET spark.sql.shuffle.partitions=1",
+            "SET hivevar:tbl=lineitem",
+            "SET hiveconf:hive.exec.parallel=true",
+            "RESET spark.sql.ansi.enabled",  # targeted reset — not bare
+            "USE default; DROP TABLE t",  # compound text never whitelists
+            "SET x=1; SET y=2",
+            "CREATE TABLE t (a INT)",
+            "INSERT INTO t VALUES (1)",
+            "ADD JAR /tmp/x.jar",
+            "-- only a comment",
+            "SET `weird key`=1",
+        ],
+    )
+    def test_not_benign(self, sql):
+        from sparksql_server_spark.server.jdbc_proxy import benign_jdbc_command
+
+        assert not benign_jdbc_command(sql), sql
+
+
 class TestJdbcLineProxy:
     def test_raw_mode_gates_and_forwards_verbatim(self):
         """NOSASL stream: messages forwarded byte-identically (split
@@ -1711,6 +1763,83 @@ class TestThriftSubstitution:
         try:
             with socket.create_connection(proxy.address) as c:
                 m1 = _exec_stmt_call("SET hive.x=1", seq=1)
+                m2 = _exec_stmt_call("SELECT k FROM t", seq=2)
+                c.sendall(m1)
+                ups.wait_bytes(len(m1))
+                c.sendall(m2)
+                assert ups.wait_bytes(len(m1) + len(m2)) == len(m1) + len(m2)
+            assert proxy.stats["statements_answered"] == 0
+        finally:
+            proxy.stop()
+            ups.close()
+
+    def test_benign_housekeeping_keeps_substitution(self):
+        """VERDICT r7 ask #1: BI tools open connections with USE/SET
+        housekeeping. Whitelisted benign commands forward WITHOUT
+        gating and WITHOUT demoting — a later SELECT on the same
+        connection is still answered from the gateway."""
+        ups = _Upstream()
+        gated = []
+
+        def answer(sql):
+            from sparksql_server_spark.server.jdbc_proxy import (
+                benign_jdbc_command,
+            )
+
+            s = sql.lstrip().upper()
+            if s.startswith(("USE", "SET", "RESET")):
+                if benign_jdbc_command(sql):
+                    return {"passthrough": "benign"}
+                return {"passthrough": "command"}
+            return dict(self.ANSWER)
+
+        proxy = JdbcLineProxy(ups.address, gate=gated.append, answer=answer).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                m1 = _exec_stmt_call("USE `default`", seq=1)
+                m2 = _exec_stmt_call("SET hive.server2.thrift.resultset.max.fetch.size=500", seq=2)
+                m3 = _exec_stmt_call("SET -v", seq=3)
+                for m in (m1, m2, m3):
+                    c.sendall(m)
+                # all three housekeeping statements FORWARD (HiveServer2
+                # keeps its session consistent)...
+                total = len(m1) + len(m2) + len(m3)
+                assert ups.wait_bytes(total) == total
+                # ...then the query is still ANSWERED locally
+                c.sendall(_exec_stmt_call("SELECT k, n FROM t", seq=4))
+                name, seq, d = _recv_reply(c)
+                assert (name, seq) == ("ExecuteStatement", 4)
+                assert d[0][1][1] == 0  # TStatus SUCCESS
+            time.sleep(0.2)
+            # upstream never saw the SELECT
+            assert sum(len(r) for r in ups.conns) == total
+            assert proxy.stats["statements_answered"] == 1
+            # benign commands skip the gate too (no catalog effect)
+            assert gated == []
+        finally:
+            proxy.stop()
+            ups.close()
+
+    def test_non_default_use_still_demotes(self):
+        """USE of any other database is session state the gateway
+        cannot see — it must demote as before."""
+        ups = _Upstream()
+
+        def answer(sql):
+            from sparksql_server_spark.server.jdbc_proxy import (
+                benign_jdbc_command,
+            )
+
+            if sql.lstrip().upper().startswith(("USE", "SET")):
+                if benign_jdbc_command(sql):
+                    return {"passthrough": "benign"}
+                return {"passthrough": "command"}
+            return dict(self.ANSWER)
+
+        proxy = JdbcLineProxy(ups.address, gate=lambda s: None, answer=answer).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                m1 = _exec_stmt_call("USE warehouse2", seq=1)
                 m2 = _exec_stmt_call("SELECT k FROM t", seq=2)
                 c.sendall(m1)
                 ups.wait_bytes(len(m1))

@@ -196,6 +196,25 @@ print(f"RESULT3:src={res3['c'].returncode}{res3['d'].returncode};"
       f"merged_plans={plans_after - plans_before};"
       f"batches={srv.executor.stats['batches']};"
       f"rows_ok={got_c == exp_c}")
+
+# --- round 8 (VERDICT r7 ask #1): session housekeeping no longer
+# demotes. A real beeline connection issues USE default + a
+# hive.server2.* SET BEFORE its query — the commands forward to
+# HiveServer2, but the connection stays substitution-clean and the
+# SELECT is still answered from the gateway.
+ans_before = proxy2.stats["statements_answered"]
+res5 = subprocess.run(
+    [sys.argv[1], "-u", f"jdbc:hive2://localhost:{p2}",
+     "--silent=true", "--outputformat=tsv2", "-e",
+     "USE default; "
+     "SET hive.server2.thrift.resultset.max.fetch.size=1000; " + qc],
+    capture_output=True, text=True, timeout=180, env=env)
+got_e = {tuple(ln.split("\t")) for ln in res5.stdout.splitlines()
+         if ln and "\t" in ln and not ln.startswith("0: jdbc")
+         and not ln.startswith("c_mktsegment")}
+print(f"RESULT4:hrc={res5.returncode};"
+      f"hanswered={proxy2.stats['statements_answered'] - ans_before};"
+      f"hrows_ok={exp_c <= got_e}")
 proxy2.stop(); srv.shutdown()
 """
 
@@ -272,6 +291,18 @@ def test_thrift_jdbc_round_trip(tmp_path):
     assert "sblind=0" in r3, r3     # frames parsed, never demoted
     assert "merged_plans=1" in r3, r3  # ONE merged execution served both
     assert "rows_ok=True" in r3, r3    # ...with byte-correct rows
+    # round 8 (VERDICT r7 ask #1): a connection that opens with
+    # USE default + SET housekeeping is NOT demoted — its SELECT is
+    # still answered from the gateway with correct rows
+    results4 = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT4:")]
+    assert results4, (
+        f"housekeeping leg died\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-2000:]}"
+    )
+    r4 = results4[0]
+    assert "hrc=0" in r4, r4
+    assert "hanswered=1" in r4, r4
+    assert "hrows_ok=True" in r4, r4
     shutil.rmtree(tmp_path / "metastore_db", ignore_errors=True)
 
 
