@@ -120,10 +120,10 @@ def _mh_candidate_ctes(dialect: str, sh_from: str | None = None) -> str:
 
     ``sh_from``: name of a pre-materialized relation holding the
     canonical (doc_id, shingle) rows — built by executing THIS
-    function's own w/sh text and spilling it (scratch.spill), so the
-    pipeline scored is still the canonical one. Callers whose query
-    consumes sh from several DIFFERENTLY-KEYED branches pass it to
-    stop Spark's CTE inlining from re-running the explode+DISTINCT
+    function's own w/sh text and materializing it (scratch.pin), so
+    the pipeline scored is still the canonical one. Callers whose
+    query consumes sh from several DIFFERENTLY-KEYED branches pass it
+    to stop Spark's CTE inlining from re-running the explode+DISTINCT
     per branch. (cand's symmetric bs self-join needs no such barrier:
     ReuseExchange computes the identical subtree once at runtime.)"""
     w_body, ex = _sh_canonical_sql(dialect)
@@ -886,17 +886,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         unpersist_ids,
     )
 
-    from sparksql_server_spark.operators.scratch import spill
+    from sparksql_server_spark.operators.scratch import pin
 
     register_tables(spark, sf_dir, ("documents",))
     scope = CacheScope(spark)
     # materialize the edge set ONCE — the loop must iterate over rows,
     # not re-run the MinHash pipeline every round; the band relation
-    # spills first (see _CC_BANDS_SPARK: first-execution plan split,
-    # and the persisted-LSH-index shape)
-    spill(spark, spark.sql(_CC_BANDS_SPARK), "cc_bands").createOrReplaceTempView(
-        "cc_bands_mat"
-    )
+    # materializes first (see _CC_BANDS_SPARK: first-execution plan
+    # split, and the persisted-LSH-index shape). Barrier choice
+    # (r8 A/B at sf0.1, 2 runs each): pin (eager localCheckpoint)
+    # beats the r7 parquet spill in both regimes — first-exec 4.7/4.9
+    # vs 5.0/5.2 s, steady 2.7 vs 2.9 s — and the pin lives inside
+    # this CacheScope, so scope.finish still releases it (hygiene
+    # gate unchanged, leftover RDDs 0 in the A/B harness).
+    pin(spark.sql(_CC_BANDS_SPARK)).createOrReplaceTempView("cc_bands_mat")
     edges = spark.sql(
         _CC_EDGE_FROM_BANDS.format(bands="cc_bands_mat")
     ).localCheckpoint(eager=True)
@@ -1504,18 +1507,29 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the input relation shrinks — because ground truth is the
     expensive thing the production path exists to avoid.
     """
-    from sparksql_server_spark.operators.scratch import spill
+    from sparksql_server_spark.operators.scratch import pin
 
     register_tables(spark, sf_dir, ("documents",))
     # the distinct-shingle relation feeds FOUR branches (hash chain,
     # sizes, both truth-join sides); as inlined CTE text Spark would
     # re-run the explode+DISTINCT per branch, and a .cache() would be
     # bypassed inside the WITH (CacheManager does not rewrite under
-    # WithCTE) — so materialize it once as a scratch-parquet barrier,
-    # built from the SAME canonical w/sh text the production pipeline
-    # uses
+    # WithCTE) — so materialize it ONCE, built from the SAME canonical
+    # w/sh text the production pipeline uses. Barrier choice
+    # (VERDICT r7 ask #2, A/B-measured at sf0.1, 3 runs each): an
+    # eager localCheckpoint (scratch.pin) beats the r7 parquet spill
+    # in BOTH regimes — first-exec-in-warm-session 3.3-3.4 s vs
+    # 3.9-4.3 s (the parquet write+read tax lands in first-exec, which
+    # is what BENCH measures) and min-of-3 steady state 1.65-1.86 s vs
+    # 1.98-2.35 s — and also beats no-barrier (first 3.4-3.6 s,
+    # steady 2.0-2.1 s re-running explode+DISTINCT per branch).
+    # Block hygiene: the pinned blocks back the lsh_eval_sh_mat view —
+    # not an anonymous cache. Each run REPLACES the view, making the
+    # previous pin unreachable (ContextCleaner releases it at GC), so a
+    # session holds at most one live copy of this bounded intermediate
+    # (the distinct-shingle relation, MBs at sf0.1 — never the input).
     w_body, ex = _sh_canonical_sql("spark")
-    sh = spill(spark, spark.sql(f"WITH w AS ({w_body}) {ex}"), "lsh_eval_sh")
+    sh = pin(spark.sql(f"WITH w AS ({w_body}) {ex}"))
     sh.createOrReplaceTempView("lsh_eval_sh_mat")
     # cand's band self-join needs no barrier of its own: both sides
     # are the identical bs subtree (ReuseExchange dedupes it), and a
