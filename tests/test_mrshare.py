@@ -102,11 +102,11 @@ def test_parse_expression_key_and_case_folding():
     [
         # non-admissible joins, set ops, sorts, windows — not the
         # mergeable shape (inner chains are since round 6, LEFT chains
-        # since round 7)
-        "SELECT c_name, count(*) AS n FROM customer c RIGHT JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
+        # since round 7, two-table RIGHT + USING since round 8)
+        "SELECT c_name, count(*) AS n FROM customer c JOIN nation n ON c_nationkey = n_nationkey RIGHT JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",  # RIGHT past two tables needs re-association
         "SELECT c_name, count(*) AS n FROM customer c FULL OUTER JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
         "SELECT c_name, count(*) AS n FROM customer c LEFT SEMI JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
-        "SELECT c_name, count(*) AS n FROM customer c JOIN orders o USING (c_custkey) GROUP BY c_name",
+        "SELECT l_orderkey, count(*) AS n FROM lineitem a JOIN lineitem b USING (l_orderkey + 1) GROUP BY l_orderkey",  # USING list must be plain columns
         "SELECT c_name, count(*) AS n FROM customer c, orders o WHERE c_custkey = o_custkey GROUP BY c_name",
         "SELECT c_name, count(*) AS n FROM customer c JOIN (SELECT * FROM orders) o ON c_custkey = o_custkey GROUP BY c_name",
         "SELECT c_name, count(*) AS n FROM customer c CROSS JOIN orders o GROUP BY c_name",
@@ -909,9 +909,78 @@ def test_parse_left_join_chain_shapes():
     inner = LEFT_STAR[0].replace("LEFT JOIN", "JOIN")
     pi = parse_agg_query(inner)
     assert pi is not None and pi.table != p0.table
-    # RIGHT/FULL still decline
-    assert parse_agg_query(LEFT_STAR[0].replace("LEFT", "RIGHT")) is None
+    # FULL still declines; two-table RIGHT now normalizes (see below)
     assert parse_agg_query(LEFT_STAR[0].replace("LEFT", "FULL OUTER")) is None
+    pr = parse_agg_query(LEFT_STAR[0].replace("LEFT", "RIGHT"))
+    assert pr is not None and pr.table != p0.table  # keeps-orders ≠ keeps-customers
+
+
+def test_parse_right_join_normalizes_to_left():
+    """Round-8 (VERDICT r7 ask #3): a two-table RIGHT chain is the
+    mirrored LEFT chain — same signature AND same emitted FROM text,
+    so RIGHT members ride the r7 LEFT machinery unchanged."""
+    r = parse_agg_query(
+        "SELECT c_mktsegment, count(o_orderkey) AS n FROM orders o"
+        " RIGHT JOIN customer c ON c_custkey = o_custkey GROUP BY c_mktsegment"
+    )
+    l = parse_agg_query(
+        "SELECT c_mktsegment, count(o_orderkey) AS n FROM customer c"
+        " LEFT JOIN orders o ON c_custkey = o_custkey GROUP BY c_mktsegment"
+    )
+    assert r is not None and l is not None
+    assert r.table == l.table and r.table.startswith("join:")
+    assert r.from_raw == l.from_raw
+    # RIGHT OUTER spells the same signature
+    r2 = parse_agg_query(
+        "SELECT c_mktsegment, count(o_orderkey) AS n FROM orders o"
+        " RIGHT OUTER JOIN customer c ON c_custkey = o_custkey"
+        " GROUP BY c_mktsegment"
+    )
+    assert r2.table == r.table
+    # RIGHT deeper in a chain declines (the left operand would need
+    # parenthesized re-association, which the linear grammar rejects)
+    assert (
+        parse_agg_query(
+            "SELECT c_name, count(*) AS n FROM customer c"
+            " JOIN nation n ON c_nationkey = n_nationkey"
+            " RIGHT JOIN orders o ON c_custkey = o_custkey GROUP BY c_name"
+        )
+        is None
+    )
+
+
+def test_parse_using_join_admitted():
+    """Round-8 (VERDICT r7 ask #3): USING joins are admitted natively —
+    the USING text is part of the signature and re-emitted verbatim, so
+    the coalesced bare column resolves in the merged statement exactly
+    as it did standalone; ON members never cross-merge with USING."""
+    u1 = parse_agg_query(
+        "SELECT l_orderkey, count(*) AS n FROM lineitem a"
+        " JOIN lineitem b USING (l_orderkey) GROUP BY l_orderkey"
+    )
+    u2 = parse_agg_query(
+        "SELECT l_orderkey, max(b.l_tax) AS mt FROM lineitem a"
+        " JOIN lineitem b USING ( L_ORDERKEY ) GROUP BY l_orderkey"
+    )
+    assert u1 is not None and u2 is not None
+    assert u1.table == u2.table  # case/space variants share the signature
+    on_eq = parse_agg_query(
+        "SELECT a.l_orderkey AS l_orderkey, count(*) AS n FROM lineitem a"
+        " JOIN lineitem b ON a.l_orderkey = b.l_orderkey GROUP BY a.l_orderkey"
+    )
+    assert on_eq is not None and on_eq.table != u1.table
+    # LEFT ... USING and RIGHT ... USING both admit (RIGHT normalized;
+    # the USING column's null-extension side is preserved by the swap)
+    lu = parse_agg_query(
+        "SELECT l_orderkey, count(*) AS n FROM lineitem a"
+        " LEFT JOIN lineitem b USING (l_orderkey) GROUP BY l_orderkey"
+    )
+    ru = parse_agg_query(
+        "SELECT l_orderkey, count(*) AS n FROM lineitem b"
+        " RIGHT JOIN lineitem a USING (l_orderkey) GROUP BY l_orderkey"
+    )
+    assert lu is not None and ru is not None
+    assert ru.table == lu.table and ru.from_raw == lu.from_raw
 
 
 def test_left_join_members_merge_matches_independent(spark, executor):
@@ -942,6 +1011,41 @@ def test_merged_left_join_plan_scans_each_table_once(spark, executor):
     physical = merged._jdf.queryExecution().executedPlan().toString()
     assert physical.count("customer.parquet") == 1
     assert physical.count("orders.parquet") == 1
+
+
+def test_right_join_member_merges_with_equivalent_left(spark, executor):
+    """The round-8 promise end-to-end: a RIGHT-spelled member and the
+    mirrored LEFT-spelled member land in ONE merged execution, and
+    each job's rows equal its standalone run (null-extended customers
+    included on both spellings)."""
+    sqls = [
+        "SELECT c_mktsegment, count(o_orderkey) AS no FROM orders o"
+        " RIGHT JOIN customer c ON c_custkey = o_custkey"
+        " WHERE c_acctbal > 0 GROUP BY c_mktsegment",
+        "SELECT c_mktsegment, sum(o_totalprice) AS st FROM customer c"
+        " LEFT JOIN orders o ON c_custkey = o_custkey"
+        " WHERE c_acctbal <= 0 GROUP BY c_mktsegment",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_using_join_members_merge_matches_independent(spark, executor):
+    """USING members (self-join on the coalesced key) merge and match
+    their standalone runs; bare-column references resolve in the
+    merged statement because the USING join is re-emitted verbatim."""
+    sqls = [
+        "SELECT l_orderkey, count(*) AS n FROM lineitem a"
+        " JOIN lineitem b USING (l_orderkey)"
+        " WHERE a.l_linenumber = 1 GROUP BY l_orderkey",
+        "SELECT l_orderkey, max(b.l_tax) AS mt FROM lineitem a"
+        " JOIN lineitem b USING (l_orderkey)"
+        " WHERE b.l_quantity > 10 GROUP BY l_orderkey",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.rewrite is RewriteKind.MRSHARE
 
 
 def test_merged_join_plan_scans_each_table_once(spark, executor):
