@@ -181,22 +181,23 @@ def _statement_from_args(buf: bytes, pos: int) -> tuple[int, Optional[str]]:
 
 def _handle_guid_from_args(
     buf: bytes, pos: int
-) -> tuple[int, Optional[bytes], int, int]:
+) -> tuple[int, Optional[bytes], int, int, int]:
     """Walk a TCLIService request args struct extracting the operation/
-    session handle guid and (for FetchResults) the fetchType and
-    orientation; returns (end, guid|None, fetch_type, orientation).
-    Path: args field 1 (the *Req struct) → field 1
-    (T{Operation,Session}Handle) → field 1 (THandleIdentifier) →
-    field 1 (binary guid). Everything else is skipped generically."""
+    session handle guid and (for FetchResults) the fetchType,
+    orientation and maxRows; returns (end, guid|None, fetch_type,
+    orientation, max_rows). Path: args field 1 (the *Req struct) →
+    field 1 (T{Operation,Session}Handle) → field 1 (THandleIdentifier)
+    → field 1 (binary guid). Everything else is skipped generically."""
     guid: Optional[bytes] = None
     fetch_type = 0
     orientation = 0  # TFetchOrientation.FETCH_NEXT
+    max_rows = 0  # <=0: serve everything remaining in one batch
     while True:
         _need(buf, pos, 1)
         ft = buf[pos]
         pos += 1
         if ft == _STOP:
-            return pos, guid, fetch_type, orientation
+            return pos, guid, fetch_type, orientation, max_rows
         _need(buf, pos, 2)
         (fid,) = struct.unpack_from(">h", buf, pos)
         pos += 2
@@ -250,6 +251,10 @@ def _handle_guid_from_args(
                     _need(buf, pos, 4)
                     (orientation,) = struct.unpack_from(">i", buf, pos)
                     pos += 4
+                elif rt == _I64 and rid == 3:  # TFetchResultsReq.maxRows
+                    _need(buf, pos, 8)
+                    (max_rows,) = struct.unpack_from(">q", buf, pos)
+                    pos += 8
                 else:
                     pos = _skip(buf, pos, rt)
         else:
@@ -435,17 +440,18 @@ def parse_call_ex(
         int,
         Optional[dict],
         Optional[int],
+        int,
     ]
 ]:
     """Parse one strict-TBinaryProtocol CALL message starting at
     ``pos``. Returns ``(end, method_name, seqid, statement, op_guid,
-    fetch_type, orientation, open_conf, client_protocol)`` —
+    fetch_type, orientation, open_conf, client_protocol, max_rows)`` —
     ``statement`` for ExecuteStatement, ``op_guid``/``fetch_type``/
-    ``orientation`` for operation-scoped methods, ``open_conf`` (the
-    configuration overlay map) and ``client_protocol`` for
-    OpenSession — or None when the buffer ends mid-message (read more
-    and retry). Raises ValueError on bytes that are not a strict
-    Thrift message."""
+    ``orientation``/``max_rows`` for operation-scoped methods,
+    ``open_conf`` (the configuration overlay map) and
+    ``client_protocol`` for OpenSession — or None when the buffer ends
+    mid-message (read more and retry). Raises ValueError on bytes that
+    are not a strict Thrift message."""
     try:
         _need(buf, pos, 4)
         (version,) = struct.unpack_from(">I", buf, pos)
@@ -466,17 +472,31 @@ def parse_call_ex(
         guid: Optional[bytes] = None
         fetch_type = 0
         orientation = 0
+        max_rows = 0
         open_conf: Optional[dict] = None
         open_proto: Optional[int] = None
         if name == "ExecuteStatement":
             pos, stmt = _statement_from_args(buf, pos)
         elif name in _OP_METHODS:
-            pos, guid, fetch_type, orientation = _handle_guid_from_args(buf, pos)
+            pos, guid, fetch_type, orientation, max_rows = _handle_guid_from_args(
+                buf, pos
+            )
         elif name == "OpenSession":
             pos, open_conf, open_proto = _open_conf_from_args(buf, pos)
         else:
             pos = _skip(buf, pos, _STRUCT)
-        return pos, name, seqid, stmt, guid, fetch_type, orientation, open_conf, open_proto
+        return (
+            pos,
+            name,
+            seqid,
+            stmt,
+            guid,
+            fetch_type,
+            orientation,
+            open_conf,
+            open_proto,
+            max_rows,
+        )
     except _Incomplete:
         return None
 
@@ -719,25 +739,37 @@ def _encode_column(values: list, kind: str = "string") -> bytes:
 
 
 def encode_fetch_resp(
-    seqid: int, columns: list[list], kinds: list[str] | None = None
+    seqid: int,
+    columns: list[list],
+    kinds: list[str] | None = None,
+    has_more: bool = False,
+    start_row: int = 0,
 ) -> bytes:
     """TFetchResultsResp with a columnar (protocol V6+) TRowSet.
-    ``columns`` is column-major data; pass [] for an exhausted/log
-    fetch. ``kinds`` (from column_kinds) selects each column's TColumn
-    arm; untyped callers get all-strings. hasMoreRows=False always —
-    the full inline result ships in one batch (bounded by the
-    gateway's inline-row cap upstream)."""
+    ``columns`` is column-major data for THIS batch; pass [] for an
+    exhausted/log fetch. ``kinds`` (from column_kinds) selects each
+    column's TColumn arm; untyped callers get all-strings.
+    ``has_more`` is TFetchResultsResp.hasMoreRows — True while the
+    operation holds rows past this batch (the proxy honors the
+    client's maxRows, so big-but-under-the-inline-cap results paginate
+    exactly as HiveServer2 would); ``start_row`` is the batch's
+    TRowSet.startRowOffset."""
     cols = b"".join(
         _encode_column(c, kinds[j] if kinds else "string")
         for j, c in enumerate(columns)
     )
     rowset = (
-        _f_i64(1, 0)
+        _f_i64(1, start_row)
         + _fld(_LIST, 2, bytes([_STRUCT]) + struct.pack(">i", 0))  # rows: []
         + _fld(_LIST, 3, bytes([_STRUCT]) + struct.pack(">i", len(columns)) + cols)
         + b"\x00"
     )
-    body = _f_struct(1, _STATUS_OK) + _f_bool(2, False) + _f_struct(3, rowset) + b"\x00"
+    body = (
+        _f_struct(1, _STATUS_OK)
+        + _f_bool(2, has_more)
+        + _f_struct(3, rowset)
+        + b"\x00"
+    )
     return _reply("FetchResults", seqid, body)
 
 
@@ -989,10 +1021,15 @@ class JdbcLineProxy:
                     return buf, True
                 if parsed is None:
                     break  # incomplete message
-                end, name, seqid, stmt, guid, ftype, orient, oconf, oproto = parsed
+                (
+                    end, name, seqid, stmt, guid,
+                    ftype, orient, oconf, oproto, mrows,
+                ) = parsed
                 if name == "OpenSession":
                     self._apply_open_fence(conn, oconf, oproto)
-                reply = self._local_reply(conn, name, seqid, stmt, guid, ftype, orient)
+                reply = self._local_reply(
+                    conn, name, seqid, stmt, guid, ftype, orient, mrows
+                )
                 if reply is not None:
                     with conn.wlock:
                         client.sendall(reply)
@@ -1101,8 +1138,11 @@ class JdbcLineProxy:
             return None
         if parsed is None or parsed[0] != len(payload):
             return None
-        _end, name, seqid, stmt, guid, ftype, orient, _oconf, _oproto = parsed
-        return self._local_reply(conn, name, seqid, stmt, guid, ftype, orient)
+        (
+            _end, name, seqid, stmt, guid,
+            ftype, orient, _oconf, _oproto, mrows,
+        ) = parsed
+        return self._local_reply(conn, name, seqid, stmt, guid, ftype, orient, mrows)
 
     def _local_reply(
         self,
@@ -1113,6 +1153,7 @@ class JdbcLineProxy:
         guid: Optional[bytes],
         ftype: int,
         orient: int = 0,
+        mrows: int = 0,
     ) -> Optional[bytes]:
         """Synthesized response bytes when the proxy owns this request,
         else None (caller gates/forwards as usual)."""
@@ -1163,7 +1204,8 @@ class JdbcLineProxy:
                 "colmajor": colmajor,
                 "kinds": kinds,
                 "type_ids": type_ids,
-                "fetched": False,
+                "n_rows": len(rows),
+                "offset": 0,  # fetch cursor (FETCH_NEXT advances it)
             }
             self._bump("statements_answered")
             return encode_execute_resp(seqid, op_guid, secret)
@@ -1178,16 +1220,27 @@ class JdbcLineProxy:
             if ftype != 0:  # operation-log fetch: empty batch
                 return encode_fetch_resp(seqid, [])
             if orient == 4:  # TFetchOrientation.FETCH_FIRST: rewind —
-                # HiveServer2 supports re-reading from the start and BI
-                # clients use it; serving empty here would silently
-                # truncate the result (review r7)
-                op["fetched"] = False
-            if op["fetched"]:
-                return encode_fetch_resp(
-                    seqid, [[] for _ in op["columns"]], op["kinds"]
-                )
-            op["fetched"] = True
-            return encode_fetch_resp(seqid, op["colmajor"], op["kinds"])
+                # HiveServer2 supports re-reading from the start (BI
+                # clients use it, mid-stream included); serving empty
+                # here would silently truncate the result (review r7)
+                op["offset"] = 0
+            # honor the client's maxRows (HiveServer2 semantics): serve
+            # [offset, offset+maxRows), advance the cursor, and flag
+            # hasMoreRows while rows remain — a result bigger than one
+            # fetch batch paginates instead of over-filling the first
+            # response (VERDICT r7 ask #4); maxRows<=0 serves the rest
+            n, off = op["n_rows"], op["offset"]
+            take = n - off if mrows <= 0 else min(mrows, n - off)
+            take = max(take, 0)
+            batch = [c[off : off + take] for c in op["colmajor"]]
+            op["offset"] = off + take
+            return encode_fetch_resp(
+                seqid,
+                batch,
+                op["kinds"],
+                has_more=op["offset"] < n,
+                start_row=off,
+            )
         if name in ("CloseOperation", "CancelOperation"):
             if name == "CloseOperation":
                 conn.ops.pop(guid, None)

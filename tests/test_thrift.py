@@ -215,6 +215,25 @@ got_e = {tuple(ln.split("\t")) for ln in res5.stdout.splitlines()
 print(f"RESULT4:hrc={res5.returncode};"
       f"hanswered={proxy2.stats['statements_answered'] - ans_before};"
       f"hrows_ok={exp_c <= got_e}")
+
+# --- round 8 (VERDICT r7 ask #4): FETCH PAGINATION against the real
+# Hive JDBC client. beeline --incremental=true fetches in maxRows
+# batches (default 1000); a ~6000-row substituted result must stream
+# through repeated TFetchResultsReq with correct hasMoreRows, and the
+# row count must land exactly.
+ans_before = proxy2.stats["statements_answered"]
+exp_n = spark.sql("SELECT count(*) FROM lineitem").collect()[0][0]
+res6 = subprocess.run(
+    [sys.argv[1], "-u", f"jdbc:hive2://localhost:{p2}",
+     "--silent=true", "--outputformat=tsv2", "--incremental=true", "-e",
+     "SELECT l_orderkey, l_linenumber FROM lineitem"],
+    capture_output=True, text=True, timeout=180, env=env)
+got_n = len([ln for ln in res6.stdout.splitlines()
+             if ln and "\t" in ln and not ln.startswith("0: jdbc")
+             and not ln.startswith("l_orderkey")])
+print(f"RESULT5:irc={res6.returncode};"
+      f"ianswered={proxy2.stats['statements_answered'] - ans_before};"
+      f"irows_ok={got_n == exp_n};got={got_n};exp={exp_n}")
 proxy2.stop(); srv.shutdown()
 """
 
@@ -303,6 +322,18 @@ def test_thrift_jdbc_round_trip(tmp_path):
     assert "hrc=0" in r4, r4
     assert "hanswered=1" in r4, r4
     assert "hrows_ok=True" in r4, r4
+    # round 8 (VERDICT r7 ask #4): beeline --incremental=true fetch
+    # pagination — a multi-batch substituted result streams through
+    # repeated TFetchResultsReq and lands with the exact row count
+    results5 = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT5:")]
+    assert results5, (
+        f"pagination leg died\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-2000:]}"
+    )
+    r5 = results5[0]
+    assert "irc=0" in r5, r5
+    assert "ianswered=1" in r5, r5
+    assert "irows_ok=True" in r5, r5
     shutil.rmtree(tmp_path / "metastore_db", ignore_errors=True)
 
 
