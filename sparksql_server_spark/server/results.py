@@ -202,6 +202,11 @@ class ResultCache:
         self.hits = 0
         self.misses = 0
         self.invalidations = 0
+        # puts refused by a live write-set taint (VERDICT r7 ask #5):
+        # the observable for "is command traffic starving the cache" —
+        # a high rate scoped to written tables is working as designed,
+        # a high rate on UNRELATED tables would be a scoping bug
+        self.taint_refused = 0
         # monotone invalidation epoch: put() callers capture it BEFORE
         # submitting their query and pass it back; a put whose epoch is
         # stale (a command ran and invalidated between completion and
@@ -265,6 +270,7 @@ class ResultCache:
                         or tables is None
                         or keys_intersect(tables, t_tables)
                     ):
+                        self.taint_refused += 1
                         return  # read set overlaps an in-flight command
             self._entries[key] = (time.monotonic(), dict(payload), tables)
             self._entries.move_to_end(key)
@@ -315,9 +321,23 @@ class ResultCache:
         as the command outlives the timer (review r7): the taint
         instead converts 'maybe cache a mid-command read' into 'don't
         cache', the safe direction, for a horizon sized generously
-        past any real command."""
+        past any real command.
+
+        Starvation bound (VERDICT r7 ask #5): refusal is scoped by
+        ``keys_intersect``, so a steady stream of commands writing
+        table A refuses only puts whose read set touches A — queries
+        over unrelated tables cache at full hit rate throughout
+        (characterized in tests/test_result_cache.py). The worst case
+        is by construction: puts READING the written tables are
+        refused for as long as commands keep arriving plus one taint
+        TTL — which is exactly the window in which their input may
+        reflect mid-command state. Expired taints are pruned here and
+        in put(), so the live list is bounded by the number of
+        commands inside one TTL horizon."""
         with self._lock:
-            self._taints.append((tables, time.monotonic() + ttl_seconds))
+            now = time.monotonic()
+            self._taints = [t for t in self._taints if t[1] > now]
+            self._taints.append((tables, now + ttl_seconds))
 
     def bump_generation(self) -> None:
         """Advance the put-epoch WITHOUT flushing: called at command
@@ -340,4 +360,8 @@ class ResultCache:
                 "result_cache_hits": self.hits,
                 "result_cache_misses": self.misses,
                 "result_cache_invalidations": self.invalidations,
+                "result_cache_taint_refused": self.taint_refused,
+                "result_cache_live_taints": sum(
+                    1 for t in self._taints if t[1] > time.monotonic()
+                ),
             }

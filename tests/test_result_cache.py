@@ -340,6 +340,50 @@ def test_nondeterministic_query_not_cached(server):
     assert "cached" not in again
 
 
+def test_taint_starvation_is_scoped_and_counted():
+    """VERDICT r7 ask #5: a steady stream of commands writing table A
+    must not zero the hit rate for table B — refusal is scoped by
+    keys_intersect — and every taint-refused put is observable via the
+    counter. The worst case is characterized: puts READING the written
+    table are refused while commands keep arriving plus one TTL, which
+    is exactly the maybe-stale window; the live-taint list stays
+    bounded by one TTL horizon's worth of commands."""
+    rc = ResultCache()
+    # 50 commands writing A arrive back to back (each taints A)
+    for _ in range(50):
+        rc.taint_tables(frozenset({"a"}), 5.0)
+    # queries reading A are refused (their input may be mid-command) …
+    ka = ResultCache.key(None, "SELECT * FROM a")
+    for i in range(10):
+        rc.put(ka, {"v": i}, tables=frozenset({"a"}))
+    assert rc.get(ka) is None
+    assert rc.stats()["result_cache_taint_refused"] == 10
+    # … while unrelated-table queries cache at full hit rate THROUGHOUT
+    for i in range(10):
+        kb = ResultCache.key(None, f"SELECT {i} FROM b")
+        rc.put(kb, {"v": i}, tables=frozenset({"b"}))
+        assert rc.get(kb) == {"v": i}
+    assert rc.stats()["result_cache_taint_refused"] == 10  # none refused
+    # unknown read sets refuse conservatively under ANY live taint
+    rc.put(ResultCache.key(None, "SELECT ?"), {"v": 1}, tables=None)
+    assert rc.stats()["result_cache_taint_refused"] == 11
+    # the live list is pruned, not accumulated forever
+    assert rc.stats()["result_cache_live_taints"] == 50
+    rc2 = ResultCache()
+    for _ in range(50):
+        rc2.taint_tables(frozenset({"a"}), 0.001)
+    time.sleep(0.01)
+    rc2.taint_tables(frozenset({"a"}), 5.0)  # prunes the expired 50
+    assert rc2.stats()["result_cache_live_taints"] == 1
+    # after expiry the written table caches again — the refusal horizon
+    # is bounded by (last command arrival + TTL), never permanent
+    rc3 = ResultCache()
+    rc3.taint_tables(frozenset({"a"}), 0.05)
+    time.sleep(0.06)
+    rc3.put(ka, {"v": 99}, tables=frozenset({"a"}))
+    assert rc3.get(ka) == {"v": 99}
+
+
 def test_benign_jdbc_housekeeping_preserves_cache_and_substitution(server):
     """VERDICT r7 ask #1 (gateway half): whitelisted housekeeping
     through the JDBC gate neither flushes the result cache nor opens a
