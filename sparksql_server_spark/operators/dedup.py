@@ -15,6 +15,7 @@ Scale notes per operator are in each docstring.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -648,33 +649,65 @@ def _win_minexpr(elem) -> str:
     return "least(" + ", ".join(elem(j) for j in range(_WIN_W)) + ")"
 
 
-def _winnow_fp_spark() -> str:
-    """Spark side of the fingerprint build, through the DF cutoff —
-    materialized ONCE behind a cache because the pair join consumes it
-    twice (as a CTE Spark re-expands the whole per-char hash per
-    consumer; measured 2x the work at sf0.1)."""
-    kgram = _win_kgram(lambda j: f"bigint(ascii(element_at(cs, i + {j})))")
-    wmin = _win_minexpr(lambda j: f"element_at(hs, i + {j})")
-    return f"""
-WITH chars AS (SELECT doc_id, split(text, '') AS cs FROM documents),
-hs AS (
-  SELECT doc_id,
-         CASE WHEN size(cs) >= {_WIN_K} THEN
-           transform(sequence(1, size(cs) - {_WIN_K} + 1), i -> {kgram})
-         ELSE array() END AS hs
-  FROM chars),
-fp AS (
-  SELECT DISTINCT doc_id, fp FROM (
-    SELECT doc_id, explode(
-      CASE WHEN size(hs) >= {_WIN_W} THEN
-        transform(sequence(1, size(hs) - {_WIN_W} + 1), i -> {wmin})
-      ELSE array() END) AS fp
-    FROM hs) t),
-df AS (SELECT fp, count(*) AS c FROM fp GROUP BY fp)
-SELECT f.doc_id, f.fp
-FROM fp f JOIN df ON f.fp = df.fp
-WHERE df.c <= {_WIN_MAX_DF}
-"""
+def _winnow_fp_frame(spark: SparkSession):
+    """Surviving-fingerprint relation (doc_id, fp) through the DF
+    cutoff. The per-document fingerprint selection runs in ONE
+    Arrow-vectorized pandas UDF (numpy sliding windows) rather than the
+    r7 SQL higher-order-function chain: HOF lambdas are
+    CodegenFallback — interpreted per element, never fused into
+    whole-stage codegen — and their giant generated plan also dominated
+    the query's first-execution compile. A/B at sf0.1 (bench regime,
+    2 runs each): full query first-exec 4.4 s (this build) vs
+    6.0-6.4 s (HOF build, cache or pin barrier alike — barrier choice
+    measured within noise), steady state 1.3 vs 1.0-1.1 s — the Arrow
+    round trip costs ~0.3 s steady, the interpreted HOF + codegen
+    costs ~1.7 s first; the gateway's one-shot regime is first-exec,
+    so the vectorized build wins where it counts (VERDICT r7 ask #6).
+    Value parity with the SQL pipeline is exact (same base-31 integer
+    polynomial; asserted in the A/B and by the DuckDB oracle, which
+    still runs the reference HOF formulation).
+
+    100 TB note: the UDF is map-only over text (no state, no shuffle);
+    numpy does ~10 ops/char in C vs an interpreted JVM lambda per
+    element — the vectorized build is the formulation you'd keep on a
+    cluster, with the DF cutoff and pair join unchanged."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    pow_vec = (31 ** np.arange(_WIN_K - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def winnow_fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            # exact codepoints (== Spark/DuckDB ascii() on this corpus)
+            c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            n = c.shape[0]
+            if n < _WIN_K + _WIN_W - 1:  # no full window of hashes
+                out.append([])
+                continue
+            # base-31 7-gram polynomial at every position (max ~1e15,
+            # inside int64 — same no-modulus argument as _win_kgram)
+            h = np.lib.stride_tricks.sliding_window_view(c, _WIN_K) @ pow_vec
+            # winnowing min over each W-window of consecutive hashes
+            m = np.minimum.reduce(
+                [h[j : h.shape[0] - (_WIN_W - 1) + j] for j in range(_WIN_W)]
+            )
+            out.append(np.unique(m).tolist())
+        return pd.Series(out)
+
+    fp = spark.table("documents").select(
+        F.col("doc_id"), F.explode(winnow_fps("text")).alias("fp")
+    )
+    dfc = fp.groupBy("fp").agg(F.count("*").alias("c"))
+    return fp.join(dfc.filter(F.col("c") <= _WIN_MAX_DF), "fp").select(
+        "doc_id", "fp"
+    )
 
 
 def _winnow_duck() -> str:
@@ -723,7 +756,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: pure integer pipeline (exact base-31 7-gram
     polynomial — no modulus needed, 7 codepoints fit int64; window
     min, DF counts, the cutoff comparison) until zero float ops;
-    ORDER BY is total.
+    ORDER BY is total. The fingerprint selection runs in a vectorized
+    pandas UDF computing the SAME integers as the oracle's SQL
+    formulation (see _winnow_fp_frame for the measured rationale).
 
     Scale: per-document work is map-only higher-order-function math
     (no explode until the selected ~2/(w+1) density fingerprints);
@@ -742,7 +777,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ("documents",))
     scope = CacheScope(spark)
-    kept = spark.sql(_winnow_fp_spark()).cache()
+    kept = _winnow_fp_frame(spark).cache()
     a, b = kept.alias("a"), kept.alias("b")
     pairs = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1032,6 +1067,20 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, no per-token shuffle. All threshold arithmetic is
     integer-exact; verification is 16*i >= 6*(sa+sb) — no float
     boundary divergence between engines.
+
+    First-execution floor (VERDICT r7 ask #6, measured at sf0.1): the
+    bench-regime cost is compile-dominated, not data-dominated —
+    steady-state runs are 1.3-1.4 s while first-exec is ~7 s, and
+    swapping every .cache() barrier for an eager localCheckpoint
+    (scratch.pin, the lever that paid on lsh_eval/clusters) measured
+    WITHIN NOISE here (first 6.8-7.2 vs 7.0-7.5 s over 2 runs each):
+    the three-window ranking pipeline + two-phase join plan costs its
+    analysis/codegen once regardless of where the barriers sit. The
+    per-token work itself is already minimal (each relation builds
+    once behind a barrier, the candidate join touches only rare
+    prefixes), so the remaining first-exec cost is Catalyst/Janino,
+    which amortizes in any session that runs the query more than
+    once.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
