@@ -12,6 +12,7 @@ engines (no order-dependent double sums anywhere).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sparksql_server_spark.catalog import register_tables
 from sparksql_server_spark.operators.registry import query
@@ -154,10 +155,13 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOP_TERMS = 3
 
 
-def _tfidf_sql(dialect: str) -> str:
+def _tfidf_sql(dialect: str, tf_from: str | None = None) -> str:
     """Shared shape: term frequencies per (doc, term), document
     frequencies per term, linear-idf score tf * (N / df), top-k terms
-    per document by (score DESC, term ASC).
+    per document by (score DESC, term ASC). ``tf_from`` names a
+    pre-materialized (doc_id, term, tf) relation (see
+    text_tfidf_topterms); None inlines the canonical build (the
+    oracle's form).
 
     Linear idf (N/df, no log) keeps the score a product of one exact
     int→double division and one multiplication — bit-identical across
@@ -170,11 +174,17 @@ def _tfidf_sql(dialect: str) -> str:
     else:
         words = duck_words("text")
         ex = "SELECT doc_id, unnest(w) AS term FROM w"
-    return f"""
-WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+    if tf_from is not None:
+        # pre-materialized (doc_id, term, tf) relation — the barrier
+        # that stops Spark re-expanding the explode chain per consumer
+        tf_ctes = f"tf AS (SELECT doc_id, term, tf FROM {tf_from})"
+    else:
+        tf_ctes = f"""w AS (SELECT doc_id, {words} AS w FROM documents),
 terms AS ({ex}),
 tf AS (SELECT doc_id, term, count(*) AS tf
-       FROM terms GROUP BY doc_id, term),
+       FROM terms GROUP BY doc_id, term)"""
+    return f"""
+WITH {tf_ctes},
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
@@ -336,11 +346,30 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — well distributed); df aggregates tf's output (map-side
     combinable, vocabulary-sized result) and joins back broadcast
     (vocabulary ≪ corpus); the top-k window partitions by doc_id and
-    is WindowGroupLimit-prunable. The `n` side is a 1-row broadcast
-    cross join.
+    runs under WindowGroupLimit (Partial before the exchange, Final
+    after — gated in tests/test_plans.py). The `n` side is a 1-row
+    broadcast cross join.
+
+    Round-8 plan rework (VERDICT r7 ask #7 — ×10 exponent 0.64, the
+    corpus's second-worst): as pure CTE text Spark re-expanded the
+    explode → groupBy(doc_id, term) chain for BOTH consumers (tf and
+    df each got their own Generate + exchange in the physical plan).
+    The tf relation now materializes ONCE behind an eager
+    localCheckpoint (scratch.pin) and df aggregates the materialized
+    rows — one explode pass and one (doc_id, term) shuffle total.
+    A/B at sf0.1: first-exec 0.77 s vs 1.14, steady 0.71 vs 0.87,
+    results identical. Same one-live-copy-per-session pin hygiene as
+    dedup_lsh_eval_pr (the view replaces per run).
     """
+    from sparksql_server_spark.operators.scratch import pin
+
     register_tables(spark, sf_dir, ("documents",))
-    return spark.sql(_tfidf_sql("spark"))
+    docs = spark.table("documents")
+    w = docs.select("doc_id", F.expr(spark_words("text")).alias("w"))
+    terms = w.select("doc_id", F.explode("w").alias("term"))
+    tf = pin(terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    tf.createOrReplaceTempView("tfidf_tf_mat")
+    return spark.sql(_tfidf_sql("spark", tf_from="tfidf_tf_mat"))
 
 
 _BOILER_N = 4  # shingle width (words)

@@ -93,14 +93,40 @@ ORDER BY o_orderpriority
 """
 
 
+_Q4_SPARK = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders JOIN (SELECT l_orderkey, max(l_shipdate) AS max_ship
+                  FROM lineitem GROUP BY l_orderkey) ls
+  ON ls.l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND max_ship > o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 @query("tpch_q4_order_priority", oracle=_Q4_SQL)
 def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: late orders per priority (canonical commitdate/receiptdate
-    lateness re-expressed as ship > order + 90 days). The correlated
-    EXISTS plans as a left-semi join — lineitem payload never shuffles.
+    lateness re-expressed as ship > order + 90 days).
+
+    Round-8 plan rework (VERDICT r7 ask #7 — q4 had the corpus's worst
+    ×10 exponent, 0.69, shuffle-proportional on the lineitem side):
+    the correlated ``EXISTS(l_shipdate > o_orderdate + 90)`` is
+    equivalent to ``max(l_shipdate) OVER the orderkey group >
+    o_orderdate + 90`` — max() ignores NULLs exactly as EXISTS ignores
+    NULL comparisons, and the inner join drops no-lineitem orders
+    exactly as EXISTS rejects them — so the Spark side pre-aggregates
+    lineitem to one (l_orderkey, max_ship) row per order BEFORE the
+    join. The pre-aggregation is map-side combinable (partial max
+    before the exchange), shrinking the shuffled/broadcast side from
+    |lineitem| rows to |distinct orderkeys|; A/B at sf0.1: 0.52 s
+    first / 0.49 s steady vs 0.95 / 0.67 for the EXISTS semi-join,
+    results identical. The oracle keeps the canonical EXISTS text.
     """
     register_tables(spark, sf_dir, ("orders", "lineitem"))
-    return spark.sql(_Q4_SQL)
+    return spark.sql(_Q4_SPARK)
 
 
 @query(
