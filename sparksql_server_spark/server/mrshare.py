@@ -285,13 +285,31 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
       members merge with USING members, never with ON members; the
       same identical-text bar every other clause has.)
 
-    FULL/SEMI/ANTI/NATURAL, comma (implicit cross) joins, subqueries
-    in FROM or ON, and anything else decline. Members must write the
-    SAME chain (same tables, aliases, join types, ON/USING
-    conditions, modulo case/whitespace and the RIGHT normalization)
-    to share a signature — the conservative bar: dashboard batches
-    are generated SQL, so identical FROM text is the common case, and
-    a near-miss merely runs unmerged.
+    Round-8b widening: ``FULL [OUTER] JOIN``, ``[LEFT] SEMI JOIN``,
+    ``[LEFT] ANTI JOIN``, and explicit ``CROSS JOIN`` steps are
+    admitted under the identical-chain bar. The soundness argument is
+    the same one that admitted LEFT: every member writes the SAME
+    chain, so the shared relation — null-extended, existence-filtered,
+    or product rows included — is identical across members, and the
+    CASE-fold of per-member WHERE predicates over one evaluation of
+    that relation computes exactly what each member computes alone
+    (neither the standalone nor the merged plan can push a WHERE
+    below a FULL join, and semi/anti/cross relations are WHERE-order
+    indifferent). Each type is its own signature token, so a FULL
+    member never merges with a LEFT member. A CROSS JOIN segment is a
+    bare ``table [alias]`` — a stray ON there declines (as Spark
+    itself would). Merging a CROSS chain halves the N-member cost of
+    the product, the one case where sharing pays superlinearly.
+
+    NATURAL joins (need schema knowledge to normalize), comma
+    (implicit cross — its join predicate lives in WHERE, which the
+    merged OR-prefilter must not weaken), subqueries in FROM or ON,
+    and anything else decline. Members must write the SAME chain
+    (same tables, aliases, join types, ON/USING conditions, modulo
+    case/whitespace and the RIGHT normalization) to share a signature
+    — the conservative bar: dashboard batches are generated SQL, so
+    identical FROM text is the common case, and a near-miss merely
+    runs unmerged.
 
     The merged plan keeps the join inside the shared statement, so one
     scan of every base table feeds all members, and Catalyst/AQE
@@ -299,11 +317,19 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
     member — the 100 TB star-join shape."""
     text = re.sub(r"\s+", " ", from_text).strip()
     text = re.sub(r"\binner\s+join\b", "join", text, flags=re.I)
-    # LEFT/RIGHT [OUTER] JOIN -> one signature token each; after this
-    # rewrite any surviving bare left/right/outer word is malformed
-    # and declines below
+    # each join spelling -> one signature token; semi/anti first (they
+    # may carry a LEFT prefix the left_join rewrite must not eat).
+    # After these rewrites any surviving bare left/right/full/cross/
+    # outer/semi/anti word is malformed or NATURAL-adjacent and
+    # declines below
+    text = re.sub(r"\b(?:left\s+)?semi\s+join\b", "semi_join", text, flags=re.I)
+    text = re.sub(r"\b(?:left\s+)?anti\s+join\b", "anti_join", text, flags=re.I)
     text = re.sub(r"\bleft\s+(?:outer\s+)?join\b", "left_join", text, flags=re.I)
     text = re.sub(r"\bright\s+(?:outer\s+)?join\b", "right_join", text, flags=re.I)
+    text = re.sub(r"\bfull\s+(?:outer\s+)?join\b", "full_join", text, flags=re.I)
+    text = re.sub(r"\bcross\s+join\b", "cross_join", text, flags=re.I)
+
+    _TOKENS = r"\b(?:left_join|right_join|full_join|semi_join|anti_join|cross_join|join)\b"
 
     def _top_cuts(t: str) -> Optional[list]:
         d, ins = _scan(t)
@@ -315,7 +341,7 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
                 return None
         return [
             m
-            for m in re.finditer(r"\b(?:left_join|right_join|join)\b", t, re.I)
+            for m in re.finditer(_TOKENS, t, re.I)
             if d[m.start()] == 0 and not ins[m.start()]
         ]
 
@@ -340,17 +366,28 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
         cuts = _top_cuts(text)
         if not cuts:
             return None
-    segs: list[str] = []
+    segs: list[str] = []  # head, then (token, operand-text) pairs below
+    toks: list[str] = []
     last = 0
     for m in cuts:
         segs.append(text[last: m.start()])
+        toks.append(m.group(0).lower())
         last = m.end()
     segs.append(text[last:])
     if not re.fullmatch(
         r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", segs[0].strip(), re.I
     ):
         return None
-    for seg in segs[1:]:
+    for tok, seg in zip(toks, segs[1:]):
+        if tok == "cross_join":
+            # CROSS JOIN takes no condition: bare table [alias] only
+            if not re.fullmatch(
+                r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?",
+                seg.strip(),
+                re.I,
+            ):
+                return None
+            continue
         m2 = re.match(
             r"^\s*([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+"
             r"(?:on\s+(.+)|using\s*\(([^()]+)\)\s*)$",
@@ -365,7 +402,15 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
             r"\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*", m2.group(4)
         ):
             return None  # USING list must be plain column names
-    emit = re.sub(r"\bleft_join\b", "LEFT JOIN", text)
+    emit = text
+    for tok, sql in (
+        ("left_join", "LEFT JOIN"),
+        ("full_join", "FULL JOIN"),
+        ("semi_join", "LEFT SEMI JOIN"),
+        ("anti_join", "LEFT ANTI JOIN"),
+        ("cross_join", "CROSS JOIN"),
+    ):
+        emit = re.sub(rf"\b{tok}\b", sql, emit)
     return "join:" + _canon(text), emit
 
 

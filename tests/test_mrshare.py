@@ -102,14 +102,14 @@ def test_parse_expression_key_and_case_folding():
     [
         # non-admissible joins, set ops, sorts, windows — not the
         # mergeable shape (inner chains are since round 6, LEFT chains
-        # since round 7, two-table RIGHT + USING since round 8)
+        # since round 7, two-table RIGHT + USING since round 8,
+        # FULL/SEMI/ANTI/CROSS since round 8b)
         "SELECT c_name, count(*) AS n FROM customer c JOIN nation n ON c_nationkey = n_nationkey RIGHT JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",  # RIGHT past two tables needs re-association
-        "SELECT c_name, count(*) AS n FROM customer c FULL OUTER JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
-        "SELECT c_name, count(*) AS n FROM customer c LEFT SEMI JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",
+        "SELECT c_name, count(*) AS n FROM customer c NATURAL JOIN orders o GROUP BY c_name",  # NATURAL needs schema knowledge
         "SELECT l_orderkey, count(*) AS n FROM lineitem a JOIN lineitem b USING (l_orderkey + 1) GROUP BY l_orderkey",  # USING list must be plain columns
         "SELECT c_name, count(*) AS n FROM customer c, orders o WHERE c_custkey = o_custkey GROUP BY c_name",
         "SELECT c_name, count(*) AS n FROM customer c JOIN (SELECT * FROM orders) o ON c_custkey = o_custkey GROUP BY c_name",
-        "SELECT c_name, count(*) AS n FROM customer c CROSS JOIN orders o GROUP BY c_name",
+        "SELECT c_name, count(*) AS n FROM customer c CROSS JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",  # CROSS takes no condition
         # presentation clauses outside the provably-rewritable surface
         "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_tax",  # non-key raw column
         "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag LIMIT ALL",
@@ -224,9 +224,15 @@ def _rows_equal(got, exp):
     return True
 
 
+def _null_safe(rows):
+    # FULL-join members produce real NULL group keys; plain sorted()
+    # cannot order None against str
+    return sorted(rows, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
 def _run_and_compare(spark, executor, sqls, expect_merged_ids):
     expected = [
-        sorted(tuple(r) for r in spark.sql(q).collect()) for q in sqls
+        _null_safe(tuple(r) for r in spark.sql(q).collect()) for q in sqls
     ]
     jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
     bags = executor.run_batch(jobs)
@@ -234,7 +240,7 @@ def _run_and_compare(spark, executor, sqls, expect_merged_ids):
     assert merged == set(expect_merged_ids)
     for job, exp in zip(jobs, expected):
         assert job.status is JobStatus.DONE, f"job {job.job_id}: {job.error}"
-        assert _rows_equal(sorted(job.rows), exp), f"job {job.job_id} rows diverge"
+        assert _rows_equal(_null_safe(job.rows), exp), f"job {job.job_id} rows diverge"
     return jobs, bags
 
 
@@ -909,8 +915,10 @@ def test_parse_left_join_chain_shapes():
     inner = LEFT_STAR[0].replace("LEFT JOIN", "JOIN")
     pi = parse_agg_query(inner)
     assert pi is not None and pi.table != p0.table
-    # FULL still declines; two-table RIGHT now normalizes (see below)
-    assert parse_agg_query(LEFT_STAR[0].replace("LEFT", "FULL OUTER")) is None
+    # FULL admits under its own token (round 8b) — never merging with
+    # LEFT; two-table RIGHT normalizes (see below)
+    pf = parse_agg_query(LEFT_STAR[0].replace("LEFT", "FULL OUTER"))
+    assert pf is not None and pf.table != p0.table
     pr = parse_agg_query(LEFT_STAR[0].replace("LEFT", "RIGHT"))
     assert pr is not None and pr.table != p0.table  # keeps-orders ≠ keeps-customers
 
@@ -1062,4 +1070,163 @@ def test_merged_join_plan_scans_each_table_once(spark, executor):
     leaves = _re.findall(r"FileScan|BatchScan", physical)
     assert len(leaves) == 2
     assert physical.count("lineitem.parquet") == 1
+    assert physical.count("orders.parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# round-8b widening: FULL / SEMI / ANTI / CROSS admission
+
+
+def test_parse_full_semi_anti_cross_join_shapes():
+    """Each spelling normalizes to its own signature token (so types
+    never cross-merge) and re-emits canonical Spark SQL; NATURAL and
+    comma joins still decline."""
+    f1 = parse_agg_query(
+        "SELECT c_mktsegment, count(*) AS n FROM customer c"
+        " FULL OUTER JOIN orders o ON c_custkey = o_custkey"
+        " GROUP BY c_mktsegment"
+    )
+    f2 = parse_agg_query(
+        "SELECT c_mktsegment, count(*) AS n FROM customer c"
+        " full join orders o ON c_custkey = o_custkey"
+        " GROUP BY c_mktsegment"
+    )
+    assert f1 is not None and f1.table == f2.table
+    assert "FULL JOIN" in f1.from_raw
+    l1 = parse_agg_query(
+        "SELECT c_mktsegment, count(*) AS n FROM customer c"
+        " LEFT JOIN orders o ON c_custkey = o_custkey GROUP BY c_mktsegment"
+    )
+    assert l1 is not None and l1.table != f1.table  # FULL never merges with LEFT
+
+    s1 = parse_agg_query(
+        "SELECT o_orderpriority, count(*) AS n FROM orders o"
+        " LEFT SEMI JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+        " GROUP BY o_orderpriority"
+    )
+    s2 = parse_agg_query(
+        "SELECT o_orderpriority, count(*) AS n FROM orders o"
+        " SEMI JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+        " GROUP BY o_orderpriority"
+    )
+    a1 = parse_agg_query(
+        "SELECT o_orderpriority, count(*) AS n FROM orders o"
+        " ANTI JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+        " GROUP BY o_orderpriority"
+    )
+    assert s1 is not None and s1.table == s2.table  # bare SEMI == LEFT SEMI
+    assert a1 is not None and a1.table != s1.table  # ANTI never merges with SEMI
+    assert "LEFT SEMI JOIN" in s1.from_raw and "LEFT ANTI JOIN" in a1.from_raw
+
+    x1 = parse_agg_query(
+        "SELECT r_name, count(*) AS n FROM region r CROSS JOIN nation n"
+        " GROUP BY r_name"
+    )
+    assert x1 is not None and "CROSS JOIN" in x1.from_raw
+    # a conditioned CROSS segment is not SQL — decline, as Spark would
+    assert (
+        parse_agg_query(
+            "SELECT r_name, count(*) AS n FROM region r"
+            " CROSS JOIN nation n ON n_regionkey = r_regionkey GROUP BY r_name"
+        )
+        is None
+    )
+    assert (
+        parse_agg_query(
+            "SELECT r_name, count(*) AS n FROM region r"
+            " NATURAL JOIN nation n GROUP BY r_name"
+        )
+        is None
+    )
+    assert (
+        parse_agg_query(
+            "SELECT r_name, count(*) AS n FROM region r, nation n"
+            " WHERE n_regionkey = r_regionkey GROUP BY r_name"
+        )
+        is None
+    )
+    # RIGHT inside a longer chain (here alongside FULL) still declines
+    assert (
+        parse_agg_query(
+            "SELECT r_name, count(*) AS n FROM region r"
+            " FULL JOIN nation n ON n_regionkey = r_regionkey"
+            " RIGHT JOIN nation m ON m.n_nationkey = n.n_nationkey"
+            " GROUP BY r_name"
+        )
+        is None
+    )
+
+
+FULL_STAR = [
+    # the ON's extra conjunct makes null-extension REAL on both sides:
+    # customers whose orders are all <= the price bound (left rows,
+    # right-nulled) AND orders below the bound (right rows, left-nulled
+    # -> NULL group key)
+    "SELECT c_mktsegment, count(o_orderkey) AS no"
+    " FROM customer c FULL JOIN orders o"
+    " ON c_custkey = o_custkey AND o_totalprice > 150000"
+    " GROUP BY c_mktsegment",
+    "SELECT c_mktsegment, sum(o_totalprice) AS st"
+    " FROM customer c FULL JOIN orders o"
+    " ON c_custkey = o_custkey AND o_totalprice > 150000"
+    " GROUP BY c_mktsegment",
+]
+
+
+def test_full_join_members_merge_matches_independent(spark, executor):
+    """Merged == independent over a FULL chain with real null-extension
+    in BOTH directions (including the NULL group from left-nulled
+    order rows): the shared relation is identical for all members, so
+    the CASE-fold computes exactly the standalone results."""
+    jobs, bags = _run_and_compare(spark, executor, FULL_STAR, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.rewrite is RewriteKind.MRSHARE
+
+
+SEMI_STAR = [
+    "SELECT o_orderpriority, count(*) AS n FROM orders o"
+    " LEFT SEMI JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    " WHERE o_totalprice > 50000 GROUP BY o_orderpriority",
+    "SELECT o_orderpriority, max(o_totalprice) AS mx FROM orders o"
+    " LEFT SEMI JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    " WHERE o_totalprice <= 50000 GROUP BY o_orderpriority",
+]
+
+
+def test_semi_join_members_merge_matches_independent(spark, executor):
+    jobs, bags = _run_and_compare(spark, executor, SEMI_STAR, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_anti_join_members_merge_matches_independent(spark, executor):
+    sqls = [q.replace("LEFT SEMI JOIN", "LEFT ANTI JOIN") for q in SEMI_STAR]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_cross_join_members_merge_matches_independent(spark, executor):
+    """CROSS members share ONE evaluation of the product — including a
+    member whose WHERE carries an equi-predicate (the comma-join
+    semantics users actually write, admitted here because the member
+    spelled the product explicitly)."""
+    sqls = [
+        "SELECT r_name, count(*) AS n FROM region r CROSS JOIN nation n"
+        " WHERE n_regionkey = r_regionkey GROUP BY r_name",
+        "SELECT r_name, count(*) AS pairs FROM region r CROSS JOIN nation n"
+        " WHERE n_name < r_name GROUP BY r_name",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_merged_full_join_plan_scans_each_table_once(spark, executor):
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(FULL_STAR)]
+    plans = plan_merges(jobs)
+    assert len(plans) == 1 and len(plans[0].jobs) == 2
+    merged = spark.sql(plans[0].merged_sql)
+    physical = merged._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("customer.parquet") == 1
     assert physical.count("orders.parquet") == 1
