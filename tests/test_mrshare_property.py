@@ -133,3 +133,142 @@ def test_merged_demux_equals_direct_on_duckdb(duck_li, batch):
             )
     finally:
         duck_li.execute(f"DROP VIEW IF EXISTS {mp.view}")
+
+
+# ---------------------------------------------------------------------------
+# join-chain admission (rounds 6-8b): generative merged==direct gate over
+# every admitted join type, including cross-spelling merges (INNER/OUTER
+# keywords, bare vs LEFT SEMI/ANTI, RIGHT chains mirrored to LEFT)
+
+
+def _duck_dialect(sql: str) -> str:
+    """DuckDB spells Spark's LEFT SEMI/ANTI JOIN as bare SEMI/ANTI."""
+    import re
+
+    return re.sub(r"\bLEFT\s+(SEMI|ANTI)\s+JOIN\b", r"\1 JOIN", sql, flags=re.I)
+
+
+# (signature-equal FROM spellings, key pool, agg pool, predicate pool)
+JOIN_POOLS = [
+    (
+        [
+            "customer c JOIN orders o ON c_custkey = o_custkey",
+            "customer c INNER JOIN orders o ON c_custkey = o_custkey",
+        ],
+        ["c_mktsegment", "o_orderpriority"],
+        ["count(*)", "sum(o_totalprice)", "max(c_acctbal)", "min(o_orderdate)",
+         "count(DISTINCT o_orderpriority)"],
+        [None, "c_acctbal > 0", "o_totalprice > 50000",
+         "c_acctbal <= 0 AND o_totalprice > 10000"],
+    ),
+    (
+        [
+            "customer c LEFT JOIN orders o ON c_custkey = o_custkey",
+            "customer c LEFT OUTER JOIN orders o ON c_custkey = o_custkey",
+            "orders o RIGHT JOIN customer c ON c_custkey = o_custkey",
+            "orders o RIGHT OUTER JOIN customer c ON c_custkey = o_custkey",
+        ],
+        ["c_mktsegment"],
+        ["count(*)", "count(o_orderkey)", "sum(o_totalprice)", "max(c_acctbal)"],
+        [None, "c_acctbal > 0", "c_acctbal <= 0"],
+    ),
+    (
+        [
+            "customer c FULL JOIN orders o"
+            " ON c_custkey = o_custkey AND o_totalprice > 150000",
+            "customer c FULL OUTER JOIN orders o"
+            " ON c_custkey = o_custkey AND o_totalprice > 150000",
+        ],
+        ["c_mktsegment"],
+        ["count(*)", "count(o_orderkey)", "sum(o_totalprice)"],
+        [None, "c_acctbal > 1000"],
+    ),
+    (
+        [
+            "orders o SEMI JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+            "orders o LEFT SEMI JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+        ],
+        ["o_orderpriority", "o_orderstatus"],
+        ["count(*)", "sum(o_totalprice)", "min(o_orderdate)"],
+        [None, "o_totalprice > 50000", "o_totalprice <= 50000"],
+    ),
+    (
+        [
+            "orders o ANTI JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+            "orders o LEFT ANTI JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+        ],
+        ["o_orderpriority"],
+        ["count(*)", "max(o_totalprice)"],
+        [None, "o_totalprice > 50000"],
+    ),
+    (
+        ["region r CROSS JOIN nation n"],
+        ["r_name"],
+        ["count(*)", "min(n_nationkey)", "count(DISTINCT n_regionkey)"],
+        [None, "n_regionkey = r_regionkey", "n_name < r_name"],
+    ),
+    (
+        ["lineitem a JOIN lineitem b USING (l_orderkey)"],
+        ["l_orderkey"],
+        ["count(*)", "max(a.l_tax)", "sum(b.l_quantity)"],
+        [None, "a.l_linenumber = 1", "b.l_quantity > 10"],
+    ),
+]
+
+
+@st.composite
+def join_batch(draw):
+    variants, key_pool, agg_pool, pred_pool = draw(st.sampled_from(JOIN_POOLS))
+    keys = draw(
+        st.lists(st.sampled_from(key_pool), min_size=0,
+                 max_size=min(2, len(key_pool)), unique=True)
+    )
+    n = draw(st.integers(2, 4))
+    out = []
+    for _ in range(n):
+        frm = draw(st.sampled_from(variants))
+        n_aggs = draw(st.integers(1, 2))
+        aggs = draw(st.lists(st.sampled_from(agg_pool), min_size=n_aggs,
+                             max_size=n_aggs, unique=True))
+        pred = draw(st.sampled_from(pred_pool))
+        sel_aggs = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+        sel = ", ".join(keys + [sel_aggs]) if keys else sel_aggs
+        where = f" WHERE {pred}" if pred else ""
+        group = f" GROUP BY {', '.join(keys)}" if keys else ""
+        out.append(f"SELECT {sel} FROM {frm}{where}{group}")
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck_tpch():
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "region", "nation"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@settings(max_examples=60, deadline=None)
+@given(batch=join_batch())
+def test_join_chain_merged_demux_equals_direct_on_duckdb(duck_tpch, batch):
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(batch)]
+    for j in jobs:
+        assert parse_agg_query(j.sql) is not None, j.sql
+    plans = plan_merges(jobs, max_distinct_aggs=10, cost_split=False)
+    # spelling variants of one chain share a signature -> ONE plan
+    assert len(plans) == 1 and len(plans[0].jobs) == len(jobs)
+    mp = plans[0]
+    duck_tpch.execute(
+        f"CREATE OR REPLACE TEMP VIEW {mp.view} AS {_duck_dialect(mp.merged_sql)}"
+    )
+    try:
+        for job in jobs:
+            direct = _rows(duck_tpch, _duck_dialect(job.sql))
+            merged = _rows(duck_tpch, mp.demux_sql[job.job_id])
+            assert merged == direct, (
+                f"divergence for {job.sql!r}\n merged sql: {mp.merged_sql}"
+            )
+    finally:
+        duck_tpch.execute(f"DROP VIEW IF EXISTS {mp.view}")
