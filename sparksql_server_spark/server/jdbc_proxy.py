@@ -738,6 +738,22 @@ def _encode_column(values: list, kind: str = "string") -> bytes:
     return _f_struct(field_id, col) + b"\x00"  # TColumn union
 
 
+def encode_fetch_error_resp(seqid: int, message: str) -> bytes:
+    """TFetchResultsResp whose TStatus is ERROR_STATUS (3) with an
+    errorMessage — what HiveServer2 returns for requests it rejects
+    (e.g. unsupported fetch orientations). No row set is attached;
+    clients check status before touching results."""
+    status = (
+        _f_i32(1, 3)  # TStatusCode.ERROR_STATUS
+        + _f_str(3, b"HY000")  # sqlState: general error
+        + _f_i32(4, 0)
+        + _f_str(5, message.encode())
+        + b"\x00"
+    )
+    body = _f_struct(1, status) + b"\x00"
+    return _reply("FetchResults", seqid, body)
+
+
 def encode_fetch_resp(
     seqid: int,
     columns: list[list],
@@ -1219,6 +1235,15 @@ class JdbcLineProxy:
         if name == "FetchResults":
             if ftype != 0:  # operation-log fetch: empty batch
                 return encode_fetch_resp(seqid, [])
+            if orient not in (0, 4):
+                # HiveServer2 supports only FETCH_NEXT/FETCH_FIRST and
+                # raises on the rest (FetchOrientation.isSupported);
+                # answering a FETCH_PRIOR with next-batch rows would
+                # corrupt the client's cursor silently — mirror the
+                # server's error instead
+                return encode_fetch_error_resp(
+                    seqid, f"Fetch orientation {orient} is not supported"
+                )
             if orient == 4:  # TFetchOrientation.FETCH_FIRST: rewind —
                 # HiveServer2 supports re-reading from the start (BI
                 # clients use it, mid-stream included); serving empty

@@ -1824,6 +1824,39 @@ class TestThriftSubstitution:
             proxy.stop()
             ups.close()
 
+    def test_unsupported_fetch_orientation_errors_like_hiveserver2(self):
+        """HiveServer2 supports only FETCH_NEXT/FETCH_FIRST and raises
+        on the rest; answering FETCH_PRIOR with next-batch rows would
+        corrupt the client's cursor silently, so the substitution path
+        must return ERROR_STATUS — and leave the cursor untouched."""
+        ups = _Upstream()
+        proxy = JdbcLineProxy(
+            ups.address, gate=lambda s: None, answer=lambda s: dict(self.ANSWER)
+        ).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                c.sendall(_exec_stmt_call("SELECT k, n FROM t", seq=1))
+                _n, _s, d = _recv_reply(c)
+                guid = d[0][2][1][1]
+                # FETCH_PRIOR (orientation 1): error status, message set
+                c.sendall(_fetch_call(guid, 2, orientation=1, maxrows=10))
+                _nm, _sq, dd = _recv_reply(c)
+                status = dd[0][1]
+                assert status[1] == 3, status  # TStatusCode.ERROR_STATUS
+                assert b"not supported" in status[5]
+                # the failed fetch must not have advanced the cursor:
+                # a FETCH_NEXT still serves the full result from row 0
+                c.sendall(_fetch_call(guid, 3, orientation=0, maxrows=100))
+                _nm, _sq, dd = _recv_reply(c)
+                rowset = dd[0][3]
+                assert dd[0][1][1] == 0 and rowset[1] == 0
+                ks = [b.decode() for b in rowset[3][0][7][1]]
+                # NULL cells ship as "" + null bitmap on the wire
+                assert ks == [r[0] or "" for r in self.ANSWER["rows"]]
+        finally:
+            proxy.stop()
+            ups.close()
+
     def test_result_past_inline_cap_falls_back_to_forwarding(self, spark, monkeypatch):
         """VERDICT r7 ask #4: a result bigger than the gateway's inline
         cap cannot be substituted faithfully — the statement must
