@@ -205,21 +205,26 @@ def main() -> None:
     # records min-of-N steady state, so a rework that trades one
     # regime for the other (r7's lsh_eval barrier) is visible in the
     # regime it optimizes with one git diff of BENCH_DETAIL.
+    # Pass 1 — first-execution, the SAME sequence every prior round
+    # ran, so first-exec numbers and the corpus total stay comparable
+    # across rounds (interleaving steady re-runs here was measured to
+    # leak GC/JIT pressure into the NEXT query's first execution).
     corpus_regimes: dict[str, dict[str, float]] = {}
     for name in sorted(QUERIES):
         t0 = time.monotonic()
         _force(QUERIES[name](spark, SF_DIR))
         first = time.monotonic() - t0
         timings[name] = round(first, 3)
+        corpus_regimes[name] = {"first": round(first, 3), "steady": None}
+    # Pass 2 — steady state: min over STEADY_TRIALS re-executions in
+    # the fully warmed session (codegen compiled in pass 1)
+    for name in sorted(QUERIES) if STEADY_TRIALS else []:
         steady_trials = []
         for _ in range(STEADY_TRIALS):
             t0 = time.monotonic()
             _force(QUERIES[name](spark, SF_DIR))
             steady_trials.append(time.monotonic() - t0)
-        corpus_regimes[name] = {
-            "first": round(first, 3),
-            "steady": round(min(steady_trials), 3) if steady_trials else None,
-        }
+        corpus_regimes[name]["steady"] = round(min(steady_trials), 3)
 
     # --- work-sharing: separate vs batched at the thesis's window sizes
     # (BASELINE.md claim #1; report.pdf ch.5 measured N = 2, 5, 10) ------
