@@ -1556,7 +1556,7 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the input relation shrinks — because ground truth is the
     expensive thing the production path exists to avoid.
     """
-    from sparksql_server_spark.operators.scratch import pin
+    from sparksql_server_spark.operators.scratch import pin_view
 
     register_tables(spark, sf_dir, ("documents",))
     # the distinct-shingle relation feeds FOUR branches (hash chain,
@@ -1573,13 +1573,13 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.98-2.35 s — and also beats no-barrier (first 3.4-3.6 s,
     # steady 2.0-2.1 s re-running explode+DISTINCT per branch).
     # Block hygiene: the pinned blocks back the lsh_eval_sh_mat view —
-    # not an anonymous cache. Each run REPLACES the view, making the
-    # previous pin unreachable (ContextCleaner releases it at GC), so a
-    # session holds at most one live copy of this bounded intermediate
-    # (the distinct-shingle relation, MBs at sf0.1 — never the input).
+    # not an anonymous cache. pin_view unpersists the PREVIOUS run's
+    # pin the moment the view is replaced, so a session holds at most
+    # one live copy of this bounded intermediate (the distinct-shingle
+    # relation, MBs at sf0.1 — never the input); gated in
+    # tests/test_cache_hygiene.py.
     w_body, ex = _sh_canonical_sql("spark")
-    sh = pin(spark.sql(f"WITH w AS ({w_body}) {ex}"))
-    sh.createOrReplaceTempView("lsh_eval_sh_mat")
+    pin_view(spark, spark.sql(f"WITH w AS ({w_body}) {ex}"), "lsh_eval_sh_mat")
     # cand's band self-join needs no barrier of its own: both sides
     # are the identical bs subtree (ReuseExchange dedupes it), and a
     # measured bands spill came out slower than letting reuse fire

@@ -361,14 +361,17 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     results identical. Same one-live-copy-per-session pin hygiene as
     dedup_lsh_eval_pr (the view replaces per run).
     """
-    from sparksql_server_spark.operators.scratch import pin
+    from sparksql_server_spark.operators.scratch import pin_view
 
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.table("documents")
     w = docs.select("doc_id", F.expr(spark_words("text")).alias("w"))
     terms = w.select("doc_id", F.explode("w").alias("term"))
-    tf = pin(terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    tf.createOrReplaceTempView("tfidf_tf_mat")
+    pin_view(
+        spark,
+        terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf")),
+        "tfidf_tf_mat",
+    )
     return spark.sql(_tfidf_sql("spark", tf_from="tfidf_tf_mat"))
 
 

@@ -101,6 +101,38 @@ def pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+_pinned_views: dict[tuple[int, str], int] = {}
+_pin_lock = threading.Lock()
+
+
+def pin_view(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    """:func:`pin` + ``createOrReplaceTempView(name)`` with
+    DETERMINISTIC release of the predecessor's blocks.
+
+    Operators that keep a pinned relation alive ACROSS calls (the
+    production artifact pattern: lsh_eval's shingle relation, tfidf's
+    tf table) previously relied on the ContextCleaner noticing the old
+    plan became unreachable when the view was replaced — correct but
+    GC-timed, so re-runs could briefly hold two copies and nothing
+    gated the bound. This helper reads the checkpointed RDD's id
+    straight off the new plan (LogicalRDD — race-free, unlike a
+    persistent-id delta, which could mis-attribute a concurrent
+    thread's cache) and unpersists the PREVIOUS pin for (session,
+    view) the moment the replacement is registered: at most ONE live
+    copy per view, enforced rather than documented (and gated in
+    tests/test_cache_hygiene.py)."""
+    out = pin(df)
+    rid = int(out._jdf.queryExecution().analyzed().rdd().id())
+    out.createOrReplaceTempView(name)
+    key = (id(spark), name)
+    with _pin_lock:
+        old = _pinned_views.get(key)
+        _pinned_views[key] = rid
+    if old is not None and old != rid:
+        unpersist_ids(spark, {old})
+    return out
+
+
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Ids of every RDD currently pinned in the block manager
     (cache(), persist(), localCheckpoint() all register here)."""

@@ -830,8 +830,11 @@ class _Conn:
         # nothing), or it is whitelisted benign housekeeping with no
         # catalog effect to flush (benign_jdbc_command)
         self.skip_gate_once = False
-        # locally-answered operations: guid -> {"columns", "rows",
-        # "fetched"} (rows ship once; later fetches return empty)
+        # locally-answered operations: guid -> {"columns", "colmajor",
+        # "kinds", "type_ids", "n_rows", "offset"} — FetchResults
+        # serves [offset, offset+maxRows) per FETCH_NEXT and advances
+        # the cursor; FETCH_FIRST rewinds it; exhausted fetches return
+        # an empty batch with hasMoreRows=False
         self.ops: dict[bytes, dict] = {}
         # serializes client-socket writes between the upstream pump and
         # locally-synthesized responses

@@ -162,18 +162,57 @@ def _scan(sql: str) -> tuple[list[int], list[bool]]:
     return depth, instr
 
 
+def _collapse_ws(text: str) -> str:
+    """Collapse whitespace runs to single spaces OUTSIDE string
+    literals; whitespace inside quotes is data and survives verbatim
+    (``'a  b'`` must neither emit as ``'a b'`` nor share a signature
+    with it)."""
+    _, ins = _scan(text)
+    out: list[str] = []
+    i = 0
+    while i < len(text):
+        if text[i].isspace() and not ins[i]:
+            while i < len(text) and text[i].isspace() and not ins[i]:
+                i += 1
+            out.append(" ")
+        else:
+            out.append(text[i])
+            i += 1
+    return "".join(out).strip()
+
+
+def _sub_outside_strings(pattern: str, repl: str, text: str) -> str:
+    """``re.sub(pattern, repl, text, flags=re.I)`` that skips matches
+    starting inside string literals — keyword rewrites must never
+    touch quoted data (``ON c = 'inner join'`` keeps its literal)."""
+    _, ins = _scan(text)
+    out: list[str] = []
+    last = 0
+    for m in re.finditer(pattern, text, flags=re.I):
+        if ins[m.start()]:
+            continue
+        out.append(text[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _canon(expr: str) -> str:
     """Comparison key for expression equality: case-folded OUTSIDE
     string literals (lowercasing inside quotes would wrongly equate
     ``= 'A'`` with ``= 'a'``), whitespace dropped except where it
     separates two word tokens (``substr(x, 1,2)`` ≡ ``SUBSTR(x,1, 2)``
-    but ``a AND b`` keeps its separating spaces)."""
+    but ``a AND b`` keeps its separating spaces) — with whitespace
+    INSIDE literals preserved byte-for-byte, so ``= 'a  b'`` never
+    equates with ``= 'a b'``."""
     _, instr = _scan(expr)
     folded = "".join(c if instr[i] else c.lower() for i, c in enumerate(expr))
-    collapsed = re.sub(r"\s+", " ", folded).strip()
+    collapsed = _collapse_ws(folded)
+    _, ins2 = _scan(collapsed)
     out: list[str] = []
     for i, c in enumerate(collapsed):
-        if c == " ":
+        if c == " " and not ins2[i]:
             prev = out[-1] if out else ""
             nxt = collapsed[i + 1] if i + 1 < len(collapsed) else ""
             if not (re.match(r"\w", prev) and re.match(r"\w", nxt)):
@@ -315,19 +354,27 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
     scan of every base table feeds all members, and Catalyst/AQE
     broadcast the dim sides exactly as they would for any single
     member — the 100 TB star-join shape."""
-    text = re.sub(r"\s+", " ", from_text).strip()
-    text = re.sub(r"\binner\s+join\b", "join", text, flags=re.I)
+    # every rewrite below is literal-aware (_collapse_ws /
+    # _sub_outside_strings): the normalized text is both the SIGNATURE
+    # and, since round 8, the EMITTED merged FROM — a keyword or
+    # whitespace run inside a quoted ON literal (``ON c = 'inner
+    # join'``) is data and must survive byte-for-byte, never fold into
+    # a token or collapse (a blind rewrite both corrupted the emitted
+    # literal and let members differing only inside a literal share a
+    # signature)
+    text = _collapse_ws(from_text)
+    text = _sub_outside_strings(r"\binner\s+join\b", "join", text)
     # each join spelling -> one signature token; semi/anti first (they
     # may carry a LEFT prefix the left_join rewrite must not eat).
     # After these rewrites any surviving bare left/right/full/cross/
     # outer/semi/anti word is malformed or NATURAL-adjacent and
     # declines below
-    text = re.sub(r"\b(?:left\s+)?semi\s+join\b", "semi_join", text, flags=re.I)
-    text = re.sub(r"\b(?:left\s+)?anti\s+join\b", "anti_join", text, flags=re.I)
-    text = re.sub(r"\bleft\s+(?:outer\s+)?join\b", "left_join", text, flags=re.I)
-    text = re.sub(r"\bright\s+(?:outer\s+)?join\b", "right_join", text, flags=re.I)
-    text = re.sub(r"\bfull\s+(?:outer\s+)?join\b", "full_join", text, flags=re.I)
-    text = re.sub(r"\bcross\s+join\b", "cross_join", text, flags=re.I)
+    text = _sub_outside_strings(r"\b(?:left\s+)?semi\s+join\b", "semi_join", text)
+    text = _sub_outside_strings(r"\b(?:left\s+)?anti\s+join\b", "anti_join", text)
+    text = _sub_outside_strings(r"\bleft\s+(?:outer\s+)?join\b", "left_join", text)
+    text = _sub_outside_strings(r"\bright\s+(?:outer\s+)?join\b", "right_join", text)
+    text = _sub_outside_strings(r"\bfull\s+(?:outer\s+)?join\b", "full_join", text)
+    text = _sub_outside_strings(r"\bcross\s+join\b", "cross_join", text)
 
     _TOKENS = r"\b(?:left_join|right_join|full_join|semi_join|anti_join|cross_join|join)\b"
 
@@ -410,7 +457,7 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
         ("anti_join", "LEFT ANTI JOIN"),
         ("cross_join", "CROSS JOIN"),
     ):
-        emit = re.sub(rf"\b{tok}\b", sql, emit)
+        emit = _sub_outside_strings(rf"\b{tok}\b", sql, emit)
     return "join:" + _canon(text), emit
 
 

@@ -20,7 +20,10 @@ from sparksql_server_spark.operators.scratch import (
 
 from conftest import SF_DIR
 
-# every operator that persists intermediates (cache or localCheckpoint)
+# operators whose persisted intermediates are fully scoped to one call
+# (CacheScope-released before returning); the pin_view operators that
+# deliberately keep one live relation across calls are gated separately
+# below
 CACHING_QUERIES = [
     "graph_pagerank_entities",
     "dedup_clusters",
@@ -56,3 +59,31 @@ def test_cache_scope_releases_only_its_own(spark):
         assert ids_now  # outside's RDD still registered
     finally:
         outside.unpersist()
+
+
+# operators that deliberately keep ONE pinned relation alive across
+# calls (the production-artifact pattern: the view IS the output a
+# pipeline would reuse) — bounded via scratch.pin_view, which
+# unpersists the predecessor the moment the view is replaced
+PIN_VIEW_QUERIES = [
+    ("dedup_lsh_eval_pr", "lsh_eval_sh_mat"),
+    ("text_tfidf_topterms", "tfidf_tf_mat"),
+]
+
+
+@pytest.mark.parametrize("name,view", PIN_VIEW_QUERIES)
+def test_pin_view_holds_at_most_one_copy_across_runs(spark, name, view):
+    """Re-running a pin_view operator must not accumulate blocks: the
+    second run's view replacement releases the first run's pin
+    DETERMINISTICALLY (no ContextCleaner/GC timing involved)."""
+    before = persistent_rdd_ids(spark)
+    assert QUERIES[name](spark, SF_DIR).collect()
+    after_first = persistent_rdd_ids(spark) - before
+    assert len(after_first) == 1, f"{name}: expected exactly one pin, got {after_first}"
+    assert QUERIES[name](spark, SF_DIR).collect()
+    after_second = persistent_rdd_ids(spark) - before
+    assert len(after_second) == 1, (
+        f"{name}: second run must replace, not accumulate ({after_second})"
+    )
+    assert after_second != after_first  # it is the NEW pin that survives
+    spark.catalog.dropTempView(view)

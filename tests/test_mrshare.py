@@ -1157,6 +1157,44 @@ def test_parse_full_semi_anti_cross_join_shapes():
     )
 
 
+def test_join_keywords_inside_literals_survive():
+    """Keyword rewrites and whitespace collapse are literal-aware: a
+    quoted ON literal containing 'inner join' / 'right join' / runs of
+    spaces must emit byte-for-byte and must NOT fold into the token a
+    real keyword folds into (else members differing only inside a
+    literal would share a signature and falsely merge)."""
+    cases = {
+        "customer c JOIN orders o ON o_comment = 'a right join b'"
+        " AND c_custkey = o_custkey": "'a right join b'",
+        "customer c JOIN orders o ON o_comment = 'use inner join here'"
+        " AND c_custkey = o_custkey": "'use inner join here'",
+        "customer c JOIN orders o ON o_comment = 'left_join me'"
+        " AND c_custkey = o_custkey": "'left_join me'",
+        "customer c JOIN orders o ON o_comment = 'two  spaces'"
+        " AND c_custkey = o_custkey": "'two  spaces'",
+    }
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    for frm, literal in cases.items():
+        sig_emit = _parse_join_from(frm)
+        assert sig_emit is not None and literal in sig_emit[1], (frm, sig_emit)
+    # a literal spelling of the internal token never collides with the
+    # real keyword's signature
+    s_lit = _parse_join_from("a JOIN b ON c = 'x right_join y'")
+    s_kw = _parse_join_from("a JOIN b ON c = 'x right join y'")
+    assert s_lit is not None and s_kw is not None and s_lit[0] != s_kw[0]
+    # literal whitespace is signature-distinguishing end to end
+    q1 = parse_agg_query(
+        "SELECT count(*) AS n FROM customer c JOIN orders o"
+        " ON o_comment = 'a b' AND c_custkey = o_custkey"
+    )
+    q2 = parse_agg_query(
+        "SELECT count(*) AS n FROM customer c JOIN orders o"
+        " ON o_comment = 'a  b' AND c_custkey = o_custkey"
+    )
+    assert q1 is not None and q2 is not None and q1.table != q2.table
+
+
 FULL_STAR = [
     # the ON's extra conjunct makes null-extension REAL on both sides:
     # customers whose orders are all <= the price bound (left rows,

@@ -106,8 +106,12 @@ def duck_li():
 def _rows(con, sql):
     out = []
     for row in con.sql(sql).fetchall():
+        # floats normalize to 12 significant digits, not absolute
+        # decimals: double aggregation is summation-order-dependent in
+        # the last ulps, and on ~1e8-scale sums a 1e-6 ABSOLUTE round
+        # still exposes them (370219732.58 vs ...58000__1__)
         norm = tuple(
-            round(v, 6) if isinstance(v, float) else v for v in row
+            float(f"{v:.12g}") if isinstance(v, float) else v for v in row
         )
         out.append(norm)
     return sorted(out, key=repr)
