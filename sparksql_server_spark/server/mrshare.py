@@ -306,15 +306,17 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
     Round-8 widening (VERDICT r7 ask #3), the two shapes SQL
     generators still emitted that declined:
 
-    - ``A RIGHT [OUTER] JOIN B <cond>`` in a TWO-table chain is
-      normalized to ``B LEFT JOIN A <cond>`` — pure syntax (exact for
-      ON and USING conditions alike, including which side the USING
-      column null-extends from), so a RIGHT member shares signature
-      AND emission with the equivalent LEFT member and rides the r7
-      LEFT machinery unchanged. Longer chains containing RIGHT
-      decline: rewriting them needs the preceding chain re-associated
-      into a parenthesized operand, which this linear grammar
-      deliberately does not model.
+    - ``<prefix> RIGHT [OUTER] JOIN B <cond>`` normalizes to
+      ``B LEFT JOIN (<prefix>) <cond>`` at ANY chain position — pure
+      syntax by left-associativity (exact for ON and USING conditions
+      alike, including which side the USING column null-extends
+      from): the parenthesized joined-table operand is plain SQL (no
+      subquery, no alias, every qualifier still resolves — verified
+      row-identical on Spark and DuckDB), so RIGHT members share
+      signature AND emission with the mirrored LEFT members and ride
+      the r7 LEFT machinery unchanged. (Round 8 swapped only the
+      two-table case, which stays byte-identical — a bare-table
+      prefix takes no parens.)
     - ``USING (k, ...)`` conditions are admitted natively: the USING
       text joins the signature and is re-emitted verbatim, so member
       references to the coalesced bare column resolve in the merged
@@ -395,25 +397,7 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
     cuts = _top_cuts(text)
     if not cuts:
         return None
-    if any(m.group(0).lower() == "right_join" for m in cuts):
-        # RIGHT normalization: only the two-table chain swaps exactly
-        if len(cuts) != 1:
-            return None
-        m = cuts[0]
-        head, tail = text[: m.start()].strip(), text[m.end():].strip()
-        m2 = re.match(
-            r"^([A-Za-z_]\w*(?:\s+(?:as\s+)?[A-Za-z_]\w*)?)\s+"
-            r"(on\s.+|using\s*\(.+\))$",
-            tail,
-            re.I | re.S,
-        )
-        if not m2:
-            return None
-        text = f"{m2.group(1)} left_join {head} {m2.group(2)}"
-        cuts = _top_cuts(text)
-        if not cuts:
-            return None
-    segs: list[str] = []  # head, then (token, operand-text) pairs below
+    segs: list[str] = []  # head, then one operand-text per cut below
     toks: list[str] = []
     last = 0
     for m in cuts:
@@ -421,34 +405,56 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
         toks.append(m.group(0).lower())
         last = m.end()
     segs.append(text[last:])
+    head = segs[0].strip()
     if not re.fullmatch(
-        r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", segs[0].strip(), re.I
+        r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", head, re.I
     ):
         return None
+    # left-to-right fold building the NORMALIZED chain: SQL join chains
+    # are left-associative, so ``<prefix> RIGHT JOIN T <cond>`` is
+    # exactly ``T LEFT JOIN (<prefix>) <cond>`` for ANY prefix — the
+    # parenthesized joined-table operand (no subquery, no alias, every
+    # qualifier still resolves) is plain SQL both Spark and DuckDB
+    # accept, so RIGHT steps normalize at ANY chain position (round-8c;
+    # the r8 grammar only swapped the two-table case). The swap is
+    # exact for ON and USING alike, including which side the USING
+    # column null-extends from.
+    norm = head
+    joined = False  # True once norm is itself a join (needs parens to
+    # become a RIGHT swap's left operand — precedence, not cosmetics)
     for tok, seg in zip(toks, segs[1:]):
+        seg = seg.strip()
         if tok == "cross_join":
             # CROSS JOIN takes no condition: bare table [alias] only
             if not re.fullmatch(
-                r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?",
-                seg.strip(),
-                re.I,
+                r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", seg, re.I
             ):
                 return None
+            norm = f"{norm} cross_join {seg}"
+            joined = True
             continue
         m2 = re.match(
-            r"^\s*([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+"
-            r"(?:on\s+(.+)|using\s*\(([^()]+)\)\s*)$",
-            seg.strip(),
+            r"^([A-Za-z_]\w*(?:\s+(?:as\s+)?[A-Za-z_]\w*)?)\s+"
+            r"(on\s+.+|using\s*\(([^()]+)\)\s*)$",
+            seg,
             re.I | re.S,
         )
         if not m2:
             return None
-        if m2.group(3) is not None and re.search(r"\bselect\b", m2.group(3), re.I):
+        operand, cond, using_cols = m2.group(1), m2.group(2).strip(), m2.group(3)
+        if using_cols is None and re.search(r"\bselect\b", cond, re.I):
             return None
-        if m2.group(4) is not None and not re.fullmatch(
-            r"\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*", m2.group(4)
+        if using_cols is not None and not re.fullmatch(
+            r"\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*", using_cols
         ):
             return None  # USING list must be plain column names
+        if tok == "right_join":
+            prefix = f"({norm})" if joined else norm
+            norm = f"{operand} left_join {prefix} {cond}"
+        else:
+            norm = f"{norm} {tok} {operand} {cond}"
+        joined = True
+    text = norm
     emit = text
     for tok, sql in (
         ("left_join", "LEFT JOIN"),

@@ -104,7 +104,7 @@ def test_parse_expression_key_and_case_folding():
         # mergeable shape (inner chains are since round 6, LEFT chains
         # since round 7, two-table RIGHT + USING since round 8,
         # FULL/SEMI/ANTI/CROSS since round 8b)
-        "SELECT c_name, count(*) AS n FROM customer c JOIN nation n ON c_nationkey = n_nationkey RIGHT JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",  # RIGHT past two tables needs re-association
+        "SELECT c_name, count(*) AS n FROM customer c JOIN (SELECT * FROM nation) n ON c_nationkey = n_nationkey GROUP BY c_name",  # subquery operand (deep RIGHT itself admits since r8c)
         "SELECT c_name, count(*) AS n FROM customer c NATURAL JOIN orders o GROUP BY c_name",  # NATURAL needs schema knowledge
         "SELECT l_orderkey, count(*) AS n FROM lineitem a JOIN lineitem b USING (l_orderkey + 1) GROUP BY l_orderkey",  # USING list must be plain columns
         "SELECT c_name, count(*) AS n FROM customer c, orders o WHERE c_custkey = o_custkey GROUP BY c_name",
@@ -945,15 +945,16 @@ def test_parse_right_join_normalizes_to_left():
         " GROUP BY c_mktsegment"
     )
     assert r2.table == r.table
-    # RIGHT deeper in a chain declines (the left operand would need
-    # parenthesized re-association, which the linear grammar rejects)
+    # RIGHT deeper in a chain admits since r8c: the preceding chain
+    # re-associates into a parenthesized LEFT-operand
+    deep = parse_agg_query(
+        "SELECT c_name, count(*) AS n FROM customer c"
+        " JOIN nation n ON c_nationkey = n_nationkey"
+        " RIGHT JOIN orders o ON c_custkey = o_custkey GROUP BY c_name"
+    )
     assert (
-        parse_agg_query(
-            "SELECT c_name, count(*) AS n FROM customer c"
-            " JOIN nation n ON c_nationkey = n_nationkey"
-            " RIGHT JOIN orders o ON c_custkey = o_custkey GROUP BY c_name"
-        )
-        is None
+        deep is not None
+        and deep.from_raw.startswith("orders o LEFT JOIN (customer c")
     )
 
 
@@ -1145,16 +1146,16 @@ def test_parse_full_semi_anti_cross_join_shapes():
         )
         is None
     )
-    # RIGHT inside a longer chain (here alongside FULL) still declines
-    assert (
-        parse_agg_query(
-            "SELECT r_name, count(*) AS n FROM region r"
-            " FULL JOIN nation n ON n_regionkey = r_regionkey"
-            " RIGHT JOIN nation m ON m.n_nationkey = n.n_nationkey"
-            " GROUP BY r_name"
-        )
-        is None
+    # RIGHT inside a longer chain (here alongside FULL) admits since
+    # r8c: the accumulated prefix parenthesizes into the LEFT operand
+    deep = parse_agg_query(
+        "SELECT r_name, count(*) AS n FROM region r"
+        " FULL JOIN nation n ON n_regionkey = r_regionkey"
+        " RIGHT JOIN nation m ON m.n_nationkey = n.n_nationkey"
+        " GROUP BY r_name"
     )
+    assert deep is not None
+    assert "LEFT JOIN (" in deep.from_raw and "FULL JOIN" in deep.from_raw
 
 
 def test_join_keywords_inside_literals_survive():
@@ -1268,3 +1269,28 @@ def test_merged_full_join_plan_scans_each_table_once(spark, executor):
     physical = merged._jdf.queryExecution().executedPlan().toString()
     assert physical.count("customer.parquet") == 1
     assert physical.count("orders.parquet") == 1
+
+
+DEEP_RIGHT = [
+    # 3-table chain with RIGHT in the middle position: the normalized
+    # form is orders LEFT JOIN (customer JOIN nation ...) — customers
+    # joined to nations first, then every order kept (null-extending
+    # the customer side where no match)
+    "SELECT c_mktsegment, count(*) AS n FROM customer c"
+    " JOIN nation nt ON c.c_nationkey = nt.n_nationkey"
+    " RIGHT JOIN orders o ON c.c_custkey = o.o_custkey"
+    " WHERE o_totalprice > 50000 GROUP BY c_mktsegment",
+    "SELECT c_mktsegment, sum(o_totalprice) AS st FROM customer c"
+    " JOIN nation nt ON c.c_nationkey = nt.n_nationkey"
+    " RIGHT JOIN orders o ON c.c_custkey = o.o_custkey"
+    " WHERE o_totalprice <= 50000 GROUP BY c_mktsegment",
+]
+
+
+def test_deep_right_join_members_merge_matches_independent(spark, executor):
+    """Round-8c: RIGHT at any chain position normalizes via a
+    parenthesized prefix operand; both members land in one merged
+    plan and each equals its standalone run."""
+    jobs, bags = _run_and_compare(spark, executor, DEEP_RIGHT, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert bag.rewrite is RewriteKind.MRSHARE

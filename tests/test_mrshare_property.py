@@ -206,6 +206,19 @@ JOIN_POOLS = [
         [None, "o_totalprice > 50000"],
     ),
     (
+        [
+            # deep RIGHT (r8c): normalizes to orders LEFT JOIN
+            # (customer JOIN nation ...) via the parenthesized prefix
+            "customer c JOIN nation nt ON c.c_nationkey = nt.n_nationkey"
+            " RIGHT JOIN orders o ON c.c_custkey = o.o_custkey",
+            "customer c INNER JOIN nation nt ON c.c_nationkey = nt.n_nationkey"
+            " RIGHT OUTER JOIN orders o ON c.c_custkey = o.o_custkey",
+        ],
+        ["c_mktsegment"],
+        ["count(*)", "count(c_custkey)", "sum(o_totalprice)"],
+        [None, "o_totalprice > 50000", "c_acctbal > 0"],
+    ),
+    (
         ["region r CROSS JOIN nation n"],
         ["r_name"],
         ["count(*)", "min(n_nationkey)", "count(DISTINCT n_regionkey)"],
