@@ -282,6 +282,12 @@ _JOIN_DISALLOWED = re.compile(
     r"\b(left|right|full|cross|outer|semi|anti|natural|values)\b", re.I
 )
 
+# a bare relation operand: ``table [AS] [alias]`` — shared by the FROM
+# single-table check, the chain head, and CROSS operands so a future
+# widening (schema-qualified or backticked names) cannot silently
+# diverge between the three admission points
+_BARE_TABLE = re.compile(r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", re.I)
+
 
 def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
     """``(signature, emit_text)`` of an inner/LEFT-join FROM chain, or
@@ -312,10 +318,13 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
       alike, including which side the USING column null-extends
       from): the parenthesized joined-table operand is plain SQL (no
       subquery, no alias, every qualifier still resolves — verified
-      row-identical on Spark and DuckDB), so RIGHT members share
-      signature AND emission with the mirrored LEFT members and ride
-      the r7 LEFT machinery unchanged. (Round 8 swapped only the
-      two-table case, which stays byte-identical — a bare-table
+      row-identical on Spark and DuckDB), so RIGHT-spelled members
+      merge with each other at any depth, and TWO-TABLE RIGHT members
+      additionally merge with the mirrored plain-LEFT members. (A
+      member that itself WRITES a parenthesized operand still
+      declines — the grammar's operands stay bare tables — so deeper
+      mirrors only meet via the RIGHT spelling. Round 8 swapped only
+      the two-table case, which stays byte-identical — a bare-table
       prefix takes no parens.)
     - ``USING (k, ...)`` conditions are admitted natively: the USING
       text joins the signature and is re-emitted verbatim, so member
@@ -406,9 +415,7 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
         last = m.end()
     segs.append(text[last:])
     head = segs[0].strip()
-    if not re.fullmatch(
-        r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", head, re.I
-    ):
+    if not _BARE_TABLE.fullmatch(head):
         return None
     # left-to-right fold building the NORMALIZED chain: SQL join chains
     # are left-associative, so ``<prefix> RIGHT JOIN T <cond>`` is
@@ -426,9 +433,7 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
         seg = seg.strip()
         if tok == "cross_join":
             # CROSS JOIN takes no condition: bare table [alias] only
-            if not re.fullmatch(
-                r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", seg, re.I
-            ):
+            if not _BARE_TABLE.fullmatch(seg):
                 return None
             norm = f"{norm} cross_join {seg}"
             joined = True
@@ -714,9 +719,7 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
         if not instr[m_j.start()] and depth[m_j.start()] == 0:
             if not (m_from.end() <= m_j.start() < ends["from"]):
                 return None
-    m_tbl = re.fullmatch(
-        r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", from_text, re.I
-    )
+    m_tbl = _BARE_TABLE.fullmatch(from_text)
     if m_tbl:
         table = m_tbl.group(1)
         table_alias = m_tbl.group(2)
