@@ -647,6 +647,58 @@ def main() -> None:
         timings[f"mrshare_rightjoin_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_rightjoin_{leg}_min"] = round(min(xs), 3)
 
+    # --- MRShare FULL-join admission (round 8b): a FULL OUTER chain
+    # preserves both sides, so Catalyst can never broadcast it — each
+    # unmerged member pays a full sort-merge join of the big scan,
+    # which makes this the regime where sharing ONE evaluation pays
+    # most. All six members write the identical chain and must land in
+    # one merged plan.
+    full_queries = [
+        q.replace(
+            "FROM lineitem_big JOIN supplier ON",
+            "FROM lineitem_big FULL JOIN supplier ON",
+        )
+        for q in join_queries
+    ]
+
+    def _run_full_leg(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={
+                big_src: "lineitem_big",
+                os.path.join(SF_DIR, "supplier.parquet"): "supplier",
+            },
+            enable_mrshare=merged,
+        )
+        jobs = [
+            QueryJob(job_id=base_id + i, sql=q)
+            for i, q in enumerate(full_queries)
+        ]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged:
+            merged_jobs = sum(len(mp.jobs) for b in bags for mp in b.merges)
+            if merged_jobs != len(full_queries):
+                print(
+                    "WARN: FULL-join merge did not cover the batch"
+                    f" ({merged_jobs}/{len(full_queries)})",
+                    file=sys.stderr,
+                )
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: full-join leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    full_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        full_trials["concurrent"].append(_run_full_leg(False, 21000 + 100 * rep))
+        full_trials["merged"].append(_run_full_leg(True, 21500 + 100 * rep))
+    for leg, xs in full_trials.items():
+        timings[f"mrshare_fulljoin_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_fulljoin_{leg}_min"] = round(min(xs), 3)
+
     # --- gateway result cache: repeat deterministic query text served
     # from memory (server/results.py). Measured through the REAL TCP
     # server: cold = first submission (batch window + execution),
