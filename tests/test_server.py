@@ -448,6 +448,68 @@ class TestConcurrentClients:
             srv.shutdown()
             srv.executor.cache.clear()
 
+    def test_mixed_stress_merges_cache_hits_and_commands(self, spark):
+        """Adversarial interleaving: same-signature members (merge
+        path), identical repeats (result-cache hit/put races), and
+        catalog commands (invalidate_all + write-set taints) all fired
+        concurrently across two rounds — every query reply must equal
+        its direct execution no matter how the windows slice the mix.
+        The data never changes (the commands only create/drop a temp
+        view), so correctness is interleaving-independent by design;
+        what this test guards is the server's bookkeeping under
+        contention (batcher windows, merge demux, cache epochs/taints,
+        per-connection sessions)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        srv = WorkSharingServer(spark, SF_DIR, window_size=4, max_wait=0.2).start()
+        srv.executor.mrshare_min_bytes = 0
+        mergeable = [
+            "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem"
+            f" WHERE l_linenumber = {i} GROUP BY l_returnflag, l_linestatus"
+            for i in range(1, 5)
+        ]
+        repeat = (
+            "SELECT o_orderstatus, count(*) AS n FROM orders"
+            " GROUP BY o_orderstatus"
+        )
+        oneoffs = [
+            "SELECT count(*) AS n FROM supplier",
+            "SELECT max(p_size) AS m FROM part",
+        ]
+        commands = [
+            "CREATE OR REPLACE TEMP VIEW stress_scratch AS SELECT 1 AS one",
+            "DROP VIEW IF EXISTS stress_scratch",
+        ]
+        queries = mergeable + [repeat] * 4 + oneoffs
+        expected = {
+            q: sorted(tuple(r) for r in spark.sql(q).collect()) for q in queries
+        }
+        workload = queries + commands  # 12 requests per round
+        try:
+            for _ in range(2):
+                with ThreadPoolExecutor(max_workers=12) as pool:
+                    replies = list(
+                        pool.map(
+                            lambda q: (q, client_request(srv.address, {"sql": q})),
+                            workload,
+                        )
+                    )
+                for q, r in replies:
+                    assert r["status"] == "done", (q, r)
+                    if q in expected:
+                        got = sorted(tuple(x) for x in r["rows"])
+                        assert got == expected[q], f"diverged under stress: {q}"
+            stats = client_request(srv.address, {"server_stats": True})["stats"]
+            # the merge path actually fired under contention: with
+            # dense arrival each round's 4 same-signature members fall
+            # into 3 size-4 windows (pigeonhole: one window holds >=2),
+            # but a scheduling hiccup can split windows by age instead,
+            # so assert the conservative bound
+            assert stats["mrshare_merged_jobs"] >= 2, stats
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
+
 
 class TestPartitionedOutput:
     def test_partitioned_sink_through_gateway(self, spark, tmp_path):
