@@ -43,9 +43,16 @@ def _l2_norm(v: pd.Series) -> pd.Series:
 
 
 def _token_count_re(s: pd.Series) -> pd.Series:
-    """Regex token count (the BPE-ish [A-Za-z0-9]+ family)."""
+    """Regex token count (the BPE-ish [A-Za-z0-9]+ family).
+
+    Nullable ``Int32``, not ``int32``: a NULL input maps to None,
+    which pandas holds as NaN in a numeric Series — the non-nullable
+    astype raises IntCastingNaNError and kills the whole Arrow batch
+    for one NULL row (reproduced); the pandas nullable dtype round-
+    trips NULL through Arrow as SQL NULL, which is what the guard
+    intended."""
     return s.map(lambda v: len(_WORD_RE.findall(v)) if v is not None else None).astype(
-        "int32"
+        "Int32"
     )
 
 

@@ -77,22 +77,40 @@ def scan_nodes(df: DataFrame) -> list[tuple[str, int | None, str | None]]:
     )
     out: list[tuple[str, int | None, str | None]] = []
     fmt: str | None = None
-    location: str | None = None
+    location: list[str] | None = None
     for raw in text.splitlines():
         line = raw.strip()
         header = re.match(r"\(\d+\) Scan (\w+)", line)
         if header:
             fmt = header.group(1).lower()
         elif line.startswith("Location:"):
-            # "Location: InMemoryFileIndex [file:/path, ...]"
+            # "Location: InMemoryFileIndex [file:/p1, file:/p2, ...]"
+            # — multi-path locations print comma-separated and every
+            # printed path is a source (server/observer.py::scan_events
+            # splits identically). Honest cap: Spark 4.1's formatted
+            # explain elides a multi-root index to its FIRST root plus
+            # "... N entries" regardless of maxMetadataStringLength
+            # (verified), so extra roots of a read.parquet(p1, p2) scan
+            # are unrecoverable here — the width/format maps are a
+            # cost-model heuristic keyed by what the plan shows, while
+            # DETECTION correctness always rests on scan_fingerprints
+            # (df.inputFiles), which sees every root
             inner = line.split("[", 1)[-1].rstrip("]")
-            path = inner.split(",", 1)[0].strip()
-            if path.startswith("file:"):
-                path = "/" + path.removeprefix("file:").lstrip("/")
-            location = path
+            paths = []
+            for p in inner.split(","):
+                p = p.strip()
+                # Spark elides long path lists as "... N entries"
+                if not p or p.startswith("..."):
+                    continue
+                if p.startswith("file:"):
+                    p = "/" + p.removeprefix("file:").lstrip("/")
+                paths.append(p)
+            location = paths or None
         elif line.startswith("ReadSchema:") and location is not None:
             body = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
-            out.append((location, _top_level_fields(body), fmt))
+            width = _top_level_fields(body)
+            for p in location:
+                out.append((p, width, fmt))
             location = None
             fmt = None
     return out

@@ -75,21 +75,9 @@ _SCAN_BLOCK = re.compile(
 )
 
 
-def _top_level_fields(struct_body: str) -> int:
-    """Field count of a ReadSchema struct body (commas at nesting depth
-    0 only — nested struct/array/map types carry their own commas)."""
-    if not struct_body.strip():
-        return 0
-    depth = 0
-    n = 1
-    for c in struct_body:
-        if c == "<":
-            depth += 1
-        elif c == ">":
-            depth -= 1
-        elif c == "," and depth == 0:
-            n += 1
-    return n
+# ReadSchema width counting is shared with the DataFrame-side plan
+# parser — one implementation, one set of explain-format quirks
+from sparksql_server_spark.plans.analysis import _top_level_fields  # noqa: E402
 
 
 def scan_events(plan_description: str) -> list[tuple[str, str, int]]:

@@ -12,7 +12,10 @@ from sparksql_server_spark.sources.readers import (  # noqa: F401
     read_xml,
 )
 from sparksql_server_spark.sources.sinks import (  # noqa: F401
+    compact_parquet,
     write_demux,
+    write_json,
+    write_orc,
     write_parquet,
     write_text,
 )

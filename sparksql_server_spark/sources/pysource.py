@@ -155,25 +155,46 @@ class _JsonlCommit(WriterCommitMessage):
 
 
 class _JsonlWriter(DataSourceWriter):
-    """Per-task: write a part file into ``<path>/_tmp`` and report it.
-    Driver commit: move reported parts into place + ``_SUCCESS``;
-    abort: drop the temp dir. A failed/straggler task's orphan temp
-    file is never promoted — the two-phase commit that makes a sink
-    exactly-once per job at any task count (speculative re-runs
-    included: only the SUCCESSFUL attempt's message reaches commit)."""
+    """Per-task: write a part file into this JOB's staging dir
+    (``<path>/_tmp-<jobid>``) and report it. Driver commit: move
+    reported parts into place + ``_SUCCESS``; abort: drop the staging
+    dir. A failed/straggler task's orphan temp file is never promoted
+    — the two-phase commit that makes a sink exactly-once per job at
+    any task count (speculative re-runs included: only the SUCCESSFUL
+    attempt's message reaches commit).
+
+    The staging dir carries a per-job id (Hadoop's committer uses
+    ``_temporary/<jobId>`` for the same reason): the gateway executes
+    jobs on a thread pool, and two concurrent writes to ONE path with
+    a SHARED staging dir would destroy each other — job A's commit
+    rmtree'd the shared dir while job B's parts were still staged in
+    it, failing B's promotion. Each job now stages, promotes, and
+    cleans only its own directory; concurrent appends interleave their
+    part files safely (uuid part names cannot collide)."""
 
     def __init__(self, options, overwrite: bool) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_dir sink requires a path")
         self.overwrite = overwrite
+        # set driver-side so every pickled executor copy stages into
+        # the same per-job directory
+        self.job_id = uuid.uuid4().hex
+        self._promoted = 0
+
+    def _staging(self) -> str:
+        import os
+
+        return os.path.join(self.path, f"_tmp-{self.job_id}")
 
     def write(self, iterator) -> _JsonlCommit:
         import json as _json
         import os
         import uuid
 
-        tmp_dir = os.path.join(self.path, "_tmp")
+        tmp_dir = self._staging()
         os.makedirs(tmp_dir, exist_ok=True)
         tmp_file = os.path.join(tmp_dir, f"part-{uuid.uuid4().hex}.jsonl")
         n = 0
@@ -191,7 +212,7 @@ class _JsonlWriter(DataSourceWriter):
         if self.overwrite:
             # mode("overwrite") replaces the directory's contents:
             # clear pre-existing part files BEFORE promoting the new
-            # ones (which still live in _tmp here), so stale parts
+            # ones (which still live in staging here), so stale parts
             # never mix with this job's output (ADVICE r4 low)
             for name in os.listdir(self.path):
                 if name.startswith("part-") and name.endswith(".jsonl"):
@@ -199,7 +220,8 @@ class _JsonlWriter(DataSourceWriter):
         for m in messages:
             final = os.path.join(self.path, os.path.basename(m.tmp_file))
             os.replace(m.tmp_file, final)
-        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+            self._promoted += 1
+        shutil.rmtree(self._staging(), ignore_errors=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
@@ -207,12 +229,18 @@ class _JsonlWriter(DataSourceWriter):
         import os
         import shutil
 
-        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
-        # never leave a half-committed marker
-        try:
-            os.remove(os.path.join(self.path, "_SUCCESS"))
-        except FileNotFoundError:
-            pass
+        shutil.rmtree(self._staging(), ignore_errors=True)
+        # drop the marker ONLY if this job already promoted parts (a
+        # commit that failed midway left the directory mixed). A job
+        # that failed before any promotion leaves the previous
+        # successful job's output — and its _SUCCESS — fully intact;
+        # unmarking that valid dataset would make _SUCCESS-gated
+        # consumers skip committed data.
+        if self._promoted:
+            try:
+                os.remove(os.path.join(self.path, "_SUCCESS"))
+            except FileNotFoundError:
+                pass
 
 
 class JsonlDirDataSource(DataSource):

@@ -86,7 +86,17 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception as exc:  # pragma: no cover - env-dependent
-        if "Failed to find" in str(exc) or "AVRO" in str(exc).upper():
+        # match ONLY the missing-datasource error (error class, or the
+        # lookup message that names avro as the missing SOURCE) — a
+        # substring like 'AVRO' matches the '.avro' path inside any
+        # PATH_NOT_FOUND / corruption message and would mislabel a
+        # user error as a classpath problem
+        msg = str(exc)
+        if (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find the data source: avro" in msg
+            or "Failed to find data source: avro" in msg
+        ):
             raise NotImplementedError(
                 "avro datasource not on the classpath; add the "
                 "org.apache.spark:spark-avro package to use it"

@@ -49,8 +49,11 @@ def write_demux(
     Output layout: ``{path}/{tag_col}={value}/part-*`` — the modern
     equivalent of the reference's ``output-jobId`` file naming.
     """
-    writer = df.write.mode(mode).partitionBy(tag_col)
-    getattr(writer, fmt)(path)
+    # format(fmt).save, NOT getattr(writer, fmt): dispatching on writer
+    # attributes silently returns a builder (writes nothing) for any
+    # non-format attribute name ('mode', 'option', ...), while an
+    # unknown real format must fail loudly
+    df.write.mode(mode).partitionBy(tag_col).format(fmt).save(path)
 
 
 def compact_parquet(

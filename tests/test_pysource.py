@@ -113,6 +113,74 @@ def test_jsonl_sink_abort_leaves_no_success_marker(registered, tmp_path):
     assert not os.path.exists(os.path.join(out, "_SUCCESS"))
 
 
+def test_jsonl_sink_abort_preserves_previous_success_marker(registered, tmp_path):
+    """A job that fails BEFORE promoting anything must leave the
+    previous successful job's output — including its _SUCCESS marker —
+    intact: the directory still holds exactly that valid committed
+    dataset, and unmarking it would make _SUCCESS-gated consumers skip
+    real data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "jsonl_prev")
+    ok = _load(registered, n_rows=40, n_partitions=2, seed=1)
+    ok.write.format("jsonl_dir").mode("append").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    n_parts = len([p for p in os.listdir(out) if p.startswith("part-")])
+
+    bad = _load(registered, n_rows=40, n_partitions=2, seed=2).withColumn(
+        "value", F.expr("CAST(raise_error('boom2') AS DOUBLE)")
+    )
+    with pytest.raises(Exception, match="boom2"):
+        bad.write.format("jsonl_dir").mode("append").save(out)
+    # previous job's dataset still complete AND still marked committed
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert (
+        len([p for p in os.listdir(out) if p.startswith("part-")]) == n_parts
+    )
+    assert not [p for p in os.listdir(out) if p.startswith("_tmp")]
+
+
+def test_jsonl_sink_concurrent_jobs_one_path(registered, tmp_path):
+    """Two jobs appending to ONE path concurrently must both commit
+    every row: staging is per-job (_tmp-<jobid>), so one job's commit
+    cleanup cannot delete the other's still-staged parts (the shared
+    _tmp design lost rows or failed promotion under exactly this
+    race — the gateway runs jobs on a thread pool)."""
+    import os
+    import threading
+
+    out = str(tmp_path / "jsonl_conc")
+    dfs = [
+        _load(registered, n_rows=200, n_partitions=4, seed=s) for s in (7, 8)
+    ]
+    errors = []
+
+    def write(df):
+        try:
+            # fresh threads have no JVM active session and Python data
+            # sources resolve through it — mirror the scheduler's
+            # per-job setActiveSession (scheduler.py:385), which is
+            # exactly the production context this test models
+            registered._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                registered._jsparkSession
+            )
+            df.write.format("jsonl_dir").mode("append").save(out)
+        except Exception as exc:  # surfaced below — threads swallow raises
+            errors.append(exc)
+
+    for _ in range(3):  # repeat to give the race room to fire
+        ts = [threading.Thread(target=write, args=(df,)) for df in dfs]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+    assert not errors, errors
+    back = registered.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 2 * 200 * 3
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [p for p in os.listdir(out) if p.startswith("_tmp")]
+
+
 def test_jsonl_sink_through_gateway(spark, tmp_path):
     """The custom sink composes with the server: a gateway job with
     output_format=jsonl_dir lands committed part files."""

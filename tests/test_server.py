@@ -406,6 +406,31 @@ class TestRegisteredUDFs:
         assert row.slug == "hello-world-42"
         assert row.n == 4
 
+    def test_udfs_null_inputs_return_null(self, spark):
+        """NULL in, NULL out — for every registered UDF. token_count_re
+        previously crashed the whole Arrow batch on one NULL row
+        (non-nullable int32 astype raises IntCastingNaNError on the
+        NaN that pandas stores for the guarded None)."""
+        from sparksql_server_spark.functions.udfs import register_udfs
+
+        register_udfs(spark)
+        row = spark.sql(
+            "SELECT slugify(CAST(NULL AS STRING)) AS s,"
+            "       token_count_re(CAST(NULL AS STRING)) AS n,"
+            "       l2_norm(CAST(NULL AS ARRAY<DOUBLE>)) AS l,"
+            "       token_count_re('a b') AS n2"
+        ).collect()[0]
+        assert row.s is None and row.n is None and row.l is None
+        assert row.n2 == 2
+        # mixed batch: NULL rows ride along with real rows
+        rows = spark.sql(
+            "SELECT token_count_re(v) AS n FROM VALUES ('x y z'), (NULL),"
+            " ('a') AS t(v)"
+        ).collect()
+        assert sorted((r.n is None, r.n) for r in rows) == [
+            (False, 1), (False, 3), (True, None)
+        ]
+
     def test_l2_norm_matches_jvm_expression(self, spark):
         from sparksql_server_spark.functions.udfs import register_udfs
         from sparksql_server_spark.catalog import register_tables
