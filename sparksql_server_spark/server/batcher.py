@@ -78,7 +78,15 @@ def preschedule(batch: list[QueryJob]) -> list[QueryJob]:
     ``props["priority"]`` (default 0), FIFO within equal priority —
     identical to DummyStrategy when no job sets a priority.
     """
-    return sorted(
-        batch,
-        key=lambda j: (-float(j.props.get("priority", 0)), j.submitted_at, j.job_id),
-    )
+
+    def _prio(j: QueryJob) -> float:
+        # client-controlled: a non-numeric priority must rank as the
+        # default, never raise — a ValueError here would propagate to
+        # the batch-loop thread with the queue already drained (a
+        # one-request denial of service)
+        try:
+            return float(j.props.get("priority", 0))
+        except (TypeError, ValueError):
+            return 0.0
+
+    return sorted(batch, key=lambda j: (-_prio(j), j.submitted_at, j.job_id))

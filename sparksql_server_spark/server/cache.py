@@ -268,7 +268,7 @@ class CacheManager:
             # warming count, WordCount.scala:73-77) so every job in the
             # batch — including the first — runs concurrently on warm cache
             self.spark.table(view).count()
-            fit, mem_bytes = self._build_fit(before)
+            fit, mem_bytes = self._build_fit(before, view)
             if not fit:
                 try:
                     self.spark.catalog.uncacheTable(view)
@@ -281,19 +281,38 @@ class CacheManager:
             )
             return True
 
-    def _build_fit(self, rdd_ids_before: set[int]) -> tuple[bool, int]:
+    def _build_fit(
+        self, rdd_ids_before: set[int], view: str | None = None
+    ) -> tuple[bool, int]:
         """Did the just-built InMemoryRelation actually land in memory?
         Returns (fit, measured in-memory bytes): fit when every
         partition is cached and at least half the bytes stayed on-heap
         (None-safe: unreadable storage info = trust the pre-build
-        estimate). The measured size feeds future evict-to-admit math."""
+        estimate). The measured size feeds future evict-to-admit math.
+
+        Attribution is by the storage-info NAME ("In-memory table
+        <view>"), not by an id delta alone: with the out-of-band
+        observer enabled, ensure_cached runs concurrently with the
+        batch loop's MRShare merge persists, and an id-delta would
+        attribute the merge's (possibly spilled) RDD to this build —
+        failing the fit check and permanently blacklisting an innocent
+        source, or inflating mem_bytes and corrupting later
+        evict-to-admit math. The delta stays as the fallback when no
+        name matches (a future Spark renaming the pattern degrades to
+        the old behavior, never to always-fit)."""
         mem_total = 0
         try:
-            new = [
+            fresh = [
                 info
                 for info in self.spark.sparkContext._jsc.sc().getRDDStorageInfo()
                 if info.id() not in rdd_ids_before
             ]
+            named = (
+                [i for i in fresh if i.name() == f"In-memory table {view}"]
+                if view
+                else []
+            )
+            new = named or fresh
         except Exception:
             return True, 0
         for info in new:

@@ -226,7 +226,33 @@ class ResultCache:
 
     @staticmethod
     def key(session_id: Optional[str], sql: str) -> tuple:
-        return (session_id or "", _normalize_outside_literals(sql))
+        # named sessions live under an "s:" prefix so the reserved
+        # namespaces ("" = clean shared, "root" = dirty root session)
+        # can never collide with a client-chosen session id (a client
+        # naming its session "" previously landed IN the shared
+        # namespace while dirty — wrong results both directions)
+        ns = "" if session_id is None else f"s:{session_id}"
+        return (ns, _normalize_outside_literals(sql))
+
+    @staticmethod
+    def key_root(sql: str) -> tuple:
+        """Private namespace for the ROOT session once a root command
+        has run: root temp views shadow shared tables for root's own
+        queries only, so its results must neither serve nor be served
+        from the clean cross-session namespace."""
+        return ("root", _normalize_outside_literals(sql))
+
+    def invalidate_session(self, session_id: str) -> int:
+        """Drop every private entry of a named session (called when the
+        session is reaped: the recreated session's catalog no longer
+        contains the temp views those entries depended on, and its
+        command-time invalidation can no longer resolve them)."""
+        ns = f"s:{session_id}"
+        with self._lock:
+            doomed = [k for k in self._entries if k[0] == ns]
+            for k in doomed:
+                del self._entries[k]
+            return len(doomed)
 
     def get(self, key: tuple) -> Optional[dict]:
         with self._lock:

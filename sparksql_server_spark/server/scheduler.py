@@ -88,10 +88,35 @@ class BatchExecutor:
             "mrshare_plans": 0,
             "mrshare_demux_fallbacks": 0,
         }
+        # counters are bumped from concurrent pool threads; a bare
+        # 'dict[k] += 1' is a non-atomic read-modify-write that loses
+        # updates under contention, and the failure/fallback counters
+        # exist precisely to never under-report
+        self._stats_lock = threading.Lock()
+        self._is_query_memo: dict[str, bool] = {}
+
+    def _bump_stat(self, key: str, n: int = 1) -> None:
+        with self._stats_lock:
+            self.stats[key] += n
 
     # -- analysis ---------------------------------------------------------
 
     def _is_query(self, sql: str) -> bool:
+        """Memoized front of :meth:`_classify_sql` — the verdict is a
+        pure function of the text, and the gateway consults it two to
+        three times per request (intake, post-batch flush scan, JDBC
+        answer path), each a serial py4j parse round-trip on a hot
+        thread without this."""
+        hit = self._is_query_memo.get(sql)
+        if hit is None:
+            hit = self._classify_sql(sql)
+            with self._stats_lock:
+                if len(self._is_query_memo) >= 4096:
+                    self._is_query_memo.clear()  # crude bound; refill is cheap
+                self._is_query_memo[sql] = hit
+        return hit
+
+    def _classify_sql(self, sql: str) -> bool:
         """True for plan-producing statements. Commands (DDL/DML —
         CREATE/INSERT/DROP/CACHE/SET…) execute EAGERLY at ``sql()``
         time in Spark, so fingerprinting them in analyze() would run
@@ -164,7 +189,7 @@ class BatchExecutor:
                 except Exception as exc:  # analysis error = job error
                     job.status = JobStatus.ERROR
                     job.error = f"{type(exc).__name__}: {exc}"
-                    self.stats["jobs_failed"] += 1
+                    self._bump_stat("jobs_failed")
                     job.done_event.set()
 
         bags = detect_sharing([j for j in jobs if j.status is JobStatus.QUEUED])
@@ -205,13 +230,13 @@ class BatchExecutor:
             if bag.merges and bag.rewrite is RewriteKind.NOOP:
                 bag.rewrite = RewriteKind.MRSHARE
 
-        self.stats["batches"] += 1
-        self.stats["jobs_run"] += len(jobs)
-        self.stats["caching_bags"] += sum(
-            1 for b in bags if b.rewrite is RewriteKind.CACHING
+        self._bump_stat("batches")
+        self._bump_stat("jobs_run", len(jobs))
+        self._bump_stat(
+            "caching_bags", sum(1 for b in bags if b.rewrite is RewriteKind.CACHING)
         )
-        self.stats["mrshare_plans"] += len(merges)
-        self.stats["mrshare_merged_jobs"] += len(merged_ids)
+        self._bump_stat("mrshare_plans", len(merges))
+        self._bump_stat("mrshare_merged_jobs", len(merged_ids))
 
         # cache-first ordering (≙ FIFOStrategy.scala:64-77) happens inside
         # _apply_caching_rewrite: ensure_cached materializes the shared
@@ -417,7 +442,7 @@ class BatchExecutor:
                 # member job: fall back to its original SQL on the
                 # normal path (correctness over sharing), and count it
                 # so a fallback can never silently hide a rewrite bug
-                self.stats["mrshare_demux_fallbacks"] += 1
+                self._bump_stat("mrshare_demux_fallbacks")
                 df = sess.sql(job.sql)
             if job.props.get("cancel_requested"):  # cancelled during planning
                 raise RuntimeError("cancelled")
@@ -446,7 +471,7 @@ class BatchExecutor:
         except Exception as exc:
             job.status = JobStatus.ERROR
             job.error = f"{type(exc).__name__}: {exc}"
-            self.stats["jobs_failed"] += 1
+            self._bump_stat("jobs_failed")
         finally:
             job.elapsed = time.monotonic() - start
             sc.setLocalProperty("spark.scheduler.pool", None)

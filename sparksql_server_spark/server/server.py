@@ -126,7 +126,15 @@ class WorkSharingServer:
         )
         self._next_id = 0
         self._id_lock = threading.Lock()
+        # bounded id->job registry for status/cancel polling; ids are
+        # monotonically increasing, so eviction drops the OLDEST
+        # completed jobs first (polling an evicted ancient id returns
+        # "unknown job id", the same answer a restart gives). Without
+        # the bound every DONE job pinned its inline rows (up to
+        # MAX_INLINE_ROWS tuples) forever — an unbounded driver leak
+        # under sustained traffic while every other table is budgeted.
         self._jobs: dict[int, QueryJob] = {}
+        self._jobs_cap = 4096
         self._sf_dir = sf_dir
         # named client sessions, reaped by idle time under a count cap:
         # without a bound, every distinct client id pins a SparkSession
@@ -160,6 +168,9 @@ class WorkSharingServer:
         # flushes its write set (whole cache when unparseable) after
         # running, so nothing stale survives the transition either way.
         self._dirty_sessions: set[str] = set()
+        # True once a command ran on the ROOT session (temp views there
+        # shadow shared tables for root's own queries)
+        self._root_dirty = False
         self._stop = threading.Event()
         self._loop_thread = threading.Thread(target=self._run_loop, daemon=True)
         # optional bridge for co-hosted out-of-band doors (a thrift
@@ -216,7 +227,13 @@ class WorkSharingServer:
 
     def _run_loop(self) -> None:
         while not self._stop.is_set():
-            batch = self.batcher.next_batch(block=False)
+            try:
+                batch = self.batcher.next_batch(block=False)
+            except Exception:  # noqa: BLE001 — queue already drained;
+                # jobs in the lost window are unrecoverable here, but
+                # the loop itself must never die (it is the server's
+                # only execution thread)
+                continue
             if not batch:
                 self._stop.wait(0.05)
                 continue
@@ -297,7 +314,7 @@ class WorkSharingServer:
                     return
                 write_set |= ws
             out = j.props.get("output")
-            if out:
+            if out and not j.props.get("_rc_sink_flushed"):
                 write_set |= tables_from_fingerprints({str(out).rstrip("/")})
         if write_set:
             self.results.invalidate_tables(frozenset(write_set))
@@ -329,9 +346,16 @@ class WorkSharingServer:
                 ]
                 for sid in idle:
                     del self._sessions[sid]
+                    # the recreated session's catalog cannot resolve
+                    # the dead incarnation's temp views, so its private
+                    # cached results must die with it (a reincarnated
+                    # dirty session would otherwise be served them
+                    # within TTL)
+                    self.results.invalidate_session(sid)
                 while len(self._sessions) >= self.max_sessions:
                     lru = min(self._sessions, key=lambda s: self._sessions[s][1])
                     del self._sessions[lru]
+                    self.results.invalidate_session(lru)
             sess = self.spark.newSession()
             register_tables(sess, self._sf_dir)
             register_udfs(sess)
@@ -354,6 +378,17 @@ class WorkSharingServer:
                 job_id=self._next_id, sql=sql, props=props or {}, session=session
             )
         self._jobs[job.job_id] = job
+        if len(self._jobs) > self._jobs_cap:
+            with self._id_lock:
+                doomed = [
+                    jid
+                    for jid in sorted(self._jobs)[: len(self._jobs) - self._jobs_cap]
+                    # never evict a job still queued/running — its
+                    # done_event and cancel path must stay reachable
+                    if self._jobs[jid].done_event.is_set()
+                ]
+                for jid in doomed:
+                    self._jobs.pop(jid, None)
         self.batcher.submit(job)
         return job
 
@@ -504,7 +539,11 @@ class WorkSharingServer:
         sql = req.get("sql")
         if not isinstance(sql, str) or not sql.strip():
             return {"status": "error", "error": "missing 'sql'"}
-        session = self.session_for(req.get("session"))
+        # '' canonicalizes to the root session: session_for('') would
+        # otherwise create a named session whose result-cache namespace
+        # collided with the clean shared one
+        req_sid = req.get("session") or None
+        session = self.session_for(req_sid)
         if "explain" in req:  # plan introspection: immediate, never queued
             # only plan-producing statements: ``session.sql`` EXECUTES
             # commands (DDL/DML) eagerly at plan time, so explaining an
@@ -532,7 +571,13 @@ class WorkSharingServer:
         # flush by write set after running (whole cache when the write
         # set can't be parsed)
         is_query = self.executor._is_query(sql)
-        sid = req.get("session")
+        if is_query and "output" in props:
+            # a sink job is a WRITER: a query over the output path
+            # batched concurrently could otherwise cache pre-overwrite
+            # rows under a still-valid epoch (same hazard the command
+            # path bumps for)
+            self.results.bump_generation()
+        sid = req_sid
         resolved_ws: frozenset[str] | None = None
         if not is_query:
             # bump the put-epoch at ARRIVAL, before the command runs: a
@@ -554,11 +599,16 @@ class WorkSharingServer:
                 # flush (which may run before this handler wakes)
                 # skips the job either way
                 props["_rc_flushed"] = True
-            if sid is not None:
-                # conservative: mark BEFORE execution (a failed command
-                # may still have partially changed session state)
-                with self._session_lock:
+            # conservative: mark BEFORE execution (a failed command
+            # may still have partially changed session state). The ROOT
+            # session dirties too: a root CREATE TEMP VIEW shadows a
+            # shared table for root's own queries, which must then stop
+            # sharing the clean cross-session namespace
+            with self._session_lock:
+                if sid is not None:
                     self._dirty_sessions.add(sid)
+                else:
+                    self._root_dirty = True
         # epoch captured BEFORE the clean/dirty check AND before
         # submit: a same-session command arriving between this line and
         # put() marks the session dirty + bumps the epoch, so the
@@ -573,8 +623,17 @@ class WorkSharingServer:
             and cacheable_sql(sql)
         ):
             with self._session_lock:
-                clean = sid is None or sid not in self._dirty_sessions
-            rc_key = ResultCache.key(None if clean else sid, sql)
+                clean = (
+                    not self._root_dirty
+                    if sid is None
+                    else sid not in self._dirty_sessions
+                )
+            if clean:
+                rc_key = ResultCache.key(None, sql)
+            elif sid is None:
+                rc_key = ResultCache.key_root(sql)
+            else:
+                rc_key = ResultCache.key(sid, sql)
             cached = self.results.get(rc_key)
             if cached is not None:
                 cached["cached"] = True
@@ -594,6 +653,16 @@ class WorkSharingServer:
                     self.results.invalidate_all()
                 else:
                     self.results.invalidate_tables(resolved_ws)
+            elif "output" in props:
+                # sink jobs are writers too: the client is unblocked at
+                # done_event, BEFORE the loop thread's post-batch flush
+                # (which waits on every other job in the batch), so an
+                # immediate re-read of the overwritten path could be
+                # served the pre-overwrite entry without this
+                self.results.invalidate_tables(
+                    tables_from_fingerprints({str(props["output"]).rstrip("/")})
+                )
+                job.props["_rc_sink_flushed"] = True
             if is_query and (
                 rc_key is not None
                 and job.status.value == "done"

@@ -2611,3 +2611,87 @@ def test_substituted_repeat_statement_hits_result_cache(spark):
         srv.shutdown()
         srv.executor.cache.clear()
         ups.close()
+
+
+class TestGatewayHardeningR8:
+    """Round-8 review wave: loop survival, session namespaces, bounds."""
+
+    def test_non_numeric_priority_does_not_kill_the_loop(self, spark):
+        """props['priority'] is client-controlled; a non-numeric value
+        previously raised in preschedule ON THE BATCH-LOOP THREAD with
+        the queue already drained — a one-request denial of service.
+        It must rank as the default and the server must keep serving."""
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            bad = client_request(
+                srv.address,
+                {"sql": "SELECT 1 AS x", "props": {"priority": "high"}},
+            )
+            assert bad["status"] == "done", bad
+            nxt = client_request(srv.address, {"sql": "SELECT 2 AS x"})
+            assert nxt["status"] == "done" and nxt["rows"][0][0] == 2
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
+
+    def test_root_session_command_leaves_shared_cache_namespace(self, spark):
+        """A root-session (no 'session' field) command shadows shared
+        tables for root's own queries; its results must stop sharing
+        the clean cross-session namespace — previously a clean named
+        session was served root's shadowed-view rows."""
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            real_n = spark.table("region").count()
+            r = client_request(
+                srv.address,
+                {"sql": "CREATE OR REPLACE TEMP VIEW region AS"
+                        " SELECT * FROM nation LIMIT 3"},
+            )
+            assert r["status"] == "done", r
+            q = "SELECT count(*) AS n FROM region"
+            root = client_request(srv.address, {"sql": q})
+            assert root["rows"][0][0] == 3  # root sees its shadow
+            named = client_request(srv.address, {"sql": q, "session": "cleanc"})
+            # the clean session sees the REAL table, never root's cache
+            assert named["rows"][0][0] == real_n, named
+            assert not named.get("cached"), named
+        finally:
+            try:
+                spark.catalog.dropTempView("region")
+            except Exception:
+                pass
+            from sparksql_server_spark.catalog import register_tables
+            register_tables(spark, SF_DIR)
+            srv.shutdown()
+            srv.executor.cache.clear()
+
+    def test_empty_string_session_is_the_root_session(self, spark):
+        """{'session': ''} canonicalizes to root: it previously created
+        a NAMED isolated session whose result-cache namespace collided
+        with the clean shared one ('' or '' == '')."""
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            r = client_request(
+                srv.address, {"sql": "SELECT count(*) AS n FROM nation", "session": ""}
+            )
+            assert r["status"] == "done"
+            with srv._session_lock:
+                assert "" not in srv._sessions  # no named '' session exists
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
+
+    def test_jobs_registry_is_bounded(self, spark):
+        """The id->job registry must evict completed jobs past the cap
+        (each DONE job pins its inline rows; unbounded retention is a
+        driver leak under sustained traffic)."""
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.05).start()
+        srv._jobs_cap = 6
+        try:
+            for i in range(12):
+                r = client_request(srv.address, {"sql": f"SELECT {i} AS x"})
+                assert r["status"] == "done"
+            assert len(srv._jobs) <= 7  # cap + the in-flight newest
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
