@@ -120,7 +120,21 @@ def pin_view(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     thread's cache) and unpersists the PREVIOUS pin for (session,
     view) the moment the replacement is registered: at most ONE live
     copy per view, enforced rather than documented (and gated in
-    tests/test_cache_hygiene.py)."""
+    tests/test_cache_hygiene.py).
+
+    SINGLE-WRITER ASSUMPTION (ADVICE r8): checkpointed RDDs have no
+    recompute path, so a consumer still mid-query on the PREDECESSOR
+    plan when its blocks are released would fail with lost blocks.
+    That requires the same operator to be re-entered concurrently in
+    ONE session — a shape the server never produces (a session's jobs
+    execute serially within a batch, and each operator call builds and
+    fully consumes its own result before returning). Callers embedding
+    these operators in their own multi-threaded driver code must
+    serialize re-runs per (session, view), or use :func:`spill`
+    (parquet scans have no block-loss mode). The at-most-one-copy
+    bound is the deliberate trade: deferring the release one
+    generation would double resident memory for every pinned view to
+    protect a concurrency pattern nothing in this repo exercises."""
     out = pin(df)
     rid = int(out._jdf.queryExecution().analyzed().rdd().id())
     out.createOrReplaceTempView(name)

@@ -374,6 +374,19 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
     # literal and let members differing only inside a literal share a
     # signature)
     text = _collapse_ws(from_text)
+    # pre-rewrite text that already spells an internal signature token
+    # (``FROM a left_join b ON ...``) would otherwise parse as a cut
+    # and share a signature/emission with the valid ``a LEFT JOIN b``
+    # — but standalone it is a syntax error (or a reference to a table
+    # that happens to be NAMED left_join, which this grammar cannot
+    # distinguish from the token). Decline both, so invalid SQL errors
+    # exactly as it would unmerged (ADVICE r8 low).
+    _d0, _ins0 = _scan(text)
+    for _m in re.finditer(
+        r"\b(?:left|right|full|semi|anti|cross)_join\b", text, re.I
+    ):
+        if not _ins0[_m.start()]:
+            return None
     text = _sub_outside_strings(r"\binner\s+join\b", "join", text)
     # each join spelling -> one signature token; semi/anti first (they
     # may carry a LEFT prefix the left_join rewrite must not eat).

@@ -232,7 +232,10 @@ class WorkSharingServer:
             except Exception:  # noqa: BLE001 — queue already drained;
                 # jobs in the lost window are unrecoverable here, but
                 # the loop itself must never die (it is the server's
-                # only execution thread)
+                # only execution thread). Back off before retrying so a
+                # persistently-raising next_batch can't busy-spin this
+                # thread at 100% CPU.
+                self._stop.wait(0.05)
                 continue
             if not batch:
                 self._stop.wait(0.05)
@@ -377,9 +380,11 @@ class WorkSharingServer:
             job = QueryJob(
                 job_id=self._next_id, sql=sql, props=props or {}, session=session
             )
-        self._jobs[job.job_id] = job
-        if len(self._jobs) > self._jobs_cap:
-            with self._id_lock:
+            # insertion and cap-eviction are serialized under the same
+            # lock: a concurrent submit during the sorted() iteration
+            # below would otherwise mutate the dict mid-iteration
+            self._jobs[job.job_id] = job
+            if len(self._jobs) > self._jobs_cap:
                 doomed = [
                     jid
                     for jid in sorted(self._jobs)[: len(self._jobs) - self._jobs_cap]

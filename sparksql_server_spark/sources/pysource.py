@@ -183,6 +183,11 @@ class _JsonlWriter(DataSourceWriter):
         # the same per-job directory
         self.job_id = uuid.uuid4().hex
         self._promoted = 0
+        # True once commit() starts destroying the previous job's
+        # output (overwrite cleanup) — from that point the directory
+        # is no longer the previously-committed dataset even if zero
+        # new parts were promoted yet
+        self._mutated = False
 
     def _staging(self) -> str:
         import os
@@ -214,6 +219,7 @@ class _JsonlWriter(DataSourceWriter):
             # clear pre-existing part files BEFORE promoting the new
             # ones (which still live in staging here), so stale parts
             # never mix with this job's output (ADVICE r4 low)
+            self._mutated = True
             for name in os.listdir(self.path):
                 if name.startswith("part-") and name.endswith(".jsonl"):
                     os.remove(os.path.join(self.path, name))
@@ -230,13 +236,15 @@ class _JsonlWriter(DataSourceWriter):
         import shutil
 
         shutil.rmtree(self._staging(), ignore_errors=True)
-        # drop the marker ONLY if this job already promoted parts (a
-        # commit that failed midway left the directory mixed). A job
-        # that failed before any promotion leaves the previous
-        # successful job's output — and its _SUCCESS — fully intact;
-        # unmarking that valid dataset would make _SUCCESS-gated
-        # consumers skip committed data.
-        if self._promoted:
+        # drop the marker ONLY if this job already changed the
+        # directory: promoted parts (a commit that failed midway left
+        # it mixed) OR began the overwrite deletion of the previous
+        # job's parts (the committed data _SUCCESS vouched for is
+        # gone, ADVICE r8 low). A job that failed before either leaves
+        # the previous successful job's output — and its _SUCCESS —
+        # fully intact; unmarking that valid dataset would make
+        # _SUCCESS-gated consumers skip committed data.
+        if self._promoted or self._mutated:
             try:
                 os.remove(os.path.join(self.path, "_SUCCESS"))
             except FileNotFoundError:

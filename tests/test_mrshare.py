@@ -1196,6 +1196,33 @@ def test_join_keywords_inside_literals_survive():
     assert q1 is not None and q2 is not None and q1.table != q2.table
 
 
+def test_signature_token_in_member_text_declines():
+    """Member text that literally spells an internal signature token
+    outside a string (``a left_join b on ...`` — a syntax error
+    standalone, or a table NAMED like the token) must decline, never
+    parse as a cut and silently share the valid spelling's signature
+    and merged emission (ADVICE r8 low)."""
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    bad = [
+        "a left_join b on a.x = b.x",
+        "a right_join b on a.x = b.x",
+        "a full_join b on a.x = b.x",
+        "a semi_join b on a.x = b.x",
+        "a anti_join b on a.x = b.x",
+        "a cross_join b",
+        # token anywhere in the chain, not just as the first cut
+        "a JOIN b ON a.x = b.x left_join c on b.y = c.y",
+        # token as a table name reference
+        "left_join JOIN b ON left_join.x = b.x",
+    ]
+    for frm in bad:
+        assert _parse_join_from(frm) is None, frm
+    # inside a string literal the token is data, not a cut — still parses
+    ok = _parse_join_from("a JOIN b ON c = 'left_join' AND a.x = b.x")
+    assert ok is not None and "'left_join'" in ok[1]
+
+
 FULL_STAR = [
     # the ON's extra conjunct makes null-extension REAL on both sides:
     # customers whose orders are all <= the price bound (left rows,

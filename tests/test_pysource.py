@@ -142,6 +142,45 @@ def test_jsonl_sink_abort_preserves_previous_success_marker(registered, tmp_path
     assert not [p for p in os.listdir(out) if p.startswith("_tmp")]
 
 
+def test_jsonl_sink_abort_after_overwrite_cleanup_unmarks(tmp_path):
+    """ADVICE r8 low: in overwrite mode commit() deletes the PREVIOUS
+    job's parts before promoting its own — a failure in that window
+    leaves a directory whose committed data was just destroyed, so
+    abort() must remove _SUCCESS even though zero new parts promoted
+    (driven on the writer class directly: the fault is injected
+    between cleanup and promotion, which Spark can't schedule)."""
+    import os
+
+    from sparksql_server_spark.sources.pysource import _JsonlCommit, _JsonlWriter
+
+    out = str(tmp_path / "jsonl_mut")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-old.jsonl"), "w") as fh:
+        fh.write('{"a": 1}\n')
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
+
+    w = _JsonlWriter({"path": out}, overwrite=True)
+    # a commit whose message points at a vanished staged file: the
+    # overwrite cleanup runs (destroying part-old), then os.replace
+    # raises before any promotion
+    with pytest.raises(FileNotFoundError):
+        w.commit([_JsonlCommit(os.path.join(w._staging(), "gone.jsonl"), 1)])
+    assert w._mutated and not w._promoted
+    w.abort([])
+    # the previous dataset is gone, so its marker must be gone too
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "part-old.jsonl"))
+
+    # control: a pre-promotion abort WITHOUT cleanup keeps the marker
+    os.makedirs(out + "2")
+    with open(os.path.join(out + "2", "_SUCCESS"), "w"):
+        pass
+    w2 = _JsonlWriter({"path": out + "2"}, overwrite=True)
+    w2.abort([])  # failed before commit() ever ran
+    assert os.path.exists(os.path.join(out + "2", "_SUCCESS"))
+
+
 def test_jsonl_sink_concurrent_jobs_one_path(registered, tmp_path):
     """Two jobs appending to ONE path concurrently must both commit
     every row: staging is per-job (_tmp-<jobid>), so one job's commit
