@@ -699,6 +699,69 @@ def main() -> None:
         timings[f"mrshare_fulljoin_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_fulljoin_{leg}_min"] = round(min(xs), 3)
 
+    # --- MRShare permuted-order inner joins (round 9, VERDICT r8 ask
+    # #1): six members spelling the SAME 3-table star in four different
+    # join orders (the ORM/BI batch shape). The order-insensitive
+    # segment signature must land all six in ONE merged plan; the
+    # identical-text bar merged none of them (each spelling alone was
+    # under the 2-member floor), so this leg measures the exact
+    # real-world batch the widening targets.
+    perm_chains = [
+        "lineitem_big JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey",
+        "supplier JOIN nation ON s_nationkey = n_nationkey"
+        " JOIN lineitem_big ON l_suppkey = s_suppkey",
+        "supplier JOIN lineitem_big ON l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey",
+        "nation JOIN supplier ON s_nationkey = n_nationkey"
+        " JOIN lineitem_big ON l_suppkey = s_suppkey",
+    ]
+    perm_queries = [
+        f"SELECT n_name, {join_aggs[i]}"
+        f" FROM {perm_chains[i % len(perm_chains)]}"
+        f" WHERE {join_preds[i]} GROUP BY n_name"
+        for i in range(6)
+    ]
+
+    def _run_perm_leg(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={
+                big_src: "lineitem_big",
+                os.path.join(SF_DIR, "supplier.parquet"): "supplier",
+                os.path.join(SF_DIR, "nation.parquet"): "nation",
+            },
+            enable_mrshare=merged,
+        )
+        jobs = [
+            QueryJob(job_id=base_id + i, sql=q)
+            for i, q in enumerate(perm_queries)
+        ]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged:
+            merged_jobs = sum(len(mp.jobs) for b in bags for mp in b.merges)
+            if merged_jobs != len(perm_queries):
+                print(
+                    "WARN: permuted-join merge did not cover the batch"
+                    f" ({merged_jobs}/{len(perm_queries)})",
+                    file=sys.stderr,
+                )
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: permuted-join leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    perm_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        perm_trials["concurrent"].append(_run_perm_leg(False, 23000 + 100 * rep))
+        perm_trials["merged"].append(_run_perm_leg(True, 23500 + 100 * rep))
+    for leg, xs in perm_trials.items():
+        timings[f"mrshare_permjoin_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_permjoin_{leg}_min"] = round(min(xs), 3)
+
     # --- gateway result cache: repeat deterministic query text served
     # from memory (server/results.py). Measured through the REAL TCP
     # server: cold = first submission (batch window + execution),

@@ -351,15 +351,43 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
     itself would). Merging a CROSS chain halves the N-member cost of
     the product, the one case where sharing pays superlinearly.
 
+    Round-9 widening (VERDICT r8 ask #1): the signature is
+    ORDER-INSENSITIVE within maximal inner-join segments. A chain is a
+    left fold; a maximal run of plain ``JOIN`` steps (plus, for the
+    first run, the head) forms one segment whose result is
+    σ_{∧conditions}(prefix × ×tables) — inner joins commute and
+    associate, so the segment's relation depends only on the operand
+    MULTISET and condition SET, never the spelling order. The
+    signature therefore encodes each segment as (sorted operands,
+    sorted deduped conditions) folded through the chain's ordered
+    non-inner boundary steps (outer/semi/anti/cross do NOT commute and
+    keep their exact position and operand side). ``A JOIN B ON c JOIN
+    C ON c2`` and ``B JOIN A ON c JOIN C ON c2`` — the ORM/BI batch
+    shape the identical-text bar missed; the reference grouped by
+    input-source SETS, order-blind (ScanSharing.scala:95-119) — now
+    share one signature and one merged execution. The EMITTED chain is
+    the FIRST member's normalized text: any member's spelling computes
+    the shared relation, and every member reaching plan_merges was
+    already analyzed standalone by the scheduler (run_batch → analyze,
+    scheduler.py:185-193), so an order-invalid chain (an ON
+    referencing a not-yet-joined alias) errors BEFORE merging, never
+    silently borrows a valid member's emission. (Callers invoking
+    plan_merges directly inherit that precondition.) The signature is
+    ``repr()`` of a nested tuple — structurally injective, so no
+    crafted condition text (brackets, commas, literals) can collide
+    two different structures. Operand canon folds ``AS``
+    (``nation n`` ≡ ``nation AS n``); aliases themselves remain part
+    of the operand, so signature equality still guarantees an
+    identical alias set and member expressions resolve against the
+    emitted chain exactly as standalone.
+
     NATURAL joins (need schema knowledge to normalize), comma
     (implicit cross — its join predicate lives in WHERE, which the
     merged OR-prefilter must not weaken), subqueries in FROM or ON,
-    and anything else decline. Members must write the SAME chain
-    (same tables, aliases, join types, ON/USING conditions, modulo
-    case/whitespace and the RIGHT normalization) to share a signature
-    — the conservative bar: dashboard batches are generated SQL, so
-    identical FROM text is the common case, and a near-miss merely
-    runs unmerged.
+    and anything else decline. Members must write the same chain
+    modulo case/whitespace, the RIGHT normalization, and inner-segment
+    order to share a signature — still conservative: a near-miss
+    merely runs unmerged.
 
     The merged plan keeps the join inside the shared statement, so one
     scan of every base table feeds all members, and Catalyst/AQE
@@ -439,9 +467,39 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
     # the r8 grammar only swapped the two-table case). The swap is
     # exact for ON and USING alike, including which side the USING
     # column null-extends from.
+    def _op_sig(op: str) -> str:
+        # 'nation AS n' ≡ 'nation n' — operands are bare tables, no
+        # string literals, so a plain regex fold is safe
+        return _canon(re.sub(r"\s+as\s+", " ", op, flags=re.I))
+
+    def _wrap(op: str) -> tuple:
+        # a bare operand as a degenerate one-table inner segment, so a
+        # two-table RIGHT member and its mirrored plain-LEFT member
+        # still build the identical structure (r8 behavior preserved)
+        return ("inner", None, (_op_sig(op),), ())
+
     norm = head
     joined = False  # True once norm is itself a join (needs parens to
     # become a RIGHT swap's left operand — precedence, not cosmetics)
+    # signature accumulator: nested tuples, repr'd at the end. The
+    # pending inner segment collects operands/conditions until a
+    # non-inner boundary (or end of chain) folds it in.
+    sig_acc: Optional[tuple] = None
+    seg_ops: list[str] = [_op_sig(head)]
+    seg_conds: list[str] = []
+
+    def _flush_seg() -> None:
+        nonlocal sig_acc, seg_ops, seg_conds
+        if not seg_ops:
+            return
+        sig_acc = (
+            "inner",
+            sig_acc,  # accumulated prefix relation (None for the head)
+            tuple(sorted(seg_ops)),  # multiset: duplicates retained
+            tuple(sorted(set(seg_conds))),  # σ is idempotent on dupes
+        )
+        seg_ops, seg_conds = [], []
+
     for tok, seg in zip(toks, segs[1:]):
         seg = seg.strip()
         if tok == "cross_join":
@@ -449,6 +507,8 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
             if not _BARE_TABLE.fullmatch(seg):
                 return None
             norm = f"{norm} cross_join {seg}"
+            _flush_seg()
+            sig_acc = ("cross", sig_acc, _wrap(seg))
             joined = True
             continue
         m2 = re.match(
@@ -469,9 +529,19 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
         if tok == "right_join":
             prefix = f"({norm})" if joined else norm
             norm = f"{operand} left_join {prefix} {cond}"
+            _flush_seg()
+            # structurally identical to the mirrored plain-LEFT member
+            sig_acc = ("left_join", _wrap(operand), sig_acc, _canon(cond))
+        elif tok == "join":
+            norm = f"{norm} {tok} {operand} {cond}"
+            seg_ops.append(_op_sig(operand))
+            seg_conds.append(_canon(cond))
         else:
             norm = f"{norm} {tok} {operand} {cond}"
+            _flush_seg()
+            sig_acc = (tok, sig_acc, _wrap(operand), _canon(cond))
         joined = True
+    _flush_seg()
     text = norm
     emit = text
     for tok, sql in (
@@ -482,7 +552,7 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
         ("cross_join", "CROSS JOIN"),
     ):
         emit = _sub_outside_strings(rf"\b{tok}\b", sql, emit)
-    return "join:" + _canon(text), emit
+    return "join:" + repr(sig_acc), emit
 
 
 @dataclass

@@ -1321,3 +1321,99 @@ def test_deep_right_join_members_merge_matches_independent(spark, executor):
     jobs, bags = _run_and_compare(spark, executor, DEEP_RIGHT, {0, 1})
     (bag,) = [b for b in bags if b.merges]
     assert bag.rewrite is RewriteKind.MRSHARE
+
+
+# round-9: order-insensitive signatures within maximal inner-join
+# segments (VERDICT r8 ask #1 — ORM/BI SQL varies join order freely)
+
+
+def test_inner_join_order_canonicalization_signatures():
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    # permuted 3-table inner chains share one signature
+    a = _parse_join_from(
+        "customer c JOIN orders o ON c_custkey = o_custkey"
+        " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    )
+    b = _parse_join_from(
+        "customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"
+        " JOIN orders o ON c_custkey = o_custkey"
+    )
+    assert a is not None and b is not None and a[0] == b[0]
+    # the EMISSION stays each member's own (valid) spelling
+    assert a[1] != b[1]
+    # two-table head swap shares; AS-fold shares
+    c1 = _parse_join_from("customer c JOIN orders o ON c_custkey = o_custkey")
+    c2 = _parse_join_from("orders o JOIN customer c ON c_custkey = o_custkey")
+    c3 = _parse_join_from("customer AS c JOIN orders o ON c_custkey = o_custkey")
+    assert c1[0] == c2[0] == c3[0]
+    # different alias = different signature (member refs would not resolve)
+    c4 = _parse_join_from("customer x JOIN orders o ON x.c_custkey = o_custkey")
+    assert c4[0] != c1[0]
+    # differing ON conditions never share
+    d2 = _parse_join_from(
+        "customer c JOIN orders o ON c_custkey = o_custkey AND o_totalprice > 5"
+    )
+    assert d2[0] != c1[0]
+    # LEFT/FULL/SEMI/ANTI boundaries do NOT commute
+    x = _parse_join_from("customer c LEFT JOIN orders o ON c_custkey = o_custkey")
+    y = _parse_join_from("orders o LEFT JOIN customer c ON c_custkey = o_custkey")
+    assert x[0] != y[0]
+    f1 = _parse_join_from("customer c FULL JOIN orders o ON c_custkey = o_custkey")
+    f2 = _parse_join_from("orders o FULL JOIN customer c ON c_custkey = o_custkey")
+    assert f1[0] != f2[0]
+    # permutations must not cross a boundary: moving a table from the
+    # post-LEFT segment into the pre-LEFT segment changes semantics
+    p = _parse_join_from(
+        "customer c JOIN orders o ON c1 = c1"
+        " LEFT JOIN nation n ON c2 = c2 JOIN region r ON c3 = c3"
+    )
+    q = _parse_join_from(
+        "customer c JOIN region r ON c3 = c3 JOIN orders o ON c1 = c1"
+        " LEFT JOIN nation n ON c2 = c2"
+    )
+    assert p[0] != q[0]
+    # ...but permuting WITHIN the post-boundary segment shares
+    p2 = _parse_join_from(
+        "customer c LEFT JOIN nation n ON c2 = c2"
+        " JOIN region r ON c3 = c3 JOIN orders o ON c1 = c1"
+    )
+    q2 = _parse_join_from(
+        "customer c LEFT JOIN nation n ON c2 = c2"
+        " JOIN orders o ON c1 = c1 JOIN region r ON c3 = c3"
+    )
+    assert p2[0] == q2[0]
+    # the r8 two-table RIGHT/LEFT mirror still shares structurally
+    r = _parse_join_from("orders o RIGHT JOIN customer c ON c_custkey = o_custkey")
+    left = _parse_join_from("customer c LEFT JOIN orders o ON c_custkey = o_custkey")
+    assert r[0] == left[0]
+    # USING vs ON never share; permuted USING chains do share
+    u1 = _parse_join_from("lineitem a JOIN lineitem b USING (l_orderkey)")
+    u2 = _parse_join_from("lineitem b JOIN lineitem a USING (l_orderkey)")
+    assert u1[0] == u2[0]
+    on_eq = _parse_join_from("lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey")
+    assert on_eq[0] != u1[0]
+
+
+def test_permuted_inner_join_members_merge_matches_independent(spark, executor):
+    """Order-permuted but logically-identical inner chains land in ONE
+    merged plan (emission = first member's spelling) and each member's
+    demux result equals its standalone run."""
+    sqls = [
+        "SELECT o_orderpriority, sum(l_quantity) AS sq"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " WHERE l_discount > 0.02 GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, count(*) AS n"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " JOIN lineitem ON l_orderkey = o_orderkey"
+        " GROUP BY o_orderpriority",
+        # head swap too
+        "SELECT o_orderpriority, max(c_acctbal) AS mb"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " WHERE c_acctbal > 0 GROUP BY o_orderpriority",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE

@@ -230,6 +230,40 @@ JOIN_POOLS = [
         ["count(*)", "max(a.l_tax)", "sum(b.l_quantity)"],
         [None, "a.l_linenumber = 1", "b.l_quantity > 10"],
     ),
+    (
+        # round-9: inner-join ORDER permutations share a signature (all
+        # four spellings are valid standalone and compute one relation)
+        [
+            "customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+            " JOIN nation nt ON c.c_nationkey = nt.n_nationkey",
+            "customer c JOIN nation nt ON c.c_nationkey = nt.n_nationkey"
+            " JOIN orders o ON c.c_custkey = o.o_custkey",
+            "nation nt JOIN customer c ON c.c_nationkey = nt.n_nationkey"
+            " JOIN orders o ON c.c_custkey = o.o_custkey",
+            "orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+            " JOIN nation nt ON c.c_nationkey = nt.n_nationkey",
+        ],
+        ["c_mktsegment", "o_orderpriority"],
+        ["count(*)", "sum(o_totalprice)", "max(c_acctbal)",
+         "count(DISTINCT nt.n_name)"],
+        [None, "c_acctbal > 0", "o_totalprice > 50000"],
+    ),
+    (
+        # round-9: permutation WITHIN the inner segment after a LEFT
+        # boundary (both inner operands hang off the head/boundary
+        # relations, so both orders are valid)
+        [
+            "customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+            " JOIN nation nt ON c.c_nationkey = nt.n_nationkey"
+            " JOIN lineitem l ON l.l_orderkey = o.o_orderkey",
+            "customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+            " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+            " JOIN nation nt ON c.c_nationkey = nt.n_nationkey",
+        ],
+        ["c_mktsegment"],
+        ["count(*)", "sum(l.l_quantity)", "max(nt.n_name)"],
+        [None, "c.c_acctbal > 0"],
+    ),
 ]
 
 
