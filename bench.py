@@ -762,6 +762,76 @@ def main() -> None:
         timings[f"mrshare_permjoin_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_permjoin_{leg}_min"] = round(min(xs), 3)
 
+    # --- MRShare derived-table members (round 9, VERDICT r8 ask #2):
+    # six members all wrapping the SAME generated subselect (the
+    # dashboard shape — inner text identical modulo case/whitespace,
+    # alias varying) with per-member outer predicates/aggregates. The
+    # merge evaluates the derived relation ONCE; unmerged, each member
+    # re-runs the subquery's scan.
+    derived_inner = (
+        "SELECT l_returnflag AS rf, l_linestatus AS ls, l_quantity AS qty,"
+        " l_discount AS disc, l_tax AS tax, l_extendedprice AS price,"
+        " l_shipdate AS ship, l_linenumber AS ln FROM lineitem_big"
+        " WHERE l_quantity > 0"
+    )
+    derived_variants = [
+        f"({derived_inner}) t{i}" if i % 2 == 0
+        else f"({derived_inner.lower()})  AS u{i}"
+        for i in range(6)
+    ]
+    derived_aggs = [
+        "count(*) AS n",
+        "CAST(sum(CAST(qty AS DECIMAL(18,6))) AS DOUBLE) AS q",
+        "max(ship) AS mx",
+        "CAST(avg(disc) AS DOUBLE) AS d",
+        "min(ship) AS mn",
+        "CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS p",
+    ]
+    derived_preds = [
+        "disc > 0.01", "qty >= 25", "tax < 0.05",
+        "price > 1000", "ln = 1", "disc < 0.07",
+    ]
+    derived_queries = [
+        f"SELECT rf, {derived_aggs[i]} FROM {derived_variants[i]}"
+        f" WHERE {derived_preds[i]} GROUP BY rf"
+        for i in range(6)
+    ]
+
+    def _run_derived_leg(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={big_src: "lineitem_big"},
+            enable_mrshare=merged,
+        )
+        jobs = [
+            QueryJob(job_id=base_id + i, sql=q)
+            for i, q in enumerate(derived_queries)
+        ]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged:
+            merged_jobs = sum(len(mp.jobs) for b in bags for mp in b.merges)
+            if merged_jobs != len(derived_queries):
+                print(
+                    "WARN: derived-table merge did not cover the batch"
+                    f" ({merged_jobs}/{len(derived_queries)})",
+                    file=sys.stderr,
+                )
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: derived-table leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    drv_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        drv_trials["concurrent"].append(_run_derived_leg(False, 25000 + 100 * rep))
+        drv_trials["merged"].append(_run_derived_leg(True, 25500 + 100 * rep))
+    for leg, xs in drv_trials.items():
+        timings[f"mrshare_derived_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_derived_{leg}_min"] = round(min(xs), 3)
+
     # --- gateway result cache: repeat deterministic query text served
     # from memory (server/results.py). Measured through the REAL TCP
     # server: cold = first submission (batch window + execution),

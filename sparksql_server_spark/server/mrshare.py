@@ -282,6 +282,66 @@ _JOIN_DISALLOWED = re.compile(
     r"\b(left|right|full|cross|outer|semi|anti|natural|values)\b", re.I
 )
 
+
+def _parse_derived_from(from_text: str) -> Optional[tuple[str, str, Optional[str]]]:
+    """``(signature_key, emit_from_text, alias)`` for a single-level
+    derived-table FROM member ``(SELECT …) [AS] t``, or None.
+
+    Round-9 widening (VERDICT r8 ask #2): dashboard generators wrap
+    queries in ``FROM (SELECT …) t`` constantly; members whose inner
+    text is identical modulo case/whitespace (the same literal-aware
+    ``_canon`` every other clause uses) share a signature, so the
+    derived relation is EVALUATED ONCE and feeds every member — at
+    100 TB the subquery's scan+shuffle is the dominant term, so this
+    is the same N→1 saving as the bare-table merge. The inner text is
+    deliberately OPAQUE (one signature token, re-emitted verbatim
+    inside parens): its joins, unions, or window functions run inside
+    the derived table exactly as standalone, while the outer
+    key/aggregate/presentation machinery is source-agnostic. The
+    alias, like a single-table alias, is stripped from member
+    expressions and excluded from the signature (the derived table is
+    the only FROM member, so unqualified references resolve uniquely).
+
+    Declines: a derived table joined to anything (the matching close
+    paren must be followed by at most an alias), inner text that is
+    not a SELECT, and nondeterministic inner text (``rand()``/
+    ``current_timestamp``/… — one shared evaluation would observably
+    differ from N independent ones; same bar as the result cache,
+    results.cacheable_sql)."""
+    if not from_text.startswith("("):
+        return None
+    _, instr = _scan(from_text)
+    d = 0
+    close = -1
+    for i, c in enumerate(from_text):
+        if instr[i]:
+            continue
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+            if d == 0:
+                close = i
+                break
+    if close < 0:
+        return None
+    inner = from_text[1:close].strip()
+    tail = from_text[close + 1 :].strip()
+    alias: Optional[str] = None
+    if tail:
+        m = re.fullmatch(r"(?:as\s+)?([A-Za-z_]\w*)", tail, re.I)
+        if not m:
+            return None  # anything after the alias (a JOIN, a comma) declines
+        alias = m.group(1)
+    if not re.match(r"select\b", inner, re.I):
+        return None
+    from sparksql_server_spark.server.results import cacheable_sql
+
+    if not cacheable_sql(inner):
+        return None
+    emit = f"({inner}) {alias}" if alias else f"({inner})"
+    return "derived:" + _canon(inner), emit, alias
+
 # a bare relation operand: ``table [AS] [alias]`` — shared by the FROM
 # single-table check, the chain head, and CROSS operands so a future
 # widening (schema-qualified or backticked names) cannot silently
@@ -812,6 +872,13 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
         quals = [table_alias, table]
         table_key = table.lower()
         from_raw = table_key
+    elif (parsed_derived := _parse_derived_from(from_text)) is not None:
+        # derived-table member (round 9): the alias is stripped from
+        # member expressions exactly like a single-table alias — the
+        # derived relation is the only FROM member, so unqualified
+        # references resolve uniquely against the merged emission
+        table_key, from_raw, d_alias = parsed_derived
+        quals = [d_alias] if d_alias else []
     else:
         parsed_join = _parse_join_from(from_text)
         if parsed_join is None:

@@ -1395,6 +1395,99 @@ def test_inner_join_order_canonicalization_signatures():
     assert on_eq[0] != u1[0]
 
 
+def test_parse_derived_table_from_member():
+    """Round-9 (VERDICT r8 ask #2): ``FROM (SELECT …) t`` is admitted
+    as one opaque signature token — identical inner text modulo
+    case/whitespace shares; alias is stripped like a single-table
+    alias; joined/nondeterministic/non-SELECT derived text declines."""
+    base = (
+        "SELECT k, count(*) AS n FROM (SELECT l_returnflag AS k,"
+        " l_quantity FROM lineitem WHERE l_discount > 0.01) t GROUP BY k"
+    )
+    p = parse_agg_query(base)
+    assert p is not None and p.table.startswith("derived:")
+    # case/whitespace/alias variations share the signature
+    q = parse_agg_query(
+        "SELECT k, sum(l_quantity) AS s FROM (select l_returnflag as K,"
+        "   l_quantity from LINEITEM where l_discount > 0.01) x GROUP BY k"
+    )
+    assert q is not None and q.table == p.table
+    # differing inner text (predicate, literal case) never shares
+    assert parse_agg_query(base.replace("0.01", "0.02")).table != p.table
+    l1 = parse_agg_query(
+        "SELECT k, count(*) AS n FROM (SELECT l_returnflag AS k FROM"
+        " lineitem WHERE l_returnflag = 'A') t GROUP BY k"
+    )
+    l2 = parse_agg_query(
+        "SELECT k, count(*) AS n FROM (SELECT l_returnflag AS k FROM"
+        " lineitem WHERE l_returnflag = 'a') t GROUP BY k"
+    )
+    assert l1.table != l2.table
+    # alias qualifiers strip so differently-aliased members share
+    aq = parse_agg_query(
+        "SELECT t.k AS k, count(*) AS n FROM (SELECT l_returnflag AS k"
+        " FROM lineitem) t WHERE t.k > 'A' GROUP BY t.k"
+    )
+    assert aq is not None and aq.where == "k > 'A'"
+    # declines: nondeterministic inner, derived joined to anything,
+    # non-SELECT parenthesized member
+    assert parse_agg_query(
+        "SELECT k, count(*) AS n FROM (SELECT l_returnflag AS k, rand()"
+        " AS r FROM lineitem) t GROUP BY k"
+    ) is None
+    assert parse_agg_query(
+        "SELECT k, count(*) AS n FROM (SELECT 1 AS k) a JOIN"
+        " (SELECT 2 AS j) b ON k = j GROUP BY k"
+    ) is None
+    assert parse_agg_query(
+        "SELECT c1, count(*) AS n FROM (VALUES (1)) t(c1) GROUP BY c1"
+    ) is None
+
+
+DERIVED_MEMBERS = [
+    # the dashboard shape: one generated subselect, per-member outer
+    # predicates/aggregates — inner text identical modulo case/ws/alias
+    "SELECT rf, count(*) AS n FROM (SELECT l_returnflag AS rf,"
+    " l_quantity AS qty, l_discount AS disc FROM lineitem"
+    " WHERE l_linenumber <= 5) t WHERE disc > 0.02 GROUP BY rf",
+    "SELECT rf, sum(qty) AS sq FROM (select l_returnflag AS rf,"
+    "  l_quantity AS qty, l_discount AS disc from lineitem"
+    " where l_linenumber <= 5) u GROUP BY rf",
+    "SELECT rf, max(disc) AS md FROM (SELECT l_returnflag AS rf,"
+    " l_quantity AS qty, l_discount AS disc FROM LINEITEM"
+    " WHERE l_linenumber <= 5) v WHERE qty >= 25 GROUP BY rf",
+]
+
+
+def test_derived_table_members_merge_matches_independent(spark, executor):
+    jobs, bags = _run_and_compare(spark, executor, DERIVED_MEMBERS, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_derived_and_bare_table_members_do_not_cross_merge(spark, executor):
+    """A derived table selecting from lineitem and a bare lineitem
+    aggregation share scan fingerprints (same bag) but not an input
+    relation — they must keep separate signatures."""
+    sqls = [
+        DERIVED_MEMBERS[0],
+        "SELECT l_returnflag AS rf, count(*) AS n FROM lineitem"
+        " GROUP BY l_returnflag",
+    ]
+    _run_and_compare(spark, executor, sqls, set())
+
+
+def test_merged_derived_plan_scans_inner_table_once(spark, executor):
+    """The merge's whole point: the derived relation is evaluated once
+    — the merged job's plan contains exactly ONE lineitem scan where
+    the unmerged batch would run three."""
+    jobs = [QueryJob(job_id=900 + i, sql=q) for i, q in enumerate(DERIVED_MEMBERS)]
+    bags = executor.run_batch(jobs)
+    (mp,) = [mp for b in bags for mp in b.merges]
+    plan = spark.sql(mp.merged_sql)._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("lineitem.parquet") == 1, plan
+
+
 def test_permuted_inner_join_members_merge_matches_independent(spark, executor):
     """Order-permuted but logically-identical inner chains land in ONE
     merged plan (emission = first member's spelling) and each member's

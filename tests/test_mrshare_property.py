@@ -249,6 +249,19 @@ JOIN_POOLS = [
         [None, "c_acctbal > 0", "o_totalprice > 50000"],
     ),
     (
+        # round-9: derived-table FROM members — identical inner text
+        # modulo case/whitespace/alias shares one opaque signature token
+        [
+            "(SELECT l_returnflag AS rf, l_quantity AS qty, l_discount"
+            " AS disc, l_suppkey AS sk FROM lineitem WHERE l_linenumber <= 5) t",
+            "(select l_returnflag AS rf,  l_quantity AS qty, l_discount"
+            " AS disc, l_suppkey AS sk from LINEITEM where l_linenumber <= 5) u",
+        ],
+        ["rf"],
+        ["count(*)", "sum(qty)", "max(disc)", "count(DISTINCT sk)"],
+        [None, "disc > 0.02", "qty >= 25"],
+    ),
+    (
         # round-9: permutation WITHIN the inner segment after a LEFT
         # boundary (both inner operands hang off the head/boundary
         # relations, so both orders are valid)
