@@ -42,7 +42,7 @@ class BatchExecutor:
         max_concurrency: int = 16,
         source_views: dict[str, str] | None = None,
         enable_mrshare: bool = True,
-        mrshare_max_grouping_sets: int = 4,
+        mrshare_max_grouping_sets: int = 1,
         mrshare_min_bytes: int = 64 << 20,
     ) -> None:
         self.spark = spark
@@ -53,10 +53,20 @@ class BatchExecutor:
         # of each (measured ~2x faster than both concurrent-unmerged
         # and the caching rewrite on a 700 MB CSV scan at sf0.1);
         # cross-signature merges go through GROUPING SETS, whose Expand
-        # replicates input rows once per distinct set — measured a WASH
-        # at the same scale (bench mrshare_gsets_*: the saved scans
-        # offset the Expand CPU, no more), which is why the inflation
-        # cap below stays small (≙ MRShareCM GAIN). The byte floor
+        # replicates input rows once per distinct set — measured a
+        # WALL-CLOCK COIN FLIP at the same scale, so they DECLINE BY
+        # DEFAULT (round 9, VERDICT r8 ask #4). Calibration
+        # (tools/gsets_calibrate.py, 8x CSV fact at sf0.1, local[32],
+        # 3 trials/leg): merged vs concurrent medians 1.25/1.31 s at 2
+        # sets, 1.15/1.14 at 3, 1.33/1.42 at 4 — parity at every set
+        # count, because an otherwise-idle 32-thread box hides the
+        # extra scans inside concurrent parallelism exactly as well as
+        # the merge removes them (total CPU is lower merged; wall
+        # clock isn't). A rewrite that cannot be shown to win stays
+        # out of the hot path; deployments whose executors run at
+        # contention (where saved scans ARE saved wall-clock) opt in
+        # with mrshare_max_grouping_sets >= 2. Same-signature merging
+        # (no Expand) is unaffected by this default. The byte floor
         # is the merge's admission control (measured: merging 19 MB
         # parquet scans made a 2-query batch ~2x SLOWER — the blocking
         # materialize + demux round-trips are a fixed cost only an
@@ -87,6 +97,12 @@ class BatchExecutor:
             "mrshare_merged_jobs": 0,
             "mrshare_plans": 0,
             "mrshare_demux_fallbacks": 0,
+            # deadline accounting (round 9, VERDICT r8 ask #7): jobs
+            # that carried props.deadline_ms, and those that finished
+            # past their instant — surfaced through server_stats so a
+            # deployment can SEE misses instead of inferring them
+            "deadline_jobs": 0,
+            "deadline_misses": 0,
         }
         # counters are bumped from concurrent pool threads; a bare
         # 'dict[k] += 1' is a non-atomic read-modify-write that loses
@@ -246,7 +262,7 @@ class BatchExecutor:
         try:
             with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
                 futures = [
-                    pool.submit(self._run_job, job, f"job{job.job_id}")
+                    pool.submit(self._run_job, job, self._job_pool(job))
                     for bag in bags
                     for job in bag.jobs
                 ]
@@ -395,6 +411,20 @@ class BatchExecutor:
             return True
         return False
 
+    def _job_pool(self, job: QueryJob) -> str:
+        """FAIR pool for one job: an explicit ``props["pool"]`` wins;
+        deadline-carrying jobs run in the high-weight FIFO
+        ``deadline_urgent`` pool (weight 8 vs the per-job default 1 —
+        session._fair_pools_file) so the pre-scheduler's EDF order also
+        commands cluster SHARE under contention, not just queue
+        position; everything else gets its own weight-1 pool."""
+        explicit = job.props.get("pool")
+        if isinstance(explicit, str) and explicit:
+            return explicit
+        if job.deadline_at is not None:
+            return "deadline_urgent"
+        return f"job{job.job_id}"
+
     def _run_job(self, job: QueryJob, pool_name: str) -> None:
         """Execute one job in the calling thread, inside a FAIR pool."""
         with job.state_lock:
@@ -474,6 +504,12 @@ class BatchExecutor:
             self._bump_stat("jobs_failed")
         finally:
             job.elapsed = time.monotonic() - start
+            job.finished_at = time.monotonic()
+            deadline = job.deadline_at
+            if deadline is not None:
+                self._bump_stat("deadline_jobs")
+                if job.finished_at > deadline:
+                    self._bump_stat("deadline_misses")
             sc.setLocalProperty("spark.scheduler.pool", None)
             for src in job.fingerprints:
                 self.cache.touch(src)

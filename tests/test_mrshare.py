@@ -198,6 +198,11 @@ def executor(spark):
         # tests exercise the merge machinery itself (admission has its
         # own gate below)
         mrshare_min_bytes=0,
+        # cross-signature GROUPING SETS merging declines by default
+        # since round 9 (measured wall-clock coin flip — see
+        # scheduler.py); the machinery tests opt in here so the Expand
+        # path stays fully exercised for deployments that enable it
+        mrshare_max_grouping_sets=8,
     )
     yield ex
     ex.cache.clear()
@@ -1486,6 +1491,115 @@ def test_merged_derived_plan_scans_inner_table_once(spark, executor):
     (mp,) = [mp for b in bags for mp in b.merges]
     plan = spark.sql(mp.merged_sql)._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("lineitem.parquet") == 1, plan
+
+
+# round-9 (VERDICT r8 ask #8): merge-vs-DDL interleaving. The window
+# between admission and merged execution is hooked DETERMINISTICALLY
+# (the hook runs at the exact interleaving point inside run_batch —
+# no sleeps, no schedulers): a member table dropped or swapped there
+# must yield loud per-member failures or a CONSISTENT snapshot for
+# every member, never stale-mixed-with-fresh demux results.
+
+
+def _hook_materialize(executor, when, action):
+    """Wrap _materialize_merge so ``action()`` fires deterministically
+    'before' (admission happened, merged execution has not) or 'after'
+    (merged relation persisted, demux not yet run)."""
+    orig = executor._materialize_merge
+    fired = []
+
+    def hooked(mp):
+        if when == "before" and not fired:
+            fired.append(1)
+            action()
+        ok = orig(mp)
+        if when == "after" and ok and len(fired) == 0:
+            fired.append(1)
+            action()
+        return ok
+
+    executor._materialize_merge = hooked
+    return fired
+
+
+def test_member_table_dropped_between_admission_and_merge(spark, executor):
+    """DROP lands after window admission, before the merged execution:
+    the merge must roll back and EVERY member must fail loudly with
+    the resolution error it would hit standalone — no member may be
+    served rows from a relation that no longer exists."""
+    fired = _hook_materialize(
+        executor, "before", lambda: spark.catalog.dropTempView("lineitem")
+    )
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(SAME_SIG)]
+    try:
+        bags = executor.run_batch(jobs)
+    finally:
+        register_tables(spark, SF_DIR)  # restore for later tests
+    assert fired  # the interleaving actually exercised
+    assert all(not b.merges for b in bags)  # merge rolled back
+    for job in jobs:
+        assert job.status is JobStatus.ERROR, f"job {job.job_id} not failed"
+        assert "TABLE_OR_VIEW_NOT_FOUND" in (job.error or "") or "lineitem" in (
+            job.error or ""
+        )
+        assert job.rows is None  # never partial/stale rows
+
+
+def test_member_table_dropped_after_merge_serves_one_snapshot(spark, executor):
+    """DROP lands after the merged relation is persisted, before any
+    demux runs: every member must be served from the ONE pre-drop
+    snapshot (the valid serialization: members admitted before the
+    DDL), with zero demux fallbacks — a fallback would re-run a
+    member's original SQL against the post-drop catalog and mix
+    states."""
+    expected = [
+        _null_safe(tuple(r) for r in spark.sql(q).collect()) for q in SAME_SIG
+    ]
+    fired = _hook_materialize(
+        executor, "after", lambda: spark.catalog.dropTempView("lineitem")
+    )
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(SAME_SIG)]
+    try:
+        bags = executor.run_batch(jobs)
+    finally:
+        register_tables(spark, SF_DIR)
+    assert fired
+    assert any(b.merges for b in bags)
+    assert executor.stats["mrshare_demux_fallbacks"] == 0
+    for job, exp in zip(jobs, expected):
+        assert job.status is JobStatus.DONE, f"job {job.job_id}: {job.error}"
+        assert _rows_equal(_null_safe(job.rows), exp)
+
+
+def test_member_table_swapped_between_admission_and_merge(spark, executor):
+    """The table is dropped AND re-registered with different contents
+    between admission and merged execution (the overwrite shape): the
+    merged execution resolves the NEW relation, so every member must
+    get post-swap results — consistently, all members from the same
+    snapshot — never a mix of pre- and post-swap rows."""
+
+    def swap():
+        # a deterministic, different relation read straight from the
+        # parquet (no self-reference through the view being replaced,
+        # no LIMIT — a limit without order is a per-execution subset)
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+            "l_linenumber = 1 AND l_orderkey % 7 = 0"
+        ).createOrReplaceTempView("lineitem")
+
+    fired = _hook_materialize(executor, "before", swap)
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(SAME_SIG)]
+    try:
+        bags = executor.run_batch(jobs)
+        post_expected = [
+            _null_safe(tuple(r) for r in spark.sql(q).collect()) for q in SAME_SIG
+        ]
+    finally:
+        register_tables(spark, SF_DIR)
+    assert fired
+    assert any(b.merges for b in bags)  # merged against the new relation
+    for job, exp in zip(jobs, post_expected):
+        assert job.status is JobStatus.DONE, f"job {job.job_id}: {job.error}"
+        assert _rows_equal(_null_safe(job.rows), exp)
 
 
 def test_permuted_inner_join_members_merge_matches_independent(spark, executor):
