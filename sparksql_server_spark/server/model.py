@@ -44,6 +44,9 @@ class QueryJob:
     dtypes: list[str] | None = None
     n_rows: int | None = None
     elapsed: float | None = None
+    # monotonic completion instant (set by the executor) — deadline
+    # accounting and test ordering assertions read it
+    finished_at: float | None = None
     fingerprints: frozenset[str] = frozenset()
     # per scanned source: how many columns this job's plan reads
     # (pruned ReadSchema width — cache-admission cost model input)
@@ -61,6 +64,18 @@ class QueryJob:
     # guards the QUEUED→RUNNING / QUEUED→cancelled transition so the
     # runner and a concurrent cancel() can't both claim the job
     state_lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    @property
+    def deadline_at(self) -> float | None:
+        """Absolute (monotonic) deadline instant from the client's
+        ``props["deadline_ms"]`` budget — milliseconds from submission
+        — or None when unset/non-numeric (client-controlled input must
+        rank as default, never raise; same rule as priority)."""
+        try:
+            d = float(self.props["deadline_ms"])
+        except (KeyError, TypeError, ValueError):
+            return None
+        return self.submitted_at + d / 1000.0
 
     def result(self) -> dict[str, Any]:
         out: dict[str, Any] = {

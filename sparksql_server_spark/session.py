@@ -24,6 +24,47 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+# FAIR pool definitions (round 9, VERDICT r8 ask #7): per-job pools are
+# created on demand with weight 1; deadline-carrying jobs run in
+# ``deadline_urgent`` (weight 8, FIFO inside so the pre-scheduler's
+# earliest-deadline-first submission order is honored within the pool).
+# Weight 8 vs 1 means N slack jobs still hold N/(N+8) of the cluster —
+# bounded share for everyone, acceleration for deadlines, starvation
+# for no one. Weights are only readable from an allocation FILE, so the
+# session factory materializes this XML and points
+# spark.scheduler.allocation.file at it (context-creation-time conf).
+_FAIR_POOLS_XML = """<?xml version="1.0"?>
+<allocations>
+  <pool name="deadline_urgent">
+    <schedulingMode>FIFO</schedulingMode>
+    <weight>8</weight>
+    <minShare>2</minShare>
+  </pool>
+  <pool name="default">
+    <schedulingMode>FIFO</schedulingMode>
+    <weight>1</weight>
+    <minShare>0</minShare>
+  </pool>
+</allocations>
+"""
+
+
+def _fair_pools_file() -> str:
+    """Write (once) and return the FAIR allocation file path."""
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"sparkgraft_fair_pools_{os.getuid()}.xml"
+    )
+    try:
+        # rewrite unconditionally: content is static and tiny, and a
+        # stale file from an older version must not survive upgrades
+        with open(path, "w") as fh:
+            fh.write(_FAIR_POOLS_XML)
+    except OSError:
+        return ""  # unwritable tmp: pools fall back to defaults (weight 1)
+    return path
+
 
 def get_session(
     app_name: str = "sparksql_server_spark",
@@ -62,6 +103,9 @@ def get_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    pools = _fair_pools_file()
+    if pools:  # unwritable tmp: pools fall back to on-demand weight 1
+        builder = builder.config("spark.scheduler.allocation.file", pools)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,137 @@
+"""Deadline-aware pre-scheduling (round 9, VERDICT r8 ask #7).
+
+The reference ENVISIONED user deadlines in its pre-scheduler and never
+built them (PROJECT-INTERNALS.md:55-56 — only the identity
+DummyStrategy shipped). Here ``props["deadline_ms"]`` (a budget in
+milliseconds from submission) orders a window earliest-deadline-first
+within equal priority (server/batcher.py), maps deadline jobs onto the
+high-weight ``deadline_urgent`` FAIR pool (scheduler._job_pool +
+session._fair_pools_file), and surfaces misses in server stats.
+"""
+
+from __future__ import annotations
+
+import time
+
+from sparksql_server_spark.catalog import register_tables
+from sparksql_server_spark.server.batcher import WindowBatcher, preschedule
+from sparksql_server_spark.server.server import source_view_map
+from sparksql_server_spark.server.cache import CacheManager
+from sparksql_server_spark.server.model import JobStatus, QueryJob
+from sparksql_server_spark.server.scheduler import BatchExecutor
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _job(jid: int, sql: str = "SELECT 1", **props) -> QueryJob:
+    return QueryJob(job_id=jid, sql=sql, props=props)
+
+
+def test_preschedule_orders_by_slack_within_priority():
+    a = _job(1)                          # no deadline — FIFO tail
+    b = _job(2, deadline_ms=5_000)       # slack deadline
+    c = _job(3, deadline_ms=100)         # tight deadline — first
+    d = _job(4, deadline_ms="soon?")     # non-numeric → ranks as none
+    e = _job(5, priority=1)              # priority still dominates all
+    out = preschedule([a, b, c, d, e])
+    assert [j.job_id for j in out] == [5, 3, 2, 1, 4]
+
+
+def test_preschedule_without_deadlines_is_fifo():
+    jobs = [_job(i) for i in (3, 1, 2)]
+    for k, j in enumerate(jobs):  # pin distinct submission instants
+        j.submitted_at = 100.0 + k
+    assert [j.job_id for j in preschedule(jobs)] == [3, 1, 2]
+
+
+def test_batcher_emits_edf_order():
+    batcher = WindowBatcher(window_size=3, max_wait=60.0)
+    batcher.submit(_job(1))
+    batcher.submit(_job(2, deadline_ms=10_000))
+    batcher.submit(_job(3, deadline_ms=50))
+    out = batcher.next_batch(block=False)
+    assert [j.job_id for j in out] == [3, 2, 1]
+
+
+def _heavy(jid: int, n: int, **props) -> QueryJob:
+    # CPU-bound, scan-light: ~n rows exploded per lineitem row. The
+    # REPARTITION hint spreads the explode stage over 16 tasks —
+    # without it the tiny parquet is one partition, every job is ONE
+    # task, and with fewer tasks than cores FAIR weights never engage.
+    # The per-member bound varies so members never share a merge
+    # signature.
+    return QueryJob(
+        job_id=jid,
+        sql=(
+            "SELECT sum(x) AS s FROM (SELECT /*+ REPARTITION(16) */"
+            f" explode(sequence(1, {n})) AS x FROM lineitem) t"
+        ),
+        props=props,
+    )
+
+
+def test_tight_deadline_completes_first_under_contention(spark):
+    """A deadline job submitted LAST behind six equally-heavy slack
+    jobs must complete first: EDF ordering starts it early and the
+    weight-8 ``deadline_urgent`` pool gives it the dominant cluster
+    share while the slack jobs' weight-1 pools keep running (bounded
+    share — no starvation: every slack job still completes in the same
+    batch)."""
+    register_tables(spark, SF_DIR)
+    ex = BatchExecutor(
+        spark,
+        cache=CacheManager(spark, budget_bytes=1 << 30, min_bytes=1 << 40),
+        source_views=source_view_map(SF_DIR),
+        enable_mrshare=False,  # isolate scheduling from the rewrites
+    )
+    slack = [_heavy(i, 2000 + i) for i in range(6)]
+    tight = _heavy(99, 2006, deadline_ms=120_000)
+    batch = preschedule(slack + [tight])
+    assert batch[0].job_id == 99  # EDF put the late arrival first
+    ex.run_batch(batch)
+    for j in slack + [tight]:
+        assert j.status is JobStatus.DONE, f"job {j.job_id}: {j.error}"
+        assert j.finished_at is not None
+    # the deadline job finished before EVERY equally-heavy slack job
+    assert tight.finished_at < min(j.finished_at for j in slack), (
+        f"tight={tight.finished_at}, "
+        f"slack={sorted(j.finished_at for j in slack)}"
+    )
+    assert ex.stats["deadline_jobs"] == 1
+    assert ex.stats["deadline_misses"] == 0
+    ex.cache.clear()
+
+
+def test_deadline_miss_surfaces_in_stats(spark):
+    register_tables(spark, SF_DIR)
+    ex = BatchExecutor(
+        spark,
+        cache=CacheManager(spark, budget_bytes=1 << 30, min_bytes=1 << 40),
+        source_views=source_view_map(SF_DIR),
+        enable_mrshare=False,
+    )
+    missed = _job(1, sql="SELECT count(*) AS n FROM region", deadline_ms=0.001)
+    met = _job(2, sql="SELECT count(*) AS n FROM nation", deadline_ms=300_000)
+    ex.run_batch([missed, met])
+    assert missed.status is JobStatus.DONE and met.status is JobStatus.DONE
+    assert ex.stats["deadline_jobs"] == 2
+    assert ex.stats["deadline_misses"] == 1
+    ex.cache.clear()
+
+
+def test_deadline_pool_assignment(spark):
+    ex = BatchExecutor(spark, cache=CacheManager(spark, budget_bytes=1 << 20))
+    assert ex._job_pool(_job(7)) == "job7"
+    assert ex._job_pool(_job(8, deadline_ms=100)) == "deadline_urgent"
+    assert ex._job_pool(_job(9, pool="etl", deadline_ms=100)) == "etl"
+    assert ex._job_pool(_job(10, deadline_ms="junk")) == "job10"
+
+
+def test_fair_pools_file_defines_urgent_pool():
+    from sparksql_server_spark.session import _fair_pools_file
+
+    path = _fair_pools_file()
+    assert path
+    with open(path) as fh:
+        xml = fh.read()
+    assert '"deadline_urgent"' in xml and "<weight>8</weight>" in xml
