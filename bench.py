@@ -190,6 +190,12 @@ def mrshare_widened_queries(n: int) -> list[str]:
     return [q + tails[i % len(tails)] for i, q in enumerate(mrshare_queries(n))]
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
 def main() -> None:
     spark = get_session("bench", cpus=CPUS)
     timings: dict[str, float] = {}
@@ -197,6 +203,32 @@ def main() -> None:
     # warm the JVM/codegen paths once so per-query times are steady-state
     register_tables(spark, SF_DIR)
     _force(spark.sql("SELECT count(*) AS n FROM region"))
+
+    # --- machine-drift calibration (round 9, VERDICT r8 ask #6): the
+    # r8 driver box ran ~15-20% slower machine-wide and untangling that
+    # from real regressions took a forensic diff. Three FIXED probes —
+    # scan, cpu, shuffle — each compiled once unmeasured then timed 5x,
+    # recorded raw + median in BENCH_DETAIL.json::calibration. To
+    # drift-normalize a cross-round comparison, divide a query's time
+    # by (this_run_probe_median / reference_run_probe_median) for the
+    # probe matching its bottleneck (or the mean of the three ratios).
+    _PROBES = {
+        "scan": "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS q"
+        " FROM lineitem GROUP BY l_returnflag",
+        "cpu": "SELECT sum(x) AS s FROM"
+        " (SELECT explode(sequence(1, 2000)) AS x FROM orders) t",
+        "shuffle": "SELECT l_orderkey, count(*) AS n FROM lineitem"
+        " GROUP BY l_orderkey ORDER BY n DESC LIMIT 5",
+    }
+    calibration: dict[str, dict] = {}
+    for pname, psql in _PROBES.items():
+        _force(spark.sql(psql))  # compile once — probes measure the MACHINE
+        trials = []
+        for _ in range(5):
+            t0 = time.monotonic()
+            _force(spark.sql(psql))
+            trials.append(round(time.monotonic() - t0, 4))
+        calibration[pname] = {"trials": trials, "median": _median(trials)}
 
     # Two regimes per corpus query (VERDICT r7 ask #8): the headline
     # per-query number (and the corpus total) stays FIRST-execution-in-
@@ -307,11 +339,6 @@ def main() -> None:
             print("WARN: cache not admitted in cached_scan_batched", file=sys.stderr)
         ex.cache.clear()
         return dt
-
-    def _median(xs: list[float]) -> float:
-        s = sorted(xs)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
     cs_trials: dict[str, list[float]] = {"separate": [], "concurrent": [], "batched": []}
     for rep in range(CACHED_SCAN_TRIALS):
@@ -896,6 +923,11 @@ def main() -> None:
         "mrshare_widened_trials": {
             leg: [round(x, 3) for x in xs] for leg, xs in wide_trials.items()
         },
+        # fixed machine-speed probes (scan/cpu/shuffle), compiled-once
+        # then timed — divide per-query times by the probe-median ratio
+        # between two runs to drift-normalize cross-round comparisons
+        # (see README "Benchmarks")
+        "calibration": calibration,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
