@@ -34,6 +34,20 @@ def main() -> None:
     spark = get_session("firstexec-ab", cpus=CPUS)
     register_tables(spark, SF_DIR)
     _force(spark.sql("SELECT count(*) AS n FROM region"))  # warm JVM
+    # warm the Python/Arrow worker pool too: in bench.py's context many
+    # Arrow queries run before any given corpus query, so daemon workers
+    # are already up — a fresh session would otherwise charge worker
+    # startup to whichever variant uses Arrow first (skews A/Bs)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(10_000).repartition(CPUS).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     t0 = time.monotonic()
     _force(QUERIES[name](spark, SF_DIR))
