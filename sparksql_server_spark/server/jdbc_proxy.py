@@ -421,8 +421,16 @@ def mirrorable_jdbc_set(sql: str) -> Optional[tuple[str, str]]:
     if "=" not in body:
         return None
     key, value = body.split("=", 1)
-    key = key.strip().lower()
-    if key in _MIRRORABLE_SET_KEYS or key.startswith(_MIRRORABLE_SET_PREFIXES):
+    # allowlist matching is case-insensitive, but the returned key is
+    # the client's ORIGINAL spelling: Spark conf keys are
+    # case-sensitive (verified: setting the lowercased
+    # autobroadcastjointhreshold leaves the real camelCase entry
+    # untouched), so mirroring a case-folded key would silently set a
+    # dead key — the mirror must apply exactly what HiveServer2 will
+    # apply on the forwarded statement
+    key = key.strip()
+    low = key.lower()
+    if low in _MIRRORABLE_SET_KEYS or low.startswith(_MIRRORABLE_SET_PREFIXES):
         return key, value.strip()
     return None
 

@@ -57,10 +57,14 @@ def _fair_pools_file() -> str:
         tempfile.gettempdir(), f"sparkgraft_fair_pools_{os.getuid()}.xml"
     )
     try:
-        # rewrite unconditionally: content is static and tiny, and a
-        # stale file from an older version must not survive upgrades
-        with open(path, "w") as fh:
+        # rewrite unconditionally (a stale file from an older version
+        # must not survive upgrades) but ATOMICALLY: another process's
+        # JVM may be reading the path at its own context creation, and
+        # a torn truncate-write would hand it malformed XML
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
             fh.write(_FAIR_POOLS_XML)
+        os.replace(tmp, path)
     except OSError:
         return ""  # unwritable tmp: pools fall back to defaults (weight 1)
     return path

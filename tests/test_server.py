@@ -1478,9 +1478,12 @@ class TestBenignJdbcCommand:
             "spark.sql.shuffle.partitions",
             "6",
         )
+        # allowlist matches case-insensitively, but the key mirrors in
+        # the client's ORIGINAL spelling — Spark conf keys are
+        # case-sensitive, so folding would set a dead key
         assert mirrorable_jdbc_set(
-            "/* bi */ set Spark.SQL.Adaptive.enabled = true ;"
-        ) == ("spark.sql.adaptive.enabled", "true")
+            "/* bi */ set spark.sql.autoBroadcastJoinThreshold = 64m ;"
+        ) == ("spark.sql.autoBroadcastJoinThreshold", "64m")
         # benign-but-not-mirrorable: hive.server2.* is meaningless to Spark
         assert mirrorable_jdbc_set("SET hive.server2.async.exec.threads=9") is None
         # reads, unknown keys, non-SETs
