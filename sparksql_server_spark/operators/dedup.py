@@ -466,11 +466,12 @@ def _shingle_kept_materialized(spark: SparkSession) -> DataFrame:
 
     from sparksql_server_spark.operators.scratch import CacheScope
 
-    sh = (
-        spark.table("documents")
-        .select("doc_id", "text")
-        .mapInPandas(_doc_shingle_sets, "doc_id bigint, shingle string")
-    )
+    docs = spark.table("documents").select("doc_id", "text")
+    # doc_id keeps the SOURCE dtype (bigint in the driver corpus, but
+    # any key type a caller registers — hardcoding bigint broke the
+    # skew-corpus scale test, which keys documents by string)
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    sh = docs.mapInPandas(_doc_shingle_sets, f"doc_id {id_type}, shingle string")
     kept = (
         sh.withColumn("c", F.count("*").over(Window.partitionBy("shingle")))
         .filter(F.col("c") <= _SHINGLE_MAX_DF)
