@@ -469,7 +469,7 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
     # that happens to be NAMED left_join, which this grammar cannot
     # distinguish from the token). Decline both, so invalid SQL errors
     # exactly as it would unmerged (ADVICE r8 low).
-    _d0, _ins0 = _scan(text)
+    _, _ins0 = _scan(text)
     for _m in re.finditer(
         r"\b(?:left|right|full|semi|anti|cross)_join\b", text, re.I
     ):
@@ -596,6 +596,21 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
             norm = f"{norm} {tok} {operand} {cond}"
             seg_ops.append(_op_sig(operand))
             seg_conds.append(_canon(cond))
+        elif tok == "full_join":
+            norm = f"{norm} {tok} {operand} {cond}"
+            _flush_seg()
+            # FULL OUTER is symmetric as a bag of named tuples (ON:
+            # matched rows identical, each side's unmatched rows
+            # null-extend the same way regardless of spelling order;
+            # USING: coalesce(a.k,b.k) == coalesce(b.k,a.k) — equal on
+            # matches, single-sided otherwise), so the two sides sort
+            # into the signature order-insensitively and ``A FULL JOIN
+            # B`` merges with ``B FULL JOIN A``. Only the two-table
+            # case can actually mirror (deeper prefixes would need
+            # parenthesized operands, which the grammar declines), but
+            # the sorted form is sound at any depth.
+            sides = tuple(sorted((repr(sig_acc), repr(_wrap(operand)))))
+            sig_acc = ("full_join", sides, _canon(cond))
         else:
             norm = f"{norm} {tok} {operand} {cond}"
             _flush_seg()

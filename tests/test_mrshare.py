@@ -1364,9 +1364,14 @@ def test_inner_join_order_canonicalization_signatures():
     x = _parse_join_from("customer c LEFT JOIN orders o ON c_custkey = o_custkey")
     y = _parse_join_from("orders o LEFT JOIN customer c ON c_custkey = o_custkey")
     assert x[0] != y[0]
+    # FULL is symmetric as a bag of named tuples — mirror spellings share
     f1 = _parse_join_from("customer c FULL JOIN orders o ON c_custkey = o_custkey")
     f2 = _parse_join_from("orders o FULL JOIN customer c ON c_custkey = o_custkey")
-    assert f1[0] != f2[0]
+    assert f1[0] == f2[0]
+    # ...but SEMI/ANTI (and LEFT, above) stay ordered
+    s1 = _parse_join_from("orders o SEMI JOIN lineitem l ON o_orderkey = l_orderkey")
+    s2 = _parse_join_from("lineitem l SEMI JOIN orders o ON o_orderkey = l_orderkey")
+    assert s1[0] != s2[0]
     # permutations must not cross a boundary: moving a table from the
     # post-LEFT segment into the pre-LEFT segment changes semantics
     p = _parse_join_from(

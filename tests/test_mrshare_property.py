@@ -182,6 +182,9 @@ JOIN_POOLS = [
             " ON c_custkey = o_custkey AND o_totalprice > 150000",
             "customer c FULL OUTER JOIN orders o"
             " ON c_custkey = o_custkey AND o_totalprice > 150000",
+            # round 9: FULL is symmetric — the mirror spelling shares
+            "orders o FULL JOIN customer c"
+            " ON c_custkey = o_custkey AND o_totalprice > 150000",
         ],
         ["c_mktsegment"],
         ["count(*)", "count(o_orderkey)", "sum(o_totalprice)"],
