@@ -203,6 +203,25 @@ def main() -> None:
     # warm the JVM/codegen paths once so per-query times are steady-state
     register_tables(spark, SF_DIR)
     _force(spark.sql("SELECT count(*) AS n FROM region"))
+    # ...and the Python/Arrow daemon pool: whichever corpus query
+    # executes Python first otherwise pays the ~2-3 s 32-worker spawn
+    # (measured: the payer shifted from dedup_winnowing to
+    # dedup_ngram_jaccard in r9 purely from alphabetical pipeline
+    # changes, confounding the cross-round per-query diff). Warm BOTH
+    # Python codepaths — scalar Arrow UDF and mapInPandas initialize
+    # different serializer stacks (measured: a pandas_udf warm left
+    # ~1 s of mapInPandas first-use cost on the table).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_py(s):
+        return s
+
+    def _warm_mip(it):
+        yield from it
+
+    _force(spark.range(100_000).repartition(CPUS).select(_warm_py("id")))
+    _force(spark.range(100_000).repartition(CPUS).mapInPandas(_warm_mip, "id long"))
 
     # --- machine-drift calibration (round 9, VERDICT r8 ask #6): the
     # r8 driver box ran ~15-20% slower machine-wide and untangling that

@@ -416,7 +416,18 @@ def _doc_shingle_sets(it):
     DISTINCT shuffle — per-doc dedup needs no cluster pass. Semantics
     are byte-identical to the SQL pipeline: split on single spaces,
     drop empties, space-join word triples (the DuckDB oracle keeps the
-    SQL form)."""
+    SQL form).
+
+    Bench note: whichever corpus query executes Python FIRST in a
+    session pays the ~2-3 s python-daemon spawn for all 32 workers —
+    with this rework that became dedup_ngram_jaccard (alphabetically
+    the first Python user; r8's payer, dedup_winnowing, got the same
+    amount faster). A/B'd a closure variant to rule out worker-side
+    module import: no difference — the cost is the spawn itself, so
+    bench.py now warms the worker pool in its session warmup and no
+    corpus query carries it."""
+    import pandas as pd
+
     for batch in it:
         rows_doc: list = []
         rows_sh: list = []
@@ -429,8 +440,6 @@ def _doc_shingle_sets(it):
             seen = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
             rows_doc.extend([doc_id] * len(seen))
             rows_sh.extend(seen)
-        import pandas as pd
-
         yield pd.DataFrame({"doc_id": rows_doc, "shingle": rows_sh})
 
 
