@@ -504,6 +504,48 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
             if d[m.start()] == 0 and not ins[m.start()]
         ]
 
+    def _derived_operand(t: str) -> Optional[tuple[str, str, str]]:
+        """Parse a parenthesized derived-table operand at the start of
+        ``t``: ``(SELECT …) [AS] alias``. Returns (emit_text,
+        signature_text, rest_after_alias) or None. Round-9b widening:
+        dashboards join generated subselects to dims; the inner text
+        is one opaque token under the same identical-text +
+        deterministic bar as derived FROM members, and the ALIAS is
+        REQUIRED (member references need it, and without it the next
+        word — ON/USING — would be eaten as an alias)."""
+        if not t.startswith("("):
+            return None
+        _, ins = _scan(t)
+        d = 0
+        close = -1
+        for i, c in enumerate(t):
+            if ins[i]:
+                continue
+            if c == "(":
+                d += 1
+            elif c == ")":
+                d -= 1
+                if d == 0:
+                    close = i
+                    break
+        if close < 0:
+            return None
+        inner = t[1:close].strip()
+        if not re.match(r"select\b", inner, re.I):
+            return None
+        from sparksql_server_spark.server.results import cacheable_sql
+
+        if not cacheable_sql(inner):
+            return None
+        m = re.match(r"\s*(?:as\s+)?([A-Za-z_]\w*)", t[close + 1 :], re.I)
+        if not m:
+            return None
+        alias = m.group(1)
+        if alias.lower() in ("on", "using", "as"):
+            return None  # unaliased operand — the keyword is not an alias
+        rest = t[close + 1 + m.end() :].strip()
+        return f"({inner}) {alias}", f"({_canon(inner)}) {alias.lower()}", rest
+
     cuts = _top_cuts(text)
     if not cuts:
         return None
@@ -516,7 +558,12 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
         last = m.end()
     segs.append(text[last:])
     head = segs[0].strip()
-    if not _BARE_TABLE.fullmatch(head):
+    head_derived = _derived_operand(head)
+    if head_derived is not None:
+        if head_derived[2]:
+            return None  # trailing text after the head's alias
+        head = head_derived[0]
+    elif not _BARE_TABLE.fullmatch(head):
         return None
     # left-to-right fold building the NORMALIZED chain: SQL join chains
     # are left-associative, so ``<prefix> RIGHT JOIN T <cond>`` is
@@ -532,11 +579,14 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
         # string literals, so a plain regex fold is safe
         return _canon(re.sub(r"\s+as\s+", " ", op, flags=re.I))
 
-    def _wrap(op: str) -> tuple:
-        # a bare operand as a degenerate one-table inner segment, so a
-        # two-table RIGHT member and its mirrored plain-LEFT member
-        # still build the identical structure (r8 behavior preserved)
-        return ("inner", None, (_op_sig(op),), ())
+    def _wrap(op_sig: str) -> tuple:
+        # an operand SIGNATURE (already canonicalized — _op_sig for
+        # bare tables, _derived_operand's sig for subqueries; re-
+        # canonicalizing here would run the literal-blind AS-fold over
+        # derived inner text) as a degenerate one-table inner segment,
+        # so a two-table RIGHT member and its mirrored plain-LEFT
+        # member still build the identical structure (r8 preserved)
+        return ("inner", None, (op_sig,), ())
 
     norm = head
     joined = False  # True once norm is itself a join (needs parens to
@@ -545,7 +595,9 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
     # pending inner segment collects operands/conditions until a
     # non-inner boundary (or end of chain) folds it in.
     sig_acc: Optional[tuple] = None
-    seg_ops: list[str] = [_op_sig(head)]
+    seg_ops: list[str] = [
+        head_derived[1] if head_derived is not None else _op_sig(head)
+    ]
     seg_conds: list[str] = []
 
     def _flush_seg() -> None:
@@ -568,7 +620,7 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
                 return None
             norm = f"{norm} cross_join {seg}"
             _flush_seg()
-            sig_acc = ("cross", sig_acc, _wrap(seg))
+            sig_acc = ("cross", sig_acc, _wrap(_op_sig(seg)))
             joined = True
             continue
         m2 = re.match(
@@ -577,9 +629,26 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
             seg,
             re.I | re.S,
         )
-        if not m2:
-            return None
-        operand, cond, using_cols = m2.group(1), m2.group(2).strip(), m2.group(3)
+        if m2:
+            operand, cond, using_cols = (
+                m2.group(1),
+                m2.group(2).strip(),
+                m2.group(3),
+            )
+            op_sig = _op_sig(operand)
+        else:
+            # round-9b: parenthesized derived-table operand — one
+            # opaque token, alias required, deterministic inner only
+            der = _derived_operand(seg)
+            if der is None:
+                return None
+            operand, op_sig, rest = der
+            mc = re.match(
+                r"^(on\s+.+|using\s*\(([^()]+)\)\s*)$", rest, re.I | re.S
+            )
+            if not mc:
+                return None
+            cond, using_cols = mc.group(1).strip(), mc.group(2)
         if using_cols is None and re.search(r"\bselect\b", cond, re.I):
             return None
         if using_cols is not None and not re.fullmatch(
@@ -591,10 +660,10 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
             norm = f"{operand} left_join {prefix} {cond}"
             _flush_seg()
             # structurally identical to the mirrored plain-LEFT member
-            sig_acc = ("left_join", _wrap(operand), sig_acc, _canon(cond))
+            sig_acc = ("left_join", _wrap(op_sig), sig_acc, _canon(cond))
         elif tok == "join":
             norm = f"{norm} {tok} {operand} {cond}"
-            seg_ops.append(_op_sig(operand))
+            seg_ops.append(op_sig)
             seg_conds.append(_canon(cond))
         elif tok == "full_join":
             norm = f"{norm} {tok} {operand} {cond}"
@@ -609,18 +678,23 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
             # case can actually mirror (deeper prefixes would need
             # parenthesized operands, which the grammar declines), but
             # the sorted form is sound at any depth.
-            sides = tuple(sorted((repr(sig_acc), repr(_wrap(operand)))))
+            sides = tuple(sorted((repr(sig_acc), repr(_wrap(op_sig)))))
             sig_acc = ("full_join", sides, _canon(cond))
         else:
             norm = f"{norm} {tok} {operand} {cond}"
             _flush_seg()
-            sig_acc = (tok, sig_acc, _wrap(operand), _canon(cond))
+            sig_acc = (tok, sig_acc, _wrap(op_sig), _canon(cond))
         joined = True
     _flush_seg()
     text = norm
     emit = text
     for tok, sql in (
         ("left_join", "LEFT JOIN"),
+        # every TOP-LEVEL right_join was consumed by the LEFT
+        # normalization above; surviving occurrences live INSIDE
+        # derived-table operands (the keyword rewrites are not
+        # depth-aware) and must round-trip back to real SQL
+        ("right_join", "RIGHT JOIN"),
         ("full_join", "FULL JOIN"),
         ("semi_join", "LEFT SEMI JOIN"),
         ("anti_join", "LEFT ANTI JOIN"),

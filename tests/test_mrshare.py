@@ -104,11 +104,13 @@ def test_parse_expression_key_and_case_folding():
         # mergeable shape (inner chains are since round 6, LEFT chains
         # since round 7, two-table RIGHT + USING since round 8,
         # FULL/SEMI/ANTI/CROSS since round 8b)
-        "SELECT c_name, count(*) AS n FROM customer c JOIN (SELECT * FROM nation) n ON c_nationkey = n_nationkey GROUP BY c_name",  # subquery operand (deep RIGHT itself admits since r8c)
         "SELECT c_name, count(*) AS n FROM customer c NATURAL JOIN orders o GROUP BY c_name",  # NATURAL needs schema knowledge
         "SELECT l_orderkey, count(*) AS n FROM lineitem a JOIN lineitem b USING (l_orderkey + 1) GROUP BY l_orderkey",  # USING list must be plain columns
         "SELECT c_name, count(*) AS n FROM customer c, orders o WHERE c_custkey = o_custkey GROUP BY c_name",
-        "SELECT c_name, count(*) AS n FROM customer c JOIN (SELECT * FROM orders) o ON c_custkey = o_custkey GROUP BY c_name",
+        # subquery operands admit since round 9b — but only ALIASED
+        # and DETERMINISTIC ones
+        "SELECT c_name, count(*) AS n FROM customer c JOIN (SELECT c_custkey FROM orders) ON c_custkey = c_custkey GROUP BY c_name",  # unaliased
+        "SELECT c_name, count(*) AS n FROM customer c JOIN (SELECT o_custkey, rand() AS r FROM orders) o2 ON c_custkey = o2.o_custkey GROUP BY c_name",  # nondeterministic
         "SELECT c_name, count(*) AS n FROM customer c CROSS JOIN orders o ON c_custkey = o_custkey GROUP BY c_name",  # CROSS takes no condition
         # presentation clauses outside the provably-rewritable surface
         "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_tax",  # non-key raw column
@@ -1445,10 +1447,13 @@ def test_parse_derived_table_from_member():
         "SELECT k, count(*) AS n FROM (SELECT l_returnflag AS k, rand()"
         " AS r FROM lineitem) t GROUP BY k"
     ) is None
-    assert parse_agg_query(
+    # two derived operands JOINED is no longer a derived-FROM member —
+    # it parses as a join-shaped member since round 9b
+    joined = parse_agg_query(
         "SELECT k, count(*) AS n FROM (SELECT 1 AS k) a JOIN"
         " (SELECT 2 AS j) b ON k = j GROUP BY k"
-    ) is None
+    )
+    assert joined is not None and joined.table.startswith("join:")
     assert parse_agg_query(
         "SELECT c1, count(*) AS n FROM (VALUES (1)) t(c1) GROUP BY c1"
     ) is None
@@ -1496,6 +1501,77 @@ def test_merged_derived_plan_scans_inner_table_once(spark, executor):
     (mp,) = [mp for b in bags for mp in b.merges]
     plan = spark.sql(mp.merged_sql)._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("lineitem.parquet") == 1, plan
+
+
+def test_parse_derived_join_operand():
+    """Round-9b: a parenthesized derived table may be a JOIN OPERAND
+    (head or cut side) — one opaque signature token, alias REQUIRED,
+    deterministic inner only; identical inner text modulo case/ws
+    shares, and inner-segment order-insensitivity includes derived
+    operands."""
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    base = (
+        "(SELECT l_orderkey, l_quantity FROM lineitem WHERE"
+        " l_discount > 0.01) t JOIN orders o ON t.l_orderkey = o.o_orderkey"
+    )
+    a = _parse_join_from(base)
+    assert a is not None
+    # case/ws inner variants share; operand-order permutation shares
+    b = _parse_join_from(
+        "(select L_ORDERKEY,  l_quantity from lineitem where"
+        " l_discount > 0.01) t JOIN orders o ON t.l_orderkey = o.o_orderkey"
+    )
+    c = _parse_join_from(
+        "orders o JOIN (SELECT l_orderkey, l_quantity FROM lineitem WHERE"
+        " l_discount > 0.01) t ON t.l_orderkey = o.o_orderkey"
+    )
+    assert b[0] == a[0] and c[0] == a[0]
+    # differing inner text / alias never share
+    assert _parse_join_from(base.replace("0.01", "0.02"))[0] != a[0]
+    assert (
+        _parse_join_from(base.replace(") t ", ") u ").replace("t.", "u."))[0]
+        != a[0]
+    )
+    # unaliased / nondeterministic derived operands decline
+    assert _parse_join_from("(SELECT 1 AS x) JOIN orders o ON x = o_orderkey") is None
+    assert _parse_join_from(
+        "(SELECT rand() AS x FROM lineitem) t JOIN orders o ON t.x = o_orderkey"
+    ) is None
+    # joins INSIDE the subquery round-trip through the keyword rewrites
+    f = _parse_join_from(
+        "(SELECT c_custkey FROM nation n RIGHT JOIN customer c"
+        " ON c.c_nationkey = n.n_nationkey) t"
+        " JOIN orders o ON t.c_custkey = o.o_custkey"
+    )
+    assert f is not None and "RIGHT JOIN customer" in f[1]
+    # top-level RIGHT with a derived operand mirrors to the plain LEFT
+    h = _parse_join_from(
+        "orders o RIGHT JOIN (SELECT l_orderkey FROM lineitem) t"
+        " ON t.l_orderkey = o.o_orderkey"
+    )
+    i = _parse_join_from(
+        "(SELECT l_orderkey FROM lineitem) t LEFT JOIN orders o"
+        " ON t.l_orderkey = o.o_orderkey"
+    )
+    assert h[0] == i[0]
+
+
+def test_derived_join_operand_members_merge_matches_independent(spark, executor):
+    sqls = [
+        "SELECT o_orderpriority, count(*) AS n"
+        " FROM (SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1) t"
+        " JOIN orders o ON t.l_orderkey = o.o_orderkey"
+        " WHERE o.o_totalprice > 1000 GROUP BY o_orderpriority",
+        # same logical chain, operand order permuted, inner case varies
+        "SELECT o_orderpriority, sum(o_totalprice) AS s"
+        " FROM orders o JOIN (select l_orderkey from lineitem"
+        " where l_linenumber = 1) t ON t.l_orderkey = o.o_orderkey"
+        " GROUP BY o_orderpriority",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
 
 
 # round-9 (VERDICT r8 ask #8): merge-vs-DDL interleaving. The window

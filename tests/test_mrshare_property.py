@@ -265,6 +265,21 @@ JOIN_POOLS = [
         [None, "disc > 0.02", "qty >= 25"],
     ),
     (
+        # round-9b: derived-table JOIN OPERANDS — inner case/ws variants
+        # and operand-order permutations share one signature
+        [
+            "(SELECT l_orderkey AS k, l_quantity AS qty FROM lineitem"
+            " WHERE l_linenumber <= 3) t JOIN orders o ON t.k = o.o_orderkey",
+            "(select l_orderkey AS k,  l_quantity AS qty from LINEITEM"
+            " where l_linenumber <= 3) t JOIN orders o ON t.k = o.o_orderkey",
+            "orders o JOIN (SELECT l_orderkey AS k, l_quantity AS qty"
+            " FROM lineitem WHERE l_linenumber <= 3) t ON t.k = o.o_orderkey",
+        ],
+        ["o_orderpriority"],
+        ["count(*)", "sum(qty)", "max(o_totalprice)"],
+        [None, "qty >= 25", "o_totalprice > 50000"],
+    ),
+    (
         # round-9: permutation WITHIN the inner segment after a LEFT
         # boundary (both inner operands hang off the head/boundary
         # relations, so both orders are valid)
