@@ -119,6 +119,36 @@ def test_deadline_miss_surfaces_in_stats(spark):
     ex.cache.clear()
 
 
+def test_deadline_job_merges_and_completes(spark):
+    """Deadline props compose with the MRShare merge: a deadline-
+    carrying member still joins the merged plan, its demux runs in the
+    urgent pool, rows equal standalone, and deadline accounting sees
+    it."""
+    register_tables(spark, SF_DIR)
+    ex = BatchExecutor(
+        spark,
+        cache=CacheManager(spark, budget_bytes=1 << 30),
+        source_views=source_view_map(SF_DIR),
+        mrshare_min_bytes=0,
+    )
+    sqls = [
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+        "SELECT l_returnflag, sum(l_quantity) AS q FROM lineitem"
+        " GROUP BY l_returnflag",
+    ]
+    expected = [sorted(tuple(r) for r in spark.sql(q).collect()) for q in sqls]
+    jobs = [
+        QueryJob(job_id=0, sql=sqls[0], props={"deadline_ms": 300_000}),
+        QueryJob(job_id=1, sql=sqls[1]),
+    ]
+    bags = ex.run_batch(jobs)
+    assert any(b.merges for b in bags)  # the pair merged
+    for j, exp in zip(jobs, expected):
+        assert j.status is JobStatus.DONE and sorted(j.rows) == exp
+    assert ex.stats["deadline_jobs"] == 1 and ex.stats["deadline_misses"] == 0
+    ex.cache.clear()
+
+
 def test_deadline_pool_assignment(spark):
     ex = BatchExecutor(spark, cache=CacheManager(spark, budget_bytes=1 << 20))
     assert ex._job_pool(_job(7)) == "job7"
