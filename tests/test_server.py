@@ -493,6 +493,20 @@ class TestConcurrentClients:
             f" WHERE l_linenumber = {i} GROUP BY l_returnflag, l_linestatus"
             for i in range(1, 5)
         ]
+        # round-9 member shapes under the same contention: order-
+        # permuted join chains and derived-table members
+        permuted = [
+            "SELECT o_orderpriority, count(*) AS n FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority",
+            "SELECT o_orderpriority, sum(l_quantity) AS q FROM orders"
+            " JOIN lineitem ON l_orderkey = o_orderkey GROUP BY o_orderpriority",
+        ]
+        derived = [
+            "SELECT rf, count(*) AS n FROM (SELECT l_returnflag AS rf,"
+            " l_quantity AS qty FROM lineitem) t WHERE qty > 10 GROUP BY rf",
+            "SELECT rf, max(qty) AS m FROM (select l_returnflag AS rf,"
+            " l_quantity AS qty from lineitem) u GROUP BY rf",
+        ]
         repeat = (
             "SELECT o_orderstatus, count(*) AS n FROM orders"
             " GROUP BY o_orderstatus"
@@ -505,18 +519,25 @@ class TestConcurrentClients:
             "CREATE OR REPLACE TEMP VIEW stress_scratch AS SELECT 1 AS one",
             "DROP VIEW IF EXISTS stress_scratch",
         ]
-        queries = mergeable + [repeat] * 4 + oneoffs
+        queries = mergeable + permuted + derived + [repeat] * 4 + oneoffs
         expected = {
             q: sorted(tuple(r) for r in spark.sql(q).collect()) for q in queries
         }
-        workload = queries + commands  # 12 requests per round
+        # one query carries a deadline: must behave identically under
+        # the urgent pool, and the accounting must see it
+        payloads = [{"sql": q} for q in queries] + [
+            {"sql": repeat, "props": {"deadline_ms": 300_000}}
+        ] + [{"sql": c} for c in commands]  # 17 requests per round
         try:
             for _ in range(2):
-                with ThreadPoolExecutor(max_workers=12) as pool:
+                with ThreadPoolExecutor(max_workers=17) as pool:
                     replies = list(
                         pool.map(
-                            lambda q: (q, client_request(srv.address, {"sql": q})),
-                            workload,
+                            lambda p: (
+                                p["sql"],
+                                client_request(srv.address, p),
+                            ),
+                            payloads,
                         )
                     )
                 for q, r in replies:
@@ -524,6 +545,7 @@ class TestConcurrentClients:
                     if q in expected:
                         got = sorted(tuple(x) for x in r["rows"])
                         assert got == expected[q], f"diverged under stress: {q}"
+            assert srv.executor.stats["deadline_jobs"] >= 1
             stats = client_request(srv.address, {"server_stats": True})["stats"]
             # the merge path actually fired under contention: with
             # dense arrival each round's 4 same-signature members fall
