@@ -95,7 +95,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT)                          AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 4)               AS first_val,
+           round(CAST(embedding[1] AS DOUBLE), 4) + 0           AS first_val,
            CAST(len(list_filter(embedding, x -> x > CAST(0.1 AS DOUBLE))) AS INT) AS n_big,
            list_contains([0, 1, 2], label)                      AS low_label
     FROM embeddings
@@ -103,10 +103,17 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
+    # `+ 0` on BOTH engines: a tiny negative value rounds to IEEE
+    # negative zero in DuckDB (sign-preserving float round) but to
+    # plain 0.0 in Spark (BigDecimal has no signed zero) — one sf0.1
+    # row hit this and `-0.0` vs `0.0` hash-diverge under the driver's
+    # stringified row sort. Adding integer zero folds -0.0 to 0.0
+    # identically in both engines and is a no-op for every other value.
     return e.select(
         "vec_id",
         F.size("embedding").cast("int").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + F.lit(0))
+        .alias("first_val"),
         F.size(F.filter("embedding", lambda x: x > 0.1)).cast("int").alias("n_big"),
         F.array_contains(F.array(F.lit(0), F.lit(1), F.lit(2)), F.col("label")).alias(
             "low_label"
