@@ -368,17 +368,70 @@ _BENIGN_SET_READ = _re.compile(r"^[A-Za-z_][\w.\-:]*$")
 # placement change partition counts and join strategies — never rows.
 # Keys NOT on this list (hivevar substitutions, ANSI/timezone/case
 # sensitivity, arbitrary k=v) still demote: unknown means unsafe.
-_MIRRORABLE_SET_KEYS = frozenset(
-    (
-        "spark.sql.shuffle.partitions",
-        "spark.sql.autobroadcastjointhreshold",
-        "spark.sql.broadcasttimeout",
-        "spark.sql.files.maxpartitionbytes",
-        "spark.sql.files.opencostinbytes",
-        "spark.scheduler.pool",
-    )
-)
-_MIRRORABLE_SET_PREFIXES = ("spark.sql.adaptive.",)
+#
+# Round 10 (ADVICE r9): each key carries a VALUE validator. A value
+# that sets cleanly but fails at PLAN time (e.g. a bogus
+# spark.sql.adaptive.customCostEvaluatorClass, formerly admitted by a
+# bare adaptive.* prefix) would break every subsequent gateway query
+# for ALL clean JDBC clients — the mirror writes the SHARED root
+# session. So adaptive.* is now a closed set of known numeric/boolean/
+# byte-size knobs (class-name and free-string adaptive keys demote),
+# and every value must parse as the key's conf type BEFORE mirroring.
+_INT_VALUE = _re.compile(r"^-?\d+$")
+_BYTES_VALUE = _re.compile(r"^-?\d+\s*(b|k|kb|m|mb|g|gb|t|tb|p|pb)?$", _re.I)
+_DURATION_VALUE = _re.compile(r"^\d+\s*(us|ms|s|m|min|h|d)?$", _re.I)
+_BOOL_VALUE = _re.compile(r"^(true|false)$", _re.I)
+_NUMBER_VALUE = _re.compile(r"^-?\d+(\.\d+)?$")
+_POOL_VALUE = _re.compile(r"^[\w.\-]+$")
+
+_MIRRORABLE_SET_KEYS: dict[str, "_re.Pattern[str]"] = {
+    "spark.sql.shuffle.partitions": _INT_VALUE,
+    "spark.sql.autobroadcastjointhreshold": _BYTES_VALUE,
+    "spark.sql.broadcasttimeout": _DURATION_VALUE,
+    "spark.sql.files.maxpartitionbytes": _BYTES_VALUE,
+    "spark.sql.files.opencostinbytes": _BYTES_VALUE,
+    "spark.scheduler.pool": _POOL_VALUE,
+    # adaptive.* — known-safe plan-shaping knobs only (closed set)
+    "spark.sql.adaptive.enabled": _BOOL_VALUE,
+    "spark.sql.adaptive.coalescepartitions.enabled": _BOOL_VALUE,
+    "spark.sql.adaptive.coalescepartitions.parallelismfirst": _BOOL_VALUE,
+    "spark.sql.adaptive.coalescepartitions.minpartitionsize": _BYTES_VALUE,
+    "spark.sql.adaptive.coalescepartitions.initialpartitionnum": _INT_VALUE,
+    "spark.sql.adaptive.advisorypartitionsizeinbytes": _BYTES_VALUE,
+    "spark.sql.adaptive.autobroadcastjointhreshold": _BYTES_VALUE,
+    "spark.sql.adaptive.skewjoin.enabled": _BOOL_VALUE,
+    "spark.sql.adaptive.skewjoin.skewedpartitionfactor": _NUMBER_VALUE,
+    "spark.sql.adaptive.skewjoin.skewedpartitionthresholdinbytes": _BYTES_VALUE,
+    "spark.sql.adaptive.localshufflereader.enabled": _BOOL_VALUE,
+    "spark.sql.adaptive.forceoptimizeskewedjoin": _BOOL_VALUE,
+    "spark.sql.adaptive.optimizeskewsinrebalancepartitions.enabled": _BOOL_VALUE,
+    "spark.sql.adaptive.rebalancepartitionssmallpartitionfactor": _NUMBER_VALUE,
+    "spark.sql.adaptive.maxshuffledhashjoinlocalmapthreshold": _BYTES_VALUE,
+}
+
+
+def _strip_trailing_value_comment(value: str) -> Optional[str]:
+    """``value`` with one trailing ``-- ...`` / ``/* ... */`` segment
+    removed, or None when comment markers sit anywhere else (ADVICE
+    r9: 'SET spark.scheduler.pool=etl -- tweak' previously mirrored
+    the literal value 'etl -- tweak' into the shared session; numeric
+    confs rejected it at set time but STRING-typed keys stored the
+    garbage). Mirrorable values are all bare tokens — none legally
+    contains a comment marker — so anything that still has one after
+    the trim declines (and the statement demotes: unknown is unsafe)."""
+    v = value.strip()
+    dash = v.find("--")
+    if dash >= 0:
+        v = v[:dash].rstrip()
+    blk = v.find("/*")
+    if blk >= 0:
+        end = v.find("*/", blk + 2)
+        if end < 0 or v[end + 2 :].strip():
+            return None  # unclosed, or trailing text after the block
+        v = v[:blk].rstrip()
+    if "--" in v or "/*" in v or "*/" in v or not v:
+        return None
+    return v
 
 
 def _strip_jdbc_comments(sql: str) -> Optional[str]:
@@ -410,10 +463,15 @@ def _strip_jdbc_comments(sql: str) -> Optional[str]:
 
 def mirrorable_jdbc_set(sql: str) -> Optional[tuple[str, str]]:
     """``(key, value)`` when ``sql`` is a ``SET k=v`` whose key is on
-    the result-semantics-free allowlist — the gateway MIRRORS these
-    into its session so its plan shaping tracks the client's intent —
-    else None. hive.server2.* assignments are benign (transport knobs)
-    but meaningless to Spark, so they are not mirrored."""
+    the result-semantics-free allowlist AND the value parses as that
+    key's conf type — the gateway MIRRORS these into its session so
+    its plan shaping tracks the client's intent — else None.
+    hive.server2.* assignments are benign (transport knobs) but
+    meaningless to Spark, so they are not mirrored. A value that fails
+    its validator declines (→ the connection demotes): the mirror
+    target is the SHARED root session, and a value that sets cleanly
+    but explodes at plan time would break every clean client
+    (ADVICE r9)."""
     s = _strip_jdbc_comments(sql)
     if s is None or not s.lower().startswith("set "):
         return None
@@ -429,10 +487,13 @@ def mirrorable_jdbc_set(sql: str) -> Optional[tuple[str, str]]:
     # dead key — the mirror must apply exactly what HiveServer2 will
     # apply on the forwarded statement
     key = key.strip()
-    low = key.lower()
-    if low in _MIRRORABLE_SET_KEYS or low.startswith(_MIRRORABLE_SET_PREFIXES):
-        return key, value.strip()
-    return None
+    validator = _MIRRORABLE_SET_KEYS.get(key.lower())
+    if validator is None:
+        return None
+    cleaned = _strip_trailing_value_comment(value)
+    if cleaned is None or validator.match(cleaned) is None:
+        return None
+    return key, cleaned
 
 
 def benign_jdbc_command(sql: str) -> bool:

@@ -259,12 +259,21 @@ class BatchExecutor:
         # relation with a cheap count, so ALL jobs — bag #1 included —
         # then run concurrently on warm cache. Merged jobs' demux queries
         # run against the persisted merged aggregate the same way.
+        #
+        # Submission order re-applies the pre-scheduler key (ADVICE r9):
+        # detect_sharing regrouped the prescheduled batch into bags, and
+        # submitting in bag order would let a tight-deadline job grouped
+        # into a LATER bag queue behind slack jobs whenever the batch
+        # exceeds max_concurrency — the deadline_urgent FAIR pool only
+        # helps once the Spark job has actually started.
+        from sparksql_server_spark.server.batcher import preschedule
+
+        ordered = preschedule([job for bag in bags for job in bag.jobs])
         try:
             with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
                 futures = [
                     pool.submit(self._run_job, job, self._job_pool(job))
-                    for bag in bags
-                    for job in bag.jobs
+                    for job in ordered
                 ]
                 wait(futures)
         finally:

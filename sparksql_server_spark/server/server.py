@@ -473,9 +473,16 @@ class WorkSharingServer:
         and cross-client merging only work there, and every mirrorable
         key is results-free, so the worst another client sees is a
         different partition count (last-writer-wins, like any shared
-        engine's perf knobs). A malformed value is swallowed — the
-        forward still carries it to HiveServer2, whose own error the
-        client sees; the gateway's results stay correct either way."""
+        engine's perf knobs). Values are TYPE-VALIDATED before this is
+        reached (mirrorable_jdbc_set, ADVICE r9): a value that sets
+        cleanly but fails at plan time (e.g. a bogus adaptive
+        cost-evaluator class) would break every subsequent gateway
+        query for all clean clients, so unvalidatable values decline
+        upstream and demote. The try/except is belt-and-braces for
+        set-time rejection of a validated-but-still-refused value —
+        the forward still carries it to HiveServer2, whose own error
+        the client sees; the gateway's results stay correct either
+        way."""
         pair = mirrorable_jdbc_set(sql)
         if pair is None:
             return

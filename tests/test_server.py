@@ -1478,6 +1478,12 @@ class TestBenignJdbcCommand:
             "SET spark.sql.legacy.timeParserPolicy=LEGACY",
             "SET hivevar:tbl=lineitem",
             "SET hiveconf:hive.exec.parallel=true",
+            # round 10 (ADVICE r9): allowlisted KEYS with unvalidatable
+            # VALUES demote — the mirror writes the SHARED root session
+            "SET spark.sql.shuffle.partitions=not_a_number",
+            "SET spark.sql.adaptive.customCostEvaluatorClass=com.x.Bogus",
+            "SET spark.sql.adaptive.optimizer.excludedRules=org.x.Rule",
+            "SET spark.scheduler.pool=etl /* unclosed",
             "RESET spark.sql.ansi.enabled",  # targeted reset — not bare
             "USE default; DROP TABLE t",  # compound text never whitelists
             "SET x=1; SET y=2",
@@ -1512,6 +1518,71 @@ class TestBenignJdbcCommand:
         assert mirrorable_jdbc_set("SET spark.sql.shuffle.partitions") is None
         assert mirrorable_jdbc_set("SET spark.sql.ansi.enabled=true") is None
         assert mirrorable_jdbc_set("USE default") is None
+
+    def test_mirrorable_value_validation(self):
+        """Round 10 (ADVICE r9): the mirror target is the SHARED root
+        session, so values must parse as the key's conf type BEFORE
+        mirroring — a value that sets cleanly but fails at plan time
+        (bogus adaptive class name) would break every clean client."""
+        from sparksql_server_spark.server.jdbc_proxy import mirrorable_jdbc_set
+
+        # typed values pass
+        assert mirrorable_jdbc_set("SET spark.sql.adaptive.enabled=TRUE") == (
+            "spark.sql.adaptive.enabled",
+            "TRUE",
+        )
+        assert mirrorable_jdbc_set(
+            "SET spark.sql.adaptive.advisoryPartitionSizeInBytes=128MB"
+        ) == ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128MB")
+        assert mirrorable_jdbc_set("SET spark.sql.broadcastTimeout=600s") == (
+            "spark.sql.broadcastTimeout",
+            "600s",
+        )
+        assert mirrorable_jdbc_set(
+            "SET spark.sql.autoBroadcastJoinThreshold=-1"
+        ) == ("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # type mismatches decline
+        assert mirrorable_jdbc_set("SET spark.sql.shuffle.partitions=auto") is None
+        assert mirrorable_jdbc_set("SET spark.sql.adaptive.enabled=maybe") is None
+        # adaptive.* is a CLOSED set: class-name / free-string keys
+        # (the plan-time-bomb surface) are not mirrorable
+        assert (
+            mirrorable_jdbc_set(
+                "SET spark.sql.adaptive.customCostEvaluatorClass=com.x.Bogus"
+            )
+            is None
+        )
+        assert (
+            mirrorable_jdbc_set(
+                "SET spark.sql.adaptive.optimizer.excludedRules=org.x.Rule"
+            )
+            is None
+        )
+
+    def test_mirrorable_trailing_comment_trim(self):
+        """Round 10 (ADVICE r9): 'SET k=v -- tweak' previously mirrored
+        the literal value 'v -- tweak'; string-typed keys stored the
+        garbage in the shared session. One trailing comment trims;
+        embedded markers decline."""
+        from sparksql_server_spark.server.jdbc_proxy import mirrorable_jdbc_set
+
+        assert mirrorable_jdbc_set(
+            "SET spark.sql.shuffle.partitions=200 -- tweak"
+        ) == ("spark.sql.shuffle.partitions", "200")
+        assert mirrorable_jdbc_set(
+            "SET spark.scheduler.pool=etl /* nightly */"
+        ) == ("spark.scheduler.pool", "etl")
+        # '--' opens a comment even unspaced (Spark's lexer does the
+        # same to the forwarded statement, so the trim MATCHES what
+        # HiveServer2 will apply)
+        assert mirrorable_jdbc_set("SET spark.scheduler.pool=etl--x") == (
+            "spark.scheduler.pool",
+            "etl",
+        )
+        # unclosed block, text after a block, or comment-only value: decline
+        assert mirrorable_jdbc_set("SET spark.scheduler.pool=etl /* x") is None
+        assert mirrorable_jdbc_set("SET spark.scheduler.pool=a/*x*/b") is None
+        assert mirrorable_jdbc_set("SET spark.scheduler.pool= -- gone") is None
 
     def test_mirror_applies_to_gateway_session(self, spark):
         from sparksql_server_spark.server import WorkSharingServer
