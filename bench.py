@@ -878,6 +878,64 @@ def main() -> None:
         timings[f"mrshare_derived_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_derived_{leg}_min"] = round(min(xs), 3)
 
+    # --- MRShare ON-condition spelling variants (round 10, VERDICT r9
+    # ask #1): six members joining the same two tables with the SAME
+    # logical condition spelled four ways — conjunct order permuted,
+    # symmetric operands swapped, inequality mirrored (0 < x vs
+    # x > 0). The conjunct-canonical signature must land all six in
+    # ONE merged plan; the round-9 spelling-exact bar merged only the
+    # members that happened to spell it identically.
+    cond_spellings = [
+        "ON l_suppkey = s_suppkey AND l_quantity > 0",
+        "ON l_quantity > 0 AND s_suppkey = l_suppkey",
+        "ON 0 < l_quantity AND l_suppkey = s_suppkey",
+        "ON s_suppkey = l_suppkey AND 0 < l_quantity",
+    ]
+    condspell_queries = [
+        f"SELECT s_nationkey, {join_aggs[i]}"
+        f" FROM lineitem_big JOIN supplier {cond_spellings[i % 4]}"
+        f" WHERE {join_preds[i]} GROUP BY s_nationkey"
+        for i in range(6)
+    ]
+
+    def _run_condspell_leg(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={
+                big_src: "lineitem_big",
+                os.path.join(SF_DIR, "supplier.parquet"): "supplier",
+            },
+            enable_mrshare=merged,
+        )
+        jobs = [
+            QueryJob(job_id=base_id + i, sql=q)
+            for i, q in enumerate(condspell_queries)
+        ]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged:
+            merged_jobs = sum(len(mp.jobs) for b in bags for mp in b.merges)
+            if merged_jobs != len(condspell_queries):
+                print(
+                    "WARN: condition-spelling merge did not cover the batch"
+                    f" ({merged_jobs}/{len(condspell_queries)})",
+                    file=sys.stderr,
+                )
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: condition-spelling leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    cs_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        cs_trials["concurrent"].append(_run_condspell_leg(False, 26000 + 100 * rep))
+        cs_trials["merged"].append(_run_condspell_leg(True, 26500 + 100 * rep))
+    for leg, xs in cs_trials.items():
+        timings[f"mrshare_condspell_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_condspell_{leg}_min"] = round(min(xs), 3)
+
     # --- gateway result cache: repeat deterministic query text served
     # from memory (server/results.py). Measured through the REAL TCP
     # server: cold = first submission (batch window + execution),

