@@ -878,6 +878,66 @@ def main() -> None:
         timings[f"mrshare_derived_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_derived_{leg}_min"] = round(min(xs), 3)
 
+    # --- MRShare derived tables with INNER JOIN chains (round 10,
+    # VERDICT r9 ask #2): six members wrapping the SAME generated
+    # join-subselect with the inner chain spelled in different orders
+    # and condition spellings. The structure-aware inner signature must
+    # land all six in ONE merged plan whose derived relation — the
+    # expensive scan+join — is evaluated once.
+    dj_inners = [
+        "SELECT s_nationkey AS nk, l_quantity AS qty, l_discount AS disc,"
+        " l_tax AS tax, l_extendedprice AS price, l_shipdate AS ship,"
+        " l_linenumber AS ln FROM lineitem_big JOIN supplier"
+        " ON l_suppkey = s_suppkey",
+        "select s_nationkey AS nk, l_quantity AS qty, l_discount AS disc,"
+        " l_tax AS tax, l_extendedprice AS price, l_shipdate AS ship,"
+        " l_linenumber AS ln from supplier join lineitem_big"
+        " on s_suppkey = l_suppkey",
+    ]
+    derivedjoin_queries = [
+        f"SELECT nk, {derived_aggs[i]} FROM ({dj_inners[i % 2]}) t{i}"
+        f" WHERE {derived_preds[i]} GROUP BY nk"
+        for i in range(6)
+    ]
+
+    def _run_derivedjoin_leg(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={
+                big_src: "lineitem_big",
+                os.path.join(SF_DIR, "supplier.parquet"): "supplier",
+            },
+            enable_mrshare=merged,
+        )
+        jobs = [
+            QueryJob(job_id=base_id + i, sql=q)
+            for i, q in enumerate(derivedjoin_queries)
+        ]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged:
+            merged_jobs = sum(len(mp.jobs) for b in bags for mp in b.merges)
+            if merged_jobs != len(derivedjoin_queries):
+                print(
+                    "WARN: derived-join merge did not cover the batch"
+                    f" ({merged_jobs}/{len(derivedjoin_queries)})",
+                    file=sys.stderr,
+                )
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: derived-join leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    dj_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        dj_trials["concurrent"].append(_run_derivedjoin_leg(False, 27000 + 100 * rep))
+        dj_trials["merged"].append(_run_derivedjoin_leg(True, 27500 + 100 * rep))
+    for leg, xs in dj_trials.items():
+        timings[f"mrshare_derivedjoin_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_derivedjoin_{leg}_min"] = round(min(xs), 3)
+
     # --- MRShare ON-condition spelling variants (round 10, VERDICT r9
     # ask #1): six members joining the same two tables with the SAME
     # logical condition spelled four ways — conjunct order permuted,

