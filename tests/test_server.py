@@ -2840,3 +2840,182 @@ class TestGatewayHardeningR8:
         finally:
             srv.shutdown()
             srv.executor.cache.clear()
+
+
+class TestJdbcTempViewMirror:
+    """Round 10 (VERDICT r9 ask #3): a deterministic CREATE TEMPORARY
+    VIEW no longer demotes a JDBC connection for life — the gateway
+    mirrors it into a per-connection session, answers that connection's
+    view queries from the session, keeps base-table queries on the
+    merged root path, replays the mirror if the session is reaped, and
+    drops everything on connection close."""
+
+    def test_parser_accepts_only_bare_temp_view_shapes(self):
+        from sparksql_server_spark.server.jdbc_proxy import (
+            mirrorable_jdbc_temp_view as tv,
+        )
+
+        got = tv("CREATE TEMPORARY VIEW topc AS SELECT 1 AS x")
+        assert got == ("CREATE TEMPORARY VIEW topc AS SELECT 1 AS x", "topc", "SELECT 1 AS x")
+        assert tv("create or replace temp view `V2` as select * from t")[1] == "V2"
+        assert tv("-- bi tool\nCREATE TEMP VIEW v AS SELECT 2;")[1] == "v"
+        assert tv("CREATE TEMPORARY VIEW IF NOT EXISTS v AS SELECT 2")[1] == "v"
+        # declines: global namespace is CROSS-session on HiveServer2;
+        # qualified/dotted names aren't temp views; column lists and
+        # other DDL shapes don't match; compound text never whitelists
+        assert tv("CREATE GLOBAL TEMPORARY VIEW g AS SELECT 1") is None
+        assert tv("CREATE TEMPORARY VIEW db.v AS SELECT 1") is None
+        assert tv("CREATE TEMPORARY VIEW `a.b` AS SELECT 1") is None
+        assert tv("CREATE TEMPORARY VIEW v (a, b) AS SELECT 1, 2") is None
+        assert tv("CREATE TABLE t AS SELECT 1") is None
+        assert tv("CREATE VIEW v AS SELECT 1") is None
+        assert tv("DROP VIEW v") is None
+        assert tv("CREATE TEMP VIEW v AS SELECT 1; SELECT 2") is None
+
+    def test_proxy_threads_session_and_releases_on_close(self):
+        """Wire-level plumbing: after a 'mirrored' answer the proxy
+        passes the session id on every later call, stays clean, and
+        fires release(session) when the connection closes."""
+        ups = _Upstream()
+        calls, released = [], []
+
+        def answer(sql, session=None):
+            calls.append((sql, session))
+            if sql.startswith("CREATE"):
+                return {"passthrough": "mirrored", "session": "s-77"}
+            return {"columns": ["x"], "rows": [[1]]}
+
+        proxy = JdbcLineProxy(
+            ups.address, gate=lambda s: None, answer=lambda s, sid=None: answer(s, sid),
+            release=released.append,
+        ).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                ddl = _exec_stmt_call("CREATE TEMP VIEW v AS SELECT 1", seq=1)
+                c.sendall(ddl)
+                assert ups.wait_bytes(len(ddl)) == len(ddl)  # DDL forwarded
+                c.sendall(_exec_stmt_call("SELECT * FROM v", seq=2))
+                name, _s, d = _recv_reply(c)
+                assert name == "ExecuteStatement" and d[0][1][1] == 0
+            deadline = time.monotonic() + 5
+            while not released and time.monotonic() < deadline:
+                time.sleep(0.02)
+            assert released == ["s-77"]
+            assert calls == [
+                ("CREATE TEMP VIEW v AS SELECT 1", None),
+                ("SELECT * FROM v", "s-77"),
+            ]
+            assert proxy.stats["statements_answered"] == 1
+        finally:
+            proxy.stop()
+            ups.close()
+
+    def test_mirror_answers_view_queries_and_keeps_root_for_base_tables(self, spark):
+        from sparksql_server_spark.server.results import ResultCache
+
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            exp = spark.sql(
+                "SELECT count(*) AS n FROM nation WHERE n_regionkey = 0"
+            ).collect()[0][0]
+            out = srv.answer_jdbc(
+                "CREATE TEMPORARY VIEW topnat AS"
+                " SELECT n_nationkey FROM nation WHERE n_regionkey = 0"
+            )
+            assert out["passthrough"] == "mirrored"
+            sid = out["session"]
+            assert sid and sid in srv._jdbc_replay
+            # the view query answers from the per-connection session
+            q = "SELECT count(*) AS n FROM topnat"
+            res = srv.answer_jdbc(q, sid)
+            assert res["rows"][0][0] == exp, res
+            # ...and is cached PRIVATELY, never in the shared namespace
+            assert srv.results.get(ResultCache.key(None, q)) is None
+            # root never learned the view
+            import pytest as _pytest
+            with _pytest.raises(Exception):
+                spark.sql("SELECT * FROM topnat").collect()
+            # a base-table query from the same connection routes to
+            # ROOT: cached under the SHARED cross-session namespace
+            qb = "SELECT count(*) AS n FROM supplier WHERE s_acctbal > 0"
+            resb = srv.answer_jdbc(qb, sid)
+            assert resb["rows"][0][0] > 0
+            assert srv.results.get(ResultCache.key(None, qb)) is not None
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
+
+    def test_shadowing_view_routes_to_session_not_root(self, spark):
+        """The hazard the routing must never miss: a mirrored view that
+        SHADOWS a base-table name. Queries naming it must resolve
+        through the session (view rows), never root (base rows)."""
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            out = srv.answer_jdbc(
+                "CREATE OR REPLACE TEMPORARY VIEW nation AS SELECT * FROM region"
+            )
+            assert out["passthrough"] == "mirrored"
+            sid = out["session"]
+            res = srv.answer_jdbc("SELECT count(*) AS n FROM nation", sid)
+            assert res["rows"][0][0] == 5  # region count, not 25 nations
+            srv.release_jdbc_session(sid)
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
+
+    def test_reaped_session_replays_the_mirror_log(self, spark):
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            out = srv.answer_jdbc(
+                "CREATE OR REPLACE TEMPORARY VIEW nation AS SELECT * FROM region"
+            )
+            sid = out["session"]
+            srv.answer_jdbc("SET spark.sql.shuffle.partitions=7", sid)
+            # simulate the idle reap: the session object is dropped
+            with srv._session_lock:
+                srv._sessions.pop(sid)
+                srv._dirty_sessions.discard(sid)
+            # the recreated session must hold the shadow AND the conf
+            res = srv.answer_jdbc("SELECT count(*) AS n FROM nation", sid)
+            assert res["rows"][0][0] == 5, res
+            sess = srv.session_for(sid)
+            assert sess.conf.get("spark.sql.shuffle.partitions") == "7"
+            with srv._session_lock:
+                assert sid in srv._dirty_sessions
+            srv.release_jdbc_session(sid)
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
+
+    def test_non_mirrorable_ddl_still_demotes(self, spark):
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            for ddl in (
+                "CREATE TEMPORARY VIEW r AS SELECT rand() AS x",   # nondeterministic
+                "CREATE GLOBAL TEMPORARY VIEW g AS SELECT 1 AS x", # cross-session
+                "CREATE TEMPORARY VIEW nation AS SELECT 1 AS x",   # exists, no OR REPLACE
+                "DROP VIEW somev",
+                "CREATE TABLE t2 AS SELECT 1 AS x",
+            ):
+                assert srv.answer_jdbc(ddl) == {"passthrough": "command"}, ddl
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
+
+    def test_release_drops_session_state(self, spark):
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            out = srv.answer_jdbc(
+                "CREATE TEMPORARY VIEW relv AS SELECT 1 AS x"
+            )
+            sid = out["session"]
+            rows = srv.answer_jdbc("SELECT x FROM relv", sid)["rows"]
+            assert [list(r) for r in rows] == [[1]]
+            srv.release_jdbc_session(sid)
+            with srv._session_lock:
+                assert sid not in srv._sessions
+                assert sid not in srv._jdbc_replay
+                assert sid not in srv._dirty_sessions
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()

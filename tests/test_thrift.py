@@ -167,7 +167,8 @@ proxy.stop()
 srv.executor.mrshare_min_bytes = 0       # sf0.001 is under the 64MiB floor
 plans_before = srv.executor.stats["mrshare_plans"]
 proxy2 = JdbcLineProxy(("localhost", PORT), gate=srv.prime,
-                       answer=srv.answer_jdbc).start()
+                       answer=srv.answer_jdbc,
+                       release=srv.release_jdbc_session).start()
 p2 = proxy2.address[1]
 res3 = {}
 def via_sub(name, sql):
@@ -276,6 +277,39 @@ print(f"RESULT6:src={res9['g'].returncode}{res9['h'].returncode};"
       f"grows_ok={exp_g <= got_g};"
       f"drc={res10.returncode};"
       f"danswered={proxy2.stats['statements_answered'] - ans_mid}")
+
+# --- round 10 (VERDICT r9 ask #3): a deterministic CREATE TEMPORARY
+# VIEW no longer demotes the connection — the gateway mirrors it into
+# a per-connection session and ANSWERS the view query itself; the
+# session is released when the beeline connection closes. A
+# nondeterministic view body still demotes (its SELECT forwards to
+# HiveServer2, whose own session has the view, so rows still arrive).
+ans_before = proxy2.stats["statements_answered"]
+exp_v = spark.sql("SELECT count(*) FROM customer WHERE c_acctbal > 10").collect()[0][0]
+res11 = subprocess.run(
+    [sys.argv[1], "-u", f"jdbc:hive2://localhost:{p2}",
+     "--silent=true", "--outputformat=tsv2", "-e",
+     "CREATE TEMPORARY VIEW richc AS"
+     " SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 10; "
+     "SELECT count(*) AS n FROM richc",],
+    capture_output=True, text=True, timeout=180, env=env)
+vanswered = proxy2.stats["statements_answered"] - ans_before
+vrows_ok = str(exp_v) in res11.stdout
+deadline = time.monotonic() + 20
+while srv._jdbc_replay and time.monotonic() < deadline:
+    time.sleep(0.2)  # beeline closed: the proxy releases the session
+ans_before = proxy2.stats["statements_answered"]
+res12 = subprocess.run(
+    [sys.argv[1], "-u", f"jdbc:hive2://localhost:{p2}",
+     "--silent=true", "--outputformat=tsv2", "-e",
+     "CREATE TEMPORARY VIEW rnd AS SELECT rand() AS x FROM region; "
+     "SELECT count(*) AS n FROM rnd",],
+    capture_output=True, text=True, timeout=180, env=env)
+print(f"RESULT7:vrc={res11.returncode};vanswered={vanswered};"
+      f"vrows_ok={vrows_ok};released={not srv._jdbc_replay};"
+      f"nrc={res12.returncode};"
+      f"nanswered={proxy2.stats['statements_answered'] - ans_before};"
+      f"nrows_ok={'5' in res12.stdout}")
 proxy2.stop(); srv.shutdown()
 """
 
@@ -394,6 +428,24 @@ def test_thrift_jdbc_round_trip(tmp_path):
     assert "grows_ok=True" in r6, r6
     assert "drc=0" in r6, r6        # demoted query still succeeds...
     assert "danswered=0" in r6, r6  # ...via forwarding, never answered
+    # round 10 (VERDICT r9 ask #3): a beeline connection creating a
+    # deterministic temp view stays substitution-clean — its view query
+    # is ANSWERED from the per-connection gateway session with correct
+    # rows, and the session is released on connection close; a
+    # nondeterministic view body demotes (forwarded, still correct)
+    results7 = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT7:")]
+    assert results7, (
+        f"temp-view leg died\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-2000:]}"
+    )
+    r7 = results7[0]
+    assert "vrc=0" in r7, r7
+    assert "vanswered=1" in r7, r7
+    assert "vrows_ok=True" in r7, r7
+    assert "released=True" in r7, r7
+    assert "nrc=0" in r7, r7
+    assert "nanswered=0" in r7, r7
+    assert "nrows_ok=True" in r7, r7
     shutil.rmtree(tmp_path / "metastore_db", ignore_errors=True)
 
 
