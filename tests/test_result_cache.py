@@ -454,3 +454,147 @@ def test_jdbc_command_taint_blocks_caching_in_the_window(spark):
     finally:
         srv.shutdown()
         srv.executor.cache.clear()
+
+
+# -- round 10 (VERDICT r9 ask #7): generative interleaving gate --------------
+#
+# The result cache's interaction surface with the merge path grew three
+# rounds running (merged members seed the cache under their original
+# SQL; derived tables, mirrored SETs and deadline pools all route
+# through the same batch) while the cache tests stayed example-based.
+# This pool interleaves MERGED BATCHES (same-signature aggregations
+# submitted concurrently into one window), CACHE HITS (repeat texts)
+# and INVALIDATING COMMANDS (OR REPLACE of a temp view the query pool
+# reads), asserting after every operation that the served result —
+# cached or fresh, merged or direct — equals an independent
+# spark.sql() run against the CURRENT catalog state.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# same-signature family (table + grouping keys match => one MRShare
+# signature): exact-typed aggregates only — merged and direct plans may
+# legitimately differ in float summation order, which is not what this
+# gate is for
+_MERGE_FAMILY = [
+    "SELECT l_returnflag, l_linestatus, count(*) AS c FROM lineitem"
+    " GROUP BY l_returnflag, l_linestatus",
+    "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq FROM lineitem"
+    " WHERE l_discount > 0.02 GROUP BY l_returnflag, l_linestatus",
+    "SELECT l_returnflag, l_linestatus, max(l_extendedprice) AS mx FROM lineitem"
+    " WHERE l_quantity >= 25 GROUP BY l_returnflag, l_linestatus",
+    "SELECT l_returnflag, l_linestatus, min(l_shipdate) AS mn FROM lineitem"
+    " WHERE l_linenumber = 1 GROUP BY l_returnflag, l_linestatus",
+    "SELECT l_returnflag, l_linestatus, count(DISTINCT l_suppkey) AS ds"
+    " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+]
+# reads that observe the command pool's temp-view shadow
+_NATION_QS = [
+    "SELECT count(*) AS n FROM nation",
+    "SELECT max(n_nationkey) AS m FROM nation",
+    "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey",
+]
+_NATION_SRC = f"parquet.`{SF_DIR}/nation.parquet`"
+_COMMANDS = [
+    f"CREATE OR REPLACE TEMP VIEW nation AS SELECT * FROM {_NATION_SRC}"
+    f" WHERE n_regionkey <= {k}"
+    for k in (0, 1, 3)
+] + [f"CREATE OR REPLACE TEMP VIEW nation AS SELECT * FROM {_NATION_SRC}"]
+
+_EXERCISED = {"hits": 0, "merges": 0, "cmds": 0}
+
+_op = st.one_of(
+    st.tuples(
+        st.just("batch"),
+        st.lists(
+            st.sampled_from(range(len(_MERGE_FAMILY))),
+            min_size=2, max_size=3, unique=True,
+        ),
+    ),
+    st.tuples(
+        st.just("q"),
+        st.sampled_from(range(len(_MERGE_FAMILY) + len(_NATION_QS))),
+    ),
+    st.tuples(st.just("cmd"), st.sampled_from(range(len(_COMMANDS)))),
+)
+
+
+def _expected(spark, q):
+    return sorted(tuple(r) for r in spark.sql(q).collect())
+
+
+def _check(spark, resp, q, exp):
+    __tracebackhide__ = True
+    assert resp.get("status") == "done", (q, resp.get("error"))
+    if resp.get("cached"):
+        _EXERCISED["hits"] += 1
+    got = sorted(tuple(r) for r in resp["rows"])
+    assert got == exp, (q, resp.get("cached"), got[:3], exp[:3])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=3, max_size=8))
+def test_cache_vs_merge_interleaving_property(spark, ops):
+    import threading
+
+    from sparksql_server_spark.catalog import register_tables
+
+    srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=5.0).start()
+    srv.executor.mrshare_min_bytes = 0
+    try:
+        for kind, arg in ops:
+            if kind == "batch":
+                qs = [_MERGE_FAMILY[i] for i in arg]
+                exps = {q: _expected(spark, q) for q in qs}
+                merged_before = srv.executor.stats["mrshare_plans"]
+                srv.batcher.window_size = len(qs)
+                resps: dict[str, dict] = {}
+                ts = [
+                    threading.Thread(
+                        target=lambda q=q: resps.__setitem__(
+                            q, srv.handle_request({"sql": q})
+                        )
+                    )
+                    for q in qs
+                ]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join(timeout=300)
+                srv.batcher.window_size = 1
+                for q in qs:
+                    _check(spark, resps[q], q, exps[q])
+                _EXERCISED["merges"] += (
+                    srv.executor.stats["mrshare_plans"] - merged_before
+                )
+            elif kind == "q":
+                pool = _MERGE_FAMILY + _NATION_QS
+                q = pool[arg]
+                exp = _expected(spark, q)
+                _check(spark, srv.handle_request({"sql": q}), q, exp)
+            else:
+                _EXERCISED["cmds"] += 1
+                resp = srv.handle_request({"sql": _COMMANDS[arg]})
+                assert resp.get("status") == "done", resp
+        # closing sweep: every pool member must still serve rows equal
+        # to an independent run against the CURRENT catalog state
+        for q in _MERGE_FAMILY + _NATION_QS:
+            _check(spark, srv.handle_request({"sql": q}), q, _expected(spark, q))
+    finally:
+        srv.shutdown()
+        srv.executor.cache.clear()
+        register_tables(spark, SF_DIR)  # restore the real nation view
+
+
+def test_cache_vs_merge_interleaving_pool_was_not_vacuous():
+    """Runs after the property pool (file order): the generated
+    interleavings must actually have exercised cache hits, MRShare
+    merges AND invalidating commands — an equality gate over paths
+    that never fire proves nothing."""
+    assert _EXERCISED["hits"] > 0, _EXERCISED
+    assert _EXERCISED["merges"] > 0, _EXERCISED
+    assert _EXERCISED["cmds"] > 0, _EXERCISED
