@@ -1038,6 +1038,67 @@ def main() -> None:
     # tail-truncated by the capture harness — "parsed": null); stdout
     # carries a SHORT line holding the totals and the BASELINE-claim
     # pseudo-queries, small enough that no tail truncation can eat it.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    # --- drift-normalized cross-round comparison (round 10, VERDICT r9
+    # ask #6): the BENCH_DETAIL.json committed in the repo is the
+    # PREVIOUS round's record — read it BEFORE overwriting and divide
+    # out machine drift with the fixed probes, so the normalization the
+    # README used to describe as a by-hand recipe is applied by the
+    # tool itself. drift = mean of the three probe-median ratios
+    # (this run / previous run); a query's normalized ratio is
+    # (first / drift) / prev_first — >1 slower than last round on a
+    # same-speed machine, <1 faster. Absent/probeless previous detail
+    # (first run on a fresh clone) records null.
+    normalized_vs_prev = None
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") != sf_val:
+            # a prior record at a different scale factor normalizes to
+            # nothing meaningful — probes calibrate MACHINE speed, not
+            # data volume
+            raise ValueError("sf mismatch")
+        prev_cal = prev["calibration"]
+        probe_ratios = {
+            p: round(calibration[p]["median"] / prev_cal[p]["median"], 4)
+            for p in ("scan", "cpu", "shuffle")
+            if prev_cal.get(p, {}).get("median")
+        }
+        drift = sum(probe_ratios.values()) / len(probe_ratios)
+        prev_q = prev.get("queries", {})
+        per_query = {}
+        for name, first in timings.items():
+            prev_first = prev_q.get(name)
+            if not isinstance(prev_first, (int, float)) or prev_first <= 0:
+                continue
+            norm = first / drift
+            per_query[name] = {
+                "prev": prev_first,
+                "raw": first,
+                "normalized": round(norm, 3),
+                "ratio": round(norm / prev_first, 3),
+            }
+        normalized_vs_prev = {
+            "drift": round(drift, 4),
+            "probe_ratios": probe_ratios,
+            "queries": per_query,
+            # the at-a-glance lists a reviewer actually wants: >30%
+            # moved after drift removal, sub-second rows excluded (their
+            # ratios are scheduling noise, the r9/r8 forensics showed)
+            "regressions": sorted(
+                n for n, d in per_query.items()
+                if d["ratio"] > 1.3 and d["prev"] >= 1.0
+            ),
+            "improvements": sorted(
+                n for n, d in per_query.items()
+                if d["ratio"] < 0.7 and d["prev"] >= 1.0
+            ),
+        }
+    except Exception:
+        normalized_vs_prev = None
+
     detail = {
         "metric": "corpus_total_runtime",
         "value": total,
@@ -1065,8 +1126,10 @@ def main() -> None:
         # between two runs to drift-normalize cross-round comparisons
         # (see README "Benchmarks")
         "calibration": calibration,
+        # per-query drift-normalized deltas vs the PREVIOUS round's
+        # committed BENCH_DETAIL (null when no prior record exists)
+        "normalized_vs_prev": normalized_vs_prev,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     headline = {
