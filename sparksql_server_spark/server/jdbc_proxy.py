@@ -533,6 +533,26 @@ def mirrorable_jdbc_temp_view(sql: str) -> Optional[tuple[str, str, str]]:
     return s, name, body
 
 
+_DROP_VIEW = _re.compile(
+    r"^drop\s+view\s+(?:if\s+exists\s+)?(`[^`.]+`|[A-Za-z_]\w*)$", _re.I
+)
+
+
+def mirrorable_jdbc_drop_view(sql: str) -> Optional[str]:
+    """The bare view name when ``sql`` is ``DROP VIEW [IF EXISTS]
+    <bare-ident>`` — the only drop shape the gateway may mirror, and
+    only (the server checks) when the name is one of THIS connection's
+    mirrored temp views: a drop of anything else could target a SHARED
+    catalog view, which is a real command and demotes as before."""
+    s = _strip_jdbc_comments(sql)
+    if s is None:
+        return None
+    m = _DROP_VIEW.match(s)
+    if m is None:
+        return None
+    return m.group(1).strip("`")
+
+
 def benign_jdbc_command(sql: str) -> bool:
     """True for session-housekeeping commands that provably cannot
     change what a shared-catalog query means — so the proxy may keep

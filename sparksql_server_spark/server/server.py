@@ -60,6 +60,7 @@ from sparksql_server_spark.functions.udfs import register_udfs, register_udtfs
 from sparksql_server_spark.server.batcher import WindowBatcher
 from sparksql_server_spark.server.jdbc_proxy import (
     benign_jdbc_command,
+    mirrorable_jdbc_drop_view,
     mirrorable_jdbc_set,
     mirrorable_jdbc_temp_view,
 )
@@ -537,6 +538,52 @@ class WorkSharingServer:
                     ("set", pair[0], pair[1])
                 )
 
+    def _mirror_drop_view(
+        self, name: str, session_id: str
+    ) -> dict[str, Any] | None:
+        """Mirror ``DROP VIEW <name>`` when ``name`` is one of this
+        connection's mirrored temp views (round 10 — completes the
+        temp-view lifecycle: create-use-drop churn is the normal BI
+        pattern and demoting on the drop threw away the create's win).
+        Returns the 'mirrored' passthrough on success, None when the
+        name is not a mirrored view (→ the caller demotes: the drop
+        could target a SHARED catalog view, a real command).
+
+        On both engines DROP VIEW removes the session temp view first;
+        if the mirrored view SHADOWED a registered base table, the
+        gateway re-registers that single base view so the name resolves
+        exactly as it now does in the client's HiveServer2 session (the
+        catalog table). The view's entries leave the replay log; when
+        no mirrored views remain the session rejoins the shared
+        result-cache namespace — its catalog matches the shared one
+        again (the only commands ever run in a jdbc session come
+        through this mirror path)."""
+        low = name.lower()
+        with self._session_lock:
+            entries = self._jdbc_replay.get(session_id) or []
+            if not any(e[0] == "sql" and e[2] == low for e in entries):
+                return None
+        sess = self.session_for(session_id)
+        try:
+            sess.catalog.dropTempView(name)
+            if low in TABLES:
+                register_tables(sess, self._sf_dir, (low,))
+        except Exception:
+            # the gateway session may now diverge from HiveServer2's —
+            # demote, the only safe direction
+            return {"passthrough": "command"}
+        with self._session_lock:
+            kept = [
+                e
+                for e in self._jdbc_replay.get(session_id, [])
+                if not (e[0] == "sql" and e[2] == low)
+            ]
+            self._jdbc_replay[session_id] = kept
+            if not any(e[0] == "sql" for e in kept):
+                self._dirty_sessions.discard(session_id)
+        self.results.invalidate_session(session_id)
+        return {"passthrough": "mirrored", "session": session_id}
+
     def _mentions_mirrored_view(self, sql: str, session_id: str) -> bool:
         """True when ``sql`` could reference a temp view mirrored for
         this connection. Substring containment on the lowercased text —
@@ -656,6 +703,11 @@ class WorkSharingServer:
                     # statements are serialized by the proxy pump.
                     self.results.invalidate_session(sid)
                     return {"passthrough": "mirrored", "session": sid}
+                dv = mirrorable_jdbc_drop_view(sql)
+                if dv is not None and session_id is not None:
+                    out = self._mirror_drop_view(dv, session_id)
+                    if out is not None:
+                        return out
                 return {"passthrough": "command"}
             # view-bearing connections route to their session ONLY when
             # the text could reference a mirrored view (lowercased

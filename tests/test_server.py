@@ -3002,6 +3002,51 @@ class TestJdbcTempViewMirror:
             srv.shutdown()
             srv.executor.cache.clear()
 
+    def test_drop_of_mirrored_view_stays_clean_and_restores_shadow(self, spark):
+        """Round 10: DROP VIEW of a view THIS connection mirrored stays
+        substitution-clean — the gateway drops its mirror, restores the
+        base-table resolution a shadowing view displaced, removes the
+        replay entries, and (no views left) rejoins the shared result
+        namespace. Drops of anything else still demote: they could
+        target a shared catalog view."""
+        from sparksql_server_spark.server.results import ResultCache
+
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        try:
+            out = srv.answer_jdbc(
+                "CREATE OR REPLACE TEMPORARY VIEW nation AS SELECT * FROM region"
+            )
+            sid = out["session"]
+            assert srv.answer_jdbc(
+                "SELECT count(*) AS n FROM nation", sid
+            )["rows"][0][0] == 5
+            out2 = srv.answer_jdbc("DROP VIEW IF EXISTS nation", sid)
+            assert out2 == {"passthrough": "mirrored", "session": sid}
+            # the shadow is gone on BOTH engines: the name resolves to
+            # the base table again, routed to root, cached SHARED
+            q = "SELECT count(*) AS n FROM nation"
+            real_n = spark.table("nation").count()
+            assert srv.answer_jdbc(q, sid)["rows"][0][0] == real_n
+            assert srv.results.get(ResultCache.key(None, q)) is not None
+            with srv._session_lock:
+                assert sid not in srv._dirty_sessions
+                assert not any(
+                    e[0] == "sql" for e in srv._jdbc_replay.get(sid, [])
+                )
+            # a drop of a name this connection never mirrored demotes —
+            # it could target a shared catalog view
+            assert srv.answer_jdbc("DROP VIEW lineitem", sid) == {
+                "passthrough": "command"
+            }
+            # ...as does any drop on a connection with no mirror log
+            assert srv.answer_jdbc("DROP VIEW whatever") == {
+                "passthrough": "command"
+            }
+            srv.release_jdbc_session(sid)
+        finally:
+            srv.shutdown()
+            srv.executor.cache.clear()
+
     def test_release_drops_session_state(self, spark):
         srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
         try:
