@@ -248,6 +248,26 @@ def main() -> None:
             _force(spark.sql(psql))
             trials.append(round(time.monotonic() - t0, 4))
         calibration[pname] = {"trials": trials, "median": _median(trials)}
+    # 4th probe (round 10): the PYTHON/Arrow stack. The first r10
+    # normalization run flagged a broad block of Pandas-UDF-heavy
+    # queries (minhash/simhash/embedding dedup) as "regressed" while
+    # every JVM probe said the machine was FASTER — the three JVM
+    # probes cannot see Python-worker/Arrow throughput drift, which is
+    # its own axis (fork speed, pickle, Arrow IPC). Fixed-size Arrow
+    # roundtrip, compiled+warmed above (bench's _warm_py), timed the
+    # same way. r9's committed detail lacks this probe; the mean-ratio
+    # drift simply skips absent probes, so cross-round normalization
+    # picks it up from r11 onward.
+    py_trials = []
+    for _ in range(5):
+        t0 = time.monotonic()
+        _force(
+            spark.range(2_000_000)
+            .repartition(CPUS)
+            .select(_warm_py("id").alias("y"))
+        )
+        py_trials.append(round(time.monotonic() - t0, 4))
+    calibration["python"] = {"trials": py_trials, "median": _median(py_trials)}
 
     # Two regimes per corpus query (VERDICT r7 ask #8): the headline
     # per-query number (and the corpus total) stays FIRST-execution-in-
@@ -1063,7 +1083,7 @@ def main() -> None:
         prev_cal = prev["calibration"]
         probe_ratios = {
             p: round(calibration[p]["median"] / prev_cal[p]["median"], 4)
-            for p in ("scan", "cpu", "shuffle")
+            for p in sorted(set(calibration) & set(prev_cal))
             if prev_cal.get(p, {}).get("median")
         }
         drift = sum(probe_ratios.values()) / len(probe_ratios)
