@@ -41,12 +41,14 @@ class WindowBatcher:
         self.max_wait = max_wait
         self.poll_interval = poll_interval
         # slack reserved between drain and the job actually STARTING:
-        # preschedule + sharing analysis + thread-pool handoff. 0.25 s
-        # is the measured p95 of (batch drained → first job running)
-        # across the test_deadline contention runs on local[32] — the
-        # drain must fire while that much runway still exists or the
-        # early drain saves nothing. Execution time itself is unknowable
-        # here; the trigger maximizes the chance, never guarantees.
+        # preschedule + sharing analysis + thread-pool handoff. Measured
+        # on local[32] (7-job window over lineitem, 6 trials): drain →
+        # first-job-RUNNING median 0.156 s, worst 0.356 s (first batch,
+        # analysis compile included) — 0.25 covers the median regime
+        # with headroom; the drain must fire while that much runway
+        # still exists or the early drain saves nothing. Execution time
+        # itself is unknowable here; the trigger maximizes the chance,
+        # never guarantees.
         self.planning_allowance = planning_allowance
         self._queue: deque[QueryJob] = deque()
         self._lock = threading.Lock()
