@@ -217,3 +217,35 @@ def test_fair_pools_file_defines_urgent_pool():
     with open(path) as fh:
         xml = fh.read()
     assert '"deadline_urgent"' in xml and "<weight>8</weight>" in xml
+
+
+def test_deadline_drain_reaches_the_server_door(spark):
+    """e2e through the TCP door: at window_size=5 / max_wait=3 s, a lone
+    deadline_ms=400 query must come back well inside the age trigger —
+    the early drain must fire on the REAL server loop, not just the
+    batcher unit. A deadline-free control on the same server then pays
+    the normal window wait (age trigger intact)."""
+    from sparksql_server_spark.server import WorkSharingServer, client_request
+
+    srv = WorkSharingServer(spark, SF_DIR, window_size=5, max_wait=3.0).start()
+    try:
+        t0 = time.monotonic()
+        r = client_request(
+            srv.address,
+            {"sql": "SELECT count(*) AS n FROM region",
+             "props": {"deadline_ms": 400}},
+        )
+        elapsed = time.monotonic() - t0
+        assert r["status"] == "done" and r["rows"][0][0] == 5
+        assert elapsed < 2.0, elapsed  # drained early, not at 3 s
+        assert srv.executor.stats["deadline_jobs"] == 1
+        t0 = time.monotonic()
+        r2 = client_request(
+            srv.address, {"sql": "SELECT count(*) AS n FROM nation"}
+        )
+        elapsed2 = time.monotonic() - t0
+        assert r2["status"] == "done"
+        assert elapsed2 >= 2.5, elapsed2  # the window still holds slack jobs
+    finally:
+        srv.shutdown()
+        srv.executor.cache.clear()
