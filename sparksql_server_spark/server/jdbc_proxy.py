@@ -1003,7 +1003,14 @@ def statements_in_frame(payload: bytes) -> list[str]:
 class _Conn:
     """Per-connection interception state."""
 
-    __slots__ = ("clean", "ops", "wlock", "skip_gate_once", "session_id")
+    __slots__ = (
+        "clean",
+        "ops",
+        "wlock",
+        "skip_gate_once",
+        "session_id",
+        "pending_sets",
+    )
 
     def __init__(self) -> None:
         # True until any COMMAND statement passes through: commands
@@ -1017,6 +1024,14 @@ class _Conn:
         # when the connection closes (mirroring HiveServer2 dropping
         # the client's temp views with its session)
         self.session_id: Optional[str] = None
+        # mirrorable SET statements seen while clean and session-less:
+        # a per-connection gateway session created LATER (first view
+        # mirror) starts from default conf, so these are re-announced
+        # to the server with the new session id the moment it exists —
+        # otherwise the private session silently dropped the client's
+        # earlier plan-shaping intent (round-10 review wave). Bounded:
+        # 64 entries, oldest dropped (perf-only state).
+        self.pending_sets: list[str] = []
         # set when the NEXT forwarded statement must skip the prime
         # gate: answer() already ran it through a full window batch
         # before declining substitution (a second window wait buys
@@ -1418,7 +1433,18 @@ class JdbcLineProxy:
                     # forwards so HiveServer2's own session matches.
                     # No gate: a temp view has no shared-catalog
                     # effect to flush and no scan to share.
+                    fresh = conn.session_id is None
                     conn.session_id = res.get("session") or conn.session_id
+                    if fresh and conn.session_id is not None:
+                        # the session was just created: re-announce the
+                        # mirrorable SETs this connection sent earlier
+                        # so the private session's conf tracks them too
+                        for s in conn.pending_sets:
+                            try:
+                                self.answer(s, conn.session_id)
+                            except Exception:
+                                pass  # perf-only; never break the pump
+                        conn.pending_sets.clear()
                     conn.skip_gate_once = True
                     return None
                 if res.get("passthrough") == "benign":
@@ -1429,6 +1455,12 @@ class JdbcLineProxy:
                     # session stays consistent, but do NOT demote, and
                     # skip the gate — there is no catalog effect to
                     # flush and no scan to share (VERDICT r7 ask #1)
+                    if conn.session_id is None and mirrorable_jdbc_set(stmt):
+                        # remember it for a per-connection session
+                        # created later by a view mirror (see
+                        # _Conn.pending_sets)
+                        conn.pending_sets.append(stmt)
+                        del conn.pending_sets[:-64]
                     conn.skip_gate_once = True
                     return None
                 if res.get("fallback"):

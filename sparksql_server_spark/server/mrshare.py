@@ -326,8 +326,21 @@ def _split_conjuncts(body: str) -> list[str]:
     depth-0 ``BETWEEN`` and any AND inside a depth-0 ``CASE … END`` are
     part of their construct, never conjunction boundaries. Misreading a
     column that happens to be NAMED between/case merely SUPPRESSES a
-    split (fewer shared signatures — safe); it can never create one."""
+    split (fewer shared signatures — safe); it can never create one.
+
+    A body containing ANY depth-0 OR does not split at all (round-10
+    review wave, confirmed wrong-merge repro): AND binds tighter than
+    OR, so the fragments between top-level ANDs of ``p OR q AND r``
+    are NOT conjuncts — sorting them equated ``a=b OR c=d AND e=f``
+    with ``e=f AND a=b OR c=d``, which differ (``(a=b OR (c=d AND
+    e=f))`` vs ``((e=f AND a=b) OR c=d)``). The whole body stays ONE
+    opaque token, so OR-bearing conditions share only byte-canon-equal
+    spellings — exactly the pre-round-10 bar. An OR inside a depth-0
+    CASE arm also suppresses the split: conservative, never unsound."""
     depth, instr = _scan(body)
+    for m in re.finditer(r"\bor\b", body, re.I):
+        if not instr[m.start()] and depth[m.start()] == 0:
+            return [body.strip()] if body.strip() else []
     cuts: list[tuple[int, int]] = []
     case_d = 0
     between = 0
@@ -447,10 +460,31 @@ def _inner_select_sig(inner: str, nest: int) -> str:
         m = _find_top(s, kw, depth, instr)
         if m is not None and m_from.end() <= m.start() < end:
             end = m.start()
+    head = s[: m_from.start()]
+    # a BARE star in the select head declines structural sharing
+    # (round-10 review wave, confirmed wrong-merge repro): ``*``
+    # expands in JOIN-OPERAND ORDER, which the chain signature
+    # deliberately erases — two members differing only in operand
+    # order then expose different COLUMN ORDERS, and an inner
+    # ``ORDER BY <ordinal> LIMIT n`` selects different rows from each.
+    # The docstring's "canon-equal select lists ⇒ same output columns"
+    # holds only for explicit items (and qualified ``a.*``, whose
+    # expansion order is the operand's own); a depth-0 unqualified
+    # ``*`` — including a multiplication that merely looks like one —
+    # falls back to the opaque canon, which never widens sharing.
+    for sm in re.finditer(r"\*", head):
+        i = sm.start()
+        if instr[i] or depth[i] != 0:
+            continue
+        j = i - 1
+        while j >= 0 and head[j].isspace():
+            j -= 1
+        if j < 0 or head[j] != ".":
+            return _canon(inner)
     pj = _parse_join_from(s[m_from.end() : end].strip(), _nest=nest)
     if pj is None:
         return _canon(inner)
-    return repr(("dsel", _canon(s[: m_from.start()]), pj[0], _canon(s[end:])))
+    return repr(("dsel", _canon(head), pj[0], _canon(s[end:])))
 
 
 def _parse_derived_from(from_text: str) -> Optional[tuple[str, str, Optional[str]]]:

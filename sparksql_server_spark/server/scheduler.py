@@ -24,6 +24,7 @@ from concurrent.futures import ThreadPoolExecutor, wait
 from pyspark.sql import SparkSession
 
 from sparksql_server_spark.plans.analysis import scan_fingerprints, scan_nodes
+from sparksql_server_spark.server.batcher import preschedule
 from sparksql_server_spark.server.cache import CacheManager
 from sparksql_server_spark.server.detector import detect_sharing
 from sparksql_server_spark.server.model import JobStatus, QueryJob, RewriteKind, SharingBag
@@ -266,8 +267,6 @@ class BatchExecutor:
         # into a LATER bag queue behind slack jobs whenever the batch
         # exceeds max_concurrency — the deadline_urgent FAIR pool only
         # helps once the Spark job has actually started.
-        from sparksql_server_spark.server.batcher import preschedule
-
         ordered = preschedule([job for bag in bags for job in bag.jobs])
         try:
             with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:

@@ -357,6 +357,41 @@ class WorkSharingServer:
             if hit is not None:
                 self._sessions[session_id] = (hit[0], now)
                 return hit[0]
+            # snapshot the mirror log; the build below runs UNLOCKED
+            replay = list(self._jdbc_replay.get(session_id) or ())
+        # Session construction + registration + mirror replay run
+        # OUTSIDE the lock (round-10 review wave): replaying logged
+        # DDL is eager Spark work — holding _session_lock through it
+        # stalled every other thread's session lookup, dirty-check and
+        # JDBC routing for the duration. A concurrent same-id creation
+        # is resolved below: first insertion wins, the loser's session
+        # is discarded (rare — the proxy serializes per connection;
+        # only a TCP client reusing one id across sockets can race).
+        sess = self.spark.newSession()
+        register_tables(sess, self._sf_dir)
+        register_udfs(sess)
+        register_udtfs(sess)
+        # replay the JDBC mirror log so a reaped-and-recreated session's
+        # catalog matches the client's HiveServer2 session (a mirrored
+        # temp view shadowing a base table MUST shadow it here too, or
+        # answered rows diverge)
+        for entry in replay:
+            try:
+                if entry[0] == "sql":
+                    sess.sql(entry[1]).collect()
+                else:  # ("set", key, value)
+                    sess.conf.set(entry[1], entry[2])
+            except Exception:
+                # a replay member failing (dropped base table, refused
+                # conf) leaves a catalog we cannot vouch for: the dirty
+                # mark below keys it privately and queries over the
+                # missing view fall back
+                pass
+        with self._session_lock:
+            hit = self._sessions.get(session_id)
+            if hit is not None:  # lost the creation race
+                self._sessions[session_id] = (hit[0], now)
+                return hit[0]
             if len(self._sessions) >= self.max_sessions:
                 idle = [
                     sid
@@ -375,35 +410,13 @@ class WorkSharingServer:
                     lru = min(self._sessions, key=lambda s: self._sessions[s][1])
                     del self._sessions[lru]
                     self.results.invalidate_session(lru)
-            sess = self.spark.newSession()
-            register_tables(sess, self._sf_dir)
-            register_udfs(sess)
-            register_udtfs(sess)
             self._sessions[session_id] = (sess, now)
             # a fresh session has a clean catalog: a reaped-and-
-            # recreated id rejoins the shared result namespace
+            # recreated id rejoins the shared result namespace —
+            # unless it replayed mirrored DDL, which implies dirty
             self._dirty_sessions.discard(session_id)
-            # ...unless this id carries a JDBC mirror log: replay it so
-            # the recreated catalog matches the client's HiveServer2
-            # session (a mirrored temp view shadowing a base table MUST
-            # shadow it here too, or answered rows diverge), and
-            # restore the dirty mark the replayed DDL implies
-            replay = self._jdbc_replay.get(session_id)
-            if replay:
-                for entry in replay:
-                    try:
-                        if entry[0] == "sql":
-                            sess.sql(entry[1]).collect()
-                        else:  # ("set", key, value)
-                            sess.conf.set(entry[1], entry[2])
-                    except Exception:
-                        # a replay member failing (dropped base table,
-                        # refused conf) leaves a catalog we cannot
-                        # vouch for: key this session privately and
-                        # let queries over the missing view fall back
-                        pass
-                if any(e[0] == "sql" for e in replay):
-                    self._dirty_sessions.add(session_id)
+            if any(e[0] == "sql" for e in replay):
+                self._dirty_sessions.add(session_id)
         return sess
 
     def submit(
@@ -519,16 +532,21 @@ class WorkSharingServer:
         way.
 
         ``session_id`` (round 10, VERDICT r9 ask #3): a connection that
-        mirrored temp-view DDL answers against its OWN gateway session,
-        whose SQLConf is independent of root's — the SET mirrors there
-        instead, and joins the replay log so a reaped-and-recreated
-        session keeps the client's plan shaping."""
+        mirrored temp-view DDL answers view queries against its OWN
+        gateway session, whose SQLConf is independent of root's — the
+        SET applies to ROOT (where the connection's base-table queries
+        still run, last-writer-wins as for any shared engine's perf
+        knobs) AND to the live per-connection session, and joins the
+        replay log so a reaped-and-recreated session keeps the client's
+        plan shaping. SETs sent BEFORE the first view mirror are
+        re-announced by the proxy once the session exists
+        (conn.pending_sets), so the private session never silently
+        drops the client's earlier intent (round-10 review wave)."""
         pair = mirrorable_jdbc_set(sql)
         if pair is None:
             return
-        target = self.spark if session_id is None else self.session_for(session_id)
         try:
-            target.conf.set(pair[0], pair[1])
+            self.spark.conf.set(pair[0], pair[1])
         except Exception:  # noqa: BLE001 — bad value: gateway keeps
             # its current conf; results are unaffected by definition
             return
@@ -537,6 +555,12 @@ class WorkSharingServer:
                 self._jdbc_replay.setdefault(session_id, []).append(
                     ("set", pair[0], pair[1])
                 )
+                live = self._sessions.get(session_id)
+            if live is not None:
+                try:
+                    live[0].conf.set(pair[0], pair[1])
+                except Exception:  # noqa: BLE001 — same contract as root
+                    pass
 
     def _mirror_drop_view(
         self, name: str, session_id: str

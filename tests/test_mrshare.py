@@ -1894,3 +1894,82 @@ def test_derived_inner_join_members_merge_matches_independent(spark, executor):
     jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
     (bag,) = [b for b in bags if b.merges]
     assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_top_level_or_suppresses_conjunct_split():
+    """Round-10 review wave (CONFIRMED wrong-merge repro): AND binds
+    tighter than OR, so the fragments between top-level ANDs of
+    ``p OR q AND r`` are NOT conjuncts — sorting them equated
+    ``a=b OR c=d AND e=f`` (= ``a=b OR (c=d AND e=f)``) with
+    ``e=f AND a=b OR c=d`` (= ``(e=f AND a=b) OR c=d``), which are
+    different relations. Any depth-0 OR must keep the whole condition
+    ONE opaque token."""
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    a = _parse_join_from(
+        "t1 JOIN t2 ON t1.a = t2.a OR t1.b = t2.b AND t1.c = t2.c"
+    )
+    b = _parse_join_from(
+        "t1 JOIN t2 ON t1.c = t2.c AND t1.a = t2.a OR t1.b = t2.b"
+    )
+    assert a is not None and b is not None
+    assert a[0] != b[0]
+    # byte-canon-equal OR spellings still share (the pre-round-10 bar)
+    c = _parse_join_from(
+        "t1 JOIN t2 ON t1.a = t2.a OR t1.b = t2.b AND t1.c = t2.c"
+    )
+    assert a[0] == c[0]
+    # an OR inside parens is depth>0: conjuncts around it still sort
+    d = _parse_join_from(
+        "t1 JOIN t2 ON (t1.a = t2.a OR t1.b = t2.b) AND t1.c = t2.c"
+    )
+    e = _parse_join_from(
+        "t1 JOIN t2 ON t1.c = t2.c AND (t1.a = t2.a OR t1.b = t2.b)"
+    )
+    assert d is not None and d[0] == e[0]
+
+
+def test_bare_star_derived_inner_declines_structural_sharing():
+    """Round-10 review wave (CONFIRMED wrong-merge repro): ``SELECT *``
+    expands in JOIN-OPERAND ORDER, which the chain signature erases —
+    with an inner ``ORDER BY <ordinal> LIMIT n`` the two members'
+    inner top-n row sets differ. A bare star must fall back to the
+    opaque canon; explicit select lists (and qualified ``x.*``) keep
+    structural sharing."""
+    from sparksql_server_spark.server.mrshare import _parse_derived_from
+
+    s1 = _parse_derived_from(
+        "(SELECT * FROM a JOIN b ON a.k = b.k ORDER BY 2 LIMIT 10) t"
+    )
+    s2 = _parse_derived_from(
+        "(SELECT * FROM b JOIN a ON a.k = b.k ORDER BY 2 LIMIT 10) t"
+    )
+    assert s1 is not None and s2 is not None
+    assert s1[0] != s2[0]  # operand order must stay load-bearing
+    # byte-equal bare-star inners still share (exact-text bar)
+    s3 = _parse_derived_from(
+        "(SELECT * FROM a JOIN b ON a.k = b.k ORDER BY 2 LIMIT 10) t"
+    )
+    assert s1[0] == s3[0]
+    # explicit select lists keep the structural (order-insensitive) bar
+    e1 = _parse_derived_from(
+        "(SELECT a.c1 AS x, b.c2 AS y FROM a JOIN b ON a.k = b.k) t"
+    )
+    e2 = _parse_derived_from(
+        "(SELECT a.c1 AS x, b.c2 AS y FROM b JOIN a ON b.k = a.k) t"
+    )
+    assert e1 is not None and e1[0] == e2[0]
+    # qualified stars expand in the OPERAND's own column order — safe,
+    # still structural
+    q1 = _parse_derived_from("(SELECT a.* FROM a JOIN b ON a.k = b.k) t")
+    q2 = _parse_derived_from("(SELECT a.* FROM b JOIN a ON a.k = b.k) t")
+    assert q1 is not None and q1[0] == q2[0]
+    # a depth-0 multiplication in the head conservatively declines too
+    # (safe direction): only byte-equal spellings share
+    m1 = _parse_derived_from(
+        "(SELECT a.c1 * b.c2 AS p FROM a JOIN b ON a.k = b.k) t"
+    )
+    m2 = _parse_derived_from(
+        "(SELECT a.c1 * b.c2 AS p FROM b JOIN a ON a.k = b.k) t"
+    )
+    assert m1 is not None and m2 is not None and m1[0] != m2[0]

@@ -3002,6 +3002,56 @@ class TestJdbcTempViewMirror:
             srv.shutdown()
             srv.executor.cache.clear()
 
+    def test_pending_sets_reach_the_late_created_session(self, spark):
+        """Round-10 review wave: a mirrorable SET sent BEFORE the first
+        view mirror landed only in root — the per-connection session
+        created later started from default conf, silently dropping the
+        client's plan-shaping intent. The proxy now re-announces
+        buffered SETs the moment the session exists."""
+        srv = WorkSharingServer(spark, SF_DIR, window_size=1, max_wait=0.1).start()
+        ups = _Upstream()
+        proxy = JdbcLineProxy(
+            ups.address, gate=srv.prime, answer=srv.answer_jdbc,
+            release=srv.release_jdbc_session,
+        ).start()
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            with socket.create_connection(proxy.address) as c:
+                m1 = _exec_stmt_call("SET spark.sql.shuffle.partitions=11", seq=1)
+                c.sendall(m1)
+                assert ups.wait_bytes(len(m1)) == len(m1)
+                assert spark.conf.get("spark.sql.shuffle.partitions") == "11"
+                m2 = _exec_stmt_call(
+                    "CREATE TEMPORARY VIEW psets AS SELECT 1 AS x", seq=2
+                )
+                c.sendall(m2)
+                assert ups.wait_bytes(len(m1) + len(m2)) == len(m1) + len(m2)
+                with srv._session_lock:
+                    sids = list(srv._jdbc_replay)
+                assert len(sids) == 1, sids
+                sid = sids[0]
+                sess = srv.session_for(sid)
+                # the pre-view SET reached the late-created session...
+                assert sess.conf.get("spark.sql.shuffle.partitions") == "11"
+                # ...and its replay log, so a reap+recreate keeps it
+                with srv._session_lock:
+                    entries = srv._jdbc_replay[sid]
+                assert ("set", "spark.sql.shuffle.partitions", "11") in entries
+                # a post-view SET lands in BOTH root and the session
+                m3 = _exec_stmt_call("SET spark.sql.shuffle.partitions=13", seq=3)
+                c.sendall(m3)
+                assert ups.wait_bytes(len(m1) + len(m2) + len(m3)) == (
+                    len(m1) + len(m2) + len(m3)
+                )
+                assert spark.conf.get("spark.sql.shuffle.partitions") == "13"
+                assert sess.conf.get("spark.sql.shuffle.partitions") == "13"
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+            proxy.stop()
+            ups.close()
+            srv.shutdown()
+            srv.executor.cache.clear()
+
     def test_drop_of_mirrored_view_stays_clean_and_restores_shadow(self, spark):
         """Round 10: DROP VIEW of a view THIS connection mirrored stays
         substitution-clean — the gateway drops its mirror, restores the
