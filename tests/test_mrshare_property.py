@@ -355,6 +355,23 @@ JOIN_POOLS = [
         [None, "disc > 0.02", "qty >= 25"],
     ),
     (
+        # round-10 review wave: a depth-0 OR suppresses the conjunct
+        # split, so OR-bearing conditions share only byte-canon-equal
+        # spellings (case/whitespace variants below) — and the merged
+        # demux must preserve the OR/AND precedence end-to-end
+        # (test_top_level_or_suppresses_conjunct_split pins that
+        # conjunct-permuted OR spellings do NOT share)
+        [
+            "lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            " OR l.l_partkey = o.o_custkey AND l.l_linenumber = 1",
+            "lineitem l join orders o on l.l_orderkey = o.o_orderkey"
+            "  OR   l.l_partkey = o.o_custkey  AND  l.l_linenumber = 1",
+        ],
+        ["o_orderstatus"],
+        ["count(*)", "sum(l.l_quantity)"],
+        [None, "o.o_totalprice > 1000"],
+    ),
+    (
         # round-9: permutation WITHIN the inner segment after a LEFT
         # boundary (both inner operands hang off the head/boundary
         # relations, so both orders are valid)
