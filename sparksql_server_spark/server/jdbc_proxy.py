@@ -339,10 +339,15 @@ def _open_conf_from_args(
 
 def benign_open_conf(conf: dict[str, str]) -> bool:
     """True when a connect-time configuration overlay cannot change
-    what a shared-catalog query means: the default database selection
-    and server-side thrift transport knobs (fetch sizing etc. — they
+    what a shared-catalog query means: the default database selection,
+    server-side thrift transport knobs (fetch sizing etc. — they
     shape RESPONSE BATCHING, which the substitution controls anyway,
-    never query semantics). Anything else — set:hivevar substitutions,
+    never query semantics), and — round 10 — result-semantics-free
+    perf-conf assignments with type-valid values (the same allowlist
+    the ``SET k=v`` statement path mirrors: BI tools pass the SAME
+    knobs through the JDBC URL's ``?hiveconf:`` overlay form, and
+    demoting on the overlay while accepting the statement was an
+    arbitrary seam). Anything else — set:hivevar substitutions,
     engine/exec confs, a non-default database — must demote the
     connection to gate+forward."""
     for k, v in conf.items():
@@ -351,9 +356,30 @@ def benign_open_conf(conf: dict[str, str]) -> bool:
                 return False
         elif k.startswith("set:hiveconf:hive.server2."):
             continue
+        elif k.startswith("set:hiveconf:"):
+            if mirrorable_jdbc_set(f"SET {k[len('set:hiveconf:'):]}={v}") is None:
+                return False
         else:
             return False
     return True
+
+
+def mirrorable_open_conf_sets(conf: Optional[dict]) -> list[str]:
+    """The ``SET k=v`` statements equivalent to an OpenSession
+    overlay's mirrorable perf-conf entries (empty when none). The
+    proxy feeds these through the same ``answer`` path a literal SET
+    statement takes, so the gateway's plan shaping tracks overlay-form
+    clients exactly like statement-form ones."""
+    out: list[str] = []
+    for k, v in (conf or {}).items():
+        if not k.startswith("set:hiveconf:") or k.startswith(
+            "set:hiveconf:hive.server2."
+        ):
+            continue
+        stmt = f"SET {k[len('set:hiveconf:'):]}={v}"
+        if mirrorable_jdbc_set(stmt) is not None:
+            out.append(stmt)
+    return out
 
 
 import re as _re
@@ -1353,6 +1379,18 @@ class JdbcLineProxy:
             conn.clean = False
         if oproto is not None and oproto < 5:
             conn.clean = False
+        if conn.clean and oconf:
+            # overlay-form perf confs mirror exactly like statement-form
+            # SETs (round 10): through answer() now, and buffered for a
+            # per-connection session created later by a view mirror
+            for stmt in mirrorable_open_conf_sets(oconf):
+                if self.answer is not None:
+                    try:
+                        self.answer(stmt)
+                    except Exception:
+                        pass  # perf-only; never break the pump
+                conn.pending_sets.append(stmt)
+                del conn.pending_sets[:-64]
 
     def _apply_frame_fences(self, conn: _Conn, payload: bytes) -> None:
         """Walk every message in a SASL data frame and apply the

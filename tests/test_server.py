@@ -3114,3 +3114,69 @@ class TestJdbcTempViewMirror:
         finally:
             srv.shutdown()
             srv.executor.cache.clear()
+
+
+class TestOverlayPerfConfMirror:
+    """Round 10: connect-time ``set:hiveconf:<perf key>`` overlay
+    entries get the same treatment as statement-form SETs — benign for
+    allowlisted keys with type-valid values, mirrored through answer(),
+    demote otherwise."""
+
+    def test_benign_open_conf_accepts_mirrorable_perf_keys(self):
+        from sparksql_server_spark.server.jdbc_proxy import (
+            benign_open_conf,
+            mirrorable_open_conf_sets,
+        )
+
+        ok = {"set:hiveconf:spark.sql.shuffle.partitions": "6"}
+        assert benign_open_conf(ok)
+        assert mirrorable_open_conf_sets(ok) == [
+            "SET spark.sql.shuffle.partitions=6"
+        ]
+        # type-invalid value, unknown key, hivevar: all demote as before
+        assert not benign_open_conf(
+            {"set:hiveconf:spark.sql.shuffle.partitions": "lots"}
+        )
+        assert not benign_open_conf(
+            {"set:hiveconf:spark.sql.ansi.enabled": "true"}
+        )
+        assert not benign_open_conf({"set:hivevar:x": "1"})
+        # transport knobs stay benign but are NOT mirrored (meaningless
+        # to Spark); original key spelling is preserved in the mirror
+        mixed = {
+            "set:hiveconf:hive.server2.thrift.resultset.default.fetch.size": "500",
+            "set:hiveconf:spark.sql.autoBroadcastJoinThreshold": "64MB",
+        }
+        assert benign_open_conf(mixed)
+        assert mirrorable_open_conf_sets(mixed) == [
+            "SET spark.sql.autoBroadcastJoinThreshold=64MB"
+        ]
+
+    def test_overlay_mirrors_and_keeps_substitution(self):
+        ups = _Upstream()
+        calls = []
+
+        def answer(s, sid=None):
+            calls.append(s)
+            if s.lower().startswith("set"):
+                return {"passthrough": "benign"}
+            return {"columns": ["x"], "rows": [[1]]}
+
+        proxy = JdbcLineProxy(
+            ups.address, gate=lambda s: None, answer=answer
+        ).start()
+        try:
+            with socket.create_connection(proxy.address) as c:
+                opens = _open_session_with_conf(
+                    {"set:hiveconf:spark.sql.shuffle.partitions": "6"}
+                )
+                c.sendall(opens)
+                assert ups.wait_bytes(len(opens)) == len(opens)  # forwarded
+                c.sendall(_exec_stmt_call("SELECT 1", seq=2))
+                name, _s, d = _recv_reply(c)
+                assert name == "ExecuteStatement" and d[0][1][1] == 0
+            assert calls[0] == "SET spark.sql.shuffle.partitions=6"
+            assert proxy.stats["statements_answered"] == 1
+        finally:
+            proxy.stop()
+            ups.close()
