@@ -337,6 +337,16 @@ def _open_conf_from_args(
             pos = _skip(buf, pos, ft)
 
 
+def _overlay_set_stmt(key: str, value: str) -> Optional[str]:
+    """The ``SET k=v`` statement equivalent of one ``set:hiveconf:``
+    overlay entry (None for other entry kinds) — the ONE place the
+    overlay→statement reconstruction lives, so the benign classifier
+    and the mirror extractor can never silently diverge."""
+    if not key.startswith("set:hiveconf:"):
+        return None
+    return f"SET {key[len('set:hiveconf:'):]}={value}"
+
+
 def benign_open_conf(conf: dict[str, str]) -> bool:
     """True when a connect-time configuration overlay cannot change
     what a shared-catalog query means: the default database selection,
@@ -356,8 +366,8 @@ def benign_open_conf(conf: dict[str, str]) -> bool:
                 return False
         elif k.startswith("set:hiveconf:hive.server2."):
             continue
-        elif k.startswith("set:hiveconf:"):
-            if mirrorable_jdbc_set(f"SET {k[len('set:hiveconf:'):]}={v}") is None:
+        elif (stmt := _overlay_set_stmt(k, v)) is not None:
+            if mirrorable_jdbc_set(stmt) is None:
                 return False
         else:
             return False
@@ -372,12 +382,10 @@ def mirrorable_open_conf_sets(conf: Optional[dict]) -> list[str]:
     clients exactly like statement-form ones."""
     out: list[str] = []
     for k, v in (conf or {}).items():
-        if not k.startswith("set:hiveconf:") or k.startswith(
-            "set:hiveconf:hive.server2."
-        ):
+        if k.startswith("set:hiveconf:hive.server2."):
             continue
-        stmt = f"SET {k[len('set:hiveconf:'):]}={v}"
-        if mirrorable_jdbc_set(stmt) is not None:
+        stmt = _overlay_set_stmt(k, v)
+        if stmt is not None and mirrorable_jdbc_set(stmt) is not None:
             out.append(stmt)
     return out
 
@@ -1074,6 +1082,13 @@ class _Conn:
         # locally-synthesized responses
         self.wlock = threading.Lock()
 
+    def buffer_set(self, stmt: str) -> None:
+        """Remember a mirrorable SET for a per-connection session
+        created later by a view mirror (one bounded push, shared by the
+        overlay and statement entry paths)."""
+        self.pending_sets.append(stmt)
+        del self.pending_sets[:-64]
+
 
 class JdbcLineProxy:
     """TCP pass-through in front of a HiveServer2 port that gates
@@ -1118,6 +1133,7 @@ class JdbcLineProxy:
         port: int = 0,
         answer: Optional[Callable[..., Optional[dict]]] = None,
         release: Optional[Callable[[str], None]] = None,
+        replay_sets: Optional[Callable[[str, list], None]] = None,
     ) -> None:
         self.upstream = upstream
         self.gate = gate
@@ -1127,6 +1143,13 @@ class JdbcLineProxy:
         # with it (WorkSharingServer.release_jdbc_session). Only
         # connections that actually mirrored DDL carry a session id.
         self.release = release
+        # called once, with (session_id, buffered SET statements), when
+        # a connection's first view mirror creates its gateway session
+        # (WorkSharingServer.replay_jdbc_sets) — a SESSION-ONLY mirror:
+        # these statements were applied to root at SEND time, and
+        # re-writing root now would clobber newer writes from other
+        # clients with stale values (round-10 review wave #2)
+        self.replay_sets = replay_sets
         # counters are read-modify-write from concurrent handler/pump
         # threads; dict += is not atomic in CPython (ADVICE r6)
         self._stats_lock = threading.Lock()
@@ -1389,8 +1412,7 @@ class JdbcLineProxy:
                         self.answer(stmt)
                     except Exception:
                         pass  # perf-only; never break the pump
-                conn.pending_sets.append(stmt)
-                del conn.pending_sets[:-64]
+                conn.buffer_set(stmt)
 
     def _apply_frame_fences(self, conn: _Conn, payload: bytes) -> None:
         """Walk every message in a SASL data frame and apply the
@@ -1474,12 +1496,17 @@ class JdbcLineProxy:
                     fresh = conn.session_id is None
                     conn.session_id = res.get("session") or conn.session_id
                     if fresh and conn.session_id is not None:
-                        # the session was just created: re-announce the
-                        # mirrorable SETs this connection sent earlier
-                        # so the private session's conf tracks them too
-                        for s in conn.pending_sets:
+                        # the session was just created: hand the SETs
+                        # this connection sent earlier to the
+                        # SESSION-ONLY replay channel (NOT answer(),
+                        # whose SET path writes the shared root — a
+                        # replayed old value would clobber newer root
+                        # writes from other clients)
+                        if conn.pending_sets and self.replay_sets is not None:
                             try:
-                                self.answer(s, conn.session_id)
+                                self.replay_sets(
+                                    conn.session_id, list(conn.pending_sets)
+                                )
                             except Exception:
                                 pass  # perf-only; never break the pump
                         conn.pending_sets.clear()
@@ -1497,8 +1524,7 @@ class JdbcLineProxy:
                         # remember it for a per-connection session
                         # created later by a view mirror (see
                         # _Conn.pending_sets)
-                        conn.pending_sets.append(stmt)
-                        del conn.pending_sets[:-64]
+                        conn.buffer_set(stmt)
                     conn.skip_gate_once = True
                     return None
                 if res.get("fallback"):

@@ -410,12 +410,34 @@ class WorkSharingServer:
                     lru = min(self._sessions, key=lambda s: self._sessions[s][1])
                     del self._sessions[lru]
                     self.results.invalidate_session(lru)
+            # close the snapshot window (review wave): a _mirror_*
+            # write that landed between the snapshot above and this
+            # insertion would otherwise be lost until the next reap.
+            # SET entries re-apply wholesale (idempotent, one per key
+            # after the log's keyed dedup, conf.set is cheap); DDL
+            # applies its positional tail only (sql entries are
+            # append-ordered; the proxy serializes per connection, so
+            # a mid-build sql write is a reap-vs-DDL race at most)
+            current = list(self._jdbc_replay.get(session_id) or ())
+            snap_sql = sum(1 for e in replay if e[0] == "sql")
+            cur_sql = [e for e in current if e[0] == "sql"]
+            for entry in cur_sql[snap_sql:]:
+                try:
+                    sess.sql(entry[1]).collect()
+                except Exception:
+                    pass
+            for entry in current:
+                if entry[0] == "set":
+                    try:
+                        sess.conf.set(entry[1], entry[2])
+                    except Exception:
+                        pass
             self._sessions[session_id] = (sess, now)
             # a fresh session has a clean catalog: a reaped-and-
             # recreated id rejoins the shared result namespace —
             # unless it replayed mirrored DDL, which implies dirty
             self._dirty_sessions.discard(session_id)
-            if any(e[0] == "sql" for e in replay):
+            if any(e[0] == "sql" for e in current):
                 self._dirty_sessions.add(session_id)
         return sess
 
@@ -551,16 +573,44 @@ class WorkSharingServer:
             # its current conf; results are unaffected by definition
             return
         if session_id is not None:
-            with self._session_lock:
-                self._jdbc_replay.setdefault(session_id, []).append(
-                    ("set", pair[0], pair[1])
-                )
-                live = self._sessions.get(session_id)
+            live = self._log_jdbc_set(session_id, pair[0], pair[1])
             if live is not None:
                 try:
-                    live[0].conf.set(pair[0], pair[1])
+                    live.conf.set(pair[0], pair[1])
                 except Exception:  # noqa: BLE001 — same contract as root
                     pass
+
+    def _log_jdbc_set(self, session_id: str, key: str, value: str):
+        """Record a mirrored SET in the session's replay log — LAST
+        VALUE PER KEY (review wave: per-statement appends made the log
+        unbounded for a BI connection toggling one knob per dashboard
+        query, and a reap-recreate replayed every stale value) — and
+        return the live session if one exists."""
+        with self._session_lock:
+            log = self._jdbc_replay.setdefault(session_id, [])
+            log[:] = [e for e in log if not (e[0] == "set" and e[1] == key)]
+            log.append(("set", key, value))
+            live = self._sessions.get(session_id)
+        return live[0] if live is not None else None
+
+    def replay_jdbc_sets(self, session_id: str, stmts: list) -> None:
+        """SESSION-ONLY mirror of the SETs a connection sent BEFORE its
+        first view mirror (proxy ``replay_sets=`` channel). Root is
+        deliberately NOT touched: these statements were applied to root
+        at SEND time, and re-writing root now would clobber newer
+        writes from other clients with stale values (round-10 review
+        wave). Values re-validate here — the channel is as exposed as
+        answer()."""
+        sess = self.session_for(session_id)
+        for stmt in stmts:
+            pair = mirrorable_jdbc_set(str(stmt))
+            if pair is None:
+                continue
+            try:
+                sess.conf.set(pair[0], pair[1])
+            except Exception:  # noqa: BLE001 — perf-only, keep going
+                continue
+            self._log_jdbc_set(session_id, pair[0], pair[1])
 
     def _mirror_drop_view(
         self, name: str, session_id: str

@@ -3013,6 +3013,7 @@ class TestJdbcTempViewMirror:
         proxy = JdbcLineProxy(
             ups.address, gate=srv.prime, answer=srv.answer_jdbc,
             release=srv.release_jdbc_session,
+            replay_sets=srv.replay_jdbc_sets,
         ).start()
         before = spark.conf.get("spark.sql.shuffle.partitions")
         try:
@@ -3021,6 +3022,10 @@ class TestJdbcTempViewMirror:
                 c.sendall(m1)
                 assert ups.wait_bytes(len(m1)) == len(m1)
                 assert spark.conf.get("spark.sql.shuffle.partitions") == "11"
+                # ANOTHER client writes root before this one's view
+                # mirror: the buffered replay must NOT clobber it back
+                # to 11 (review wave: session-only replay channel)
+                spark.conf.set("spark.sql.shuffle.partitions", "200")
                 m2 = _exec_stmt_call(
                     "CREATE TEMPORARY VIEW psets AS SELECT 1 AS x", seq=2
                 )
@@ -3033,6 +3038,8 @@ class TestJdbcTempViewMirror:
                 sess = srv.session_for(sid)
                 # the pre-view SET reached the late-created session...
                 assert sess.conf.get("spark.sql.shuffle.partitions") == "11"
+                # ...without re-writing the shared root session
+                assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
                 # ...and its replay log, so a reap+recreate keeps it
                 with srv._session_lock:
                     entries = srv._jdbc_replay[sid]
@@ -3045,6 +3052,14 @@ class TestJdbcTempViewMirror:
                 )
                 assert spark.conf.get("spark.sql.shuffle.partitions") == "13"
                 assert sess.conf.get("spark.sql.shuffle.partitions") == "13"
+                # the replay log keeps LAST VALUE PER KEY (bounded by
+                # the allowlist size, not the connection's SET count)
+                with srv._session_lock:
+                    sets = [
+                        e for e in srv._jdbc_replay[sid]
+                        if e[0] == "set" and e[1] == "spark.sql.shuffle.partitions"
+                    ]
+                assert sets == [("set", "spark.sql.shuffle.partitions", "13")]
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", before)
             proxy.stop()

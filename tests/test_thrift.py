@@ -168,7 +168,8 @@ srv.executor.mrshare_min_bytes = 0       # sf0.001 is under the 64MiB floor
 plans_before = srv.executor.stats["mrshare_plans"]
 proxy2 = JdbcLineProxy(("localhost", PORT), gate=srv.prime,
                        answer=srv.answer_jdbc,
-                       release=srv.release_jdbc_session).start()
+                       release=srv.release_jdbc_session,
+                       replay_sets=srv.replay_jdbc_sets).start()
 p2 = proxy2.address[1]
 res3 = {}
 def via_sub(name, sql):
