@@ -1861,7 +1861,9 @@ def test_derived_inner_join_signatures():
         " ON o_orderkey = l_orderkey) t JOIN customer c ON c.c_custkey = t.k"
     )
     assert o1 is not None and o2 is not None and o1[0] == o2[0]
-    # nest bound: TWICE-nested structure keeps exact-text sharing only
+    # round-11 widening (VERDICT r10 ask #5): TWICE-nested structure —
+    # a derived join operand inside a derived FROM — now decomposes,
+    # so the inner-chain permutation shares one signature
     deep = (
         "(SELECT k FROM (SELECT l_orderkey AS k FROM lineitem JOIN orders"
         " ON l_orderkey = o_orderkey) s JOIN customer ON 1 = 1) t"
@@ -1870,8 +1872,19 @@ def test_derived_inner_join_signatures():
         "(SELECT k FROM (SELECT l_orderkey AS k FROM orders JOIN lineitem"
         " ON l_orderkey = o_orderkey) s JOIN customer ON 1 = 1) t"
     )
-    assert _parse_derived_from(deep)[0] == _parse_derived_from(deep)[0]
-    assert _parse_derived_from(deep)[0] != _parse_derived_from(deep_perm)[0]
+    assert _parse_derived_from(deep)[0] == _parse_derived_from(deep_perm)[0]
+    # nest bound moved to THREE levels: a depth-3 permutation keeps
+    # exact-text sharing only
+    t1 = (
+        "(SELECT k FROM (SELECT k FROM (SELECT l_orderkey AS k"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey) x) y) t"
+    )
+    t2 = (
+        "(SELECT k FROM (SELECT k FROM (SELECT l_orderkey AS k"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey) x) y) t"
+    )
+    assert _parse_derived_from(t1)[0] == _parse_derived_from(t1)[0]
+    assert _parse_derived_from(t1)[0] != _parse_derived_from(t2)[0]
 
 
 def test_derived_inner_join_members_merge_matches_independent(spark, executor):
@@ -1927,6 +1940,147 @@ def test_top_level_or_suppresses_conjunct_split():
         "t1 JOIN t2 ON t1.c = t2.c AND (t1.a = t2.a OR t1.b = t2.b)"
     )
     assert d is not None and d[0] == e[0]
+
+
+def test_or_disjunct_canonicalization_signatures():
+    """Round 11 (VERDICT r10 ask #4): a conjunct that is a pure
+    OR-chain of simple binary comparisons sorts its deduped disjunct
+    canons — ``ON (a=b OR c=d)`` ≡ ``ON (c=d OR a=b)`` — while any
+    other depth-0 keyword in the chain, a non-simple disjunct, or a
+    literal difference keeps the condition opaque/load-bearing."""
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    # parenthesized disjunct permutation + operand swap share
+    a = _parse_join_from("t1 JOIN t2 ON (t1.a = t2.a OR t1.b = t2.b)")
+    b = _parse_join_from("t1 JOIN t2 ON (t2.b = t1.b OR t1.a = t2.a)")
+    assert a is not None and b is not None and a[0] == b[0]
+    # the bare (unparenthesized) whole-condition OR chain is the same
+    # boolean term — shares with the parenthesized spelling
+    c = _parse_join_from("t1 JOIN t2 ON t1.b = t2.b OR t1.a = t2.a")
+    assert c[0] == a[0]
+    # comparison normalization applies INSIDE disjuncts: mirror + swap
+    h = _parse_join_from("t1 JOIN t2 ON (t1.a < t2.a OR t1.c = t2.c)")
+    i = _parse_join_from("t1 JOIN t2 ON (t2.c = t1.c OR t2.a > t1.a)")
+    assert h[0] == i[0]
+    # an or-group pools with sibling conjuncts across spellings
+    j = _parse_join_from(
+        "t1 JOIN t2 ON (t1.a=t2.a OR t1.b=t2.b) AND t1.c=t2.c"
+    )
+    k = _parse_join_from(
+        "t1 JOIN t2 ON t1.c=t2.c AND (t1.b=t2.b OR t1.a=t2.a)"
+    )
+    assert j[0] == k[0]
+    # a chain with one element is NOT equated with the bare comparison
+    # (or-token vs simple token — decline direction, never unsound)
+    m = _parse_join_from("t1 JOIN t2 ON (t1.a=t2.a OR t2.a=t1.a)")
+    n = _parse_join_from("t1 JOIN t2 ON t1.a=t2.a")
+    assert m[0] != n[0]
+    # NOT / mixed AND-OR / parenthesized disjuncts decline the sort
+    f1 = _parse_join_from("t1 JOIN t2 ON (t1.a = t2.a OR NOT t1.b = t2.b)")
+    f2 = _parse_join_from("t1 JOIN t2 ON (NOT t1.b = t2.b OR t1.a = t2.a)")
+    assert f1[0] != f2[0]
+    g1 = _parse_join_from("t1 JOIN t2 ON ((t1.a=t2.a) OR (t1.b=t2.b))")
+    g2 = _parse_join_from("t1 JOIN t2 ON ((t1.b=t2.b) OR (t1.a=t2.a))")
+    assert g1[0] != g2[0]
+    # the round-10 wrong-merge guard still holds: depth-0 AND/OR mix
+    # stays opaque and order-sensitive
+    d = _parse_join_from(
+        "t1 JOIN t2 ON t1.a = t2.a OR t1.b = t2.b AND t1.c = t2.c"
+    )
+    e = _parse_join_from(
+        "t1 JOIN t2 ON t1.c = t2.c AND t1.a = t2.a OR t1.b = t2.b"
+    )
+    assert d[0] != e[0]
+    # string literals inside disjuncts stay load-bearing
+    l1 = _parse_join_from("t1 JOIN t2 ON (t1.a = 'x OR y' OR t1.b = t2.b)")
+    l2 = _parse_join_from("t1 JOIN t2 ON (t1.a = 'y OR x' OR t1.b = t2.b)")
+    assert l1[0] != l2[0]
+
+
+def test_or_disjunct_spelling_variants_merge_matches_independent(
+    spark, executor
+):
+    """OR-spelled join conditions that differ only in disjunct order /
+    operand order land in ONE merged plan and every member's demux
+    result equals its standalone run."""
+    sqls = [
+        "SELECT o_orderpriority, sum(l_quantity) AS sq"
+        " FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey AND (l_discount > 0.05 OR l_tax < 0.03)"
+        " WHERE l_quantity >= 10 GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, count(*) AS n"
+        " FROM orders JOIN lineitem"
+        " ON (0.03 > l_tax OR l_discount > 0.05) AND l_orderkey = o_orderkey"
+        " GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, max(l_extendedprice) AS mx"
+        " FROM orders INNER JOIN lineitem"
+        " ON (l_tax < 0.03 OR l_discount > 0.05) AND o_orderkey = l_orderkey"
+        " GROUP BY o_orderpriority",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_nested_derived_members_merge_matches_independent(spark, executor):
+    """Round 11 (VERDICT r10 ask #5): two-level derived members —
+    a derived FROM whose inner FROM is itself a derived table — whose
+    innermost join chains differ only in spelling land in ONE merged
+    plan and each demux result equals the standalone run."""
+    innermost = [
+        "SELECT o_orderpriority AS pri, l_quantity AS qty, l_discount AS disc"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        "select o_orderpriority as pri, l_quantity as qty, l_discount as disc"
+        " from lineitem join orders on l_orderkey = o_orderkey",
+    ]
+    inners = [
+        f"SELECT pri, qty, disc FROM ({innermost[0]}) u WHERE qty >= 5",
+        f"SELECT pri, qty, disc FROM ({innermost[1]}) u WHERE qty >= 5",
+    ]
+    sqls = [
+        f"SELECT pri, sum(qty) AS sq FROM ({inners[0]}) t"
+        " WHERE disc > 0.02 GROUP BY pri",
+        f"SELECT pri, count(*) AS n FROM ({inners[1]}) v GROUP BY pri",
+        f"SELECT pri, max(qty) AS mq FROM ({inners[0]}) w"
+        " WHERE qty >= 25 GROUP BY pri",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_nested_derived_signature_bars():
+    """The round-11 recursion keeps every decline: nested alias
+    mismatch, differing nested WHERE, bare star at the nested level,
+    and junk after the nested alias."""
+    from sparksql_server_spark.server.mrshare import _parse_derived_from
+
+    s1 = (
+        "(SELECT k, q FROM (SELECT l_orderkey AS k, l_quantity AS q"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey) u"
+        " WHERE q > 5) t"
+    )
+    s2 = (
+        "(select k, q from (select l_orderkey as k, l_quantity as q"
+        " from orders join lineitem on o_orderkey = l_orderkey) u"
+        " where q > 5) w"
+    )
+    c, d = _parse_derived_from(s1), _parse_derived_from(s2)
+    assert c is not None and d is not None and c[0] == d[0]
+    # nested alias is part of the signature
+    assert _parse_derived_from(s1.replace(") u ", ") v "))[0] != c[0]
+    # nested WHERE stays load-bearing
+    assert _parse_derived_from(s1.replace("q > 5", "q > 9"))[0] != c[0]
+    # bare star at the NESTED level declines structural sharing
+    u1 = (
+        "(SELECT k FROM (SELECT * FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey) u) t"
+    )
+    u2 = (
+        "(SELECT k FROM (SELECT * FROM orders JOIN lineitem"
+        " ON l_orderkey = o_orderkey) u) t"
+    )
+    assert _parse_derived_from(u1)[0] != _parse_derived_from(u2)[0]
 
 
 def test_bare_star_derived_inner_declines_structural_sharing():

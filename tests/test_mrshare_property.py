@@ -372,6 +372,56 @@ JOIN_POOLS = [
         [None, "o.o_totalprice > 1000"],
     ),
     (
+        # round-11 (VERDICT r10 ask #4): a pure OR-chain of simple
+        # comparisons sorts its disjunct set — parenthesized or bare,
+        # with comparison normalization applying INSIDE disjuncts —
+        # and pools with sibling conjuncts across spellings
+        [
+            "orders o JOIN lineitem l"
+            " ON o.o_orderkey = l.l_orderkey"
+            " AND (l.l_discount > 0.05 OR l.l_tax < 0.03)",
+            "orders o JOIN lineitem l"
+            " ON (0.03 > l.l_tax OR l.l_discount > 0.05)"
+            " AND l.l_orderkey = o.o_orderkey",
+            "orders o INNER JOIN lineitem l"
+            " ON (l.l_tax < 0.03 OR l.l_discount > 0.05)"
+            " AND o.o_orderkey = l.l_orderkey",
+        ],
+        ["o_orderpriority"],
+        ["count(*)", "sum(l.l_quantity)", "max(o.o_totalprice)"],
+        [None, "l.l_quantity >= 10", "o.o_totalprice > 50000"],
+    ),
+    (
+        # round-11: the bare whole-condition OR chain shares with its
+        # parenthesized spelling (parenthesizing a whole boolean term
+        # is a no-op) and with the disjunct permutation
+        [
+            "lineitem l JOIN orders o"
+            " ON l.l_orderkey = o.o_orderkey OR l.l_partkey = o.o_custkey",
+            "lineitem l JOIN orders o"
+            " ON (o.o_custkey = l.l_partkey OR o.o_orderkey = l.l_orderkey)",
+        ],
+        ["o_orderstatus"],
+        ["count(*)", "sum(l.l_quantity)"],
+        [None, "o.o_totalprice > 1000"],
+    ),
+    (
+        # round-11 (VERDICT r10 ask #5): TWO-level derived members —
+        # the inner FROM is itself a derived table whose innermost
+        # join chain permutes/respells; the nested alias must match
+        [
+            "(SELECT pri, qty FROM (SELECT o_orderpriority AS pri,"
+            " l_quantity AS qty FROM orders JOIN lineitem"
+            " ON o_orderkey = l_orderkey) u WHERE qty >= 5) t",
+            "(select pri, qty from (select o_orderpriority as pri,"
+            " l_quantity as qty from lineitem join orders"
+            " on l_orderkey = o_orderkey) u where qty >= 5) v",
+        ],
+        ["pri"],
+        ["count(*)", "sum(qty)", "max(qty)"],
+        [None, "qty >= 25"],
+    ),
+    (
         # round-9: permutation WITHIN the inner segment after a LEFT
         # boundary (both inner operands hang off the head/boundary
         # relations, so both orders are valid)
