@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -196,6 +197,104 @@ def _median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+# physical-plan node names that mark a query as PYTHON-axis for drift
+# normalization: work flows through Python workers / Arrow IPC, whose
+# throughput drifts independently of the JVM scan/cpu/shuffle axes
+_PY_PLAN_NODES = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "AggregateInPandas",
+    "WindowInPandas",
+    "MapInArrow",
+    "PythonMapInArrow",
+)
+
+
+def _query_axis(df) -> str:
+    """``python`` when the DataFrame's physical plan routes through
+    Python workers / Arrow IPC, else ``jvm``. Driver-side planning
+    only — never triggers execution. NOTE: sees only the RETURNED
+    DataFrame's plan; queries that eagerly spill a Python stage to
+    scratch parquet during construction (the shingle builds) need the
+    execution-window check below."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return "jvm"
+    return "python" if any(n in plan for n in _PY_PLAN_NODES) else "jvm"
+
+
+def _last_sql_exec_id(spark) -> int:
+    """Highest SQL-execution id the UI status store has seen (-1 when
+    empty). Paired with :func:`_python_executed_since` to classify a
+    query by what it actually RAN — construction-time scratch spills
+    included — not just the plan of the DataFrame it returned. Drains
+    the listener bus first so a prior query's late-posting execution
+    can never be attributed to the window that starts here (called
+    BEFORE the timing starts, so the drain is never measured)."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        lst = spark._jsparkSession.sharedState().statusStore().executionsList()
+        n = lst.size()
+        return lst.apply(n - 1).executionId() if n else -1
+    except Exception:
+        return -1
+
+
+def _python_executed_since(spark, since: int) -> bool:
+    """True when any SQL execution recorded after ``since`` contains a
+    Python/Arrow eval node. Drains the async listener bus first so the
+    just-finished execution is visible; swallows reflection errors
+    (returns False) so the bench never fails on a Spark-internals
+    change — the caller falls back to the plan-string check."""
+    try:
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        lst = spark._jsparkSession.sharedState().statusStore().executionsList()
+        # the list is id-ascending: walk from the end and stop at the
+        # window start, so each call pays O(new executions) py4j round
+        # trips, not O(retained executions)
+        for i in range(lst.size() - 1, -1, -1):
+            e = lst.apply(i)
+            if e.executionId() <= since:
+                break
+            desc = e.physicalPlanDescription()
+            if any(n in desc for n in _PY_PLAN_NODES):
+                return True
+    except Exception:
+        pass
+    return False
+
+
+def _assert_trials_consistent(detail: dict, timings: dict) -> None:
+    """Every serialized ``<prefix>_trials`` block must agree with the
+    ``<prefix>_<leg>`` / ``<prefix>_<leg>_min`` headline entries it
+    claims to back (round 11, VERDICT r10 wrong #1: a shadowed trials
+    dict serialized one experiment's raw data under another's key —
+    this assert makes the record self-checking at write time)."""
+    for block, legs in detail.items():
+        if not block.endswith("_trials") or not isinstance(legs, dict):
+            continue
+        prefix = block[: -len("_trials")]
+        for leg, xs in legs.items():
+            med_key, min_key = f"{prefix}_{leg}", f"{prefix}_{leg}_min"
+            assert med_key in timings, f"{block}.{leg}: no headline {med_key}"
+            # 1e-3 tolerance: the serialized trials are rounded to 3
+            # places while the headline rounds the raw median, which
+            # for even trial counts averages two unrounded values
+            assert abs(_median(xs) - timings[med_key]) <= 1e-3 + 1e-9, (
+                f"{block}.{leg}: trials median {round(_median(xs), 4)}"
+                f" != headline {timings[med_key]}"
+            )
+            if min_key in timings:
+                assert abs(min(xs) - timings[min_key]) <= 1e-3 + 1e-9, (
+                    f"{block}.{leg}: trials min {round(min(xs), 4)}"
+                    f" != headline {timings[min_key]}"
+                )
+
+
 def main() -> None:
     spark = get_session("bench", cpus=CPUS)
     timings: dict[str, float] = {}
@@ -268,6 +367,36 @@ def main() -> None:
         )
         py_trials.append(round(time.monotonic() - t0, 4))
     calibration["python"] = {"trials": py_trials, "median": _median(py_trials)}
+    # 5th probe (round 11, VERDICT r10 ask #3): CONCURRENT throughput —
+    # the shape every cached_scan_*/mrshare_* concurrent leg runs (K
+    # jobs through FAIR-pool threads), which no single-stream probe can
+    # see: round 10's concurrent legs shifted 40-85% raw vs round 9
+    # while all four single-stream probes read within ~1-8%. Eight
+    # threads each run the (compiled, warmed) scan probe once in its
+    # own FAIR pool; wall clock of the batch is the sample.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _conc_probe_once() -> float:
+        def _one(i: int) -> None:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"probe{i}"
+            )
+            try:
+                _force(spark.sql(_PROBES["scan"]))
+            finally:
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(_one, range(8)))
+        return round(time.monotonic() - t0, 4)
+
+    _conc_probe_once()  # warm the thread/pool machinery once, unmeasured
+    conc_trials = [_conc_probe_once() for _ in range(5)]
+    calibration["concurrent"] = {
+        "trials": conc_trials,
+        "median": _median(conc_trials),
+    }
 
     # Two regimes per corpus query (VERDICT r7 ask #8): the headline
     # per-query number (and the corpus total) stays FIRST-execution-in-
@@ -280,13 +409,35 @@ def main() -> None:
     # ran, so first-exec numbers and the corpus total stay comparable
     # across rounds (interleaving steady re-runs here was measured to
     # leak GC/JIT pressure into the NEXT query's first execution).
-    corpus_regimes: dict[str, dict[str, float]] = {}
+    corpus_regimes: dict[str, dict] = {}
     for name in sorted(QUERIES):
+        # bottleneck-axis tag (round 11, VERDICT r10 ask #2): a query
+        # that routes work through Python workers / Arrow IPC drifts
+        # with the PYTHON probe, not the JVM ones — round 10's global
+        # mean-ratio normalization mislabeled the Pandas-UDF-heavy set
+        # as regressions when only the python probe had drifted. The
+        # classification diffs the SQL status store over the timed
+        # window (catches construction-time scratch spills — the
+        # shingle builds — whose returned DataFrame is a plain parquet
+        # scan), with the returned plan's node check as fallback; both
+        # inspections run strictly AFTER the timed execution.
+        exec0 = _last_sql_exec_id(spark)
         t0 = time.monotonic()
-        _force(QUERIES[name](spark, SF_DIR))
+        df = QUERIES[name](spark, SF_DIR)  # construction may spill — timed
+        _force(df)
         first = time.monotonic() - t0
         timings[name] = round(first, 3)
-        corpus_regimes[name] = {"first": round(first, 3), "steady": None}
+        axis = (
+            "python"
+            if _python_executed_since(spark, exec0)
+            or _query_axis(df) == "python"
+            else "jvm"
+        )
+        corpus_regimes[name] = {
+            "first": round(first, 3),
+            "steady": None,
+            "axis": axis,
+        }
     # Pass 2 — steady state: min over STEADY_TRIALS re-executions in
     # the fully warmed session (codegen compiled in pass 1)
     for name in sorted(QUERIES) if STEADY_TRIALS else []:
@@ -1008,13 +1159,133 @@ def main() -> None:
         ex.cache.clear()
         return dt
 
-    cs_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    # NB: this dict was accidentally named cs_trials in round 10,
+    # shadowing the cached_scan dict declared above and clobbering the
+    # serialized BENCH_DETAIL::cached_scan_trials (VERDICT r10 wrong
+    # #1); distinct name + the serialization-time consistency assert
+    # below make the class of bug impossible to reintroduce silently
+    condspell_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
     for rep in range(CACHED_SCAN_TRIALS):
-        cs_trials["concurrent"].append(_run_condspell_leg(False, 26000 + 100 * rep))
-        cs_trials["merged"].append(_run_condspell_leg(True, 26500 + 100 * rep))
-    for leg, xs in cs_trials.items():
+        condspell_trials["concurrent"].append(
+            _run_condspell_leg(False, 26000 + 100 * rep)
+        )
+        condspell_trials["merged"].append(
+            _run_condspell_leg(True, 26500 + 100 * rep)
+        )
+    for leg, xs in condspell_trials.items():
         timings[f"mrshare_condspell_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_condspell_{leg}_min"] = round(min(xs), 3)
+
+    # --- MRShare OR-disjunct spelling variants (round 11, VERDICT r10
+    # ask #4): six members joining the same two tables with the SAME
+    # logical condition whose OR-group is spelled four ways — disjunct
+    # order permuted, operands swapped, inequality mirrored, bare vs
+    # parenthesized chain. The sorted-disjunct-set signature must land
+    # all six in ONE merged plan; the round-10 bar merged only
+    # byte-canon-equal OR spellings.
+    or_spellings = [
+        "ON l_suppkey = s_suppkey AND (l_discount > 0.05 OR l_tax < 0.03)",
+        "ON (0.03 > l_tax OR l_discount > 0.05) AND s_suppkey = l_suppkey",
+        "ON (l_tax < 0.03 OR 0.05 < l_discount) AND l_suppkey = s_suppkey",
+        "ON l_suppkey = s_suppkey AND (l_discount > 0.05 OR 0.03 > l_tax)",
+    ]
+    orspell_queries = [
+        f"SELECT s_nationkey, {join_aggs[i]}"
+        f" FROM lineitem_big JOIN supplier {or_spellings[i % 4]}"
+        f" WHERE {join_preds[i]} GROUP BY s_nationkey"
+        for i in range(6)
+    ]
+
+    def _run_orspell_leg(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={
+                big_src: "lineitem_big",
+                os.path.join(SF_DIR, "supplier.parquet"): "supplier",
+            },
+            enable_mrshare=merged,
+        )
+        jobs = [
+            QueryJob(job_id=base_id + i, sql=q)
+            for i, q in enumerate(orspell_queries)
+        ]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged:
+            merged_jobs = sum(len(mp.jobs) for b in bags for mp in b.merges)
+            if merged_jobs != len(orspell_queries):
+                print(
+                    "WARN: OR-disjunct merge did not cover the batch"
+                    f" ({merged_jobs}/{len(orspell_queries)})",
+                    file=sys.stderr,
+                )
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: OR-disjunct leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    orspell_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        orspell_trials["concurrent"].append(
+            _run_orspell_leg(False, 28000 + 100 * rep)
+        )
+        orspell_trials["merged"].append(_run_orspell_leg(True, 28500 + 100 * rep))
+    for leg, xs in orspell_trials.items():
+        timings[f"mrshare_orspell_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_orspell_{leg}_min"] = round(min(xs), 3)
+
+    # --- MRShare two-level derived members (round 11, VERDICT r10 ask
+    # #5): six members over the SAME double-wrapped subselect — the
+    # inner FROM is itself a derived table whose innermost join chain
+    # is spelled in different orders. The two-level structural
+    # signature must land all six in ONE merged plan whose innermost
+    # scan+join is evaluated once.
+    d2_queries = [
+        f"SELECT nk, {derived_aggs[i]}"
+        f" FROM (SELECT nk, qty, disc, tax, price, ship, ln"
+        f" FROM ({dj_inners[i % 2]}) u WHERE qty > 0) t{i}"
+        f" WHERE {derived_preds[i]} GROUP BY nk"
+        for i in range(6)
+    ]
+
+    def _run_derived2_leg(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={
+                big_src: "lineitem_big",
+                os.path.join(SF_DIR, "supplier.parquet"): "supplier",
+            },
+            enable_mrshare=merged,
+        )
+        jobs = [
+            QueryJob(job_id=base_id + i, sql=q) for i, q in enumerate(d2_queries)
+        ]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged:
+            merged_jobs = sum(len(mp.jobs) for b in bags for mp in b.merges)
+            if merged_jobs != len(d2_queries):
+                print(
+                    "WARN: two-level derived merge did not cover the batch"
+                    f" ({merged_jobs}/{len(d2_queries)})",
+                    file=sys.stderr,
+                )
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: two-level derived leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    d2_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        d2_trials["concurrent"].append(_run_derived2_leg(False, 29000 + 100 * rep))
+        d2_trials["merged"].append(_run_derived2_leg(True, 29500 + 100 * rep))
+    for leg, xs in d2_trials.items():
+        timings[f"mrshare_derived2_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_derived2_{leg}_min"] = round(min(xs), 3)
 
     # --- gateway result cache: repeat deterministic query text served
     # from memory (server/results.py). Measured through the REAL TCP
@@ -1058,19 +1329,34 @@ def main() -> None:
     # tail-truncated by the capture harness — "parsed": null); stdout
     # carries a SHORT line holding the totals and the BASELINE-claim
     # pseudo-queries, small enough that no tail truncation can eat it.
-    detail_path = os.path.join(
+    # env override exists so local experiments (sf0.01 smokes, A/B
+    # runs) can write a scratch record without clobbering the repo's
+    # committed previous-round BENCH_DETAIL.json, which is the
+    # normalization baseline for the next driver run
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     # --- drift-normalized cross-round comparison (round 10, VERDICT r9
-    # ask #6): the BENCH_DETAIL.json committed in the repo is the
-    # PREVIOUS round's record — read it BEFORE overwriting and divide
-    # out machine drift with the fixed probes, so the normalization the
-    # README used to describe as a by-hand recipe is applied by the
-    # tool itself. drift = mean of the three probe-median ratios
-    # (this run / previous run); a query's normalized ratio is
-    # (first / drift) / prev_first — >1 slower than last round on a
-    # same-speed machine, <1 faster. Absent/probeless previous detail
-    # (first run on a fresh clone) records null.
+    # ask #6; round 11, VERDICT r10 ask #2 — AXIS-MATCHED): the
+    # BENCH_DETAIL.json committed in the repo is the PREVIOUS round's
+    # record — read it BEFORE overwriting and divide out machine drift
+    # with the fixed probes. Each query normalizes by the probe ratio
+    # matching its BOTTLENECK AXIS, not a global mean (round 10's
+    # global mean mislabeled the Pandas-UDF-heavy set as regressions
+    # when only the python probe had drifted):
+    #   - corpus queries tagged "python" (plan contains Arrow/Python
+    #     eval nodes) divide by the python probe ratio;
+    #   - bench legs that run K jobs through FAIR-pool threads
+    #     ("concurrent"/"batched"/"merged"/"cached" pseudo-queries)
+    #     divide by the concurrent probe ratio;
+    #   - everything else divides by the mean of the three JVM probe
+    #     ratios (scan/cpu/shuffle).
+    # A query's normalized ratio is (first / axis_drift) / prev_first —
+    # >1 slower than last round on a same-speed machine, <1 faster.
+    # When the matching probe is absent from the PREVIOUS record (the
+    # concurrent probe first ships in round 11), the query falls back
+    # to the JVM mean and says so in its "axis" field. Absent/probeless
+    # previous detail (first run on a fresh clone) records null.
     normalized_vs_prev = None
     try:
         with open(detail_path) as fh:
@@ -1086,22 +1372,53 @@ def main() -> None:
             for p in sorted(set(calibration) & set(prev_cal))
             if prev_cal.get(p, {}).get("median")
         }
-        drift = sum(probe_ratios.values()) / len(probe_ratios)
+        jvm_probes = [
+            p for p in ("scan", "cpu", "shuffle") if p in probe_ratios
+        ]
+        jvm_drift = sum(probe_ratios[p] for p in jvm_probes) / len(jvm_probes)
+
+        # bench-leg kinds that execute K jobs through the FAIR-pool
+        # thread pool (the concurrent probe's shape); "separate" legs
+        # are sequential single-stream loops and stay on the JVM mean
+        _CONC_LEG_KINDS = frozenset(("concurrent", "batched", "merged", "cached"))
+
+        def _axis_of(name: str) -> str:
+            tag = corpus_regimes.get(name, {}).get("axis")
+            if tag:
+                return tag
+            parts = name.split("_")
+            if parts[-1] == "min" or re.fullmatch(r"n\d+", parts[-1]):
+                parts = parts[:-1]
+            if parts[-1] in _CONC_LEG_KINDS:
+                return "concurrent"
+            return "jvm"
+
         prev_q = prev.get("queries", {})
         per_query = {}
         for name, first in timings.items():
             prev_first = prev_q.get(name)
             if not isinstance(prev_first, (int, float)) or prev_first <= 0:
                 continue
-            norm = first / drift
+            axis = _axis_of(name)
+            if axis == "jvm":
+                drift_q = jvm_drift
+            elif axis in probe_ratios:
+                drift_q = probe_ratios[axis]
+            else:
+                axis, drift_q = f"jvm(no {axis} probe in prev)", jvm_drift
+            norm = first / drift_q
             per_query[name] = {
                 "prev": prev_first,
                 "raw": first,
+                "axis": axis,
                 "normalized": round(norm, 3),
                 "ratio": round(norm / prev_first, 3),
             }
         normalized_vs_prev = {
-            "drift": round(drift, 4),
+            # kept for cross-round readers: the JVM-mean drift (the
+            # pre-round-11 "drift" definition minus the python probe,
+            # which never belonged in a global mean)
+            "drift": round(jvm_drift, 4),
             "probe_ratios": probe_ratios,
             "queries": per_query,
             # the at-a-glance lists a reviewer actually wants: >30%
@@ -1128,7 +1445,10 @@ def main() -> None:
         # steady is min over SPARK_GRAFT_STEADY_TRIALS re-runs
         "corpus_regimes": corpus_regimes,
         "sf": sf_val,
-        # raw interleaved trials behind the cached_scan_* medians
+        # raw interleaved trials behind every *_trials headline pair —
+        # one block per experiment, keyed so that <prefix>_trials.<leg>
+        # backs headline entries <prefix>_<leg> / <prefix>_<leg>_min
+        # (enforced by _assert_trials_consistent below)
         "cached_scan_trials": {
             leg: [round(x, 3) for x in xs] for leg, xs in cs_trials.items()
         },
@@ -1141,6 +1461,37 @@ def main() -> None:
         "mrshare_widened_trials": {
             leg: [round(x, 3) for x in xs] for leg, xs in wide_trials.items()
         },
+        "mrshare_join_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in join_trials.items()
+        },
+        "mrshare_leftjoin_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in left_trials.items()
+        },
+        "mrshare_rightjoin_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in right_trials.items()
+        },
+        "mrshare_fulljoin_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in full_trials.items()
+        },
+        "mrshare_permjoin_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in perm_trials.items()
+        },
+        "mrshare_derived_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in drv_trials.items()
+        },
+        "mrshare_derivedjoin_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in dj_trials.items()
+        },
+        "mrshare_condspell_trials": {
+            leg: [round(x, 3) for x in xs]
+            for leg, xs in condspell_trials.items()
+        },
+        "mrshare_orspell_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in orspell_trials.items()
+        },
+        "mrshare_derived2_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in d2_trials.items()
+        },
         # fixed machine-speed probes (scan/cpu/shuffle), compiled-once
         # then timed — divide per-query times by the probe-median ratio
         # between two runs to drift-normalize cross-round comparisons
@@ -1150,6 +1501,7 @@ def main() -> None:
         # committed BENCH_DETAIL (null when no prior record exists)
         "normalized_vs_prev": normalized_vs_prev,
     }
+    _assert_trials_consistent(detail, timings)
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     headline = {

@@ -1,0 +1,144 @@
+"""Bench-record bookkeeping gates (round 11, VERDICT r10 wrongs #1/#2).
+
+Round 10 serialized one experiment's raw trials under another's key (a
+shadowed ``cs_trials`` dict) — the headline medians were right but the
+committed BENCH_DETAIL.json record lied about its own provenance. These
+tests pin the fix at three layers: the write-time consistency assert,
+the committed record itself, and the bottleneck-axis tagger behind the
+round-11 axis-matched drift normalization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+import bench
+from bench import _assert_trials_consistent, _median, _query_axis
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+
+
+# ---------------------------------------------------------------------------
+# write-time consistency assert
+
+
+def test_trials_consistent_accepts_matching_record():
+    timings = {
+        "cached_scan_separate": 2.0,
+        "cached_scan_separate_min": 1.5,
+        "mrshare_condspell_merged": 1.332,
+        "mrshare_condspell_merged_min": 1.28,
+    }
+    detail = {
+        "queries": timings,  # non-*_trials keys are ignored
+        "cached_scan_trials": {"separate": [1.5, 2.0, 2.5]},
+        "mrshare_condspell_trials": {"merged": [1.438, 1.332, 1.28]},
+    }
+    _assert_trials_consistent(detail, timings)  # must not raise
+
+
+def test_trials_consistent_rejects_clobbered_block():
+    """The exact round-10 failure shape: a trials block whose values
+    belong to a DIFFERENT experiment's legs."""
+    timings = {
+        "cached_scan_separate": 12.84,
+        "mrshare_condspell_concurrent": 2.624,
+    }
+    detail = {
+        # condspell's trials serialized under cached_scan's key — the
+        # leg name doesn't even exist as a cached_scan headline
+        "cached_scan_trials": {"concurrent": [2.687, 2.624, 2.53]},
+    }
+    with pytest.raises(AssertionError):
+        _assert_trials_consistent(detail, timings)
+
+
+def test_trials_consistent_rejects_median_mismatch():
+    timings = {"mrshare_merged": 9.999, "mrshare_merged_min": 9.0}
+    detail = {"mrshare_trials": {"merged": [1.0, 1.1, 1.2]}}
+    with pytest.raises(AssertionError):
+        _assert_trials_consistent(detail, timings)
+
+
+def test_trials_consistent_even_count_rounding_tolerance():
+    """Even trial counts average two raw middles; the serialized
+    3-place rounding may differ from the headline in the last digit.
+    1e-3 tolerance accepts that — and nothing bigger."""
+    xs = [1.0004, 1.0006]  # raw median 1.0005 -> headline 1.001 (round)
+    timings = {"mrshare_merged": round(_median(xs), 3)}
+    detail = {"mrshare_trials": {"merged": [round(x, 3) for x in xs]}}
+    _assert_trials_consistent(detail, timings)
+
+
+# ---------------------------------------------------------------------------
+# the committed record must back its own headlines
+
+
+def test_committed_detail_trials_match_headlines():
+    if not os.path.exists(DETAIL):
+        pytest.skip("no committed BENCH_DETAIL.json")
+    with open(DETAIL) as fh:
+        detail = json.load(fh)
+    _assert_trials_consistent(detail, detail.get("queries", {}))
+
+
+# ---------------------------------------------------------------------------
+# bottleneck-axis tagging for drift normalization
+
+
+def test_query_axis_jvm_vs_python(spark):
+    import pandas as pd
+
+    jvm_df = spark.range(100).selectExpr("sum(id) AS s")
+    assert _query_axis(jvm_df) == "jvm"
+
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    py_df = spark.range(100).mapInPandas(_ident, "id long")
+    assert _query_axis(py_df) == "python"
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: under `from __future__ import annotations` the
+    # hints become strings, which pandas_udf's resolver rejects
+    @pandas_udf("long")
+    def _twice(s):
+        return s * 2
+
+    arrow_df = spark.range(100).select(_twice("id").alias("y"))
+    assert _query_axis(arrow_df) == "python"
+
+
+def test_corpus_axis_tags_known_queries(spark):
+    """Spot-check the FULL classifier (execution-window diff + plan
+    fallback, the composition bench.py's corpus loop uses) over real
+    corpus queries: the n-gram Jaccard shingle build spills an Arrow
+    mapInPandas stage at CONSTRUCTION time — invisible to the returned
+    plan, caught by the status-store diff — while a plain SQL
+    aggregation stays JVM."""
+    from bench import _last_sql_exec_id, _python_executed_since
+    from sparksql_server_spark.operators import QUERIES
+    from tests.conftest import SF_DIR
+
+    def classify(name: str) -> str:
+        exec0 = _last_sql_exec_id(spark)
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        return (
+            "python"
+            if _python_executed_since(spark, exec0)
+            or _query_axis(df) == "python"
+            else "jvm"
+        )
+
+    assert classify("dedup_ngram_jaccard") == "python"
+    assert classify("agg_q1_pricing_summary") == "jvm"
+    # pure-SQL minhash (no Python stage anywhere) must NOT be tagged
+    # python by residue from the jaccard run above
+    assert classify("dedup_minhash_lsh") == "jvm"

@@ -50,8 +50,15 @@ from sparksql_server_spark import get_session
 from sparksql_server_spark.operators import QUERIES
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sparkgraft_scale/sf1.0")
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+# non-default copy counts build in their own directory so the x10
+# corpus stays reusable next to a x100 big-regime build
+_DEFAULT_SCALE_DIR = (
+    "/tmp/sparkgraft_scale/sf1.0"
+    if COPIES == 10
+    else f"/tmp/sparkgraft_scale/x{COPIES}"
+)
+SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", _DEFAULT_SCALE_DIR)
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SCALE.json") \
     if "repo" in os.path.abspath(__file__) else "BENCH_SCALE.json"
@@ -200,61 +207,102 @@ def main() -> None:
     spark = get_session(app_name="bench-scale", cpus=CPUS)
     build_scaled(spark)
     big_rows = spark.read.parquet(f"{SCALE_DIR}/lineitem.parquet").count()
-    out = {
-        "mode": f"sharded replication x{COPIES} of {SF_SMALL}",
-        "sf_small": SF_SMALL,
-        "sf_big": SCALE_DIR,
-        "lineitem_rows_big": big_rows,
-        "queries": {},
-    }
-    if os.path.exists(OUT) and set(names) != set(QUERIES):
-        try:
-            with open(OUT) as f:
-                out["queries"] = json.load(f).get("queries", {})
-        except Exception:
-            pass
     import math
 
+    # exponent normalizes by the replication factor: log_COPIES(ratio),
+    # so 1.0 = perfectly linear in rows at ANY copy count (the x10
+    # records' exponents were log10(ratio), the same thing at COPIES=10)
+    exp_den = math.log10(COPIES)
+    results: dict[str, dict] = {}
     for name in names:
-        if name not in QUERIES:
-            out["queries"][name] = {"err": "unknown query"}
-            continue
         try:
             t_small = _time_query(spark, name, SF_SMALL)
             t_big = _time_query(spark, name, SCALE_DIR)
             ratio = t_big / t_small if t_small > 0 else float("inf")
-            out["queries"][name] = {
+            results[name] = {
                 "t_small": round(t_small, 3),
                 "t_big": round(t_big, 3),
                 "ratio": round(ratio, 2),
-                "exponent": round(math.log10(ratio) if ratio > 0 else 0.0, 3),
+                "exponent": round(
+                    math.log10(ratio) / exp_den if ratio > 0 else 0.0, 3
+                ),
             }
         except Exception as exc:  # a failing query must not hide the rest
-            out["queries"][name] = {"err": f"{type(exc).__name__}: {exc}"}
-        print(name, out["queries"][name], flush=True)
-    sup = {
-        k: v["ratio"]
-        for k, v in out["queries"].items()
-        if isinstance(v.get("ratio"), (int, float)) and v["ratio"] > COPIES * 1.3
-    }
-    out["superlinear"] = sup
-    # regression list: the ranked worst x10 trends. Re-running a subset
-    # after a fix updates its row; comparing this list round-over-round
-    # catches constant-factor drifts (like r6's HLL CTE regression)
-    # before they reach the expensive tail.
-    ranked = sorted(
-        (
-            (k, v)
+            results[name] = {"err": f"{type(exc).__name__}: {exc}"}
+        print(name, results[name], flush=True)
+
+    record: dict = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                record = json.load(f)
+        except Exception:
+            record = {}
+
+    if COPIES == 10:
+        out = {
+            "mode": f"sharded replication x{COPIES} of {SF_SMALL}",
+            "sf_small": SF_SMALL,
+            "sf_big": SCALE_DIR,
+            "lineitem_rows_big": big_rows,
+            "queries": {},
+        }
+        if set(names) != set(QUERIES):
+            out["queries"] = record.get("queries", {})
+        out["queries"].update(results)
+        sup = {
+            k: v["ratio"]
             for k, v in out["queries"].items()
             if isinstance(v.get("ratio"), (int, float))
-        ),
-        key=lambda kv: -kv[1]["ratio"],
-    )
-    out["worst_trends"] = [
-        {"query": k, **v} for k, v in ranked[:15]
-    ]
+            and v["ratio"] > COPIES * 1.3
+        }
+        out["superlinear"] = sup
+        # regression list: the ranked worst x10 trends. Re-running a
+        # subset after a fix updates its row; comparing this list
+        # round-over-round catches constant-factor drifts (like r6's
+        # HLL CTE regression) before they reach the expensive tail.
+        ranked = sorted(
+            (
+                (k, v)
+                for k, v in out["queries"].items()
+                if isinstance(v.get("ratio"), (int, float))
+            ),
+            key=lambda kv: -kv[1]["ratio"],
+        )
+        out["worst_trends"] = [{"query": k, **v} for k, v in ranked[:15]]
+        if "big_regime" in record:  # a prior big run survives x10 refreshes
+            out["big_regime"] = record["big_regime"]
+        record = out
+    else:
+        # big-regime run (round 11, VERDICT r10 ask #6): nest under
+        # "big_regime" so the x10 corpus sweep stays intact; rows from
+        # a DIFFERENT copy count are replaced, same-count rows merge
+        sup = {
+            k: v["ratio"]
+            for k, v in results.items()
+            if isinstance(v.get("ratio"), (int, float))
+            and v["ratio"] > COPIES * 1.3
+        }
+        br = record.get("big_regime") or {}
+        if br.get("copies") != COPIES:
+            br = {"copies": COPIES, "queries": {}}
+        br.update(
+            mode=f"sharded replication x{COPIES} of {SF_SMALL}",
+            sf_small=SF_SMALL,
+            sf_big=SCALE_DIR,
+            lineitem_rows_big=big_rows,
+        )
+        br["queries"].update(results)
+        br["superlinear"] = {
+            k: v["ratio"]
+            for k, v in br["queries"].items()
+            if isinstance(v.get("ratio"), (int, float))
+            and v["ratio"] > COPIES * 1.3
+        }
+        record["big_regime"] = br
+
     with open(OUT, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(record, f, indent=1)
     print(json.dumps({"wrote": OUT, "superlinear": sup}))
 
 
