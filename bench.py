@@ -374,6 +374,17 @@ def main() -> None:
     # while all four single-stream probes read within ~1-8%. Eight
     # threads each run the (compiled, warmed) scan probe once in its
     # own FAIR pool; wall clock of the batch is the sample.
+    #
+    # Root cause of the r10 shift, A/B'd in round 11 (interleaved fresh
+    # JVMs, 2 runs/arm x 3 trials, sf0.1): the ROUND-9 server code
+    # checked out verbatim reproduces the round-10 leg times on the
+    # round-11 box (r9 code: separate ~10.9/11.2 s median vs HEAD
+    # ~11.7/12.1, overlapping spreads; mrshare_concurrent r9 ~4.8 vs
+    # HEAD ~4.75 — and neither arm comes near round 9's committed
+    # 9.25/3.56). The shift was MACHINE drift in the multi-thread
+    # regime, not server-path cost: the round-10 mirror plumbing adds
+    # nothing measurable to the clean path. This probe exists so the
+    # next such shift is attributable from the record alone.
     from concurrent.futures import ThreadPoolExecutor
 
     def _conc_probe_once() -> float:

@@ -496,3 +496,142 @@ def test_join_chain_merged_demux_equals_direct_on_duckdb(duck_tpch, batch):
             )
     finally:
         duck_tpch.execute(f"DROP VIEW IF EXISTS {mp.view}")
+
+
+# ---------------------------------------------------------------------------
+# condition-canonicalizer soundness (round 11): the property the merge
+# path actually rests on is SIGNATURE-EQUAL => RELATION-EQUAL. Random
+# AND/OR condition trees are rendered twice — once verbatim, once
+# re-spelled by exactly the commutations the canonicalizer claims are
+# semantics-free (conjunct order, disjunct order inside a pure paren-OR
+# group, symmetric-operand swap, inequality mirroring, != <-> <>) — and
+# both the positive direction (the re-spelling shares the signature)
+# and the soundness direction (ANY sig-equal pair of generated
+# conditions, including unrelated random ones, computes the same join
+# relation on NULL-bearing data in DuckDB) are asserted.
+
+
+_COLS = ["t1.a", "t1.b", "t2.a", "t2.b"]
+_CONSTS = ["0", "1", "2", "NULL"]
+_OPS = ["=", "<", ">", "<=", ">=", "<>", "!="]
+
+
+@st.composite
+def _atom(draw):
+    lhs = draw(st.sampled_from(_COLS))
+    rhs = draw(st.sampled_from(_COLS + _CONSTS))
+    op = draw(st.sampled_from(_OPS))
+    return (lhs, op, rhs)
+
+
+@st.composite
+def _cond_tree(draw):
+    """[conjunct, ...] where a conjunct is an atom or a pure OR-group
+    (list of atoms). Exactly the grammar the canonicalizer admits."""
+    n = draw(st.integers(1, 3))
+    out = []
+    for _ in range(n):
+        if draw(st.booleans()):
+            out.append(draw(_atom()))
+        else:
+            k = draw(st.integers(2, 3))
+            out.append([draw(_atom()) for _ in range(k)])
+    return out
+
+
+_MIRROR = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+def _render_atom(a, respell, draw):
+    lhs, op, rhs = a
+    if not respell:
+        return f"{lhs} {op} {rhs}"
+    if op == "!=" and draw(st.booleans()):
+        op = "<>"
+    elif op == "<>" and draw(st.booleans()):
+        op = "!="
+    if op in ("=", "<>", "!=") and draw(st.booleans()):
+        lhs, rhs = rhs, lhs
+    elif op in _MIRROR and draw(st.booleans()):
+        op, lhs, rhs = _MIRROR[op], rhs, lhs
+    return f"{lhs} {op} {rhs}"
+
+
+@st.composite
+def _render(draw, tree, respell):
+    parts = []
+    for conj in tree:
+        if isinstance(conj, tuple):
+            parts.append(_render_atom(conj, respell, draw))
+        else:
+            atoms = list(conj)
+            if respell:
+                atoms = draw(st.permutations(atoms))
+            body = " OR ".join(_render_atom(a, respell, draw) for a in atoms)
+            parts.append(f"({body})")
+    if respell:
+        parts = list(draw(st.permutations(parts)))
+    return " AND ".join(parts)
+
+
+@pytest.fixture(scope="module")
+def duck_nulls():
+    """Tiny join tables with NULLs in every column — the regime where a
+    canonicalization that is only 2-valued-logic-sound would diverge."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t1 AS SELECT * FROM (VALUES"
+        " (0, 1), (1, NULL), (2, 2), (NULL, 0), (1, 1)) v(a, b)"
+    )
+    con.execute(
+        "CREATE TABLE t2 AS SELECT * FROM (VALUES"
+        " (0, NULL), (1, 2), (NULL, NULL), (2, 1), (1, 0)) v(a, b)"
+    )
+    yield con
+    con.close()
+
+
+def _join_rows(con, cond):
+    rows = con.sql(
+        "SELECT t1.a, t1.b, t2.a, t2.b FROM t1 JOIN t2 ON " + cond
+    ).fetchall()
+    return sorted(rows, key=repr)
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_condition_respellings_share_signature_and_relation(duck_nulls, data):
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    tree = data.draw(_cond_tree())
+    c1 = data.draw(_render(tree, False))
+    c2 = data.draw(_render(tree, True))
+    s1 = _parse_join_from(f"t1 JOIN t2 ON {c1}")
+    s2 = _parse_join_from(f"t1 JOIN t2 ON {c2}")
+    assert s1 is not None and s2 is not None
+    # positive direction: the allowed commutations preserve the signature
+    assert s1[0] == s2[0], f"{c1!r} vs {c2!r}"
+    # soundness direction on the same pair: identical relation under 3VL
+    assert _join_rows(duck_nulls, c1) == _join_rows(duck_nulls, c2), (
+        f"{c1!r} vs {c2!r}"
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_sig_equal_random_conditions_compute_equal_relations(duck_nulls, data):
+    """The pure soundness gate: two INDEPENDENTLY drawn conditions that
+    happen to share a signature must compute the same relation. (Most
+    draws differ — the assertion is vacuous there by design; collisions
+    are exactly the cases the canonicalizer equates.)"""
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    c1 = data.draw(_render(data.draw(_cond_tree()), True))
+    c2 = data.draw(_render(data.draw(_cond_tree()), True))
+    s1 = _parse_join_from(f"t1 JOIN t2 ON {c1}")
+    s2 = _parse_join_from(f"t1 JOIN t2 ON {c2}")
+    assert s1 is not None and s2 is not None
+    if s1[0] == s2[0]:
+        assert _join_rows(duck_nulls, c1) == _join_rows(duck_nulls, c2), (
+            f"sig-equal but relation-different: {c1!r} vs {c2!r}"
+        )
