@@ -34,3 +34,14 @@ def spark_norm(a: str) -> str:
 
 def duck_norm(a: str) -> str:
     return f"sqrt({duck_dot(a, a)})"
+
+
+# Negative result (round 11, measured): unrolling the fold into a flat
+# 64-term arithmetic chain (element_at(a,1)*element_at(b,1) + …) is
+# bit-identical on both engines but 5× SLOWER in practice — the hot
+# consumers evaluate the dot inside BroadcastNestedLoopJoin projections
+# (cross joins never enter whole-stage codegen), where 128 interpreted
+# element_at Expression.eval calls lose to the HOF fold's tight lambda
+# loop. The scale levers that worked are structural (one-pass fold
+# assignment, spill-once, salted pairwise join — see
+# operators/dedup.py::dedup_semdedup_cells), not expression rewrites.

