@@ -923,9 +923,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets → higher recall and cost; multi-probe (one-bit flips, as in
     sim_topk_lsh_multiprobe) recovers pairs split by a near-zero
     hyperplane margin without re-bucketing.
+
+    Round 11 (the ×100 sweep measured the SQL pairwise join at 434 s,
+    exponent 1.218 — interpreted-HOF dot products over Σ bucket²
+    pairs, the semdedup diagnosis exactly): the within-bucket pairwise
+    runs as ``applyInPandas`` over (bucket, slice-of-8) groups with
+    the bit-exact numpy fold (float32 products, +0.0-seeded sequential
+    float64 ``np.add.accumulate`` — semdedup's verified kernel). Each
+    group emits its top-500 pairs by RAW cosine plus every pair within
+    1e-6 of the 500th's raw value: rounding moves a double by at most
+    5e-7, so any pair dropped under that margin rounds STRICTLY below
+    ≥500 kept group-mates and can never reach the global top 500 —
+    the final round/ORDER/LIMIT stays in SQL on bit-identical raw
+    values, so the result is exactly the oracle's. Bucket assignment
+    stays the shared SQL expression (N×planes work, one row each).
+    Measured ×100: 434 s → 46.7 s, exponent 1.218 → 0.67 (the
+    remaining term is Σ bucket² over the FIXED 256-bucket grid — at a
+    real 100 TB the plane count grows with log2(N/target_bucket), the
+    documented recall/cost dial).
     """
     register_tables(spark, sf_dir, ("embeddings",))
-    return spark.sql(_embdup_spark())
+    import numpy as np
+    import pandas as pd
+
+    from sparksql_server_spark.operators.similarity import spark_lsh_bucket
+
+    def _exact_dots(a32, b32):
+        p = (a32 * b32).astype(np.float64)
+        seeded = np.concatenate([np.zeros(p.shape[:-1] + (1,)), p], axis=-1)
+        return np.add.accumulate(seeded, axis=-1)[..., -1]
+
+    top = 500
+    salt = 8
+    n = spark.sql(
+        f"""SELECT vec_id, embedding, {spark_norm('embedding')} AS nrm,
+               {spark_lsh_bucket('embedding')} AS bucket FROM embeddings"""
+    )
+
+    def _bucket_pairs(key, pdf):
+        sl = int(key[1])
+        pdf = pdf.sort_values("vec_id")
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype(
+            np.float32, copy=False
+        )
+        nrm = pdf["nrm"].to_numpy()
+        vids = pdf["vec_id"].to_numpy()
+        d1s, d2s, coss = [], [], []
+        for j in range(1, len(pdf)):
+            if vids[j] % salt != sl:
+                continue
+            dots = _exact_dots(vecs[:j], vecs[j])
+            cos = dots / (nrm[:j] * nrm[j])
+            d1s.append(vids[:j])
+            d2s.append(np.full(j, vids[j]))
+            coss.append(cos)
+        if not coss:
+            return pd.DataFrame(
+                {
+                    "d1": pd.Series([], dtype="int64"),
+                    "d2": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        d1 = np.concatenate(d1s)
+        d2 = np.concatenate(d2s)
+        cos = np.concatenate(coss)
+        if len(cos) > top:
+            kth = np.partition(cos, len(cos) - top)[len(cos) - top]
+            keep = cos >= kth - 1e-6  # rounding-safe margin (docstring)
+            d1, d2, cos = d1[keep], d2[keep], cos[keep]
+        return pd.DataFrame({"d1": d1, "d2": d2, "cos": cos})
+
+    pairs = (
+        n.withColumn("sl", F.explode(F.expr(f"sequence(0, {salt - 1})")))
+        .groupBy("bucket", "sl")
+        .applyInPandas(_bucket_pairs, "d1 bigint, d2 bigint, cos double")
+    )
+    return (
+        pairs.select("d1", "d2", F.round("cos", 6).alias("cos"))
+        .orderBy(F.desc("cos"), "d1", "d2")
+        .limit(top)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -430,11 +430,51 @@ def quality_boilerplate_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable count keyed by shingle (the production pipeline
     persists it — the span-frequency table IS the boilerplate model,
     reusable per batch like dedup_incremental_lsh's index); the
-    join-back is keyed by shingle with ultra-hot spans the skew
-    candidates (AQE skew-join or a DF cutoff that drops spans past
-    'certainly boilerplate', capping any bucket). Rollup is a per-doc
+    join-back is keyed by shingle and 1:1 (each sh row meets exactly
+    its own span's count row — Σ df, never Σ df²). Rollup is a per-doc
     combinable aggregate; LIMIT is a TakeOrdered top-k, no global
     sort materialized.
+
+    Round 11: the ``sh`` relation feeds BOTH the span-frequency count
+    and the join-back; as inlined CTE text Spark re-ran the
+    explode+DISTINCT per consumer (the ×100 sweep measured 78 s,
+    exponent 0.76, after first exposing an OOM at the old 8g heap), so
+    it materializes once behind a CacheScope spill — the same
+    pattern/artifact as the dedup shingle table.
     """
     register_tables(spark, sf_dir, ("documents",))
-    return spark.sql(_boiler_sql("spark"))
+    from sparksql_server_spark.operators.scratch import CacheScope
+
+    words, shexpr = spark_words("text"), spark_shingles("w", _BOILER_N)
+    sh = CacheScope(spark).finish(
+        spark.sql(
+            f"WITH w AS (SELECT doc_id, {words} AS w FROM documents) "
+            f"SELECT DISTINCT doc_id, s FROM w LATERAL VIEW explode({shexpr}) t AS s"
+        ),
+        "boiler_sh",
+    )
+    df = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
+    perdoc = (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )
+    return (
+        perdoc.select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_shingles"), 6
+            )
+            .cast("double")
+            .alias("boiler_frac"),
+        )
+        .orderBy(F.desc("boiler_frac"), "doc_id")
+        .limit(_BOILER_TOP)
+    )

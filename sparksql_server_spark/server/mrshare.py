@@ -575,6 +575,20 @@ def _inner_select_sig(inner: str, nest: int) -> str:
         if m is not None and m_from.end() <= m.start() < end:
             end = m.start()
     head = s[: m_from.start()]
+    # a depth-0 LIMIT in the trailing clauses declines STRUCTURAL
+    # sharing (round-11 review wave): LIMIT without a total order picks
+    # plan-dependent rows, and the structural signature deliberately
+    # admits members whose join-operand ORDER differs — different
+    # plans, so the merged evaluation (the first member's spelling)
+    # can feed a member a different row subset than its standalone run
+    # would produce. Even ORDER BY + LIMIT is only total modulo ties.
+    # Byte-canon-equal spellings still share (same text → same plan →
+    # same subset), which is the pre-structural bar.
+    tail = s[end:]
+    td, ti = _scan(tail)
+    for lm in re.finditer(r"\blimit\b", tail, re.I):
+        if not ti[lm.start()] and td[lm.start()] == 0:
+            return _canon(inner)
     # a BARE star in the select head declines structural sharing
     # (round-10 review wave, confirmed wrong-merge repro): ``*``
     # expands in JOIN-OPERAND ORDER, which the chain signature

@@ -105,7 +105,14 @@ def get_session(
         .config("spark.scheduler.numCancelledJobGroupsToTrack", "1000")
         # -- quiet local runs --------------------------------------------
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS every executor, so this heap is
+        # shared by all `cpus` concurrent tasks' execution memory AND
+        # every broadcast build. 8g starved 32 tasks at the ×100 scale
+        # rig (HashAggregate "unable to acquire 262144 bytes", GCLocker
+        # retry storms, broadcast-build OOM on a 128 GiB box — round
+        # 11); 32g leaves the OS page cache ~3/4 of the box. On a real
+        # cluster this maps to per-executor memory, not driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     pools = _fair_pools_file()
     if pools:  # unwritable tmp: pools fall back to on-demand weight 1

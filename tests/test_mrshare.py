@@ -2083,6 +2083,47 @@ def test_nested_derived_signature_bars():
     assert _parse_derived_from(u1)[0] != _parse_derived_from(u2)[0]
 
 
+def test_derived_inner_limit_declines_structural_sharing():
+    """Round-11 review wave: a depth-0 LIMIT in a derived inner's
+    trailing clauses must decline STRUCTURAL sharing — LIMIT without a
+    total order picks plan-dependent rows, and the structural
+    signature admits members whose join-operand order (hence plan)
+    differs, so one shared evaluation could feed a member a different
+    row subset than its standalone run. Byte-canon-equal spellings
+    (same text, same plan) still share."""
+    from sparksql_server_spark.server.mrshare import _parse_derived_from
+
+    lim1 = (
+        "(SELECT o_orderpriority AS pri, l_quantity AS qty"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+        " LIMIT 100) t"
+    )
+    lim_perm = (
+        "(SELECT o_orderpriority AS pri, l_quantity AS qty"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " LIMIT 100) t"
+    )
+    a, b = _parse_derived_from(lim1), _parse_derived_from(lim_perm)
+    assert a is not None and b is not None
+    assert a[0] != b[0]  # permuted chain + LIMIT: no structural share
+    # identical spelling still shares (modulo case/whitespace)
+    assert a[0] == _parse_derived_from(lim1.replace("SELECT", "select"))[0]
+    # ORDER BY + LIMIT is only total modulo ties — still declines
+    ol1 = lim1.replace(" LIMIT 100", " ORDER BY qty LIMIT 100")
+    ol2 = lim_perm.replace(" LIMIT 100", " ORDER BY qty LIMIT 100")
+    assert _parse_derived_from(ol1)[0] != _parse_derived_from(ol2)[0]
+    # a LIMIT inside a string literal is data, not a clause
+    lit1 = (
+        "(SELECT o_orderpriority AS pri FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey WHERE o_comment <> 'LIMIT 5') t"
+    )
+    lit2 = (
+        "(SELECT o_orderpriority AS pri FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey WHERE o_comment <> 'LIMIT 5') t"
+    )
+    assert _parse_derived_from(lit1)[0] == _parse_derived_from(lit2)[0]
+
+
 def test_bare_star_derived_inner_declines_structural_sharing():
     """Round-10 review wave (CONFIRMED wrong-merge repro): ``SELECT *``
     expands in JOIN-OPERAND ORDER, which the chain signature erases —

@@ -173,9 +173,38 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _time_query(spark, name: str, sf_dir: str, runs: int = 2) -> float:
+class _Session:
+    """Session holder that can recover from a fatal executor error.
+
+    A query that OOMs the local JVM stops the SparkContext; without
+    recovery every LATER query in the batch records a junk
+    "Cannot call methods on a stopped SparkContext" row that then
+    merges into BENCH_SCALE.json as if the query itself failed
+    (round 11: one OOM poisoned five rows). `get()` rebuilds the
+    session when the previous one died."""
+
+    def __init__(self):
+        self._spark = None
+
+    def get(self):
+        if self._spark is not None:
+            try:
+                if not self._spark.sparkContext._jsc.sc().isStopped():
+                    return self._spark
+            except Exception:
+                pass
+            try:
+                self._spark.stop()
+            except Exception:
+                pass
+        self._spark = get_session(app_name="bench-scale", cpus=CPUS)
+        return self._spark
+
+
+def _time_query(sess: "_Session", name: str, sf_dir: str, runs: int = 2) -> float:
     best = float("inf")
     for _ in range(runs):
+        spark = sess.get()
         t0 = time.monotonic()
         _force(QUERIES[name](spark, sf_dir))
         best = min(best, time.monotonic() - t0)
@@ -204,7 +233,8 @@ def main() -> None:
         names = argv
     else:
         names = HEAVY
-    spark = get_session(app_name="bench-scale", cpus=CPUS)
+    sess = _Session()
+    spark = sess.get()
     build_scaled(spark)
     big_rows = spark.read.parquet(f"{SCALE_DIR}/lineitem.parquet").count()
     import math
@@ -216,8 +246,8 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name in names:
         try:
-            t_small = _time_query(spark, name, SF_SMALL)
-            t_big = _time_query(spark, name, SCALE_DIR)
+            t_small = _time_query(sess, name, SF_SMALL)
+            t_big = _time_query(sess, name, SCALE_DIR)
             ratio = t_big / t_small if t_small > 0 else float("inf")
             results[name] = {
                 "t_small": round(t_small, 3),
