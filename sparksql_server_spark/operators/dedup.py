@@ -33,6 +33,7 @@ from sparksql_server_spark.functions.portable import (
 from sparksql_server_spark.functions.vector import (
     duck_dot,
     duck_norm,
+    exact_numpy_dots,
     spark_dot,
     spark_norm,
 )
@@ -948,10 +949,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparksql_server_spark.operators.similarity import spark_lsh_bucket
 
-    def _exact_dots(a32, b32):
-        p = (a32 * b32).astype(np.float64)
-        seeded = np.concatenate([np.zeros(p.shape[:-1] + (1,)), p], axis=-1)
-        return np.add.accumulate(seeded, axis=-1)[..., -1]
+    _exact_dots = exact_numpy_dots  # the shared bit-exact fold kernel
 
     top = 500
     salt = 8
@@ -1626,13 +1624,7 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparksql_server_spark.operators.scratch import CacheScope
 
-    def _exact_dots(a32: "np.ndarray", b32: "np.ndarray") -> "np.ndarray":
-        """Row-wise dot over the LAST axis: float32 products, +0.0-seeded
-        sequential float64 accumulation — bit-equal to both engines'
-        SQL folds (see docstring)."""
-        p = (a32 * b32).astype(np.float64)
-        seeded = np.concatenate([np.zeros(p.shape[:-1] + (1,)), p], axis=-1)
-        return np.add.accumulate(seeded, axis=-1)[..., -1]
+    _exact_dots = exact_numpy_dots  # the shared bit-exact fold kernel
 
     emb = spark.table("embeddings")
     n_rows = emb.count()

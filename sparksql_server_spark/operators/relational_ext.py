@@ -98,16 +98,56 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interpolation arithmetic exact in binary (a + f·(b−a), f ∈
     {.25,.5,.75}), so both engines produce identical doubles.
     (approx_percentile / engine sketches can't cross-check; they're
-    exercised in tests instead.)"""
+    exercised in tests instead.)
+
+    Round 11 Spark plan: ``percentile()`` is a typed-imperative
+    aggregate that COLLECTS each group's values into memory — at the
+    ×100 sweep it measured exponent 0.783 (26 s; 12M buffered values
+    per group) and at 100 TB it simply OOMs. The plan is now the
+    distribution form: a combinable count per (group, value) — 10×
+    smaller than the input here, bounded by the value domain — a
+    cumulative window over the compact distribution, and an order-stat
+    join picking the two straddling values for each target rank with
+    the interpolation computed inline. Integer values make
+    ``v1 + frac·(v2−v1)`` exact in doubles for EVERY evaluation order,
+    so the result is bit-equal to ``percentile()`` and the oracle's
+    ``quantile_cont`` (the property the docstring always relied on).
+    NULL values are excluded exactly as the aggregate does."""
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(
         """
-        SELECT o_orderpriority,
-               percentile(o_custkey, 0.25) AS p25,
-               percentile(o_custkey, 0.50) AS p50,
-               percentile(o_custkey, 0.75) AS p75
-        FROM orders
-        GROUP BY o_orderpriority
+        WITH d AS (
+          SELECT o_orderpriority AS g, o_custkey AS v,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders WHERE o_custkey IS NOT NULL
+          GROUP BY o_orderpriority, o_custkey),
+        cum AS (
+          SELECT g, v,
+                 sum(c) OVER (PARTITION BY g ORDER BY v) AS hi,
+                 sum(c) OVER (PARTITION BY g) AS n
+          FROM d),
+        t AS (
+          SELECT g, p,
+                 CAST(floor(p * (n - 1)) AS BIGINT) AS k1,
+                 p * (n - 1) - floor(p * (n - 1)) AS frac,
+                 CAST(floor(p * (n - 1)) AS BIGINT)
+                   + CASE WHEN p * (n - 1) > floor(p * (n - 1))
+                          THEN 1 ELSE 0 END AS k2
+          FROM (SELECT DISTINCT g, n FROM cum)
+          LATERAL VIEW explode(array(0.25D, 0.50D, 0.75D)) pv AS p),
+        stat AS (
+          SELECT t.g, t.p, t.frac,
+                 CAST(min(c.v) AS DOUBLE) AS v1,
+                 CAST(min(CASE WHEN c.hi > t.k2 THEN c.v END) AS DOUBLE)
+                   AS v2
+          FROM t JOIN cum c ON c.g = t.g AND c.hi > t.k1
+          GROUP BY t.g, t.p, t.frac)
+        SELECT g AS o_orderpriority,
+               max(CASE WHEN p = 0.25D THEN v1 + frac * (v2 - v1) END) AS p25,
+               max(CASE WHEN p = 0.50D THEN v1 + frac * (v2 - v1) END) AS p50,
+               max(CASE WHEN p = 0.75D THEN v1 + frac * (v2 - v1) END) AS p75
+        FROM stat
+        GROUP BY g
         ORDER BY o_orderpriority
         """
     )

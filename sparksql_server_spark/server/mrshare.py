@@ -589,17 +589,28 @@ def _inner_select_sig(inner: str, nest: int) -> str:
     for lm in re.finditer(r"\blimit\b", tail, re.I):
         if not ti[lm.start()] and td[lm.start()] == 0:
             return _canon(inner)
-    # a BARE star in the select head declines structural sharing
-    # (round-10 review wave, confirmed wrong-merge repro): ``*``
-    # expands in JOIN-OPERAND ORDER, which the chain signature
-    # deliberately erases — two members differing only in operand
-    # order then expose different COLUMN ORDERS, and an inner
-    # ``ORDER BY <ordinal> LIMIT n`` selects different rows from each.
-    # The docstring's "canon-equal select lists ⇒ same output columns"
-    # holds only for explicit items (and qualified ``a.*``, whose
-    # expansion order is the operand's own); a depth-0 unqualified
-    # ``*`` — including a multiplication that merely looks like one —
-    # falls back to the opaque canon, which never widens sharing.
+    # a BARE star in the select head (round-10 review wave, confirmed
+    # wrong-merge repro): ``*`` expands in JOIN-OPERAND ORDER, which
+    # the chain signature deliberately erases — two members differing
+    # only in operand order then expose different COLUMN ORDERS.
+    # Round 11 re-admits the common ``SELECT * FROM a JOIN b ON …``
+    # wrapper by declining only where column ORDER is OBSERVABLE:
+    # a depth-0 ordinal item in the trailing GROUP BY / ORDER BY
+    # (resolves by select-list POSITION — ``GROUP BY 1`` groups a
+    # different column per operand order), or a depth-0 LIMIT (already
+    # declined above for every head). Absent those, the star-expanded
+    # column SET is invariant under every equivalence the chain
+    # signature admits — inner segments permute (set-union of operand
+    # columns), RIGHT→LEFT mirrors preserve the set and the USING
+    # null-extension side, semi/anti keep their fixed left side — and
+    # all outer references resolve by NAME (members with explicit
+    # select heads; a duplicate name exposed by ``*`` that a member
+    # references errors in that member's STANDALONE analysis, which
+    # runs before any merge — scheduler.run_batch → analyze). A
+    # multiplication that merely looks like a bare star (depth-0 ``*``
+    # not preceded by ``.``) is indistinguishable here and shares the
+    # same (sound) treatment: its canon is part of the head signature
+    # either way.
     for sm in re.finditer(r"\*", head):
         i = sm.start()
         if instr[i] or depth[i] != 0:
@@ -608,7 +619,9 @@ def _inner_select_sig(inner: str, nest: int) -> str:
         while j >= 0 and head[j].isspace():
             j -= 1
         if j < 0 or head[j] != ".":
-            return _canon(inner)
+            if _tail_has_ordinal(tail):
+                return _canon(inner)
+            break
     from_text = s[m_from.end() : end].strip()
     pj = _parse_join_from(from_text, _nest=nest)
     if pj is not None:
@@ -634,6 +647,44 @@ def _inner_select_sig(inner: str, nest: int) -> str:
             _canon(s[end:]),
         )
     )
+
+
+def _tail_has_ordinal(tail: str) -> bool:
+    """True when a depth-0 GROUP BY or ORDER BY item in ``tail`` is a
+    bare integer — an ORDINAL, which resolves by select-list POSITION
+    and therefore observes the column order a bare-star head exposes
+    (see the round-11 comment in :func:`_inner_select_sig`). Items are
+    comma-split at depth 0 with ASC/DESC/NULLS FIRST|LAST direction
+    words stripped; an integer inside parens or a string literal is a
+    constant, not an ordinal. Misreading a non-ordinal as one merely
+    DECLINES sharing — safe direction."""
+    d, ins = _scan(tail)
+    clauses = [
+        m
+        for m in re.finditer(r"\b(?:group|order)\s+by\b", tail, re.I)
+        if not ins[m.start()] and d[m.start()] == 0
+    ]
+    bounds = [
+        m.start()
+        for m in re.finditer(
+            r"\b(?:group\s+by|order\s+by|having|limit|window)\b", tail, re.I
+        )
+        if not ins[m.start()] and d[m.start()] == 0
+    ]
+    for cm in clauses:
+        end = min(
+            (b for b in bounds if b > cm.start()), default=len(tail)
+        )
+        for item in _split_top(tail[cm.end() : end]):
+            it = re.sub(
+                r"\b(?:asc|desc|nulls\s+first|nulls\s+last)\b",
+                "",
+                item,
+                flags=re.I,
+            ).strip()
+            if re.fullmatch(r"\d+", it):
+                return True
+    return False
 
 
 def _parse_single_derived(from_text: str) -> Optional[tuple[str, str]]:

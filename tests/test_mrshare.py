@@ -2071,7 +2071,9 @@ def test_nested_derived_signature_bars():
     assert _parse_derived_from(s1.replace(") u ", ") v "))[0] != c[0]
     # nested WHERE stays load-bearing
     assert _parse_derived_from(s1.replace("q > 5", "q > 9"))[0] != c[0]
-    # bare star at the NESTED level declines structural sharing
+    # bare star at the NESTED level: round 11 admits the ordinal-free
+    # wrapper (references by name), declines once an ordinal observes
+    # the nested column order
     u1 = (
         "(SELECT k FROM (SELECT * FROM lineitem JOIN orders"
         " ON l_orderkey = o_orderkey) u) t"
@@ -2080,7 +2082,33 @@ def test_nested_derived_signature_bars():
         "(SELECT k FROM (SELECT * FROM orders JOIN lineitem"
         " ON l_orderkey = o_orderkey) u) t"
     )
-    assert _parse_derived_from(u1)[0] != _parse_derived_from(u2)[0]
+    assert _parse_derived_from(u1)[0] == _parse_derived_from(u2)[0]
+    o1 = u1.replace(") u)", " GROUP BY 1) u)")
+    o2 = u2.replace(") u)", " GROUP BY 1) u)")
+    assert _parse_derived_from(o1)[0] != _parse_derived_from(o2)[0]
+
+
+def test_bare_star_derived_members_merge_matches_independent(spark, executor):
+    """Round 11: ordinal-free ``SELECT *`` derived wrappers whose inner
+    chains differ only in operand order land in ONE merged plan and
+    each demux result equals the standalone run (all outer references
+    are by name, so the inner column order is unobservable)."""
+    inners = [
+        "SELECT * FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        "select * from lineitem join orders on l_orderkey = o_orderkey",
+    ]
+    sqls = [
+        f"SELECT o_orderpriority, sum(l_quantity) AS sq FROM ({inners[0]}) t"
+        " WHERE l_discount > 0.02 GROUP BY o_orderpriority",
+        f"SELECT o_orderpriority, count(*) AS n FROM ({inners[1]}) u"
+        " GROUP BY o_orderpriority",
+        f"SELECT o_orderpriority, max(l_extendedprice) AS mx"
+        f" FROM ({inners[0]}) v WHERE l_quantity >= 25"
+        " GROUP BY o_orderpriority",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
 
 
 def test_derived_inner_limit_declines_structural_sharing():
@@ -2128,9 +2156,10 @@ def test_bare_star_derived_inner_declines_structural_sharing():
     """Round-10 review wave (CONFIRMED wrong-merge repro): ``SELECT *``
     expands in JOIN-OPERAND ORDER, which the chain signature erases —
     with an inner ``ORDER BY <ordinal> LIMIT n`` the two members'
-    inner top-n row sets differ. A bare star must fall back to the
-    opaque canon; explicit select lists (and qualified ``x.*``) keep
-    structural sharing."""
+    inner top-n row sets differ. Round 11 narrows the decline to where
+    column ORDER is OBSERVABLE (a depth-0 ordinal GROUP BY/ORDER BY
+    item, or any depth-0 LIMIT); the plain ``SELECT * FROM a JOIN b``
+    wrapper — references by name only — is re-admitted."""
     from sparksql_server_spark.server.mrshare import _parse_derived_from
 
     s1 = _parse_derived_from(
@@ -2146,6 +2175,34 @@ def test_bare_star_derived_inner_declines_structural_sharing():
         "(SELECT * FROM a JOIN b ON a.k = b.k ORDER BY 2 LIMIT 10) t"
     )
     assert s1[0] == s3[0]
+    # GROUP BY ordinal observes column order even without LIMIT
+    g1 = _parse_derived_from(
+        "(SELECT * FROM a JOIN b ON a.k = b.k GROUP BY 1) t"
+    )
+    g2 = _parse_derived_from(
+        "(SELECT * FROM b JOIN a ON a.k = b.k GROUP BY 1) t"
+    )
+    assert g1[0] != g2[0]
+    # round 11: the ordinal-free bare-star wrapper shares structurally
+    p1 = _parse_derived_from("(SELECT * FROM a JOIN b ON a.k = b.k) t")
+    p2 = _parse_derived_from("(SELECT * FROM b JOIN a ON b.k = a.k) t")
+    assert p1 is not None and p1[0] == p2[0]
+    # ...including with a WHERE and a NAME-based ORDER BY (no limit)
+    w1 = _parse_derived_from(
+        "(SELECT * FROM a JOIN b ON a.k = b.k WHERE a.v > 3 ORDER BY a.v) t"
+    )
+    w2 = _parse_derived_from(
+        "(SELECT * FROM b JOIN a ON b.k = a.k WHERE a.v > 3 ORDER BY a.v) t"
+    )
+    assert w1[0] == w2[0]
+    # an integer CONSTANT (parenthesized) is not an ordinal
+    c1 = _parse_derived_from(
+        "(SELECT * FROM a JOIN b ON a.k = b.k ORDER BY (1)) t"
+    )
+    c2 = _parse_derived_from(
+        "(SELECT * FROM b JOIN a ON a.k = b.k ORDER BY (1)) t"
+    )
+    assert c1[0] == c2[0]
     # explicit select lists keep the structural (order-insensitive) bar
     e1 = _parse_derived_from(
         "(SELECT a.c1 AS x, b.c2 AS y FROM a JOIN b ON a.k = b.k) t"
@@ -2154,17 +2211,29 @@ def test_bare_star_derived_inner_declines_structural_sharing():
         "(SELECT a.c1 AS x, b.c2 AS y FROM b JOIN a ON b.k = a.k) t"
     )
     assert e1 is not None and e1[0] == e2[0]
+    # ...and with an ordinal tail, explicit heads STILL share: the
+    # ordinal resolves against the same explicit list in every member
+    o1 = _parse_derived_from(
+        "(SELECT a.c1 AS x, b.c2 AS y FROM a JOIN b ON a.k = b.k"
+        " GROUP BY 1, 2) t"
+    )
+    o2 = _parse_derived_from(
+        "(SELECT a.c1 AS x, b.c2 AS y FROM b JOIN a ON b.k = a.k"
+        " GROUP BY 1, 2) t"
+    )
+    assert o1 is not None and o1[0] == o2[0]
     # qualified stars expand in the OPERAND's own column order — safe,
     # still structural
     q1 = _parse_derived_from("(SELECT a.* FROM a JOIN b ON a.k = b.k) t")
     q2 = _parse_derived_from("(SELECT a.* FROM b JOIN a ON a.k = b.k) t")
     assert q1 is not None and q1[0] == q2[0]
-    # a depth-0 multiplication in the head conservatively declines too
-    # (safe direction): only byte-equal spellings share
+    # a depth-0 multiplication is lexically a bare star; with an
+    # ordinal-free tail it now shares — which is strictly sound here
+    # (the head is an explicit named item, identical in both members)
     m1 = _parse_derived_from(
         "(SELECT a.c1 * b.c2 AS p FROM a JOIN b ON a.k = b.k) t"
     )
     m2 = _parse_derived_from(
         "(SELECT a.c1 * b.c2 AS p FROM b JOIN a ON a.k = b.k) t"
     )
-    assert m1 is not None and m2 is not None and m1[0] != m2[0]
+    assert m1 is not None and m2 is not None and m1[0] == m2[0]

@@ -422,6 +422,21 @@ JOIN_POOLS = [
         [None, "qty >= 25"],
     ),
     (
+        # round-11 (VERDICT r10 gap #3): ordinal-free bare-star derived
+        # wrappers — the inner column order is unobservable (outer
+        # references by name; no ordinal, no LIMIT), so operand-order
+        # permutations of the inner chain share
+        [
+            "(SELECT * FROM orders JOIN lineitem"
+            " ON o_orderkey = l_orderkey) t",
+            "(select * from lineitem join orders"
+            " on l_orderkey = o_orderkey) u",
+        ],
+        ["o_orderpriority"],
+        ["count(*)", "sum(l_quantity)", "max(l_extendedprice)"],
+        [None, "l_discount > 0.02", "l_quantity >= 25"],
+    ),
+    (
         # round-9: permutation WITHIN the inner segment after a LEFT
         # boundary (both inner operands hang off the head/boundary
         # relations, so both orders are valid)
