@@ -566,11 +566,28 @@ def _inner_select_sig(inner: str, nest: int) -> str:
     if not re.match(r"select\b", s, re.I):
         return _canon(inner)
     depth, instr = _scan(s)
+    # a depth-0 SET OPERATOR anywhere in the inner text declines
+    # structural sharing outright (round 12, ADVICE r11 high): UNION/
+    # INTERSECT/EXCEPT pair the two arms' select lists POSITIONALLY, so
+    # a bare-star head whose column order the chain signature erases
+    # feeds the set operator differently per operand spelling — the
+    # round-10 wrong-merge class resurfacing through set operators.
+    # Declining for EVERY head shape (not just bare stars) also closes
+    # the keyword-swallowing vectors where the set-op arm lands inside
+    # what this parser reads as the ON condition or the trailing
+    # clauses (``… ON k UNION TABLE t``, ``WHERE p UNION VALUES (1)``)
+    # — an opaque canon-equal token there would otherwise let operand
+    # permutations share a signature around a construct this grammar
+    # never modeled. Byte-canon-equal spellings still share (same text
+    # → same plan → same relation), the pre-structural bar.
+    for sm in re.finditer(r"\b(?:union|intersect|except|minus)\b", s, re.I):
+        if not instr[sm.start()] and depth[sm.start()] == 0:
+            return _canon(inner)
     m_from = _find_top(s, "from", depth, instr)
     if m_from is None:
         return _canon(inner)
     end = len(s)
-    for kw in ("where", "group", "having", "order", "limit"):
+    for kw in ("where", "group", "having", "order", "limit", "offset", "fetch"):
         m = _find_top(s, kw, depth, instr)
         if m is not None and m_from.end() <= m.start() < end:
             end = m.start()
@@ -583,10 +600,13 @@ def _inner_select_sig(inner: str, nest: int) -> str:
     # can feed a member a different row subset than its standalone run
     # would produce. Even ORDER BY + LIMIT is only total modulo ties.
     # Byte-canon-equal spellings still share (same text → same plan →
-    # same subset), which is the pre-structural bar.
+    # same subset), which is the pre-structural bar. OFFSET and FETCH
+    # (round 12, ADVICE r11 medium) select a plan-dependent row subset
+    # exactly like LIMIT — ``ORDER BY x OFFSET 10`` without a total
+    # order drops different rows per plan — so they decline too.
     tail = s[end:]
     td, ti = _scan(tail)
-    for lm in re.finditer(r"\blimit\b", tail, re.I):
+    for lm in re.finditer(r"\b(?:limit|offset|fetch)\b", tail, re.I):
         if not ti[lm.start()] and td[lm.start()] == 0:
             return _canon(inner)
     # a BARE star in the select head (round-10 review wave, confirmed

@@ -2237,3 +2237,117 @@ def test_bare_star_derived_inner_declines_structural_sharing():
         "(SELECT a.c1 * b.c2 AS p FROM b JOIN a ON a.k = b.k) t"
     )
     assert m1 is not None and m2 is not None and m1[0] == m2[0]
+
+
+def test_derived_inner_set_operator_declines_structural_sharing():
+    """Round-12 (ADVICE r11 high): UNION/INTERSECT/EXCEPT pair the two
+    arms' select lists POSITIONALLY, so a bare-star head — whose
+    column order the chain signature deliberately erases — feeds the
+    set operator a different column order per operand spelling. A
+    depth-0 set operator anywhere in the inner text must decline
+    structural sharing (for every head shape: the keyword-swallowing
+    spellings ``… ON k UNION TABLE t`` / ``WHERE p UNION VALUES (1)``
+    land the arm inside clauses this grammar never modeled). The
+    byte-canon exact-text bar still applies."""
+    from sparksql_server_spark.server.mrshare import _parse_derived_from
+
+    u1 = _parse_derived_from(
+        "(SELECT * FROM a JOIN b ON a.k = b.k WHERE a.v > 0"
+        " UNION SELECT 1, 2) t"
+    )
+    u2 = _parse_derived_from(
+        "(SELECT * FROM b JOIN a ON a.k = b.k WHERE a.v > 0"
+        " UNION SELECT 1, 2) t"
+    )
+    assert u1 is not None and u2 is not None
+    assert u1[0] != u2[0]  # operand order stays load-bearing
+    # byte-equal spellings (modulo case/whitespace) still share
+    u3 = _parse_derived_from(
+        "(select * FROM a JOIN b ON a.k = b.k WHERE a.v > 0"
+        "  UNION SELECT 1, 2) t"
+    )
+    assert u3 is not None and u1[0] == u3[0]
+    # the arm can hide where the grammar reads an ON condition
+    # (single-column arm: no comma, no SELECT keyword after UNION)
+    k1 = _parse_derived_from("(SELECT * FROM a JOIN b ON k UNION TABLE t) t")
+    k2 = _parse_derived_from("(SELECT * FROM b JOIN a ON k UNION TABLE t) t")
+    assert k1 is not None and k2 is not None and k1[0] != k2[0]
+    # ... or inside the trailing clauses as a VALUES arm
+    v1 = _parse_derived_from(
+        "(SELECT * FROM a JOIN b ON a.k = b.k WHERE a.v > 0"
+        " UNION VALUES (1)) t"
+    )
+    v2 = _parse_derived_from(
+        "(SELECT * FROM b JOIN a ON a.k = b.k WHERE a.v > 0"
+        " UNION VALUES (1)) t"
+    )
+    assert v1 is not None and v2 is not None and v1[0] != v2[0]
+    # INTERSECT / EXCEPT / MINUS all pair positionally — same decline
+    for op in ("INTERSECT", "EXCEPT", "MINUS"):
+        x1 = _parse_derived_from(
+            f"(SELECT * FROM a JOIN b ON a.k = b.k {op} SELECT 1, 2) t"
+        )
+        x2 = _parse_derived_from(
+            f"(SELECT * FROM b JOIN a ON a.k = b.k {op} SELECT 1, 2) t"
+        )
+        assert x1 is not None and x2 is not None and x1[0] != x2[0]
+    # a set-op keyword inside a string literal is data, not a clause
+    l1 = _parse_derived_from(
+        "(SELECT * FROM a JOIN b ON a.k = b.k WHERE a.c <> 'UNION x') t"
+    )
+    l2 = _parse_derived_from(
+        "(SELECT * FROM b JOIN a ON b.k = a.k WHERE a.c <> 'UNION x') t"
+    )
+    assert l1 is not None and l2 is not None and l1[0] == l2[0]
+    # ... and inside a deeper paren level (a subquery's own UNION is
+    # that level's business — here depth>0 means not this SELECT's)
+    d1 = _parse_derived_from(
+        "(SELECT * FROM a JOIN b ON a.k = b.k"
+        " WHERE a.v IN (1, 2) AND a.w > (3) OR a.u = '(union)') t"
+    )
+    assert d1 is not None
+
+
+def test_derived_inner_offset_fetch_declines_structural_sharing():
+    """Round-12 (ADVICE r11 medium): standalone OFFSET (Spark 3.4+/
+    DuckDB) and FETCH select a plan-dependent row subset exactly like
+    LIMIT — ``ORDER BY x OFFSET 10`` without a total order drops
+    different rows per plan — so the round-11 LIMIT decline extends to
+    them."""
+    from sparksql_server_spark.server.mrshare import _parse_derived_from
+
+    o1 = _parse_derived_from(
+        "(SELECT o_orderpriority AS pri FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey ORDER BY pri OFFSET 10) t"
+    )
+    o2 = _parse_derived_from(
+        "(SELECT o_orderpriority AS pri FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey ORDER BY pri OFFSET 10) t"
+    )
+    assert o1 is not None and o2 is not None
+    assert o1[0] != o2[0]
+    # byte-equal spelling still shares
+    assert o1[0] == _parse_derived_from(
+        "(select o_orderpriority AS pri FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey ORDER BY pri OFFSET 10) t"
+    )[0]
+    # FETCH FIRST spelling declines the same way
+    f1 = _parse_derived_from(
+        "(SELECT o_orderpriority AS pri FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey ORDER BY pri FETCH FIRST 5 ROWS ONLY) t"
+    )
+    f2 = _parse_derived_from(
+        "(SELECT o_orderpriority AS pri FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey ORDER BY pri FETCH FIRST 5 ROWS ONLY) t"
+    )
+    assert f1 is not None and f2 is not None and f1[0] != f2[0]
+    # an OFFSET inside a string literal stays data
+    s1 = _parse_derived_from(
+        "(SELECT o_orderpriority AS pri FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey WHERE o_comment <> 'OFFSET 9') t"
+    )
+    s2 = _parse_derived_from(
+        "(SELECT o_orderpriority AS pri FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey WHERE o_comment <> 'OFFSET 9') t"
+    )
+    assert s1 is not None and s1[0] == s2[0]
