@@ -112,11 +112,18 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``v1 + frac·(v2−v1)`` exact in doubles for EVERY evaluation order,
     so the result is bit-equal to ``percentile()`` and the oracle's
     ``quantile_cont`` (the property the docstring always relied on).
-    NULL values are excluded exactly as the aggregate does."""
+    NULL values are excluded exactly as the aggregate does — but the
+    GROUP SET comes from ALL rows (round 12, ADVICE r11 low): a group
+    whose every value is NULL still surfaces, with NULL quartiles,
+    exactly as ``percentile()``/``quantile_cont`` emit it (the
+    distribution CTE's NOT NULL filter alone would drop the group —
+    latent only, since TPC-H o_custkey is never NULL)."""
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(
         """
-        WITH d AS (
+        WITH grp AS (
+          SELECT DISTINCT o_orderpriority AS g FROM orders),
+        d AS (
           SELECT o_orderpriority AS g, o_custkey AS v,
                  CAST(count(*) AS BIGINT) AS c
           FROM orders WHERE o_custkey IS NOT NULL
@@ -141,13 +148,16 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(min(CASE WHEN c.hi > t.k2 THEN c.v END) AS DOUBLE)
                    AS v2
           FROM t JOIN cum c ON c.g = t.g AND c.hi > t.k1
-          GROUP BY t.g, t.p, t.frac)
-        SELECT g AS o_orderpriority,
-               max(CASE WHEN p = 0.25D THEN v1 + frac * (v2 - v1) END) AS p25,
-               max(CASE WHEN p = 0.50D THEN v1 + frac * (v2 - v1) END) AS p50,
-               max(CASE WHEN p = 0.75D THEN v1 + frac * (v2 - v1) END) AS p75
-        FROM stat
-        GROUP BY g
+          GROUP BY t.g, t.p, t.frac),
+        q AS (
+          SELECT g,
+                 max(CASE WHEN p = 0.25D THEN v1 + frac * (v2 - v1) END) AS p25,
+                 max(CASE WHEN p = 0.50D THEN v1 + frac * (v2 - v1) END) AS p50,
+                 max(CASE WHEN p = 0.75D THEN v1 + frac * (v2 - v1) END) AS p75
+          FROM stat
+          GROUP BY g)
+        SELECT grp.g AS o_orderpriority, q.p25, q.p50, q.p75
+        FROM grp LEFT JOIN q ON q.g = grp.g
         ORDER BY o_orderpriority
         """
     )

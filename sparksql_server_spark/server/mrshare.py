@@ -418,45 +418,15 @@ def _norm_simple_comparison(frag: str) -> Optional[str]:
     return f"{lc}{op}{rc}"
 
 
-def _norm_or_chain(conj: str) -> Optional[str]:
-    """Canonical token for a conjunct that is a pure OR-chain of simple
-    binary comparisons — ``(a=b OR c=d)`` or the bare whole-condition
-    ``a=b OR c=d`` — else None (round 11, VERDICT r10 ask #4).
-
-    OR commutes and associates under three-valued logic and is
-    idempotent, so the disjunct SET determines the relation: the token
-    is the sorted, deduped set of the disjuncts' simple-comparison
-    canons. Admission bar (every check literal-aware, depth-0 only):
-
-    - at most ONE full-width paren group is unwrapped (``(a=b OR
-      c=d)`` ≡ ``a=b OR c=d`` — parenthesizing a whole boolean term is
-      a no-op);
-    - the body must contain a depth-0 OR (else this is not an OR
-      chain — a lone parenthesized comparison keeps today's opaque
-      canon, no behavior change) and NO other depth-0 boolean/
-      precedence keyword (AND, NOT, BETWEEN, IN, LIKE, IS, CASE, …):
-      with only ORs at depth 0, the fragments between them are exactly
-      the disjuncts — no precedence ambiguity exists to mis-split
-      (the round-10 wrong-merge came from sorting fragments of a body
-      with MIXED depth-0 AND/OR; a pure-OR body has no such mix);
-    - every fragment must pass :func:`_norm_simple_comparison` — a
-      parenthesized or keyword-bearing disjunct declines the whole
-      chain (opaque canon, merely narrows sharing).
-
-    The token is ``repr(('or', <sorted canons>))`` — structurally
-    injective against other or-tokens. It cannot collide with an
-    opaque ``_canon`` token either: for a condition's canon to equal
-    this repr the member would have to write a parenthesized,
-    single-quoted comma list as a boolean conjunct, which fails
-    standalone analysis (a row-constructor is not boolean-typed), and
-    members reaching plan_merges were already analyzed standalone
-    (scheduler.py run_batch → analyze)."""
-    s = conj.strip()
-    if s.startswith("("):
-        # unwrap only a FULL-width group (the close paren matching
-        # s[0] must be the final character)
+def _unwrap_full_parens(s: str) -> str:
+    """Strip full-width paren groups — ``((a=b OR c=d))`` → ``a=b OR
+    c=d``. Parenthesizing a whole boolean term is a no-op, so the
+    unwrap is exact; only a group whose matching close paren is the
+    final character unwraps (literal-aware)."""
+    while s.startswith("("):
         _, ins = _scan(s)
         d = 0
+        full = False
         for i, c in enumerate(s):
             if ins[i]:
                 continue
@@ -465,52 +435,101 @@ def _norm_or_chain(conj: str) -> Optional[str]:
             elif c == ")":
                 d -= 1
                 if d == 0:
-                    if i == len(s) - 1:
-                        s = s[1:-1].strip()
+                    full = i == len(s) - 1
                     break
+        if not full:
+            return s
+        s = s[1:-1].strip()
+    return s
+
+
+def _norm_bool_tree(frag: str):
+    """Canonical nested structure for a boolean combination — honoring
+    SQL precedence (OR binds loosest, then AND, parens group) — of
+    simple binary comparisons, or None when any leaf is not provably
+    one (round 12, VERDICT r11 ask #3; generalizes round 11's pure
+    OR-chains to arbitrary AND/OR trees, so ``a=b AND c=d OR e=f``
+    merges with ``e=f OR c=d AND a=b``).
+
+    Returns a leaf canon string, or ``('or'|'and', <sorted deduped
+    children>)`` nested tuples. Soundness: AND and OR each commute,
+    associate, and are idempotent under three-valued logic, so at each
+    node the child SET determines the relation; same-operator children
+    flatten (associativity), duplicates drop (idempotence), and a
+    singleton collapses to its child. No distribution/absorption is
+    applied — logically-equal but structurally-different spellings may
+    still decline, which merely narrows sharing.
+
+    Precedence safety: the split order IS the SQL grammar's — depth-0
+    ORs cut first (their fragments are the disjuncts), then depth-0
+    ANDs within each disjunct. The splits are naive (no BETWEEN/CASE
+    tracking) but cannot mis-normalize: an AND that is not a boolean
+    conjunction (BETWEEN's AND, a CASE arm's AND) always leaves its
+    construct keyword (``between``/``case``/``when``…) or a bare
+    operand fragment in SOME piece, and every piece must bottom out in
+    :func:`_norm_simple_comparison` — whose single-comparison +
+    keyword-free-operand bar then declines the WHOLE tree (opaque
+    canon, never a wrong token). NOT is never normalized (a depth-0
+    ``not`` likewise fails the leaf bar).
+
+    The repr'd tree cannot collide with an opaque ``_canon`` token:
+    for a condition's canon to equal a tree repr the member would have
+    to write a parenthesized single-quoted comma list as a boolean
+    term, which fails standalone analysis (a row-constructor is not
+    boolean-typed), and members reaching plan_merges were already
+    analyzed standalone (scheduler.py run_batch → analyze)."""
+    s = _unwrap_full_parens(frag.strip())
     if not s:
         return None
     d2, i2 = _scan(s)
-    cuts = [
-        m
-        for m in re.finditer(r"\bor\b", s, re.I)
-        if not i2[m.start()] and d2[m.start()] == 0
-    ]
-    if not cuts:
-        return None
-    for km in _OPERAND_UNSAFE.finditer(s):
-        if (
-            not i2[km.start()]
-            and d2[km.start()] == 0
-            and km.group(0).lower() != "or"
-        ):
-            return None
-    frags: list[str] = []
-    last = 0
-    for m in cuts:
-        frags.append(s[last : m.start()])
-        last = m.end()
-    frags.append(s[last:])
-    norms: list[str] = []
-    for f in frags:
-        n = _norm_simple_comparison(f.strip())
-        if n is None:
-            return None
-        norms.append(n)
-    return repr(("or", tuple(sorted(set(norms)))))
+    for op in ("or", "and"):
+        cuts = [
+            m
+            for m in re.finditer(rf"\b{op}\b", s, re.I)
+            if not i2[m.start()] and d2[m.start()] == 0
+        ]
+        if not cuts:
+            continue
+        frags: list[str] = []
+        last = 0
+        for m in cuts:
+            frags.append(s[last : m.start()])
+            last = m.end()
+        frags.append(s[last:])
+        children: dict[tuple, object] = {}
+        for f in frags:
+            child = _norm_bool_tree(f)
+            if child is None:
+                return None
+            # flatten same-operator children (associativity)
+            grand = (
+                child[1]
+                if isinstance(child, tuple) and child[0] == op
+                else (child,)
+            )
+            for g in grand:
+                key = (0, g) if isinstance(g, str) else (1, repr(g))
+                children[key] = g
+        kids = tuple(children[k] for k in sorted(children))
+        if len(kids) == 1:
+            return kids[0]
+        return (op, kids)
+    return _norm_simple_comparison(s)
 
 
 def _norm_conjunct(conj: str) -> str:
     """Canonical token for one conjunct (see the block comment above):
-    normalized when provably a simple binary comparison, sorted-set
-    token when a pure OR-chain of such comparisons (round 11), else
-    the opaque ``_canon`` text."""
+    normalized when provably a simple binary comparison or an AND/OR
+    tree of such comparisons (round 12), else the opaque ``_canon``
+    text. Pure OR-chains keep their round-11 token byte-for-byte
+    (string children sort plainly, so ``repr(('or', (...)))`` is
+    unchanged)."""
     tok = _norm_simple_comparison(conj)
     if tok is not None:
         return tok
-    tok = _norm_or_chain(conj)
-    if tok is not None:
-        return tok
+    tree = _norm_bool_tree(conj)
+    if tree is not None:
+        return tree if isinstance(tree, str) else repr(tree)
     return _canon(conj)
 
 
@@ -521,12 +540,41 @@ def _cond_tokens(cond: str, using_cols: Optional[str]) -> tuple[str, ...]:
     output-column ORDER — the only thing the spelling changes — is
     unobservable); the ``using:`` prefix keeps USING tokens disjoint
     from any ON conjunct canon, so ON members still never merge with
-    USING members."""
+    USING members.
+
+    A conjunct that normalizes to a top-level AND tree splices its
+    children as separate tokens (round 12): the caller pools conjuncts
+    set-wise (σ conjunction), so ``ON (a=b AND c=d)`` tokens-equal
+    ``ON a=b AND c=d`` — the paren spelling previously normalized to
+    ONE composite token and declined against the split spelling.
+
+    A literal ``TRUE`` conjunct drops (round 12): ``TRUE AND k ≡ k``
+    exactly under 3VL for every join type (condition-expression
+    identity, not a σ-placement argument), so ``ON TRUE`` yields an
+    empty token set — which is precisely how the CROSS fold and the
+    comma-FROM rewrite's ``ON TRUE`` filler steps signature-match
+    their explicit-join spellings."""
     if using_cols is not None:
         cols = sorted(c.strip().lower() for c in using_cols.split(","))
         return ("using:" + ",".join(cols),)
     body = re.sub(r"^on\s+", "", cond.strip(), count=1, flags=re.I)
-    return tuple(_norm_conjunct(c) for c in _split_conjuncts(body))
+    toks: list[str] = []
+    for c in _split_conjuncts(body):
+        tok = _norm_simple_comparison(c)
+        if tok is not None:
+            toks.append(tok)
+            continue
+        tree = _norm_bool_tree(c)
+        if tree is None:
+            toks.append(_canon(c))
+        elif isinstance(tree, tuple) and tree[0] == "and":
+            toks.extend(ch if isinstance(ch, str) else repr(ch) for ch in tree[1])
+        else:
+            toks.append(tree if isinstance(tree, str) else repr(tree))
+    return tuple(t for t in toks if t != "true")
+
+
+_MAX_DERIVED_NEST = 64
 
 
 def _inner_select_sig(inner: str, nest: int) -> str:
@@ -550,17 +598,20 @@ def _inner_select_sig(inner: str, nest: int) -> str:
     structure-aware recursion (``_parse_join_from`` can re-enter
     through derived join operands, and this function re-enters through
     a single-derived-table inner FROM): round 11 (VERDICT r10 ask #5)
-    admits TWO structural levels — the BI-generated double wrapper
-    ``FROM (SELECT … FROM (SELECT … FROM a JOIN b ON …) u) t`` — and
-    deeper nesting stays opaque-canon: bounded work on adversarial
-    input, and exact-text sharing still applies there. The soundness
-    argument composes level-wise (each level's signature equality ⇒
-    identical relation at that level, by the same head/chain/tail
-    argument), and the bare-star decline below applies at EVERY level
-    this function visits. The composed signature is ``repr`` of a
+    admitted two structural levels; round 12 (VERDICT r11 ask #4)
+    recurses until a non-signaturable construct appears — each level
+    strictly consumes one layer of the input's parens, so work is
+    bounded by input length times the cap, and ``_MAX_DERIVED_NEST``
+    (64) is a pathological-input backstop far above any BI-generated
+    wrapper depth, not a sharing policy; beyond it, opaque-canon
+    exact-text sharing still applies. The soundness argument composes
+    level-wise (each level's signature equality ⇒ identical relation
+    at that level, by the same head/chain/tail argument), and the
+    bare-star, LIMIT/OFFSET/FETCH, and set-operator declines below
+    apply at EVERY level this function visits. The composed signature is ``repr`` of a
     tuple — structurally injective, no crafted inner text can spoof
     the head/chain/tail boundaries."""
-    if nest > 2:
+    if nest > _MAX_DERIVED_NEST:
         return _canon(inner)
     s = inner.strip()
     if not re.match(r"select\b", s, re.I):
@@ -813,8 +864,97 @@ def _parse_derived_from(from_text: str) -> Optional[tuple[str, str, Optional[str
 # diverge between the three admission points
 _BARE_TABLE = re.compile(r"([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?", re.I)
 
+# a pure column reference (optionally qualified) — the operand shape a
+# WHERE equi-conjunct must have on BOTH sides to migrate into a
+# comma-FROM rewrite's join condition
+_COL_REF = re.compile(r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?$")
 
-def _parse_join_from(from_text: str, _nest: int = 0) -> Optional[tuple[str, str]]:
+
+def _is_equi_col_conjunct(frag: str) -> bool:
+    """True when ``frag`` is exactly one depth-0 ``=`` comparison whose
+    both sides are pure column references — the join-predicate shape
+    the comma-FROM rewrite migrates from WHERE into the chain."""
+    depth, instr = _scan(frag)
+    ops = [
+        m
+        for m in _CMP_OPS.finditer(frag)
+        if not instr[m.start()] and depth[m.start()] == 0
+    ]
+    if len(ops) != 1 or ops[0].group(0) != "=":
+        return False
+    lhs = frag[: ops[0].start()].strip()
+    rhs = frag[ops[0].end() :].strip()
+    return bool(_COL_REF.match(lhs) and _COL_REF.match(rhs))
+
+
+def _normalize_comma_from(
+    from_text: str, where_text: Optional[str]
+) -> Optional[tuple[str, Optional[str]]]:
+    """``(join_from_text, remaining_where_text)`` for a comma-FROM of
+    bare tables — ``FROM a, b[, …] WHERE …`` — else None (round 12,
+    VERDICT r11 ask #6; reference parity: the reference shared by
+    input-source SETS, text-blind — ScanSharing.scala:95-119 — so its
+    sharing never saw spelling at all). The implicit products become
+    an explicit inner chain, and WHERE equi-conjuncts between pure
+    column refs migrate into the final step's ON clause:
+
+        FROM customer, orders WHERE c_custkey = o_custkey AND p
+        → FROM customer JOIN orders ON c_custkey = o_custkey WHERE p
+
+    Soundness: the chain is ALL-INNER by construction, and for inner
+    joins σ conjuncts move freely between WHERE and ON — the relation
+    is σ_{∧all}(× tables) either way (the same identity the r9 segment
+    signature rests on). Scope is safe because only the LAST join step
+    carries conditions (every table is in scope there); earlier steps
+    get ``ON TRUE``, whose token drops from the signature (TRUE∧k≡k),
+    so the rewrite signature-matches the explicit-join spelling with
+    the same predicate set — and the emitted chain is real SQL whose
+    inner-join conditions Catalyst pushes/reorders exactly as it would
+    the explicit spelling. Classification is purely syntactic (one
+    depth-0 ``=`` between column refs), so two members spelling the
+    same predicates classify identically; a same-table col=col filter
+    also migrates, which only changes WHICH clause carries it — not
+    the relation. Declines (→ caller keeps the original text, which
+    ``_parse_join_from`` then declines on the comma): any non-bare-
+    table operand, any explicit JOIN keyword mixed in, fewer than two
+    operands. A WHERE with a depth-0 OR keeps ALL conjuncts in place
+    (``_split_conjuncts`` refuses to split there — the fragments are
+    not conjuncts), producing a pure CROSS chain."""
+    depth, instr = _scan(from_text)
+    if not any(
+        c == "," and depth[i] == 0 and not instr[i]
+        for i, c in enumerate(from_text)
+    ):
+        return None
+    d2, i2 = _scan(from_text)
+    for m in re.finditer(r"\bjoin\b", from_text, re.I):
+        if not i2[m.start()]:
+            return None  # mixed comma + explicit JOIN — decline
+    parts = [p.strip() for p in _split_top(from_text)]
+    if len(parts) < 2 or not all(_BARE_TABLE.fullmatch(p) for p in parts):
+        return None
+    moved: list[str] = []
+    kept: list[str] = []
+    if where_text and where_text.strip():
+        for c in _split_conjuncts(where_text):
+            (moved if _is_equi_col_conjunct(c) else kept).append(c.strip())
+    if moved:
+        chain = parts[0]
+        for p in parts[1:-1]:
+            chain += f" JOIN {p} ON TRUE"
+        chain += f" JOIN {parts[-1]} ON " + " AND ".join(moved)
+    else:
+        chain = parts[0]
+        for p in parts[1:]:
+            chain += f" CROSS JOIN {p}"
+    return chain, (" AND ".join(kept) if kept else None)
+
+
+def _parse_join_from(
+    from_text: str,
+    _nest: int = 0,
+    schema_fn=None,
+) -> Optional[tuple[str, str]]:
     """``(signature, emit_text)`` of an inner/LEFT-join FROM chain, or
     None. ``emit_text`` is the normalized chain the merged statement
     re-emits — identical to the member text except for the RIGHT-join
@@ -947,7 +1087,7 @@ def _parse_join_from(from_text: str, _nest: int = 0) -> Optional[tuple[str, str]
     # exactly as it would unmerged (ADVICE r8 low).
     _, _ins0 = _scan(text)
     for _m in re.finditer(
-        r"\b(?:left|right|full|semi|anti|cross)_join\b", text, re.I
+        r"\b(?:left|right|full|semi|anti|cross|natural)_join\b", text, re.I
     ):
         if not _ins0[_m.start()]:
             return None
@@ -963,8 +1103,17 @@ def _parse_join_from(from_text: str, _nest: int = 0) -> Optional[tuple[str, str]
     text = _sub_outside_strings(r"\bright\s+(?:outer\s+)?join\b", "right_join", text)
     text = _sub_outside_strings(r"\bfull\s+(?:outer\s+)?join\b", "full_join", text)
     text = _sub_outside_strings(r"\bcross\s+join\b", "cross_join", text)
+    # NATURAL [INNER] JOIN (round 12, VERDICT r11 ask #6): resolvable
+    # only with catalog schemas (schema_fn); the INNER-join rewrite
+    # already folded NATURAL INNER JOIN to "natural join". NATURAL
+    # LEFT/RIGHT/FULL keep a bare "natural" word and decline via
+    # _JOIN_DISALLOWED exactly as before.
+    text = _sub_outside_strings(r"\bnatural\s+join\b", "natural_join", text)
 
-    _TOKENS = r"\b(?:left_join|right_join|full_join|semi_join|anti_join|cross_join|join)\b"
+    _TOKENS = (
+        r"\b(?:left_join|right_join|full_join|semi_join|anti_join"
+        r"|cross_join|natural_join|join)\b"
+    )
 
     def _top_cuts(t: str) -> Optional[list]:
         d, ins = _scan(t)
@@ -1069,6 +1218,14 @@ def _parse_join_from(from_text: str, _nest: int = 0) -> Optional[tuple[str, str]
         return ("inner", None, (op_sig,), ())
 
     norm = head
+    # operand TABLE names in join order (None for derived operands) —
+    # the NATURAL resolution needs the visible column set, which is the
+    # union of all prior operands' schemas
+    operand_tables: list[Optional[str]] = [
+        None
+        if head_derived is not None
+        else _BARE_TABLE.fullmatch(head).group(1).lower()
+    ]
     joined = False  # True once norm is itself a join (needs parens to
     # become a RIGHT swap's left operand — precedence, not cosmetics)
     # signature accumulator: nested tuples, repr'd at the end. The
@@ -1095,21 +1252,70 @@ def _parse_join_from(from_text: str, _nest: int = 0) -> Optional[tuple[str, str]
     for tok, seg in zip(toks, segs[1:]):
         seg = seg.strip()
         if tok == "cross_join":
-            # CROSS JOIN takes no condition: bare table [alias] only
+            # CROSS JOIN takes no condition: bare table [alias] only.
+            # Round 12: CROSS folds into the surrounding INNER segment
+            # instead of flushing it — ``A CROSS JOIN B`` ≡ ``A JOIN B
+            # ON TRUE`` (identical relation), and the segment model is
+            # already σ_{∧conds}(× operands), where a condition-less
+            # operand is exactly a product factor. Products commute
+            # and associate and σ floats over them, so the fold is as
+            # sound as the r9 inner-segment argument; it lets
+            # ``a CROSS JOIN b``, ``b CROSS JOIN a``, ``a JOIN b ON
+            # TRUE``, and the comma-FROM rewrite (round 12,
+            # parse_agg_query) all share one signature.
             if not _BARE_TABLE.fullmatch(seg):
                 return None
             norm = f"{norm} cross_join {seg}"
-            _flush_seg()
-            sig_acc = ("cross", sig_acc, _wrap(_op_sig(seg)))
+            seg_ops.append(_op_sig(seg))
+            operand_tables.append(_BARE_TABLE.fullmatch(seg).group(1).lower())
             joined = True
             continue
-        m2 = re.match(
+        if tok == "natural_join":
+            # round 12 (VERDICT r11 ask #6): NATURAL [INNER] JOIN is
+            # exactly ``JOIN … USING (<common columns>)`` — the implied
+            # USING list resolves from catalog schemas (schema_fn,
+            # threaded from the scheduler's per-session catalog; absent
+            # → decline, e.g. direct test callers). The column-order
+            # freedom of the synthesized USING list is the freedom the
+            # USING token already has (sorted: members here are
+            # explicit-item aggregations, so FROM-relation column order
+            # is unobservable). Declines: non-bare-table operand, any
+            # unresolvable schema (derived operand upstream), zero
+            # common columns (an implicit cross — out of scope). A
+            # member with an ambiguous common column errors in its own
+            # STANDALONE analysis before any merge (scheduler.analyze).
+            mt = _BARE_TABLE.fullmatch(seg)
+            if mt is None or schema_fn is None:
+                return None
+            right_cols = schema_fn(mt.group(1))
+            if right_cols is None:
+                return None
+            left_cols: set[str] = set()
+            for t in operand_tables:
+                cols = schema_fn(t) if t else None
+                if cols is None:
+                    return None
+                left_cols.update(c.lower() for c in cols)
+            common = sorted(left_cols & {c.lower() for c in right_cols})
+            if not common:
+                return None
+            operand = seg
+            using_cols = ", ".join(common)
+            cond = f"using ({using_cols})"
+            op_sig = _op_sig(operand)
+            tok = "join"
+            m2 = None
+            natural = True
+        else:
+            natural = False
+        if natural:
+            pass
+        elif (m2 := re.match(
             r"^([A-Za-z_]\w*(?:\s+(?:as\s+)?[A-Za-z_]\w*)?)\s+"
             r"(on\s+.+|using\s*\(([^()]+)\)\s*)$",
             seg,
             re.I | re.S,
-        )
-        if m2:
+        )) is not None:
             operand, cond, using_cols = (
                 m2.group(1),
                 m2.group(2).strip(),
@@ -1129,6 +1335,14 @@ def _parse_join_from(from_text: str, _nest: int = 0) -> Optional[tuple[str, str]
             if not mc:
                 return None
             cond, using_cols = mc.group(1).strip(), mc.group(2)
+        if m2 is not None:
+            operand_tables.append(
+                _BARE_TABLE.fullmatch(operand).group(1).lower()
+            )
+        elif not natural:
+            operand_tables.append(None)  # derived operand: no schema
+        else:
+            operand_tables.append(mt.group(1).lower())
         if using_cols is None and re.search(r"\bselect\b", cond, re.I):
             return None
         if using_cols is not None and not re.fullmatch(
@@ -1375,8 +1589,12 @@ def _post_agg_segments(
     return segs
 
 
-def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
+def parse_agg_query(sql: str, schema_fn=None) -> Optional[ParsedAgg]:
     """Decompose a canonical single-table GROUP BY aggregation, or None.
+
+    ``schema_fn(table) -> list[str] | None`` (optional) resolves table
+    column names for NATURAL-join normalization; absent, NATURAL
+    declines as before.
 
     Declines (returns None) on anything outside the shape — the caller
     runs the query unchanged. Every decline is safe; a false ACCEPT is
@@ -1439,6 +1657,7 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
         if not instr[m_j.start()] and depth[m_j.start()] == 0:
             if not (m_from.end() <= m_j.start() < ends["from"]):
                 return None
+    comma = None  # set by the join branch's comma-FROM rewrite
     m_tbl = _BARE_TABLE.fullmatch(from_text)
     if m_tbl:
         table = m_tbl.group(1)
@@ -1457,7 +1676,17 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
         table_key, from_raw, d_alias = parsed_derived
         quals = [d_alias] if d_alias else []
     else:
-        parsed_join = _parse_join_from(from_text)
+        comma = _normalize_comma_from(
+            from_text, s[m_where.end(): ends["where"]] if m_where else None
+        )
+        if comma is not None:
+            # comma-FROM member (round 12): implicit products become an
+            # explicit inner chain and WHERE equi-conjuncts migrate into
+            # the ON — the member then shares signatures (and a merged
+            # evaluation) with its explicit-JOIN spellings. The WHERE
+            # slice is replaced by the rewrite's surviving conjuncts.
+            from_text, raw_where = comma
+        parsed_join = _parse_join_from(from_text, schema_fn=schema_fn)
         if parsed_join is None:
             return None
         # join members keep their qualifiers: aliases resolve against
@@ -1468,9 +1697,11 @@ def parse_agg_query(sql: str) -> Optional[ParsedAgg]:
         quals = []
         table_key, from_raw = parsed_join
 
+    if comma is None:
+        raw_where = s[m_where.end(): ends["where"]] if m_where else None
     where = None
-    if m_where:
-        where = _strip_qualifiers(s[m_where.end(): ends["where"]], quals).strip()
+    if raw_where is not None:
+        where = _strip_qualifiers(raw_where, quals).strip()
         if not where or re.search(r"\bselect\b", where, re.I):
             return None  # subquery in predicate — decline
     group_raw: dict[str, str] = {}
@@ -1846,6 +2077,7 @@ def plan_merges(
     max_distinct_aggs: int = 2,
     max_members_per_merge: int = 32,
     cost_split: bool = True,
+    schema_fn_for=None,
 ) -> list[MergePlan]:
     """Group a batch's mergeable jobs into MergePlans.
 
@@ -1861,7 +2093,10 @@ def plan_merges(
     parsed: dict[int, ParsedAgg] = {}
     by_sig: dict[tuple, list[tuple[QueryJob, ParsedAgg]]] = {}
     for job in jobs:
-        p = parse_agg_query(job.sql)
+        p = parse_agg_query(
+            job.sql,
+            schema_fn=schema_fn_for(job) if schema_fn_for else None,
+        )
         if p is None:
             continue
         parsed[job.job_id] = p

@@ -77,6 +77,7 @@ class BatchExecutor:
         self.enable_mrshare = enable_mrshare
         self.mrshare_max_grouping_sets = mrshare_max_grouping_sets
         self.mrshare_min_bytes = mrshare_min_bytes
+        self._schema_memo: dict = {}
         # source fingerprint (table root dir) -> registered view name
         self.source_views = dict(source_views or {})
         # job-group namespace unique to THIS executor: job ids restart
@@ -180,6 +181,28 @@ class BatchExecutor:
         except Exception:
             return True
 
+    def _schema_fn_for(self, job: QueryJob):
+        """Memoized catalog lookup for NATURAL-join normalization
+        (round 12, VERDICT r11 ask #6): ``table -> column names`` via
+        the job's own session (mirror sessions see their client's temp
+        views), None on any resolution failure — the parser then
+        declines, conservative as ever. The memo lives one batch
+        (reset in run_batch)."""
+        session = job.session or self.spark
+        memo = self._schema_memo.setdefault(id(session), {})
+
+        def lookup(tbl: str):
+            if tbl not in memo:
+                try:
+                    memo[tbl] = [
+                        f.name for f in session.table(tbl).schema.fields
+                    ]
+                except Exception:
+                    memo[tbl] = None
+            return memo[tbl]
+
+        return lookup
+
     def analyze(self, job: QueryJob) -> None:
         """Resolve the job's plan (no execution) and fingerprint its scans."""
         if not self._is_query(job.sql):
@@ -199,6 +222,10 @@ class BatchExecutor:
     def run_batch(self, jobs: list[QueryJob]) -> list[SharingBag]:
         """Detect → rewrite → execute one batch; returns the bags for
         introspection/tests."""
+        # NATURAL-join schema memo is BATCH-scoped: a temp view replaced
+        # between batches must never feed a stale column set into a
+        # USING resolution (round 12)
+        self._schema_memo = {}
         for job in jobs:
             if not job.fingerprints:
                 try:
@@ -234,6 +261,7 @@ class BatchExecutor:
                         and not j.props.get("prime_only")
                     ],
                     max_grouping_sets=self.mrshare_max_grouping_sets,
+                    schema_fn_for=self._schema_fn_for,
                 ):
                     if self._merge_source_bytes(mp) < self.mrshare_min_bytes:
                         continue  # scan too cheap to repay merge overhead

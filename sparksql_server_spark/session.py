@@ -24,6 +24,28 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+
+def _default_driver_mem() -> str:
+    """Local-mode driver heap: ``SPARK_GRAFT_DRIVER_MEM`` if set, else
+    60% of ``MemAvailable`` capped at 32g and floored at 2g (round 12,
+    ADVICE r11 low). The ×100 scale rig needs 32g on the 128 GiB
+    bench box (which this formula yields there); a fixed 32g default
+    would overcommit smaller machines — the JVM then gets OOM-killed
+    mid-query instead of spilling. On an unreadable /proc/meminfo the
+    pre-round-11 8g default applies."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(32, int(avail_gib * 0.6)))}g"
+    except OSError:
+        pass
+    return "8g"
+
 # FAIR pool definitions (round 9, VERDICT r8 ask #7): per-job pools are
 # created on demand with weight 1; deadline-carrying jobs run in
 # ``deadline_urgent`` (weight 8, FIFO inside so the pre-scheduler's
@@ -111,8 +133,11 @@ def get_session(
         # rig (HashAggregate "unable to acquire 262144 bytes", GCLocker
         # retry storms, broadcast-build OOM on a 128 GiB box — round
         # 11); 32g leaves the OS page cache ~3/4 of the box. On a real
-        # cluster this maps to per-executor memory, not driver.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # cluster this maps to per-executor memory, not driver. Round
+        # 12 (ADVICE r11): the default sizes from MemAvailable — a
+        # fixed 32g overcommits smaller boxes, turning graceful spills
+        # into OOM kills; SPARK_GRAFT_DRIVER_MEM still overrides.
+        .config("spark.driver.memory", _default_driver_mem())
     )
     pools = _fair_pools_file()
     if pools:  # unwritable tmp: pools fall back to on-demand weight 1

@@ -142,3 +142,33 @@ def test_corpus_axis_tags_known_queries(spark):
     # pure-SQL minhash (no Python stage anywhere) must NOT be tagged
     # python by residue from the jaccard run above
     assert classify("dedup_minhash_lsh") == "jvm"
+
+
+def test_summary_line_fits_driver_tail_buffer():
+    """Round-12 (VERDICT r11 ask #2): the driver json-parses the FINAL
+    stdout line from a fixed-size tail buffer. The full ~50-leg queries
+    dict outgrew it in r09-r11 ("parsed": null three rounds running);
+    the summary must stay a stable ≤10-leg headline that fits with
+    ample margin even when every known leg is present."""
+    import json as _json
+
+    import bench
+
+    # every leg name the corpus has ever emitted, plus corpus queries —
+    # the worst-case timings dict the summary could be handed
+    detail = _json.load(open("BENCH_DETAIL.json"))
+    timings = dict(detail["queries"])
+    for trials_key in (k for k in detail if k.endswith("_trials")):
+        for leg in detail[trials_key]:
+            timings.setdefault(leg, 1234.567)
+    line = bench.summary_line(timings, 9999.999, 0.1)
+    parsed = _json.loads(line)
+    assert parsed["metric"] == "corpus_total_runtime"
+    assert len(parsed["queries"]) <= 10
+    assert parsed["detail"] == "BENCH_DETAIL.json"
+    # r08 (the last round the driver parsed) proves ~1.2 KB of tail
+    # survives after the line; demand a 2x safety margin under that
+    assert len(line) < 600, len(line)
+    # the headline keeps the baseline-facing legs when present
+    for leg in ("cached_scan_batched", "mrshare_merged"):
+        assert leg in parsed["queries"]

@@ -153,3 +153,26 @@ def test_default_config_smoke():
     assert not failures, "default-config failures:\n" + json.dumps(
         failures, indent=1
     )
+
+
+def test_default_driver_mem_sizes_from_available_ram(monkeypatch):
+    """Round 12 (ADVICE r11 low): the local-mode heap default derives
+    from MemAvailable (60%, capped 32g, floored 2g) so small machines
+    spill instead of getting OOM-killed; the env var still wins."""
+    from sparksql_server_spark import session as S
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "7g")
+    assert S._default_driver_mem() == "7g"
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM")
+    val = S._default_driver_mem()
+    assert val.endswith("g")
+    n = int(val[:-1])
+    assert 2 <= n <= 32
+    # on the 128 GiB bench box the formula must keep yielding the x100
+    # rig's 32g (60% of MemAvailable, capped)
+    with open("/proc/meminfo") as fh:
+        for line in fh:
+            if line.startswith("MemAvailable:"):
+                avail_gib = int(line.split()[1]) / (1024 * 1024)
+                break
+    assert n == max(2, min(32, int(avail_gib * 0.6)))

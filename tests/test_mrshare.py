@@ -106,7 +106,10 @@ def test_parse_expression_key_and_case_folding():
         # FULL/SEMI/ANTI/CROSS since round 8b)
         "SELECT c_name, count(*) AS n FROM customer c NATURAL JOIN orders o GROUP BY c_name",  # NATURAL needs schema knowledge
         "SELECT l_orderkey, count(*) AS n FROM lineitem a JOIN lineitem b USING (l_orderkey + 1) GROUP BY l_orderkey",  # USING list must be plain columns
-        "SELECT c_name, count(*) AS n FROM customer c, orders o WHERE c_custkey = o_custkey GROUP BY c_name",
+        # (comma-FROM of bare tables ADMITS since round 12 — see
+        # test_comma_from_normalizes_to_join_chain; a comma whose
+        # operand is not a bare table still declines)
+        "SELECT c_name, count(*) AS n FROM customer c, (SELECT 1 AS x) t WHERE c_custkey = x GROUP BY c_name",
         # subquery operands admit since round 9b — but only ALIASED
         # and DETERMINISTIC ones
         "SELECT c_name, count(*) AS n FROM customer c JOIN (SELECT c_custkey FROM orders) ON c_custkey = c_custkey GROUP BY c_name",  # unaliased
@@ -1146,13 +1149,18 @@ def test_parse_full_semi_anti_cross_join_shapes():
         )
         is None
     )
-    assert (
-        parse_agg_query(
-            "SELECT r_name, count(*) AS n FROM region r, nation n"
-            " WHERE n_regionkey = r_regionkey GROUP BY r_name"
-        )
-        is None
+    # round 12: comma-FROM no longer declines — it normalizes to the
+    # explicit inner chain and shares with the JOIN spelling
+    comma = parse_agg_query(
+        "SELECT r_name, count(*) AS n FROM region r, nation n"
+        " WHERE n_regionkey = r_regionkey GROUP BY r_name"
     )
+    explicit = parse_agg_query(
+        "SELECT r_name, count(*) AS n FROM region r"
+        " JOIN nation n ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    assert comma is not None and explicit is not None
+    assert comma.table == explicit.table and comma.where is None
     # RIGHT inside a longer chain (here alongside FULL) admits since
     # r8c: the accumulated prefix parenthesizes into the LEFT operand
     deep = parse_agg_query(
@@ -1873,8 +1881,8 @@ def test_derived_inner_join_signatures():
         " ON l_orderkey = o_orderkey) s JOIN customer ON 1 = 1) t"
     )
     assert _parse_derived_from(deep)[0] == _parse_derived_from(deep_perm)[0]
-    # nest bound moved to THREE levels: a depth-3 permutation keeps
-    # exact-text sharing only
+    # round 12 (VERDICT r11 ask #4): the nest cap is lifted — depth-3
+    # permutations of the innermost chain now share structurally
     t1 = (
         "(SELECT k FROM (SELECT k FROM (SELECT l_orderkey AS k"
         " FROM lineitem JOIN orders ON l_orderkey = o_orderkey) x) y) t"
@@ -1884,7 +1892,7 @@ def test_derived_inner_join_signatures():
         " FROM orders JOIN lineitem ON l_orderkey = o_orderkey) x) y) t"
     )
     assert _parse_derived_from(t1)[0] == _parse_derived_from(t1)[0]
-    assert _parse_derived_from(t1)[0] != _parse_derived_from(t2)[0]
+    assert _parse_derived_from(t1)[0] == _parse_derived_from(t2)[0]
 
 
 def test_derived_inner_join_members_merge_matches_independent(spark, executor):
@@ -1970,20 +1978,29 @@ def test_or_disjunct_canonicalization_signatures():
         "t1 JOIN t2 ON t1.c=t2.c AND (t1.b=t2.b OR t1.a=t2.a)"
     )
     assert j[0] == k[0]
-    # a chain with one element is NOT equated with the bare comparison
-    # (or-token vs simple token — decline direction, never unsound)
+    # round 12: a chain whose disjuncts dedup to ONE comparison IS the
+    # bare comparison — ``x OR x ≡ x`` under 3VL (UNKNOWN OR UNKNOWN is
+    # UNKNOWN), so the singleton collapses and the spellings share
     m = _parse_join_from("t1 JOIN t2 ON (t1.a=t2.a OR t2.a=t1.a)")
     n = _parse_join_from("t1 JOIN t2 ON t1.a=t2.a")
-    assert m[0] != n[0]
-    # NOT / mixed AND-OR / parenthesized disjuncts decline the sort
+    assert m[0] == n[0]
+    # NOT still declines the sort (never normalized)
     f1 = _parse_join_from("t1 JOIN t2 ON (t1.a = t2.a OR NOT t1.b = t2.b)")
     f2 = _parse_join_from("t1 JOIN t2 ON (NOT t1.b = t2.b OR t1.a = t2.a)")
     assert f1[0] != f2[0]
+    # round 12: parens around a LEAF disjunct are no-ops — the
+    # bool-tree unwraps them and the permuted spellings share
     g1 = _parse_join_from("t1 JOIN t2 ON ((t1.a=t2.a) OR (t1.b=t2.b))")
     g2 = _parse_join_from("t1 JOIN t2 ON ((t1.b=t2.b) OR (t1.a=t2.a))")
-    assert g1[0] != g2[0]
-    # the round-10 wrong-merge guard still holds: depth-0 AND/OR mix
-    # stays opaque and order-sensitive
+    assert g1[0] == g2[0]
+    assert g1[0] == _parse_join_from(
+        "t1 JOIN t2 ON (t1.a=t2.a OR t1.b=t2.b)"
+    )[0]
+    # the round-10 wrong-merge pair stays DISTINCT: the precedence-
+    # aware tree parses ``a OR b AND c`` as a∨(b∧c) and ``c AND a OR
+    # b`` as (c∧a)∨b — different trees, different signatures (round 12
+    # normalizes both rather than leaving them opaque, but never
+    # equates them)
     d = _parse_join_from(
         "t1 JOIN t2 ON t1.a = t2.a OR t1.b = t2.b AND t1.c = t2.c"
     )
@@ -1991,6 +2008,12 @@ def test_or_disjunct_canonicalization_signatures():
         "t1 JOIN t2 ON t1.c = t2.c AND t1.a = t2.a OR t1.b = t2.b"
     )
     assert d[0] != e[0]
+    # ...while the precedence-faithful respelling of the SAME term
+    # (disjuncts swapped, conjuncts swapped, parens added) now merges
+    d2 = _parse_join_from(
+        "t1 JOIN t2 ON (t1.c = t2.c AND t1.b = t2.b) OR t1.a = t2.a"
+    )
+    assert d2[0] == d[0]
     # string literals inside disjuncts stay load-bearing
     l1 = _parse_join_from("t1 JOIN t2 ON (t1.a = 'x OR y' OR t1.b = t2.b)")
     l2 = _parse_join_from("t1 JOIN t2 ON (t1.a = 'y OR x' OR t1.b = t2.b)")
@@ -2351,3 +2374,300 @@ def test_derived_inner_offset_fetch_declines_structural_sharing():
         " ON l_orderkey = o_orderkey WHERE o_comment <> 'OFFSET 9') t"
     )
     assert s1 is not None and s1[0] == s2[0]
+
+
+def test_mixed_precedence_spelling_variants_merge_matches_independent(
+    spark, executor
+):
+    """Round 12 (VERDICT r11 ask #3): ON conditions mixing depth-0 AND
+    and OR — normalized as precedence-aware boolean trees — merge
+    across disjunct/conjunct/operand respellings, and every member's
+    demux result equals its standalone run."""
+    sqls = [
+        "SELECT o_orderpriority, sum(l_quantity) AS sq"
+        " FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey AND l_discount > 0.05"
+        " OR o_orderkey = l_orderkey AND l_tax < 0.03"
+        " WHERE l_quantity >= 10 GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, count(*) AS n"
+        " FROM orders JOIN lineitem"
+        " ON l_tax < 0.03 AND l_orderkey = o_orderkey"
+        " OR (0.05 < l_discount AND o_orderkey = l_orderkey)"
+        " GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, max(l_extendedprice) AS mx"
+        " FROM orders INNER JOIN lineitem"
+        " ON (l_orderkey = o_orderkey AND l_discount > 0.05)"
+        " OR (l_orderkey = o_orderkey AND 0.03 > l_tax)"
+        " GROUP BY o_orderpriority",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_deep_derived_nest_signatures():
+    """Round 12 (VERDICT r11 ask #4): the derived-table recursion no
+    longer caps at two structural levels — it recurses until a
+    non-signaturable construct appears (pathological-input backstop at
+    64), with the bare-star/LIMIT/OFFSET/set-operator guards applied
+    at every level."""
+    from sparksql_server_spark.server.mrshare import _parse_derived_from
+
+    def deep(inner_join, n, head="SELECT o_orderpriority AS pri"):
+        t = f"{head} FROM {inner_join}"
+        for i in range(n):
+            t = f"SELECT pri FROM ({t}) u{i}"
+        return f"({t}) t"
+
+    for levels in (3, 5, 8):
+        a = _parse_derived_from(
+            deep("orders JOIN lineitem ON o_orderkey = l_orderkey", levels)
+        )
+        b = _parse_derived_from(
+            deep("lineitem JOIN orders ON l_orderkey = o_orderkey", levels)
+        )
+        assert a is not None and b is not None
+        assert a[0] == b[0], f"levels={levels}"
+    # guards hold at depth: an innermost LIMIT keeps operand order
+    # load-bearing all the way up
+    l1 = _parse_derived_from(
+        deep("orders JOIN lineitem ON o_orderkey = l_orderkey LIMIT 3", 4)
+    )
+    l2 = _parse_derived_from(
+        deep("lineitem JOIN orders ON l_orderkey = o_orderkey LIMIT 3", 4)
+    )
+    assert l1 is not None and l2 is not None and l1[0] != l2[0]
+    # ...as does an innermost bare star with an ordinal tail
+    s1 = _parse_derived_from(
+        deep("a JOIN b ON a.k = b.k GROUP BY 1", 3, head="SELECT *")
+    )
+    s2 = _parse_derived_from(
+        deep("b JOIN a ON a.k = b.k GROUP BY 1", 3, head="SELECT *")
+    )
+    assert s1 is not None and s2 is not None and s1[0] != s2[0]
+    # a DIFFERENT nested alias anywhere declines (alias is part of the
+    # signature at every level)
+    m1 = _parse_derived_from(
+        "(SELECT pri FROM (SELECT pri FROM (SELECT o_orderpriority AS pri"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey) x) y) t"
+    )
+    m2 = _parse_derived_from(
+        "(SELECT pri FROM (SELECT pri FROM (SELECT o_orderpriority AS pri"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey) x) z) t"
+    )
+    assert m1 is not None and m2 is not None and m1[0] != m2[0]
+
+
+def test_three_level_derived_members_merge_matches_independent(
+    spark, executor
+):
+    """Round 12 (VERDICT r11 ask #4): THREE-level derived members whose
+    innermost join chains differ only in spelling land in ONE merged
+    plan and each demux result equals the standalone run."""
+    innermost = [
+        "SELECT o_orderpriority AS pri, l_quantity AS qty, l_discount AS disc"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        "select o_orderpriority as pri, l_quantity as qty, l_discount as disc"
+        " from lineitem join orders on l_orderkey = o_orderkey",
+    ]
+    mids = [
+        f"SELECT pri, qty, disc FROM ({innermost[0]}) u WHERE qty >= 5",
+        f"SELECT pri, qty, disc FROM ({innermost[1]}) u WHERE qty >= 5",
+    ]
+    inners = [
+        f"SELECT pri, qty, disc FROM ({mids[0]}) m",
+        f"SELECT pri, qty, disc FROM ({mids[1]}) m",
+    ]
+    sqls = [
+        f"SELECT pri, sum(qty) AS sq FROM ({inners[0]}) t"
+        " WHERE disc > 0.02 GROUP BY pri",
+        f"SELECT pri, count(*) AS n FROM ({inners[1]}) v GROUP BY pri",
+        f"SELECT pri, max(qty) AS mq FROM ({inners[0]}) w"
+        " WHERE qty >= 25 GROUP BY pri",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_comma_from_normalizes_to_join_chain():
+    """Round 12 (VERDICT r11 ask #6): comma-FROM members rewrite to an
+    explicit inner chain with WHERE equi-conjuncts migrated into the
+    ON, sharing signatures with their explicit-JOIN spellings; CROSS
+    folds into the inner segment (CROSS ≡ JOIN ON TRUE), so comma,
+    CROSS, and ON TRUE spellings all signature-match."""
+    from sparksql_server_spark.server.mrshare import parse_agg_query
+
+    a = parse_agg_query(
+        "SELECT o_orderpriority, sum(l_quantity) AS sq FROM orders, lineitem"
+        " WHERE o_orderkey = l_orderkey AND l_quantity >= 10"
+        " GROUP BY o_orderpriority"
+    )
+    b = parse_agg_query(
+        "SELECT o_orderpriority, sum(l_quantity) AS sq"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+        " WHERE l_quantity >= 10 GROUP BY o_orderpriority"
+    )
+    assert a is not None and b is not None
+    assert a.table == b.table
+    assert a.where == b.where == "l_quantity >= 10"
+    # operand order insensitivity carries over from the segment model
+    c = parse_agg_query(
+        "SELECT o_orderpriority, sum(l_quantity) AS sq FROM lineitem, orders"
+        " WHERE l_orderkey = o_orderkey AND l_quantity >= 10"
+        " GROUP BY o_orderpriority"
+    )
+    assert c is not None and c.table == a.table
+    # no equi-conjunct -> pure product; comma ≡ CROSS ≡ JOIN ON TRUE
+    d = parse_agg_query(
+        "SELECT count(*) AS n FROM region, nation WHERE r_name <> 'ASIA'"
+    )
+    e = parse_agg_query(
+        "SELECT count(*) AS n FROM region CROSS JOIN nation"
+        " WHERE r_name <> 'ASIA'"
+    )
+    f = parse_agg_query(
+        "SELECT count(*) AS n FROM nation CROSS JOIN region"
+        " WHERE r_name <> 'ASIA'"
+    )
+    g = parse_agg_query(
+        "SELECT count(*) AS n FROM region JOIN nation ON TRUE"
+        " WHERE r_name <> 'ASIA'"
+    )
+    assert d is not None and d.table == e.table == f.table == g.table
+    assert d.where == "r_name <> 'ASIA'"
+    # a depth-0 OR keeps every conjunct in WHERE (fragments between the
+    # ANDs of a mixed-precedence predicate are NOT conjuncts)
+    h = parse_agg_query(
+        "SELECT count(*) AS n FROM region, nation"
+        " WHERE r_regionkey = n_regionkey OR r_name = 'ASIA'"
+    )
+    assert h is not None
+    assert h.where == "r_regionkey = n_regionkey OR r_name = 'ASIA'"
+    # 3-table TPC-H comma style shares with the explicit chain
+    i = parse_agg_query(
+        "SELECT n_name, sum(o_totalprice) AS rev FROM customer, orders, nation"
+        " WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey"
+        " AND o_totalprice > 1000 GROUP BY n_name"
+    )
+    j = parse_agg_query(
+        "SELECT n_name, sum(o_totalprice) AS rev"
+        " FROM customer JOIN orders ON c_custkey = o_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " WHERE o_totalprice > 1000 GROUP BY n_name"
+    )
+    assert i is not None and j is not None and i.table == j.table
+    assert i.where == j.where == "o_totalprice > 1000"
+    # declines: mixed comma+JOIN, non-bare-table operand
+    assert (
+        parse_agg_query(
+            "SELECT count(*) AS n FROM region, nation"
+            " JOIN customer ON n_nationkey = c_nationkey"
+        )
+        is None
+    )
+    assert (
+        parse_agg_query("SELECT count(*) AS n FROM region, (SELECT 1 AS x) t")
+        is None
+    )
+    # a non-column operand keeps its conjunct in WHERE (only pure
+    # col = col migrates)
+    k = parse_agg_query(
+        "SELECT count(*) AS n FROM customer, orders"
+        " WHERE c_custkey = o_custkey AND o_totalprice = 1000"
+    )
+    assert k is not None and k.where == "o_totalprice = 1000"
+
+
+def test_comma_from_members_merge_matches_independent(spark, executor):
+    """Comma-FROM members and their explicit-JOIN respellings land in
+    ONE merged plan and every demux result equals its standalone run."""
+    sqls = [
+        "SELECT o_orderpriority, sum(l_quantity) AS sq"
+        " FROM orders, lineitem"
+        " WHERE o_orderkey = l_orderkey AND l_quantity >= 10"
+        " GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, count(*) AS n"
+        " FROM lineitem, orders"
+        " WHERE l_orderkey = o_orderkey"
+        " GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, max(l_extendedprice) AS mx"
+        " FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+        " WHERE l_quantity >= 25 GROUP BY o_orderpriority",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_natural_join_signatures_resolve_from_schema():
+    """Round 12 (VERDICT r11 ask #6): NATURAL [INNER] JOIN normalizes
+    to ``JOIN … USING (<sorted common columns>)`` via a catalog lookup
+    (schema_fn); without one — or on any unresolvable operand, zero
+    common columns, or a NATURAL LEFT/RIGHT — it declines exactly as
+    before."""
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    schemas = {
+        "t1": ["k", "a", "v1"],
+        "t2": ["k", "b", "v2"],
+        "t3": ["k", "b", "v3"],
+    }
+    fn = lambda t: schemas.get(t.lower())  # noqa: E731
+
+    a = _parse_join_from("t1 NATURAL JOIN t2", schema_fn=fn)
+    b = _parse_join_from("t1 JOIN t2 USING (k)", schema_fn=fn)
+    c = _parse_join_from("t1 JOIN t2 USING (k)")  # USING needs no schema
+    assert a is not None and a[0] == b[0] == c[0]
+    assert "using (k)" in a[1]
+    # NATURAL INNER JOIN folds through the inner rewrite first
+    d = _parse_join_from("t1 NATURAL INNER JOIN t2", schema_fn=fn)
+    assert d is not None and d[0] == a[0]
+    # multi-common columns sort — both USING orders and NATURAL share
+    e = _parse_join_from("t2 NATURAL JOIN t3", schema_fn=fn)
+    f = _parse_join_from("t2 JOIN t3 USING (b, k)", schema_fn=fn)
+    g = _parse_join_from("t2 JOIN t3 USING (k, b)", schema_fn=fn)
+    assert e is not None and e[0] == f[0] == g[0]
+    # the visible column set ACCUMULATES along the chain
+    h = _parse_join_from("t1 JOIN t2 USING (k) NATURAL JOIN t3", schema_fn=fn)
+    i = _parse_join_from(
+        "t1 JOIN t2 USING (k) JOIN t3 USING (b, k)", schema_fn=fn
+    )
+    assert h is not None and h[0] == i[0]
+    # declines
+    assert _parse_join_from("t1 NATURAL JOIN t2") is None  # no schema_fn
+    assert _parse_join_from("t1 NATURAL JOIN zz", schema_fn=fn) is None
+    disjoint = lambda t: {"t1": ["x"], "t2": ["y"]}.get(t)  # noqa: E731
+    assert _parse_join_from("t1 NATURAL JOIN t2", schema_fn=disjoint) is None
+    assert _parse_join_from("t1 NATURAL LEFT JOIN t2", schema_fn=fn) is None
+    assert _parse_join_from("t1 natural_join t2", schema_fn=fn) is None
+
+
+def test_natural_join_members_merge_matches_independent(spark, executor):
+    """NATURAL members, their USING respellings, and operand swaps land
+    in ONE merged plan (schemas resolved from the live session catalog)
+    and every demux result equals its standalone run."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW nat_a AS"
+        " SELECT l_orderkey AS k, l_quantity AS qa, l_discount AS da"
+        " FROM lineitem"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW nat_b AS"
+        " SELECT o_orderkey AS k, o_totalprice AS pb FROM orders"
+    )
+    try:
+        sqls = [
+            "SELECT k, sum(qa) AS s FROM nat_a NATURAL JOIN nat_b"
+            " WHERE da > 0.02 GROUP BY k",
+            "SELECT k, count(*) AS n FROM nat_a JOIN nat_b USING (k)"
+            " GROUP BY k",
+            "SELECT k, max(pb) AS m FROM nat_b NATURAL JOIN nat_a"
+            " GROUP BY k",
+        ]
+        jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+        (bag,) = [b for b in bags if b.merges]
+        assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+    finally:
+        spark.catalog.dropTempView("nat_a")
+        spark.catalog.dropTempView("nat_b")

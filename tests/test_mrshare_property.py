@@ -650,3 +650,101 @@ def test_sig_equal_random_conditions_compute_equal_relations(duck_nulls, data):
         assert _join_rows(duck_nulls, c1) == _join_rows(duck_nulls, c2), (
             f"sig-equal but relation-different: {c1!r} vs {c2!r}"
         )
+
+
+# ---------------------------------------------------------------------------
+# round 12 (VERDICT r11 ask #3): the canonicalizer now admits arbitrary
+# AND/OR trees of simple comparisons under SQL precedence (OR loosest,
+# parens group). Random NESTED trees are rendered twice — once plainly,
+# once re-spelled by exactly the claimed-semantics-free rewrites
+# (children permute at every node, same-operator nesting flattens or
+# re-parenthesizes, atoms mirror/swap) — and both directions are
+# asserted on the NULL-bearing DuckDB tables.
+
+
+@st.composite
+def _bool_tree_node(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return draw(_atom())
+    op = draw(st.sampled_from(["AND", "OR"]))
+    k = draw(st.integers(2, 3))
+    return (op, [draw(_bool_tree_node(depth + 1)) for _ in range(k)])
+
+
+def _render_btree(draw, node, respell, parent_op=None):
+    if not (isinstance(node, tuple) and node[0] in ("AND", "OR")):
+        return _render_atom(node, respell, draw)
+    op, kids = node
+    kids = list(kids)
+    if respell:
+        kids = list(draw(st.permutations(kids)))
+    body = f" {op} ".join(_render_btree(draw, k, respell, op) for k in kids)
+    # parens are REQUIRED for an OR under an AND (precedence would
+    # rebind otherwise); everywhere else they are optional no-ops —
+    # draw them sometimes to exercise unwrap/flatten
+    must = parent_op == "AND" and op == "OR"
+    if must or draw(st.booleans()):
+        return f"({body})"
+    return body
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_nested_tree_respellings_share_signature_and_relation(duck_nulls, data):
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    tree = data.draw(_bool_tree_node())
+    c1 = _render_btree(data.draw, tree, False)
+    c2 = _render_btree(data.draw, tree, True)
+    s1 = _parse_join_from(f"t1 JOIN t2 ON {c1}")
+    s2 = _parse_join_from(f"t1 JOIN t2 ON {c2}")
+    assert s1 is not None and s2 is not None
+    assert s1[0] == s2[0], f"{c1!r} vs {c2!r}"
+    assert _join_rows(duck_nulls, c1) == _join_rows(duck_nulls, c2), (
+        f"{c1!r} vs {c2!r}"
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_sig_equal_random_nested_trees_compute_equal_relations(duck_nulls, data):
+    """Soundness gate over the widened grammar: two INDEPENDENTLY drawn
+    nested AND/OR conditions that happen to share a signature must
+    compute the same relation under 3VL."""
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    c1 = _render_btree(data.draw, data.draw(_bool_tree_node()), True)
+    c2 = _render_btree(data.draw, data.draw(_bool_tree_node()), True)
+    s1 = _parse_join_from(f"t1 JOIN t2 ON {c1}")
+    s2 = _parse_join_from(f"t1 JOIN t2 ON {c2}")
+    assert s1 is not None and s2 is not None
+    if s1[0] == s2[0]:
+        assert _join_rows(duck_nulls, c1) == _join_rows(duck_nulls, c2), (
+            f"sig-equal but relation-different: {c1!r} vs {c2!r}"
+        )
+
+
+def test_mixed_precedence_known_pairs(duck_nulls):
+    """Pin the r10 wrong-merge pair DISTINCT while its parenthesized
+    disambiguations merge — the exact line the round-12 widening must
+    not cross."""
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    def sig(c):
+        p = _parse_join_from(f"t1 JOIN t2 ON {c}")
+        assert p is not None
+        return p[0]
+
+    # OR binds loosest: these two denote different relations
+    a = "t1.a = t2.a OR t1.b = t2.b AND t1.a = 0"
+    b = "t1.b = t2.b AND t1.a = t2.a OR t1.a = 0"
+    assert sig(a) != sig(b)
+    assert _join_rows(duck_nulls, a) != _join_rows(duck_nulls, b)
+    # the precedence-faithful respelling of `a` DOES merge with it
+    a2 = "(t1.b = t2.b AND t1.a = 0) OR t1.a = t2.a"
+    assert sig(a) == sig(a2)
+    assert _join_rows(duck_nulls, a) == _join_rows(duck_nulls, a2)
+    # paren-wrapped conjunction ≡ split conjunction (token splice)
+    assert sig("(t1.a = t2.a AND t1.b = t2.b)") == sig(
+        "t1.b = t2.b AND t1.a = t2.a"
+    )

@@ -68,3 +68,52 @@ def test_query_is_not_vacuous(spark, name):
     assert QUERIES[name](spark, "/root/testdata/sf0.01").count() > 0, (
         f"{name} returns 0 rows at sf0.01 — its oracle comparison is vacuous"
     )
+
+
+def test_percentiles_exact_surfaces_all_null_group(spark, tmp_path):
+    """Round 12 (ADVICE r11 low): a group whose every value is NULL
+    must surface with NULL quartiles — exactly what percentile() and
+    DuckDB's quantile_cont emit — instead of being dropped by the
+    distribution CTE's NOT NULL filter. (Latent on TPC-H: o_custkey is
+    never NULL; this synthetic table exercises the branch.)"""
+    import duckdb
+
+    from sparksql_server_spark.operators.relational_ext import (
+        percentiles_exact,
+    )
+
+    rows = [
+        ("1-URGENT", 10),
+        ("1-URGENT", 20),
+        ("1-URGENT", None),
+        ("2-HIGH", None),  # all-NULL group: must surface, NULL quartiles
+        ("2-HIGH", None),
+        ("3-MEDIUM", 7),
+    ]
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_custkey int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    got = {
+        r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"])
+        for r in percentiles_exact(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{tmp_path}/orders.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            "SELECT o_orderpriority,"
+            " quantile_cont(o_custkey, 0.25) AS p25,"
+            " quantile_cont(o_custkey, 0.50) AS p50,"
+            " quantile_cont(o_custkey, 0.75) AS p75"
+            " FROM orders GROUP BY o_orderpriority"
+        ).fetchall()
+    }
+    con.close()
+    assert set(got) == {"1-URGENT", "2-HIGH", "3-MEDIUM"}
+    assert got == want, (got, want)
+    assert got["2-HIGH"] == (None, None, None)
