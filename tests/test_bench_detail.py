@@ -172,3 +172,32 @@ def test_summary_line_fits_driver_tail_buffer():
     # the headline keeps the baseline-facing legs when present
     for leg in ("cached_scan_batched", "mrshare_merged"):
         assert leg in parsed["queries"]
+
+
+def test_committed_record_carries_regime_split():
+    """Round 12 (VERDICT r11 ask #1): the committed record's
+    normalized_vs_prev must carry the first-exec/steady regime split —
+    steady_ratio on corpus rows (both records have steady regimes),
+    raw_ratio everywhere, and the first_exec_regressions list — so a
+    compile-floor flare can never masquerade as a plan regression."""
+    import json as _json
+
+    detail = _json.load(open("BENCH_DETAIL.json"))
+    nv = detail["normalized_vs_prev"]
+    assert "first_exec_regressions" in nv
+    rows = nv["queries"]
+    corpus_rows = [
+        n for n in rows if n in detail["corpus_regimes"]
+    ]
+    assert corpus_rows, "no corpus rows in normalized_vs_prev"
+    assert all("raw_ratio" in rows[n] for n in rows)
+    with_steady = [n for n in corpus_rows if "steady_ratio" in rows[n]]
+    # nearly every corpus query ran a steady regime in both records
+    assert len(with_steady) >= 0.9 * len(corpus_rows)
+    # every regression flag is justified by its own row's rule
+    for n in nv["regressions"]:
+        d = rows[n]
+        if n in detail["corpus_regimes"]:
+            assert d.get("steady_ratio", d["ratio"]) > 1.3
+        else:
+            assert d["ratio"] > 1.3 and d["raw_ratio"] > 1.3
