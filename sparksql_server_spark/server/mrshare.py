@@ -696,7 +696,7 @@ def _inner_select_sig(inner: str, nest: int) -> str:
     from_text = s[m_from.end() : end].strip()
     pj = _parse_join_from(from_text, _nest=nest)
     if pj is not None:
-        return repr(("dsel", _canon(head), pj[0], _canon(s[end:])))
+        return repr(("dsel", _canon(head), pj[0], _tail_sig(s[end:])))
     # round 11 (VERDICT r10 ask #5): an inner FROM that is ITSELF a
     # single derived table — ``FROM (SELECT …) [AS] u`` with nothing
     # after the alias — recurses one structural level (nest-bounded
@@ -715,9 +715,39 @@ def _inner_select_sig(inner: str, nest: int) -> str:
             "dsel",
             _canon(head),
             ("dtab", _inner_select_sig(nested_inner, nest + 1), alias),
-            _canon(s[end:]),
+            _tail_sig(s[end:]),
         )
     )
+
+
+def _tail_sig(tail: str) -> str:
+    """Signature for a derived inner's trailing clauses (round 12): the
+    WHERE clause's top-level conjuncts sort with the full comparison /
+    boolean-tree normalization — σ conjunction commutes, so
+    ``WHERE qty >= 5 AND disc > 0.01`` denotes the same relation as
+    ``WHERE 0.01 < disc AND qty >= 5`` — while everything after the
+    WHERE body (GROUP BY / HAVING / ORDER BY) stays one opaque canon.
+    Soundness: the token is ``repr(('where', <sorted conjunct set>,
+    <rest canon>))`` — equality requires the same σ conjunct SET (each
+    token relation-faithful by the _cond_tokens arguments) and
+    byte-canon-equal remaining clauses, so the composed relations are
+    identical. A stray depth-0 clause keyword inside the WHERE body
+    (a column named ``group``…) merely shifts text from the conjunct
+    set into the opaque rest — both sides of the repr — which can only
+    NARROW sharing, never equate different relations."""
+    t = tail.strip()
+    if not re.match(r"where\b", t, re.I):
+        return _canon(tail)
+    depth, instr = _scan(t)
+    end = len(t)
+    for kw in ("group", "having", "order", "limit", "offset", "fetch"):
+        m = _find_top(t, kw, depth, instr)
+        if m is not None and 0 < m.start() < end:
+            end = m.start()
+    body = t[len("where"):end].strip()
+    rest = t[end:]
+    toks = tuple(sorted(set(_cond_tokens(body, None)))) if body else ()
+    return repr(("where", toks, _canon(rest)))
 
 
 def _tail_has_ordinal(tail: str) -> bool:

@@ -2671,3 +2671,46 @@ def test_natural_join_members_merge_matches_independent(spark, executor):
     finally:
         spark.catalog.dropTempView("nat_a")
         spark.catalog.dropTempView("nat_b")
+
+
+def test_derived_inner_where_conjuncts_sort(spark, executor):
+    """Round 12: a derived inner's WHERE conjuncts sort (σ conjunction
+    commutes) with full comparison normalization, so spelling-variant
+    wrappers share one merged evaluation; the clauses after WHERE stay
+    load-bearing. Demux results must equal standalone runs."""
+    from sparksql_server_spark.server.mrshare import _parse_derived_from
+
+    inner_a = (
+        "SELECT o_orderpriority AS pri, l_quantity AS qty,"
+        " l_discount AS d FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey"
+    )
+    inner_b = (
+        "select o_orderpriority AS pri, l_quantity AS qty,"
+        " l_discount AS d from lineitem join orders"
+        " on l_orderkey = o_orderkey"
+    )
+    w1 = _parse_derived_from(
+        f"(SELECT pri, qty FROM ({inner_a}) u WHERE qty >= 5 AND d > 0.01) t"
+    )
+    w2 = _parse_derived_from(
+        f"(SELECT pri, qty FROM ({inner_b}) u WHERE 0.01 < d AND qty >= 5) t"
+    )
+    assert w1 is not None and w2 is not None and w1[0] == w2[0]
+    # a different predicate or a different GROUP BY still declines
+    w3 = _parse_derived_from(
+        f"(SELECT pri, qty FROM ({inner_a}) u WHERE qty >= 6 AND d > 0.01) t"
+    )
+    assert w3 is not None and w3[0] != w1[0]
+    # end-to-end: the spelling variants land in ONE merged plan
+    sqls = [
+        f"SELECT pri, sum(qty) AS sq FROM (SELECT pri, qty, d FROM"
+        f" ({inner_a}) u WHERE qty >= 5 AND d > 0.01) t GROUP BY pri",
+        f"SELECT pri, count(*) AS n FROM (SELECT pri, qty, d FROM"
+        f" ({inner_b}) u WHERE 0.01 < d AND qty >= 5) v GROUP BY pri",
+        f"SELECT pri, max(qty) AS mq FROM (SELECT pri, qty, d FROM"
+        f" ({inner_a}) u WHERE d > 0.01 AND 5 <= qty) w GROUP BY pri",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
