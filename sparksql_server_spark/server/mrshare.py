@@ -736,18 +736,44 @@ def _tail_sig(tail: str) -> str:
     set into the opaque rest — both sides of the repr — which can only
     NARROW sharing, never equate different relations."""
     t = tail.strip()
-    if not re.match(r"where\b", t, re.I):
+    if not t:
         return _canon(tail)
-    depth, instr = _scan(t)
-    end = len(t)
-    for kw in ("group", "having", "order", "limit", "offset", "fetch"):
-        m = _find_top(t, kw, depth, instr)
-        if m is not None and 0 < m.start() < end:
-            end = m.start()
-    body = t[len("where"):end].strip()
-    rest = t[end:]
-    toks = tuple(sorted(set(_cond_tokens(body, None)))) if body else ()
-    return repr(("where", toks, _canon(rest)))
+    if re.match(r"where\b", t, re.I):
+        depth, instr = _scan(t)
+        end = len(t)
+        for kw in ("group", "having", "order", "limit", "offset", "fetch"):
+            m = _find_top(t, kw, depth, instr)
+            if m is not None and 0 < m.start() < end:
+                end = m.start()
+        body = t[len("where"):end].strip()
+        rest = t[end:]
+        toks = tuple(sorted(set(_cond_tokens(body, None)))) if body else ()
+    else:
+        toks, rest = (), t
+    # a HAVING clause's conjuncts sort the same way: HAVING is σ over
+    # the grouped relation, and conjunction commutes there exactly as
+    # in WHERE. The clauses around it stay opaque canons; the 5-tuple
+    # shape cannot collide with the 3-tuple no-HAVING shape.
+    d2, i2 = _scan(rest)
+    mh = _find_top(rest, "having", d2, i2)
+    if mh is None:
+        return repr(("where", toks, _canon(rest)))
+    hend = len(rest)
+    for kw in ("order", "limit", "offset", "fetch"):
+        m = _find_top(rest, kw, d2, i2)
+        if m is not None and mh.end() <= m.start() < hend:
+            hend = m.start()
+    hbody = rest[mh.end():hend].strip()
+    htoks = tuple(sorted(set(_cond_tokens(hbody, None)))) if hbody else ()
+    return repr(
+        (
+            "where",
+            toks,
+            _canon(rest[: mh.start()]),
+            ("having", htoks),
+            _canon(rest[hend:]),
+        )
+    )
 
 
 def _tail_has_ordinal(tail: str) -> bool:

@@ -2714,3 +2714,63 @@ def test_derived_inner_where_conjuncts_sort(spark, executor):
     jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
     (bag,) = [b for b in bags if b.merges]
     assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_comma_from_merged_plan_is_hash_join(spark, executor):
+    """The comma-FROM rewrite's merged emission (ON TRUE filler steps,
+    predicates end-loaded) must optimize to the SAME pushed hash-join
+    plan as the explicit spelling: one scan per base table, no
+    cartesian product, no nested-loop join — the 100 TB posture the
+    rewrite claims."""
+    import re as _re
+
+    sqls = [
+        "SELECT o_orderpriority, sum(l_quantity) AS sq"
+        " FROM orders, lineitem, customer"
+        " WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey"
+        " AND l_quantity >= 10 GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, count(*) AS n"
+        " FROM customer, lineitem, orders"
+        " WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+        " GROUP BY o_orderpriority",
+    ]
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
+    plans = plan_merges(jobs)
+    assert len(plans) == 1 and len(plans[0].jobs) == 2
+    assert "ON TRUE" in plans[0].merged_sql or "ON true" in plans[0].merged_sql
+    merged = spark.sql(plans[0].merged_sql)
+    physical = merged._jdf.queryExecution().executedPlan().toString()
+    assert not _re.search(r"(?i)cartesian|nestedloop", physical), physical
+    leaves = _re.findall(r"FileScan|BatchScan", physical)
+    assert len(leaves) == 3  # one scan per base table, none duplicated
+
+
+def test_derived_inner_having_conjuncts_sort():
+    """Round 12: HAVING is σ over the grouped relation, so a derived
+    inner's HAVING conjuncts sort with the same normalization as WHERE
+    and ON; surrounding clauses stay opaque and load-bearing."""
+    from sparksql_server_spark.server.mrshare import _parse_derived_from
+
+    inner_a = (
+        "SELECT o_orderpriority AS pri, sum(l_quantity) AS sq,"
+        " count(*) AS n FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey GROUP BY o_orderpriority"
+        " HAVING sum(l_quantity) > 100 AND count(*) > 2"
+    )
+    inner_b = (
+        "select o_orderpriority AS pri, sum(l_quantity) AS sq,"
+        " count(*) AS n from lineitem join orders"
+        " on l_orderkey = o_orderkey group by o_orderpriority"
+        " having count(*) > 2 and 100 < sum(l_quantity)"
+    )
+    a = _parse_derived_from(f"({inner_a}) t")
+    b = _parse_derived_from(f"({inner_b}) t")
+    assert a is not None and b is not None and a[0] == b[0]
+    # a different HAVING bound declines
+    c = _parse_derived_from(f"({inner_a.replace('> 100', '> 101')}) t")
+    assert c is not None and c[0] != a[0]
+    # a different GROUP BY (before the HAVING) declines
+    d = _parse_derived_from(
+        f"({inner_a.replace('GROUP BY o_orderpriority', 'GROUP BY pri')}) t"
+    )
+    assert d is not None and d[0] != a[0]
