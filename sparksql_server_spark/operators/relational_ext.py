@@ -117,7 +117,11 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose every value is NULL still surfaces, with NULL quartiles,
     exactly as ``percentile()``/``quantile_cont`` emit it (the
     distribution CTE's NOT NULL filter alone would drop the group —
-    latent only, since TPC-H o_custkey is never NULL)."""
+    latent only, since TPC-H o_custkey is never NULL). The two group
+    joins use ``<=>`` (round-12 review wave): GROUP BY treats NULL as
+    one ordinary group, so a NULL group KEY with non-NULL values must
+    still find its distribution rows — a null-blind ``=`` would emit
+    NULL quartiles for it."""
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(
         """
@@ -147,7 +151,7 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(min(c.v) AS DOUBLE) AS v1,
                  CAST(min(CASE WHEN c.hi > t.k2 THEN c.v END) AS DOUBLE)
                    AS v2
-          FROM t JOIN cum c ON c.g = t.g AND c.hi > t.k1
+          FROM t JOIN cum c ON c.g <=> t.g AND c.hi > t.k1
           GROUP BY t.g, t.p, t.frac),
         q AS (
           SELECT g,
@@ -157,7 +161,7 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM stat
           GROUP BY g)
         SELECT grp.g AS o_orderpriority, q.p25, q.p50, q.p75
-        FROM grp LEFT JOIN q ON q.g = grp.g
+        FROM grp LEFT JOIN q ON q.g <=> grp.g
         ORDER BY o_orderpriority
         """
     )

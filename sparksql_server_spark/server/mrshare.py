@@ -321,7 +321,13 @@ _CMP_OPS = re.compile(r"<=>|<=|>=|<>|!=|=|<|>")
 # the whole conjunct opaque
 _OPERAND_UNSAFE = re.compile(
     r"\b(or|and|not|between|in|like|ilike|rlike|regexp|is|case|when"
-    r"|then|else|end|exists)\b",
+    r"|then|else|end|exists"
+    # query-organization clause keywords (round-12 review wave,
+    # confirmed wrong-merge repro): a fragment like ``p = 2 DISTRIBUTE
+    # BY x`` must never normalize as a simple comparison — the clause
+    # boundary scan could otherwise let clause text into a SORTED
+    # conjunct set, where reordering equates different relations
+    r"|distribute|sort|cluster|window|qualify)\b",
     re.I,
 )
 
@@ -443,7 +449,7 @@ def _unwrap_full_parens(s: str) -> str:
     return s
 
 
-def _norm_bool_tree(frag: str):
+def _norm_bool_tree(frag: str, _depth: int = 0):
     """Canonical nested structure for a boolean combination — honoring
     SQL precedence (OR binds loosest, then AND, parens group) — of
     simple binary comparisons, or None when any leaf is not provably
@@ -478,6 +484,12 @@ def _norm_bool_tree(frag: str):
     term, which fails standalone analysis (a row-constructor is not
     boolean-typed), and members reaching plan_merges were already
     analyzed standalone (scheduler.py run_batch → analyze)."""
+    if _depth > 64:
+        # pathological-nesting backstop (round-12 review wave): a
+        # ~1000-deep paren chain would otherwise raise RecursionError
+        # out of plan_merges and kill the whole batch; returning None
+        # falls back to the opaque canon, which merely narrows sharing
+        return None
     s = _unwrap_full_parens(frag.strip())
     if not s:
         return None
@@ -498,7 +510,7 @@ def _norm_bool_tree(frag: str):
         frags.append(s[last:])
         children: dict[tuple, object] = {}
         for f in frags:
-            child = _norm_bool_tree(f)
+            child = _norm_bool_tree(f, _depth + 1)
             if child is None:
                 return None
             # flatten same-operator children (associativity)
@@ -524,9 +536,6 @@ def _norm_conjunct(conj: str) -> str:
     text. Pure OR-chains keep their round-11 token byte-for-byte
     (string children sort plainly, so ``repr(('or', (...)))`` is
     unchanged)."""
-    tok = _norm_simple_comparison(conj)
-    if tok is not None:
-        return tok
     tree = _norm_bool_tree(conj)
     if tree is not None:
         return tree if isinstance(tree, str) else repr(tree)
@@ -560,10 +569,6 @@ def _cond_tokens(cond: str, using_cols: Optional[str]) -> tuple[str, ...]:
     body = re.sub(r"^on\s+", "", cond.strip(), count=1, flags=re.I)
     toks: list[str] = []
     for c in _split_conjuncts(body):
-        tok = _norm_simple_comparison(c)
-        if tok is not None:
-            toks.append(tok)
-            continue
         tree = _norm_bool_tree(c)
         if tree is None:
             toks.append(_canon(c))
@@ -638,7 +643,14 @@ def _inner_select_sig(inner: str, nest: int) -> str:
     if m_from is None:
         return _canon(inner)
     end = len(s)
-    for kw in ("where", "group", "having", "order", "limit", "offset", "fetch"):
+    for kw in (
+        "where", "group", "having", "order", "limit", "offset", "fetch",
+        # query-organization clauses (round-12 review wave): without
+        # these, ``… ON k SORT BY x AND a=1`` keeps the SORT text
+        # inside the parsed join condition, where the conjunct split
+        # reads ``a=1`` as a filter it is not
+        "distribute", "sort", "cluster", "window", "qualify",
+    ):
         m = _find_top(s, kw, depth, instr)
         if m is not None and m_from.end() <= m.start() < end:
             end = m.start()
@@ -741,7 +753,10 @@ def _tail_sig(tail: str) -> str:
     if re.match(r"where\b", t, re.I):
         depth, instr = _scan(t)
         end = len(t)
-        for kw in ("group", "having", "order", "limit", "offset", "fetch"):
+        for kw in (
+            "group", "having", "order", "limit", "offset", "fetch",
+            "distribute", "sort", "cluster", "window", "qualify",
+        ):
             m = _find_top(t, kw, depth, instr)
             if m is not None and 0 < m.start() < end:
                 end = m.start()
@@ -759,7 +774,10 @@ def _tail_sig(tail: str) -> str:
     if mh is None:
         return repr(("where", toks, _canon(rest)))
     hend = len(rest)
-    for kw in ("order", "limit", "offset", "fetch"):
+    for kw in (
+        "order", "limit", "offset", "fetch",
+        "distribute", "sort", "cluster", "window", "qualify",
+    ):
         m = _find_top(rest, kw, d2, i2)
         if m is not None and mh.end() <= m.start() < hend:
             hend = m.start()
@@ -982,9 +1000,8 @@ def _normalize_comma_from(
         for i, c in enumerate(from_text)
     ):
         return None
-    d2, i2 = _scan(from_text)
     for m in re.finditer(r"\bjoin\b", from_text, re.I):
-        if not i2[m.start()]:
+        if not instr[m.start()]:
             return None  # mixed comma + explicit JOIN — decline
     parts = [p.strip() for p in _split_top(from_text)]
     if len(parts) < 2 or not all(_BARE_TABLE.fullmatch(p) for p in parts):
@@ -1360,7 +1377,7 @@ def _parse_join_from(
             cond = f"using ({using_cols})"
             op_sig = _op_sig(operand)
             tok = "join"
-            m2 = None
+            operand_tables.append(mt.group(1).lower())
             natural = True
         else:
             natural = False
@@ -1378,6 +1395,17 @@ def _parse_join_from(
                 m2.group(3),
             )
             op_sig = _op_sig(operand)
+            # visibility for NATURAL resolution (round-12 review wave):
+            # a SEMI/ANTI right side contributes NO columns to the
+            # joined relation, so it must never widen the common-column
+            # set — None poisons any LATER NATURAL step into declining
+            # (conservative: the left side's columns would still be
+            # resolvable, but narrowing is always sound)
+            operand_tables.append(
+                None
+                if tok in ("semi_join", "anti_join")
+                else _BARE_TABLE.fullmatch(operand).group(1).lower()
+            )
         else:
             # round-9b: parenthesized derived-table operand — one
             # opaque token, alias required, deterministic inner only
@@ -1391,14 +1419,7 @@ def _parse_join_from(
             if not mc:
                 return None
             cond, using_cols = mc.group(1).strip(), mc.group(2)
-        if m2 is not None:
-            operand_tables.append(
-                _BARE_TABLE.fullmatch(operand).group(1).lower()
-            )
-        elif not natural:
             operand_tables.append(None)  # derived operand: no schema
-        else:
-            operand_tables.append(mt.group(1).lower())
         if using_cols is None and re.search(r"\bselect\b", cond, re.I):
             return None
         if using_cols is not None and not re.fullmatch(

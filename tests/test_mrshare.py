@@ -2774,3 +2774,88 @@ def test_derived_inner_having_conjuncts_sort():
         f"({inner_a.replace('GROUP BY o_orderpriority', 'GROUP BY pri')}) t"
     )
     assert d is not None and d[0] != a[0]
+
+
+def test_query_organization_clauses_stay_out_of_conjunct_sets():
+    """Round-12 review wave (confirmed wrong-merge repro): DISTRIBUTE
+    BY / SORT BY / CLUSTER BY / WINDOW / QUALIFY text must never enter
+    a sorted conjunct set — ``WHERE a=1 AND p=2 DISTRIBUTE BY x`` and
+    ``WHERE p=2 DISTRIBUTE BY x AND a=1`` denote different relations
+    (the second's filter is only p=2; ``x AND a=1`` is the DISTRIBUTE
+    expression)."""
+    from sparksql_server_spark.server.mrshare import (
+        _norm_simple_comparison,
+        _parse_derived_from,
+    )
+
+    a = _parse_derived_from(
+        "(SELECT c FROM t1 JOIN t2 ON t1.k = t2.k"
+        " WHERE a=1 AND p = 2 DISTRIBUTE BY x) t"
+    )
+    b = _parse_derived_from(
+        "(SELECT c FROM t1 JOIN t2 ON t1.k = t2.k"
+        " WHERE p = 2 DISTRIBUTE BY x AND a=1) t"
+    )
+    assert a is not None and b is not None and a[0] != b[0]
+    # ...while conjunct swaps with IDENTICAL organization tails share
+    a2 = _parse_derived_from(
+        "(SELECT c FROM t1 JOIN t2 ON t1.k = t2.k"
+        " WHERE p = 2 AND a=1 DISTRIBUTE BY x) t"
+    )
+    assert a2 is not None and a2[0] == a[0]
+    # SORT BY after the ON position stays out of the join condition
+    c = _parse_derived_from(
+        "(SELECT c FROM t1 JOIN t2 ON t1.k = t2.k SORT BY x AND a=1) t"
+    )
+    d = _parse_derived_from(
+        "(SELECT c FROM t1 JOIN t2 ON a=1 AND t1.k = t2.k SORT BY x) t"
+    )
+    assert c is not None and d is not None and c[0] != d[0]
+    # the clause keywords are operand-unsafe (defense in depth)
+    assert _norm_simple_comparison("p = 2 distribute by x") is None
+    assert _norm_simple_comparison("p = 2 sort by x") is None
+
+
+def test_norm_bool_tree_depth_backstop():
+    """Round-12 review wave: pathological paren nesting must fall back
+    to the opaque canon (narrowing sharing), never raise RecursionError
+    out of plan_merges and kill the batch."""
+    from sparksql_server_spark.server.mrshare import _norm_bool_tree
+
+    deep = "a=b"
+    for _ in range(1000):
+        deep = f"a=b OR ({deep})"
+    assert _norm_bool_tree(deep) is None  # no RecursionError
+    mod = "a=b"
+    for _ in range(30):
+        mod = f"c=d AND ({mod})"
+    assert _norm_bool_tree(mod) is not None  # moderate depth still admits
+
+
+def test_natural_join_declines_after_semi_anti():
+    """Round-12 review wave: a SEMI/ANTI right side contributes no
+    visible columns, so a later NATURAL step must not resolve its
+    common set against them — it declines instead of emitting an
+    unresolvable USING list."""
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    schemas = {
+        "a": ["id", "x"],
+        "b": ["id", "j"],
+        "c": ["j", "y"],
+        "t1": ["k", "a", "v1"],
+        "t2": ["k", "b", "v2"],
+    }
+    fn = lambda t: schemas.get(t.lower())  # noqa: E731
+
+    assert (
+        _parse_join_from("a SEMI JOIN b ON a.id = b.id NATURAL JOIN c", schema_fn=fn)
+        is None
+    )
+    assert (
+        _parse_join_from("a ANTI JOIN b ON a.id = b.id NATURAL JOIN c", schema_fn=fn)
+        is None
+    )
+    # NATURAL before the semi still resolves
+    r = _parse_join_from("t1 NATURAL JOIN t2 SEMI JOIN b ON t1.k = b.id", schema_fn=fn)
+    assert r is not None and "using (k)" in r[1]

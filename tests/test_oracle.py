@@ -89,6 +89,8 @@ def test_percentiles_exact_surfaces_all_null_group(spark, tmp_path):
         ("2-HIGH", None),  # all-NULL group: must surface, NULL quartiles
         ("2-HIGH", None),
         ("3-MEDIUM", 7),
+        (None, 4),  # NULL group KEY with real values: needs <=> joins
+        (None, 8),
     ]
     df = spark.createDataFrame(rows, "o_orderpriority string, o_custkey int")
     df.coalesce(1).write.mode("overwrite").parquet(
@@ -114,6 +116,9 @@ def test_percentiles_exact_surfaces_all_null_group(spark, tmp_path):
         ).fetchall()
     }
     con.close()
-    assert set(got) == {"1-URGENT", "2-HIGH", "3-MEDIUM"}
+    assert set(got) == {"1-URGENT", "2-HIGH", "3-MEDIUM", None}
     assert got == want, (got, want)
     assert got["2-HIGH"] == (None, None, None)
+    # the NULL KEY is one ordinary group (GROUP BY semantics): real
+    # quartiles, not NULLs — the round-12 review-wave <=> fix
+    assert got[None] == (5.0, 6.0, 7.0)
