@@ -452,6 +452,43 @@ JOIN_POOLS = [
         ["count(*)", "sum(l.l_quantity)", "max(nt.n_name)"],
         [None, "c.c_acctbal > 0"],
     ),
+    (
+        # round-12: comma-FROM members rewrite to the explicit inner
+        # chain with their WHERE equi-conjunct migrated into ON, so
+        # they merge with each other AND with the JOIN spelling.
+        # Every pred carries the equi conjunct (in some spelling) so
+        # all variants land on the same pooled condition set.
+        [
+            "customer c, orders o",
+            "orders o, customer c",
+            "customer c JOIN orders o ON c_custkey = o_custkey",
+        ],
+        ["c_mktsegment", "o_orderpriority"],
+        ["count(*)", "sum(o_totalprice)", "max(c_acctbal)"],
+        [
+            "c_custkey = o_custkey",
+            "o_custkey = c_custkey AND c_acctbal > 0",
+            "o_totalprice > 50000 AND c_custkey = o_custkey",
+            "c_custkey = o_custkey AND c_acctbal <= 0"
+            " AND o_totalprice > 10000",
+        ],
+    ),
+    (
+        # round-12: a comma product with NO equi conjunct rewrites to a
+        # CROSS chain and merges with the explicit CROSS spellings
+        # (CROSS folds into the inner segment, so operand order is
+        # free); non-equi col-col predicates stay in WHERE on every
+        # spelling
+        [
+            "region r, nation n",
+            "nation n, region r",
+            "region r CROSS JOIN nation n",
+            "nation n CROSS JOIN region r",
+        ],
+        ["r_name"],
+        ["count(*)", "min(n_nationkey)", "count(DISTINCT n_regionkey)"],
+        [None, "n_name < r_name", "n_regionkey > r_regionkey"],
+    ),
 ]
 
 
