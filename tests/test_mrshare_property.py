@@ -785,3 +785,55 @@ def test_mixed_precedence_known_pairs(duck_nulls):
     assert sig("(t1.a = t2.a AND t1.b = t2.b)") == sig(
         "t1.b = t2.b AND t1.a = t2.a"
     )
+
+
+def test_natural_join_merged_demux_equals_direct_on_duckdb(duck_tpch):
+    """Round 12: NATURAL members (schema_fn-resolved), their USING
+    respellings, and operand swaps share ONE merged plan whose demux
+    results equal the direct DuckDB runs — engine-independent proof of
+    the catalog-resolved rewrite. Views with a shared column name are
+    built over TPC-H parquet (prefix naming means base tables share
+    nothing)."""
+    duck_tpch.execute(
+        "CREATE OR REPLACE VIEW nat_a AS SELECT l_orderkey AS k,"
+        " l_quantity AS qa, l_discount AS da FROM lineitem"
+    )
+    duck_tpch.execute(
+        "CREATE OR REPLACE VIEW nat_b AS SELECT o_orderkey AS k,"
+        " o_totalprice AS pb, o_orderpriority AS pri FROM orders"
+    )
+    schemas = {
+        "nat_a": ["k", "qa", "da"],
+        "nat_b": ["k", "pb", "pri"],
+    }
+    fn = lambda t: schemas.get(t.lower())  # noqa: E731
+    sqls = [
+        "SELECT pri, sum(qa) AS s FROM nat_a NATURAL JOIN nat_b"
+        " WHERE da > 0.02 GROUP BY pri",
+        "SELECT pri, count(*) AS n FROM nat_a JOIN nat_b USING (k)"
+        " GROUP BY pri",
+        "SELECT pri, max(pb) AS m FROM nat_b NATURAL JOIN nat_a"
+        " GROUP BY pri",
+        "SELECT pri, min(qa) AS mn FROM nat_b JOIN nat_a USING (k)"
+        " WHERE pb > 1000 GROUP BY pri",
+    ]
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate(sqls)]
+    plans = plan_merges(
+        jobs, cost_split=False, schema_fn_for=lambda job: fn
+    )
+    assert len(plans) == 1 and len(plans[0].jobs) == 4
+    mp = plans[0]
+    duck_tpch.execute(
+        f"CREATE OR REPLACE TEMP VIEW {mp.view} AS {_duck_dialect(mp.merged_sql)}"
+    )
+    try:
+        for job in jobs:
+            direct = _rows(duck_tpch, _duck_dialect(job.sql))
+            merged = _rows(duck_tpch, mp.demux_sql[job.job_id])
+            assert merged == direct, (
+                f"divergence for {job.sql!r}\n merged sql: {mp.merged_sql}"
+            )
+    finally:
+        duck_tpch.execute(f"DROP VIEW IF EXISTS {mp.view}")
+        duck_tpch.execute("DROP VIEW IF EXISTS nat_a")
+        duck_tpch.execute("DROP VIEW IF EXISTS nat_b")
