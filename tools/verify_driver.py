@@ -43,7 +43,15 @@ def main() -> int:
 
     qs, os_ = E.queries(), E.oracle_sql()
     con = duckdb.connect()
-    sf_dir = "/root/testdata/sf0.01"
+    # driver correctness scale by default; SPARK_GRAFT_VERIFY_SF_DIR
+    # overrides for deeper sweeps (e.g. sf0.1 catches scale-dependent
+    # divergence — overflow, float accumulation — the small scales
+    # cannot)
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01"
+    )
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
