@@ -1247,6 +1247,71 @@ def main() -> None:
         timings[f"mrshare_orspell_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_orspell_{leg}_min"] = round(min(xs), 3)
 
+    # --- MRShare IN/BETWEEN leaf spellings (round 12): six members
+    # joining the same two tables with the SAME logical condition
+    # spelled via IN-lists, their OR-chain expansions, BETWEEN, and its
+    # range-pair expansion (items permuted/duplicated, bounds mirrored).
+    # The leaf-normalized signature must land all six in ONE merged
+    # plan; the round-11 bar left IN/BETWEEN conjuncts opaque, so only
+    # byte-canon-equal spellings merged.
+    inspell_conds = [
+        "ON l_suppkey = s_suppkey AND l_linenumber IN (1, 2, 3)"
+        " AND l_quantity BETWEEN 5 AND 40",
+        "ON (l_linenumber = 3 OR l_linenumber IN (2, 1))"
+        " AND s_suppkey = l_suppkey AND l_quantity >= 5 AND l_quantity <= 40",
+        "ON l_quantity BETWEEN 5 AND 40"
+        " AND (l_linenumber = 1 OR 2 = l_linenumber OR l_linenumber = 3)"
+        " AND l_suppkey = s_suppkey",
+        "ON 40 >= l_quantity AND l_suppkey = s_suppkey"
+        " AND l_linenumber IN (3, 1, 2, 2) AND 5 <= l_quantity",
+    ]
+    inspell_queries = [
+        f"SELECT s_nationkey, {join_aggs[i]}"
+        f" FROM lineitem_big JOIN supplier {inspell_conds[i % 4]}"
+        f" WHERE {join_preds[i]} GROUP BY s_nationkey"
+        for i in range(6)
+    ]
+
+    def _run_inspell_leg(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={
+                big_src: "lineitem_big",
+                os.path.join(SF_DIR, "supplier.parquet"): "supplier",
+            },
+            enable_mrshare=merged,
+        )
+        jobs = [
+            QueryJob(job_id=base_id + i, sql=q)
+            for i, q in enumerate(inspell_queries)
+        ]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged:
+            merged_jobs = sum(len(mp.jobs) for b in bags for mp in b.merges)
+            if merged_jobs != len(inspell_queries):
+                print(
+                    "WARN: IN/BETWEEN-spelling merge did not cover the batch"
+                    f" ({merged_jobs}/{len(inspell_queries)})",
+                    file=sys.stderr,
+                )
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: IN/BETWEEN-spelling leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    inspell_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        inspell_trials["concurrent"].append(
+            _run_inspell_leg(False, 33000 + 100 * rep)
+        )
+        inspell_trials["merged"].append(_run_inspell_leg(True, 33500 + 100 * rep))
+    for leg, xs in inspell_trials.items():
+        timings[f"mrshare_inspell_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_inspell_{leg}_min"] = round(min(xs), 3)
+
     # --- MRShare two-level derived members (round 11, VERDICT r10 ask
     # #5): six members over the SAME double-wrapped subselect — the
     # inner FROM is itself a derived table whose innermost join chain
@@ -1535,6 +1600,9 @@ def main() -> None:
         },
         "mrshare_orspell_trials": {
             leg: [round(x, 3) for x in xs] for leg, xs in orspell_trials.items()
+        },
+        "mrshare_inspell_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in inspell_trials.items()
         },
         "mrshare_derived2_trials": {
             leg: [round(x, 3) for x in xs] for leg, xs in d2_trials.items()

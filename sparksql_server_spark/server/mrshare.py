@@ -424,6 +424,218 @@ def _norm_simple_comparison(frag: str) -> Optional[str]:
     return f"{lc}{op}{rc}"
 
 
+def _fmt_cmp(op: str, lc: str, rc: str) -> str:
+    """Format a comparison token EXACTLY as :func:`_norm_simple_comparison`
+    would — symmetric ops sort their operand canons, ``>``/``>=`` mirror
+    to ``<``/``<=`` with operands swapped — so structure-derived tokens
+    (IN → OR-of-equalities, BETWEEN → range pair) byte-match the tokens
+    of members that spell the comparisons out."""
+    if op in ("=", "<=>", "<>") and rc < lc:
+        lc, rc = rc, lc
+    elif op == ">":
+        op, lc, rc = "<", rc, lc
+    elif op == ">=":
+        op, lc, rc = "<=", rc, lc
+    return f"{lc}{op}{rc}"
+
+
+def _side_ok(side: str) -> bool:
+    """Operand-side bar shared by the leaf normalizers: non-empty, no
+    depth-0 comparison operator, no depth-0 precedence-ambiguous
+    keyword (the :data:`_OPERAND_UNSAFE` set)."""
+    if not side.strip():
+        return False
+    d, ins = _scan(side)
+    for cm in _CMP_OPS.finditer(side):
+        if not ins[cm.start()] and d[cm.start()] == 0:
+            return False
+    for km in _OPERAND_UNSAFE.finditer(side):
+        if not ins[km.start()] and d[km.start()] == 0:
+            return False
+    return True
+
+
+# IN-list items must be plain scalar expressions: any embedded query
+# keyword (at ANY depth — a parenthesized subquery is depth ≥ 1)
+# declines the whole list. Scalar subqueries are legal IN items in
+# Spark, but their canon equality is a weaker claim than we make for
+# plain expressions, so they stay on the opaque path.
+_QUERY_KW = re.compile(r"\b(select|values|table|with|from)\b", re.I)
+
+
+def _strip_trailing_not(side: str) -> tuple[str, bool]:
+    m = re.search(r"\bnot\s*$", side, re.I)
+    if m:
+        return side[: m.start()].strip(), True
+    return side.strip(), False
+
+
+def _norm_in_list(s: str):
+    """``<side> [NOT] IN (<item>, …)`` → the boolean structure SQL
+    defines it as: an OR of equalities (NOT IN: the AND of ``<>`` by
+    De Morgan — exact under three-valued logic, including the
+    NULL-item cases, because NOT(UNKNOWN) = UNKNOWN). Items sort and
+    dedup (OR commutes and is idempotent; members are gated
+    deterministic by the plan_merges nondeterminism bar), a single
+    item folds to the plain comparison token (``x IN (1)`` ≡
+    ``x = 1`` — both UNKNOWN exactly when ``x`` is NULL), so IN
+    spellings merge with spelled-out OR-chain members. Returns None
+    (decline to opaque) for anything not provably that shape."""
+    d, ins = _scan(s)
+    for cm in _CMP_OPS.finditer(s):
+        if not ins[cm.start()] and d[cm.start()] == 0:
+            return None
+    kws = [
+        m
+        for m in re.finditer(r"\bin\b", s, re.I)
+        if not ins[m.start()] and d[m.start()] == 0
+    ]
+    if len(kws) != 1:
+        return None
+    m = kws[0]
+    lhs, neg = _strip_trailing_not(s[: m.start()])
+    if not _side_ok(lhs):
+        return None
+    rhs = s[m.end() :].strip()
+    # exactly ONE paren level unwraps — ``((1,2))`` must keep its
+    # row-value item ``(1,2)`` intact (a full unwrap would equate
+    # ``(a,b) IN ((1,2))`` with ``(a,b) IN ((2,1))`` via the item
+    # split: different relations, same token)
+    if not rhs.startswith("("):
+        return None
+    rd, rins = _scan(rhs)
+    # _scan reports the INSIDE depth at both paren characters, so the
+    # outer group's close is the first ')' at depth 1
+    close = next(
+        (
+            i
+            for i, c in enumerate(rhs)
+            if c == ")" and rd[i] == 1 and not rins[i]
+        ),
+        None,
+    )
+    if close != len(rhs) - 1:
+        return None
+    items = _split_top(rhs[1:-1])
+    if not items:
+        return None
+    for it in items:
+        if not _side_ok(it):
+            return None
+        _, iins = _scan(it)
+        for qm in _QUERY_KW.finditer(it):
+            if not iins[qm.start()]:
+                return None
+    lc = _canon(lhs)
+    op = "<>" if neg else "="
+    toks = sorted({_fmt_cmp(op, lc, _canon(it)) for it in items})
+    if len(toks) == 1:
+        return toks[0]
+    return ("and" if neg else "or", tuple(toks))
+
+
+def _norm_between(s: str):
+    """``<A> [NOT] BETWEEN <B> AND <C>`` → the range-conjunct pair the
+    SQL standard defines it as (``A >= B AND A <= C``; NOT: the OR of
+    violations by De Morgan, exact in 3VL), emitted through
+    :func:`_fmt_cmp` so BETWEEN members merge with members that spell
+    the range out. Asymmetry is preserved (``BETWEEN 5 AND 1`` keeps
+    5 in the lower-bound token). None for anything else."""
+    d, ins = _scan(s)
+    kws = [
+        m
+        for m in re.finditer(r"\bbetween\b", s, re.I)
+        if not ins[m.start()] and d[m.start()] == 0
+    ]
+    if len(kws) != 1:
+        return None
+    m = kws[0]
+    lhs, neg = _strip_trailing_not(s[: m.start()])
+    m_and = next(
+        (
+            am
+            for am in re.finditer(r"\band\b", s, re.I)
+            if am.start() > m.end()
+            and not ins[am.start()]
+            and d[am.start()] == 0
+        ),
+        None,
+    )
+    if m_and is None:
+        return None
+    lo, hi = s[m.end() : m_and.start()], s[m_and.end() :]
+    if not (_side_ok(lhs) and _side_ok(lo) and _side_ok(hi)):
+        return None
+    ac, bc, cc = _canon(lhs), _canon(lo), _canon(hi)
+    if neg:
+        toks = sorted({_fmt_cmp("<", ac, bc), _fmt_cmp(">", ac, cc)})
+        return toks[0] if len(toks) == 1 else ("or", tuple(toks))
+    toks = sorted({_fmt_cmp(">=", ac, bc), _fmt_cmp("<=", ac, cc)})
+    return toks[0] if len(toks) == 1 else ("and", tuple(toks))
+
+
+def _norm_is_null(s: str):
+    """``<side> IS [NOT] NULL`` admits as a leaf (no restructuring —
+    the gain is tree membership, e.g. ``x IS NULL OR x = 1`` merging
+    with its disjunct swap). The token is the fragment's plain
+    :func:`_canon`, i.e. byte-identical to what the opaque path
+    produces for the same predicate text — no new collision surface."""
+    d, ins = _scan(s)
+    kws = [
+        m
+        for m in re.finditer(r"\bis\b", s, re.I)
+        if not ins[m.start()] and d[m.start()] == 0
+    ]
+    if len(kws) != 1:
+        return None
+    m = kws[0]
+    if not re.fullmatch(r"(not\s+)?null", s[m.end() :].strip(), re.I):
+        return None
+    if not _side_ok(s[: m.start()]):
+        return None
+    return _canon(s)
+
+
+_LIKE_KW = re.compile(r"\b(like|ilike|rlike|regexp)\b", re.I)
+
+
+def _norm_like(s: str):
+    """``<side> [NOT] LIKE/ILIKE/RLIKE/REGEXP <pattern> [ESCAPE e]``
+    admits as a leaf — a complete boolean term whose token is the
+    plain :func:`_canon` (same formatting as the opaque path). Both
+    sides pass the operand bar; the pattern side may carry an ESCAPE
+    clause (``escape`` is not precedence-ambiguous)."""
+    d, ins = _scan(s)
+    kws = [
+        m
+        for m in _LIKE_KW.finditer(s)
+        if not ins[m.start()] and d[m.start()] == 0
+    ]
+    if len(kws) != 1:
+        return None
+    m = kws[0]
+    lhs, _neg = _strip_trailing_not(s[: m.start()])
+    if not (_side_ok(lhs) and _side_ok(s[m.end() :])):
+        return None
+    return _canon(s)
+
+
+def _norm_leaf(s: str):
+    """A provably-complete boolean term: a simple binary comparison
+    (round 10), an IN-list, a BETWEEN range, an IS [NOT] NULL test, or
+    a LIKE-family predicate (round 12). Returns a token string, a
+    nested ('and'|'or', …) structure, or None (opaque)."""
+    r = _norm_simple_comparison(s)
+    if r is not None:
+        return r
+    return (
+        _norm_in_list(s)
+        or _norm_between(s)
+        or _norm_is_null(s)
+        or _norm_like(s)
+    )
+
+
 def _unwrap_full_parens(s: str) -> str:
     """Strip full-width paren groups — ``((a=b OR c=d))`` → ``a=b OR
     c=d``. Parenthesizing a whole boolean term is a no-op, so the
@@ -495,11 +707,30 @@ def _norm_bool_tree(frag: str, _depth: int = 0):
         return None
     d2, i2 = _scan(s)
     for op in ("or", "and"):
-        cuts = [
-            m
-            for m in re.finditer(rf"\b{op}\b", s, re.I)
-            if not i2[m.start()] and d2[m.start()] == 0
-        ]
+        if op == "and":
+            # the AND that closes a depth-0 BETWEEN is part of the
+            # construct, not a conjunction boundary (round 12; same
+            # rule as _split_conjuncts) — so ``x BETWEEN 1 AND 5``
+            # survives to the leaf normalizer intact. Misreading a
+            # column NAMED between merely suppresses a cut: the
+            # fragment then fails the leaf bar and the tree declines.
+            cuts = []
+            between = 0
+            for m in re.finditer(r"\b(and|between)\b", s, re.I):
+                if i2[m.start()] or d2[m.start()] != 0:
+                    continue
+                if m.group(1).lower() == "between":
+                    between += 1
+                elif between > 0:
+                    between -= 1
+                else:
+                    cuts.append(m)
+        else:
+            cuts = [
+                m
+                for m in re.finditer(rf"\b{op}\b", s, re.I)
+                if not i2[m.start()] and d2[m.start()] == 0
+            ]
         if not cuts:
             continue
         frags: list[str] = []
@@ -526,7 +757,7 @@ def _norm_bool_tree(frag: str, _depth: int = 0):
         if len(kids) == 1:
             return kids[0]
         return (op, kids)
-    return _norm_simple_comparison(s)
+    return _norm_leaf(s)
 
 
 def _norm_conjunct(conj: str) -> str:
@@ -2167,9 +2398,26 @@ def plan_merges(
     Expand-inflation bound standing in for MRShareCM's GAIN).
     ``max_distinct_aggs`` bounds DISTINCT aggregates per merged plan —
     each multi-distinct adds its own Expand in Spark."""
+    from sparksql_server_spark.server.results import cacheable_sql
+
     parsed: dict[int, ParsedAgg] = {}
     by_sig: dict[tuple, list[tuple[QueryJob, ParsedAgg]]] = {}
     for job in jobs:
+        # nondeterministic member text never merges (round 12): the
+        # CASE-folded rewrite re-evaluates a member's WHERE predicate
+        # once per aggregate expression, so a `rand()` predicate would
+        # draw independently for `sum(...)` and the presence counter —
+        # group membership and values disagreeing in a way no
+        # standalone run produces. The same bar keeps the condition
+        # canonicalizer's idempotence/dedup steps exact (duplicate
+        # `rand()<0.5` disjuncts are NOT one draw). Previously only
+        # derived-table inner text was gated (the `_derived_operand` /
+        # `_parse_derived_from` call sites); this gates the whole
+        # member. Registered UDFs are outside the scanner's reach —
+        # Spark itself treats them as deterministic unless registered
+        # otherwise, which is the user's assertion to make.
+        if not cacheable_sql(job.sql):
+            continue
         p = parse_agg_query(
             job.sql,
             schema_fn=schema_fn_for(job) if schema_fn_for else None,

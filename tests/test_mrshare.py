@@ -895,6 +895,26 @@ def test_dp_all_light_bag_still_merges_flat():
     assert len(plans) == 1 and len(plans[0].jobs) == 10
 
 
+def test_nondeterministic_member_never_merges():
+    """A member whose text draws randomness must not merge (round 12):
+    the CASE-folded rewrite re-evaluates the member's predicate once
+    per aggregate, so `rand() < 0.5` would sample independently for
+    `sum(...)` and the presence counter — membership and values
+    disagreeing in a way no standalone run produces. The gate is the
+    result-cache's nondeterminism scanner over the FULL member text
+    (previously only derived-table inner text was gated). Deterministic
+    same-signature members in the same batch still merge."""
+    nondet = (
+        "SELECT l_returnflag, sum(l_quantity) AS s, count(*) AS n "
+        "FROM lineitem WHERE rand() < 0.5 GROUP BY l_returnflag"
+    )
+    det = [_light_member(i) for i in range(2)]
+    jobs = [QueryJob(job_id=i, sql=q) for i, q in enumerate([nondet, nondet, *det])]
+    plans = plan_merges(jobs)
+    merged_ids = sorted(j.job_id for mp in plans for j in mp.jobs)
+    assert merged_ids == [2, 3], "rand() members stay out; the rest merge"
+
+
 # round-7 widening: LEFT-join star members (VERDICT r6 ask #5) — the
 # default shape of dashboard SQL generators. Orders without lineitems
 # don't exist in TPC-H, so the LEFT side here is orders LEFT JOIN a
@@ -2043,6 +2063,96 @@ def test_or_disjunct_spelling_variants_merge_matches_independent(
     jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
     (bag,) = [b for b in bags if b.merges]
     assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_predicate_leaf_spellings_share_signatures():
+    """Round 12 leaf widenings: IN-lists normalize to the OR-of-
+    equalities structure SQL defines them as (sorted, deduped,
+    singleton folds to ``=``), BETWEEN to its range-conjunct pair,
+    NOT IN / NOT BETWEEN to the De Morgan duals, and IS [NOT] NULL /
+    LIKE-family predicates admit as tree leaves. Signature-only: the
+    merged emission always re-uses a member's original text."""
+    from sparksql_server_spark.server.mrshare import _parse_join_from as pj
+
+    def sig(cond):
+        r = pj(f"t1 JOIN t2 ON {cond}")
+        assert r is not None, cond
+        return r[0]
+
+    # IN ≡ its OR-chain, item order/duplicates immaterial
+    assert sig("t1.a = t2.a AND t1.b IN (1, 2, 3)") == sig(
+        "(3 = t1.b OR t1.b IN (2, 1, 2)) AND t2.a = t1.a"
+    )
+    assert sig("t1.b IN (7)") == sig("t1.b = 7") == sig("7 = t1.b")
+    # NOT IN ≡ the AND of <>, and never equals the positive form
+    assert sig("t1.b NOT IN (1, 2)") == sig("t1.b <> 1 AND 2 != t1.b")
+    assert sig("t1.b NOT IN (1, 2)") != sig("t1.b IN (1, 2)")
+    # BETWEEN ≡ the range pair, asymmetry preserved
+    assert (
+        sig("t1.a BETWEEN 0 AND 2")
+        == sig("t1.a >= 0 AND t1.a <= 2")
+        == sig("2 >= t1.a AND 0 <= t1.a")
+    )
+    assert sig("t1.a BETWEEN 0 AND 2") != sig("t1.a BETWEEN 2 AND 0")
+    assert sig("t1.a NOT BETWEEN 0 AND 2") == sig("t1.a < 0 OR t1.a > 2")
+    # row-value IN keeps its items intact (single paren-level unwrap)
+    assert sig("(t1.a, t1.b) IN ((1, 2))") != sig("(t1.a, t1.b) IN ((2, 1))")
+    # subquery items never normalize — the chain parse declines the
+    # member outright (stronger than opaque)
+    assert pj("t1 JOIN t2 ON t1.b IN (SELECT 1)") is None
+    # IS NULL / LIKE admit as tree leaves: disjunct swaps share
+    assert sig("(t1.b IS NULL OR t1.a = 1)") == sig(
+        "(1 = t1.a OR t1.b  is  null)"
+    )
+    assert sig("t1.b IS NULL") != sig("t1.b IS NOT NULL")
+    assert sig("(t1.c LIKE 'a%' OR t1.a = 1)") == sig(
+        "(t1.a = 1 OR t1.c like 'a%')"
+    )
+    assert sig("t1.c LIKE 'a%'") != sig("t1.c NOT LIKE 'a%'")
+    assert sig("t1.c LIKE 'a%'") != sig("t1.c ILIKE 'a%'")
+
+
+def test_in_between_members_merge_matches_independent(spark, executor):
+    """End-to-end: members whose ON conditions spell the same predicate
+    via IN-lists / OR-chains / BETWEEN / range pairs land in ONE merged
+    plan and every demux result equals its standalone run."""
+    sqls = [
+        "SELECT o_orderpriority, sum(l_quantity) AS sq"
+        " FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey AND l_linenumber IN (1, 2, 3)"
+        " GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, count(*) AS n"
+        " FROM orders JOIN lineitem"
+        " ON (l_linenumber = 3 OR l_linenumber IN (2, 1))"
+        " AND l_orderkey = o_orderkey"
+        " GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, max(l_extendedprice) AS mx"
+        " FROM orders INNER JOIN lineitem"
+        " ON (l_linenumber = 1 OR 2 = l_linenumber OR l_linenumber = 3)"
+        " AND o_orderkey = l_orderkey"
+        " GROUP BY o_orderpriority",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+    sqls2 = [
+        "SELECT o_orderpriority, sum(l_quantity) AS sq"
+        " FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey AND l_quantity BETWEEN 10 AND 20"
+        " GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, count(*) AS n"
+        " FROM orders JOIN lineitem"
+        " ON l_quantity >= 10 AND l_orderkey = o_orderkey"
+        " AND l_quantity <= 20 GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, min(l_discount) AS md"
+        " FROM orders JOIN lineitem"
+        " ON 20 >= l_quantity AND 10 <= l_quantity"
+        " AND o_orderkey = l_orderkey GROUP BY o_orderpriority",
+    ]
+    jobs2, bags2 = _run_and_compare(spark, executor, sqls2, {0, 1, 2})
+    (bag2,) = [b for b in bags2 if b.merges]
+    assert len(bag2.merges) == 1
 
 
 def test_nested_derived_members_merge_matches_independent(spark, executor):

@@ -787,6 +787,143 @@ def test_mixed_precedence_known_pairs(duck_nulls):
     )
 
 
+# ---------------------------------------------------------------------------
+# round 12 leaf widenings: IN-lists (≡ OR-of-equalities, sorted/deduped,
+# singleton folds to =), NOT IN (≡ AND of <>), BETWEEN (≡ range pair),
+# NOT BETWEEN (≡ OR of violations), IS [NOT] NULL leaves. Random nested
+# trees over the widened atom grammar are rendered plainly and re-spelled
+# by exactly the claimed-semantics-free rewrites (IN ↔ chain expansion,
+# item permutation/duplication, BETWEEN ↔ range spelling, plus all the
+# r10-r12 commutations), asserted in both directions on the NULL-bearing
+# DuckDB tables — the regime where a 2VL-only rewrite would diverge.
+
+
+@st.composite
+def _pred_atom(draw):
+    kind = draw(st.sampled_from(["cmp", "cmp", "in", "between", "isnull"]))
+    if kind == "cmp":
+        return ("cmp", draw(_atom()))
+    if kind == "in":
+        lhs = draw(st.sampled_from(_COLS))
+        items = tuple(
+            draw(
+                st.lists(
+                    st.sampled_from(_COLS + _CONSTS),
+                    min_size=1,
+                    max_size=3,
+                )
+            )
+        )
+        return ("in", lhs, items, draw(st.booleans()))
+    if kind == "between":
+        lhs = draw(st.sampled_from(_COLS))
+        lo = draw(st.sampled_from(_COLS + _CONSTS))
+        hi = draw(st.sampled_from(_COLS + _CONSTS))
+        return ("between", lhs, lo, hi, draw(st.booleans()))
+    return ("isnull", draw(st.sampled_from(_COLS)), draw(st.booleans()))
+
+
+def _render_pred(draw, a, respell):
+    if a[0] == "cmp":
+        return _render_atom(a[1], respell, draw)
+    if a[0] == "isnull":
+        _, col, neg = a
+        mid = "IS NOT" if neg else "IS"
+        if respell and draw(st.booleans()):
+            mid = mid.lower().replace(" ", "  ")
+        return f"{col} {mid} NULL"
+    if a[0] == "between":
+        _, lhs, lo, hi, neg = a
+        if not respell or draw(st.booleans()):
+            return f"{lhs} {'NOT ' if neg else ''}BETWEEN {lo} AND {hi}"
+        # spell the range out (the equivalence under test)
+        if neg:
+            parts = [(lhs, "<", lo), (lhs, ">", hi)]
+            joiner = " OR "
+        else:
+            parts = [(lhs, ">=", lo), (lhs, "<=", hi)]
+            joiner = " AND "
+        parts = list(draw(st.permutations(parts)))
+        body = joiner.join(_render_atom(p, True, draw) for p in parts)
+        return f"({body})"
+    _, lhs, items, neg = a
+    items = list(items)
+    if not respell or draw(st.booleans()):
+        if respell:
+            items = list(draw(st.permutations(items)))
+            if draw(st.booleans()):
+                items.append(draw(st.sampled_from(items)))  # duplicate
+        return f"{lhs} {'NOT ' if neg else ''}IN ({', '.join(items)})"
+    # chain expansion (the equivalence under test)
+    op, joiner = ("<>", " AND ") if neg else ("=", " OR ")
+    items = list(draw(st.permutations(items)))
+    body = joiner.join(_render_atom((lhs, op, it), True, draw) for it in items)
+    return f"({body})"
+
+
+@st.composite
+def _pred_tree_node(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return draw(_pred_atom())
+    op = draw(st.sampled_from(["AND", "OR"]))
+    k = draw(st.integers(2, 3))
+    return (op, [draw(_pred_tree_node(depth + 1)) for _ in range(k)])
+
+
+def _render_ptree(draw, node, respell, parent_op=None):
+    if not (isinstance(node, tuple) and node[0] in ("AND", "OR")):
+        return _render_pred(draw, node, respell)
+    op, kids = node
+    kids = list(kids)
+    if respell:
+        kids = list(draw(st.permutations(kids)))
+    body = f" {op} ".join(_render_ptree(draw, k, respell, op) for k in kids)
+    must = parent_op == "AND" and op == "OR"
+    if must or draw(st.booleans()):
+        return f"({body})"
+    return body
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_widened_leaf_respellings_share_signature_and_relation(
+    duck_nulls, data
+):
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    tree = data.draw(_pred_tree_node())
+    c1 = _render_ptree(data.draw, tree, False)
+    c2 = _render_ptree(data.draw, tree, True)
+    s1 = _parse_join_from(f"t1 JOIN t2 ON {c1}")
+    s2 = _parse_join_from(f"t1 JOIN t2 ON {c2}")
+    assert s1 is not None and s2 is not None
+    assert s1[0] == s2[0], f"{c1!r} vs {c2!r}"
+    assert _join_rows(duck_nulls, c1) == _join_rows(duck_nulls, c2), (
+        f"{c1!r} vs {c2!r}"
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_sig_equal_widened_leaf_trees_compute_equal_relations(
+    duck_nulls, data
+):
+    """Soundness gate over the leaf-widened grammar: two INDEPENDENTLY
+    drawn conditions (IN ↔ chain, BETWEEN ↔ range collisions included)
+    that share a signature must compute the same relation under 3VL."""
+    from sparksql_server_spark.server.mrshare import _parse_join_from
+
+    c1 = _render_ptree(data.draw, data.draw(_pred_tree_node()), True)
+    c2 = _render_ptree(data.draw, data.draw(_pred_tree_node()), True)
+    s1 = _parse_join_from(f"t1 JOIN t2 ON {c1}")
+    s2 = _parse_join_from(f"t1 JOIN t2 ON {c2}")
+    assert s1 is not None and s2 is not None
+    if s1[0] == s2[0]:
+        assert _join_rows(duck_nulls, c1) == _join_rows(duck_nulls, c2), (
+            f"sig-equal but relation-different: {c1!r} vs {c2!r}"
+        )
+
+
 def test_natural_join_merged_demux_equals_direct_on_duckdb(duck_tpch):
     """Round 12: NATURAL members (schema_fn-resolved), their USING
     respellings, and operand swaps share ONE merged plan whose demux
