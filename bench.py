@@ -1496,6 +1496,32 @@ def main() -> None:
                 print("WARN: result-cache leg unexpected replies", file=sys.stderr)
         timings["result_cache_cold"] = round(_median(cold_ts), 3)
         timings["result_cache_hit"] = round(_median(hot_ts), 3)
+        # round 12, semantic keys: a RESPELLED equivalent (conjunct
+        # order flipped, IN-list vs OR-chain, operand-swapped
+        # comparisons) of a previously-executed aggregation must ALSO
+        # be a cache hit — the across-time analogue of the MRShare
+        # spelling-insensitive merge.
+        resp_ts = []
+        for rep in range(CACHED_SCAN_TRIALS):
+            pred = f"l_linenumber IN (1, 2) AND l_quantity >= {rep + 1}"
+            resp = (
+                f"(l_linenumber = 2 OR l_linenumber = 1)"
+                f" AND {rep + 1} <= l_quantity"
+            )
+            base = (
+                "SELECT l_returnflag, count(*) AS n FROM lineitem"
+                " WHERE {} GROUP BY l_returnflag"
+            )
+            r1 = client_request(rc_srv.address, {"sql": base.format(pred)})
+            t0 = time.monotonic()
+            r2 = client_request(rc_srv.address, {"sql": base.format(resp)})
+            resp_ts.append(time.monotonic() - t0)
+            if r1.get("status") != "done" or r2.get("cached") is not True:
+                print(
+                    "WARN: semantic result-cache leg unexpected replies",
+                    file=sys.stderr,
+                )
+        timings["result_cache_respelled_hit"] = round(_median(resp_ts), 3)
     finally:
         rc_srv.shutdown()
         rc_srv.executor.cache.clear()

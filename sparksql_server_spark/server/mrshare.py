@@ -596,6 +596,36 @@ def _norm_is_null(s: str):
     return _canon(s)
 
 
+_IS_DISTINCT = re.compile(r"\bis\s+(not\s+)?distinct\s+from\b", re.I)
+
+
+def _norm_is_distinct(s: str):
+    """``A IS [NOT] DISTINCT FROM B``: the NOT form is exactly Spark's
+    null-safe equality (the parser itself rewrites it to ``<=>``), so
+    it emits the SAME token as an ``A <=> B`` spelling; the positive
+    form is its negation — symmetric, never UNKNOWN — and gets its own
+    operand-sorted token. Symmetry soundness: ``<=>`` is symmetric and
+    NOT preserves that, so operand order is spelling, not semantics."""
+    d, ins = _scan(s)
+    kws = [
+        m
+        for m in _IS_DISTINCT.finditer(s)
+        if not ins[m.start()] and d[m.start()] == 0
+    ]
+    if len(kws) != 1:
+        return None
+    m = kws[0]
+    lhs, rhs = s[: m.start()], s[m.end() :]
+    if not (_side_ok(lhs) and _side_ok(rhs)):
+        return None
+    lc, rc = _canon(lhs), _canon(rhs)
+    if m.group(1):  # IS NOT DISTINCT FROM ≡ <=>
+        return _fmt_cmp("<=>", lc, rc)
+    if rc < lc:
+        lc, rc = rc, lc
+    return f"{lc} is distinct from {rc}"
+
+
 _LIKE_KW = re.compile(r"\b(like|ilike|rlike|regexp)\b", re.I)
 
 
@@ -622,15 +652,17 @@ def _norm_like(s: str):
 
 def _norm_leaf(s: str):
     """A provably-complete boolean term: a simple binary comparison
-    (round 10), an IN-list, a BETWEEN range, an IS [NOT] NULL test, or
-    a LIKE-family predicate (round 12). Returns a token string, a
-    nested ('and'|'or', …) structure, or None (opaque)."""
+    (round 10), an IN-list, a BETWEEN range, an IS [NOT] DISTINCT FROM
+    test, an IS [NOT] NULL test, or a LIKE-family predicate (round 12).
+    Returns a token string, a nested ('and'|'or', …) structure, or
+    None (opaque)."""
     r = _norm_simple_comparison(s)
     if r is not None:
         return r
     return (
         _norm_in_list(s)
         or _norm_between(s)
+        or _norm_is_distinct(s)
         or _norm_is_null(s)
         or _norm_like(s)
     )
@@ -680,15 +712,20 @@ def _norm_bool_tree(frag: str, _depth: int = 0):
 
     Precedence safety: the split order IS the SQL grammar's — depth-0
     ORs cut first (their fragments are the disjuncts), then depth-0
-    ANDs within each disjunct. The splits are naive (no BETWEEN/CASE
-    tracking) but cannot mis-normalize: an AND that is not a boolean
-    conjunction (BETWEEN's AND, a CASE arm's AND) always leaves its
-    construct keyword (``between``/``case``/``when``…) or a bare
-    operand fragment in SOME piece, and every piece must bottom out in
-    :func:`_norm_simple_comparison` — whose single-comparison +
-    keyword-free-operand bar then declines the WHOLE tree (opaque
-    canon, never a wrong token). NOT is never normalized (a depth-0
-    ``not`` likewise fails the leaf bar).
+    ANDs within each disjunct. The AND split tracks BETWEEN (round 12:
+    the AND that closes a depth-0 BETWEEN is part of the construct, so
+    the range predicate reaches the leaf normalizer whole); CASE is
+    untracked but cannot mis-normalize: an AND/OR cut inside a CASE
+    arm always leaves the construct keyword (``case``/``when``…) or a
+    bare operand fragment in SOME piece, and every piece must bottom
+    out in :func:`_norm_leaf` — whose complete-boolean-term bar
+    (single comparison / IN / BETWEEN / IS NULL / IS DISTINCT / LIKE,
+    keyword-free operand sides) then declines the WHOLE tree (opaque
+    canon, never a wrong token). A column literally NAMED ``between``
+    merely suppresses a cut and declines the same way. A leading NOT
+    on a leaf is never normalized (a depth-0 ``not`` fails the leaf
+    bar); the NOT IN / NOT BETWEEN / IS NOT forms are handled inside
+    their leaf grammars.
 
     The repr'd tree cannot collide with an opaque ``_canon`` token:
     for a condition's canon to equal a tree repr the member would have
@@ -2376,6 +2413,67 @@ def _split_members(
         groups.append(ms[i:j])
         j = i
     return list(reversed(groups))
+
+
+def semantic_result_key(sql: str):
+    """Spelling-insensitive result-cache key for a statement in the
+    canonical mergeable-aggregation shape, else None (round 12: the
+    work-sharing the merge path proves sound within a batch extends
+    ACROSS TIME — a dashboard re-issuing the same aggregation with
+    generator-permuted conjuncts, IN-list items, or join operand order
+    hits the result cache instead of re-executing).
+
+    The key captures everything that determines the result:
+
+    - ``signature`` — relation (single table, or the order- and
+      spelling-insensitive join-chain signature) + grouping set; by
+      the merge-path soundness arguments, equality ⇒ identical input
+      relation and grouping.
+    - ``items`` — ORDERED select items (column order is observable),
+      each with its canon expression and its output alias VERBATIM
+      (column-name case is observable to clients).
+    - ``where`` — the sorted σ-conjunct token set (conjunction
+      commutes; each token relation-faithful per the leaf proofs).
+    - ``having``/``order`` — the parse-time symbolic segments with
+      text pieces canon'd (exact-match conservative).
+    - ``limit`` — LIMIT without a total order picks plan-dependent
+      rows, but ANY n rows of the (identical) relation is a valid
+      answer for every key-equal spelling — the same freedom Spark
+      already exercises between two runs of the SAME text.
+
+    Nondeterministic text returns None (belt: the server's put path is
+    already gated on ``cacheable_sql``). A None falls back to the
+    text-normalized key — strictly the old behavior, never wider.
+    Tuple keys cannot collide with text keys (type-disjoint)."""
+    from sparksql_server_spark.server.results import cacheable_sql
+
+    if not cacheable_sql(sql):
+        return None
+    try:
+        p = parse_agg_query(sql)
+    except Exception:  # a parser bug must degrade to text keys, not 500
+        return None
+    if p is None:
+        return None
+    items = tuple(
+        (it[0], it[1], it[2])
+        if it[0] == "key"
+        else ("agg", _canon(it[1]), it[3])
+        for it in p.items
+    )
+    where = (
+        tuple(sorted(set(_cond_tokens(p.where, None)))) if p.where else ()
+    )
+
+    def _seg_canon(segs: list[tuple]) -> tuple:
+        return tuple(
+            ("text", _canon(s[1])) if s[0] == "text" else tuple(s)
+            for s in segs
+        )
+
+    having = _seg_canon(p.having_seg) if p.having_seg else None
+    order = tuple(_seg_canon(s) for s in p.order_seg)
+    return ("sem", p.signature, items, where, having, order, p.limit)
 
 
 def plan_merges(

@@ -225,6 +225,19 @@ class ResultCache:
         self._taints: list[tuple[Optional[frozenset[str]], float]] = []
 
     @staticmethod
+    def _sql_key(sql: str):
+        """Semantic key when the statement is the canonical mergeable
+        aggregation shape (round 12: conjunct order, IN/BETWEEN
+        spelling, join operand order — the equivalences the merge path
+        proves sound — now also hit the result cache ACROSS batches),
+        else the literal-safe text normalization. Tuple and string
+        keys are type-disjoint, so the two regimes can never collide."""
+        from sparksql_server_spark.server.mrshare import semantic_result_key
+
+        sem = semantic_result_key(sql)
+        return sem if sem is not None else _normalize_outside_literals(sql)
+
+    @staticmethod
     def key(session_id: Optional[str], sql: str) -> tuple:
         # named sessions live under an "s:" prefix so the reserved
         # namespaces ("" = clean shared, "root" = dirty root session)
@@ -232,7 +245,7 @@ class ResultCache:
         # naming its session "" previously landed IN the shared
         # namespace while dirty — wrong results both directions)
         ns = "" if session_id is None else f"s:{session_id}"
-        return (ns, _normalize_outside_literals(sql))
+        return (ns, ResultCache._sql_key(sql))
 
     @staticmethod
     def key_root(sql: str) -> tuple:
@@ -240,7 +253,7 @@ class ResultCache:
         has run: root temp views shadow shared tables for root's own
         queries only, so its results must neither serve nor be served
         from the clean cross-session namespace."""
-        return ("root", _normalize_outside_literals(sql))
+        return ("root", ResultCache._sql_key(sql))
 
     def invalidate_session(self, session_id: str) -> int:
         """Drop every private entry of a named session (called when the

@@ -2110,6 +2110,19 @@ def test_predicate_leaf_spellings_share_signatures():
     )
     assert sig("t1.c LIKE 'a%'") != sig("t1.c NOT LIKE 'a%'")
     assert sig("t1.c LIKE 'a%'") != sig("t1.c ILIKE 'a%'")
+    # IS NOT DISTINCT FROM ≡ null-safe equality (Spark parses it to
+    # <=>); both symmetric, so operand swaps share
+    assert (
+        sig("t1.a IS NOT DISTINCT FROM t2.a")
+        == sig("t1.a <=> t2.a")
+        == sig("t2.a <=> t1.a")
+    )
+    assert sig("t1.a IS DISTINCT FROM t2.a") == sig(
+        "t2.a is  distinct  from t1.a"
+    )
+    assert sig("t1.a IS DISTINCT FROM t2.a") != sig(
+        "t1.a IS NOT DISTINCT FROM t2.a"
+    )
 
 
 def test_in_between_members_merge_matches_independent(spark, executor):

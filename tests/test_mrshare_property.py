@@ -800,9 +800,18 @@ def test_mixed_precedence_known_pairs(duck_nulls):
 
 @st.composite
 def _pred_atom(draw):
-    kind = draw(st.sampled_from(["cmp", "cmp", "in", "between", "isnull"]))
+    kind = draw(
+        st.sampled_from(["cmp", "cmp", "in", "between", "isnull", "isdist"])
+    )
     if kind == "cmp":
         return ("cmp", draw(_atom()))
+    if kind == "isdist":
+        return (
+            "isdist",
+            draw(st.sampled_from(_COLS)),
+            draw(st.sampled_from(_COLS + _CONSTS)),
+            draw(st.booleans()),
+        )
     if kind == "in":
         lhs = draw(st.sampled_from(_COLS))
         items = tuple(
@@ -832,6 +841,12 @@ def _render_pred(draw, a, respell):
         if respell and draw(st.booleans()):
             mid = mid.lower().replace(" ", "  ")
         return f"{col} {mid} NULL"
+    if a[0] == "isdist":
+        _, lhs, rhs, neg = a
+        if respell and draw(st.booleans()):
+            lhs, rhs = rhs, lhs  # symmetric either way
+        mid = "IS NOT DISTINCT FROM" if neg else "IS DISTINCT FROM"
+        return f"{lhs} {mid} {rhs}"
     if a[0] == "between":
         _, lhs, lo, hi, neg = a
         if not respell or draw(st.booleans()):

@@ -221,6 +221,79 @@ def test_repeat_query_served_from_cache(server):
     assert stats["result_cache_hits"] >= 1
 
 
+def test_semantic_keys_hit_across_spellings():
+    """Round 12: statements in the canonical aggregation shape key the
+    result cache by the merge path's spelling-insensitive parse —
+    conjunct order, IN-list vs OR-chain, and join operand order hit the
+    SAME entry across time. Anything observable (output alias spelling,
+    select-item order, a predicate constant) keys differently, and
+    non-shape / nondeterministic statements keep the text key."""
+    K = lambda s: ResultCache.key(None, s)  # noqa: E731
+    assert K(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem"
+        " WHERE l_discount > 0.02 AND l_tax < 0.05 GROUP BY l_returnflag"
+    ) == K(
+        "select l_returnflag, SUM( l_quantity ) as s from lineitem"
+        " where l_tax < 0.05 and 0.02 < l_discount group by l_returnflag"
+    )
+    assert K(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem"
+        " WHERE l_linenumber IN (1, 2) GROUP BY l_returnflag"
+    ) == K(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem"
+        " WHERE l_linenumber = 2 OR l_linenumber = 1 GROUP BY l_returnflag"
+    )
+    assert K(
+        "SELECT o_orderpriority, count(*) AS n FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey GROUP BY o_orderpriority"
+    ) == K(
+        "SELECT o_orderpriority, count(*) AS n FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+    )
+    base = (
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem"
+        " GROUP BY l_returnflag"
+    )
+    assert K(base) != K(base.replace("AS s", "AS S"))  # alias case observable
+    assert K(
+        "SELECT l_returnflag, sum(l_quantity) AS s, count(*) AS n"
+        " FROM lineitem GROUP BY l_returnflag"
+    ) != K(
+        "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS s"
+        " FROM lineitem GROUP BY l_returnflag"
+    )  # column order observable
+    assert K(base + " LIMIT 5") != K(base + " LIMIT 6")
+    # nondeterministic and non-shape statements fall back to text keys
+    assert isinstance(
+        K(base.replace("GROUP BY", "WHERE rand() < 0.5 GROUP BY"))[1], str
+    )
+    assert isinstance(K("SELECT * FROM lineitem LIMIT 5")[1], str)
+    # session namespaces stay disjoint for the same semantic key
+    assert K(base) != ResultCache.key("sess1", base)
+    assert K(base) != ResultCache.key_root(base)
+
+
+def test_semantic_respelling_served_from_cache(server):
+    q1 = (
+        "SELECT l_returnflag, sum(l_quantity) AS sq FROM lineitem"
+        " WHERE l_discount > 0.02 AND l_linenumber IN (1, 2)"
+        " GROUP BY l_returnflag"
+    )
+    q2 = (
+        "select l_returnflag, sum( l_quantity ) AS sq from lineitem"
+        " where (l_linenumber = 2 or l_linenumber = 1)"
+        " and 0.02 < l_discount group by l_returnflag"
+    )
+    first = client_request(server.address, {"sql": q1})
+    assert first["status"] == "done" and "cached" not in first
+    second = client_request(server.address, {"sql": q2})
+    assert second["status"] == "done" and second.get("cached") is True
+    assert sorted(map(tuple, second["rows"])) == sorted(
+        map(tuple, first["rows"])
+    )
+    assert second["columns"] == first["columns"]
+
+
 def test_command_invalidation_is_write_set_scoped(server, tmp_path):
     """r6 verdict ask #4: INSERT into table A must keep cached results
     for B and invalidate A's — whole-cache flushes on every command
