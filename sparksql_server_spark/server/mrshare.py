@@ -413,23 +413,16 @@ def _norm_simple_comparison(frag: str) -> Optional[str]:
     op = m.group(0)
     if op == "!=":
         op = "<>"
-    lc, rc = _canon(lhs), _canon(rhs)
-    if op in ("=", "<=>", "<>"):
-        if rc < lc:
-            lc, rc = rc, lc
-    elif op == ">":
-        op, lc, rc = "<", rc, lc
-    elif op == ">=":
-        op, lc, rc = "<=", rc, lc
-    return f"{lc}{op}{rc}"
+    return _fmt_cmp(op, _canon(lhs), _canon(rhs))
 
 
 def _fmt_cmp(op: str, lc: str, rc: str) -> str:
-    """Format a comparison token EXACTLY as :func:`_norm_simple_comparison`
-    would — symmetric ops sort their operand canons, ``>``/``>=`` mirror
-    to ``<``/``<=`` with operands swapped — so structure-derived tokens
-    (IN → OR-of-equalities, BETWEEN → range pair) byte-match the tokens
-    of members that spell the comparisons out."""
+    """THE comparison-token formatter — symmetric ops sort their
+    operand canons, ``>``/``>=`` mirror to ``<``/``<=`` with operands
+    swapped. :func:`_norm_simple_comparison` and every structure-
+    derived rewrite (IN → OR-of-equalities, BETWEEN → range pair,
+    IS NOT DISTINCT FROM → ``<=>``) all emit through this one
+    function, so their tokens byte-match by construction."""
     if op in ("=", "<=>", "<>") and rc < lc:
         lc, rc = rc, lc
     elif op == ">":
@@ -746,11 +739,15 @@ def _norm_bool_tree(frag: str, _depth: int = 0):
     for op in ("or", "and"):
         if op == "and":
             # the AND that closes a depth-0 BETWEEN is part of the
-            # construct, not a conjunction boundary (round 12; same
-            # rule as _split_conjuncts) — so ``x BETWEEN 1 AND 5``
-            # survives to the leaf normalizer intact. Misreading a
-            # column NAMED between merely suppresses a cut: the
-            # fragment then fails the leaf bar and the tree declines.
+            # construct, not a conjunction boundary (round 12) — so
+            # ``x BETWEEN 1 AND 5`` survives to the leaf normalizer
+            # intact. Unlike _split_conjuncts this scan does NOT track
+            # CASE depth: a CASE-arm AND may be cut or a CASE-internal
+            # BETWEEN may swallow the construct's own AND, but every
+            # such fragment carries a case/when/then keyword and fails
+            # the leaf bar, declining the whole tree — mis-cuts only
+            # ever narrow. Misreading a column NAMED between likewise
+            # merely suppresses a cut and declines.
             cuts = []
             between = 0
             for m in re.finditer(r"\b(and|between)\b", s, re.I):
@@ -2449,31 +2446,35 @@ def semantic_result_key(sql: str):
 
     if not cacheable_sql(sql):
         return None
+    # the WHOLE construction degrades to text keys on any internal
+    # error (round-12 review: wrapping only the parse left the token
+    # builders below able to turn a normalizer bug into a failed
+    # request instead of a narrower cache)
     try:
         p = parse_agg_query(sql)
-    except Exception:  # a parser bug must degrade to text keys, not 500
-        return None
-    if p is None:
-        return None
-    items = tuple(
-        (it[0], it[1], it[2])
-        if it[0] == "key"
-        else ("agg", _canon(it[1]), it[3])
-        for it in p.items
-    )
-    where = (
-        tuple(sorted(set(_cond_tokens(p.where, None)))) if p.where else ()
-    )
-
-    def _seg_canon(segs: list[tuple]) -> tuple:
-        return tuple(
-            ("text", _canon(s[1])) if s[0] == "text" else tuple(s)
-            for s in segs
+        if p is None:
+            return None
+        items = tuple(
+            (it[0], it[1], it[2])
+            if it[0] == "key"
+            else ("agg", _canon(it[1]), it[3])
+            for it in p.items
+        )
+        where = (
+            tuple(sorted(set(_cond_tokens(p.where, None)))) if p.where else ()
         )
 
-    having = _seg_canon(p.having_seg) if p.having_seg else None
-    order = tuple(_seg_canon(s) for s in p.order_seg)
-    return ("sem", p.signature, items, where, having, order, p.limit)
+        def _seg_canon(segs: list[tuple]) -> tuple:
+            return tuple(
+                ("text", _canon(s[1])) if s[0] == "text" else tuple(s)
+                for s in segs
+            )
+
+        having = _seg_canon(p.having_seg) if p.having_seg else None
+        order = tuple(_seg_canon(s) for s in p.order_seg)
+        return ("sem", p.signature, items, where, having, order, p.limit)
+    except Exception:  # a parser bug must degrade to text keys, not 500
+        return None
 
 
 def plan_merges(

@@ -1,11 +1,17 @@
-"""Gateway-level result cache — identical query text answered from
+"""Gateway-level result cache — equivalent queries answered from
 memory, one level above the reference's scan sharing.
 
 The reference shares WORK between concurrent queries (ScanSharing);
 repeat submissions of the same query still re-execute. A middleware
 front-end can also share RESULTS across time: an inline result keyed
-by (session, SQL text) is served straight from the gateway until
-something invalidates it.
+by (session, query key) is served straight from the gateway until
+something invalidates it. The query key is the literal-safe normalized
+TEXT for arbitrary statements, and — round 12 — the merge path's
+spelling-insensitive SEMANTIC parse for statements in the canonical
+mergeable-aggregation shape (mrshare.semantic_result_key: conjunct
+order, IN-list vs OR-chain spelling, join operand order all hit one
+entry; anything observable — output aliases, column order, constants —
+keys apart, and the two key regimes are type-disjoint).
 
 Safety rules (all conservative):
 - only complete inline results are cached (sink jobs and truncated
@@ -38,11 +44,17 @@ import time
 from collections import OrderedDict
 from typing import Any, Optional
 
-# functions whose results depend on when/where the query runs
+# functions whose results depend on when/where the query runs.
+# reflect/java_method call arbitrary JVM code (UUID.randomUUID and
+# friends) — treat any use as nondeterministic; randstr/uniform are the
+# Spark 4 random generators; curdate aliases current_date (round-12
+# review: these escaped both the result cache AND the merge path's
+# full-member gate, which reuses this scanner)
 _NONDETERMINISTIC = re.compile(
-    r"\b(rand|randn|random|uuid|shuffle|now|current_timestamp|current_date|"
-    r"current_timezone|unix_timestamp|localtimestamp|monotonically_increasing_id|"
-    r"input_file_name|spark_partition_id)\s*\(",
+    r"\b(rand|randn|randstr|uniform|random|uuid|shuffle|now|current_timestamp|"
+    r"current_date|curdate|current_timezone|unix_timestamp|localtimestamp|"
+    r"monotonically_increasing_id|input_file_name|spark_partition_id|"
+    r"reflect|java_method)\s*\(",
     re.I,
 )
 # current_date/current_timestamp are valid WITHOUT parens too

@@ -27,6 +27,13 @@ Q = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
         ("SELECT uuid() AS u FROM region", False),
         ("SELECT monotonically_increasing_id() FROM region", False),
         ("SELECT 'randomness' AS s FROM region", True),  # word inside a literal-ish ident is fine
+        # round-12 review: arbitrary-JVM-call and Spark-4 random
+        # generators, plus the curdate alias, must also decline
+        ("SELECT reflect('java.util.UUID','randomUUID') FROM region", False),
+        ("SELECT java_method('java.lang.Math','random') FROM region", False),
+        ("SELECT curdate() AS d", False),
+        ("SELECT randstr(8) AS s FROM region", False),
+        ("SELECT uniform(0, 10) AS u FROM region", False),
     ],
 )
 def test_cacheable_sql(sql, ok):
