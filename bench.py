@@ -1522,6 +1522,34 @@ def main() -> None:
                     file=sys.stderr,
                 )
         timings["result_cache_respelled_hit"] = round(_median(resp_ts), 3)
+        # round 12, select shape: the same across-time spelling
+        # insensitivity for plain projection/selection statements —
+        # the repeat-dashboard class with no aggregation to merge.
+        sel_ts = []
+        for rep in range(CACHED_SCAN_TRIALS):
+            s1 = (
+                "SELECT l_orderkey, l_extendedprice FROM lineitem"
+                f" WHERE l_linenumber IN (1, 2) AND l_quantity >= {rep + 40}"
+                " ORDER BY l_orderkey, l_extendedprice LIMIT 50"
+            )
+            s2 = (
+                "select l_orderkey, l_extendedprice from lineitem"
+                f" where {rep + 40} <= l_quantity"
+                " and (l_linenumber = 2 or l_linenumber = 1)"
+                " order by l_orderkey ASC, l_extendedprice limit 50"
+            )
+            r1 = client_request(rc_srv.address, {"sql": s1})
+            t0 = time.monotonic()
+            r2 = client_request(rc_srv.address, {"sql": s2})
+            sel_ts.append(time.monotonic() - t0)
+            if r1.get("status") != "done" or r2.get("cached") is not True:
+                print(
+                    "WARN: select-shape result-cache leg unexpected replies",
+                    file=sys.stderr,
+                )
+        timings["result_cache_respelled_select_hit"] = round(
+            _median(sel_ts), 3
+        )
     finally:
         rc_srv.shutdown()
         rc_srv.executor.cache.clear()

@@ -198,16 +198,25 @@ def _sub_outside_strings(pattern: str, repl: str, text: str) -> str:
     return "".join(out)
 
 
-def _canon(expr: str) -> str:
+def _canon(expr: str, *, fold: bool = True) -> str:
     """Comparison key for expression equality: case-folded OUTSIDE
     string literals (lowercasing inside quotes would wrongly equate
     ``= 'A'`` with ``= 'a'``), whitespace dropped except where it
     separates two word tokens (``substr(x, 1,2)`` ≡ ``SUBSTR(x,1, 2)``
     but ``a AND b`` keeps its separating spaces) — with whitespace
     INSIDE literals preserved byte-for-byte, so ``= 'a  b'`` never
-    equates with ``= 'a b'``."""
+    equates with ``= 'a b'``.
+
+    ``fold=False`` keeps identifier case (whitespace handling
+    unchanged) — for contexts where spelling case is OBSERVABLE, e.g.
+    an unaliased select item's auto-generated column name (Spark
+    derives it from the parse tree: whitespace-blind, case-faithful)."""
     _, instr = _scan(expr)
-    folded = "".join(c if instr[i] else c.lower() for i, c in enumerate(expr))
+    folded = (
+        expr
+        if not fold
+        else "".join(c if instr[i] else c.lower() for i, c in enumerate(expr))
+    )
     collapsed = _collapse_ws(folded)
     _, ins2 = _scan(collapsed)
     out: list[str] = []
@@ -1931,6 +1940,49 @@ def _post_agg_segments(
     return segs
 
 
+def _classify_from(
+    from_text: str, raw_where: Optional[str], *, schema_fn=None
+) -> Optional[tuple[list, str, str, Optional[str]]]:
+    """Classify an admissible FROM slice into ``(quals, table_key,
+    from_raw, raw_where)`` — SHARED by :func:`parse_agg_query` and
+    :func:`parse_select_query`, so a soundness fix in the FROM shapes
+    can never land in one parser and silently miss the other (round-12
+    review wave). Three shapes, or None:
+
+    - bare table ``t [AS] [a]`` — re-emission is plain ``FROM t``, so
+      the alias AND the table name strip from every expression slice
+      (references resolve unqualified; differently-aliased members
+      share one signature);
+    - single derived table ``(SELECT …) [AS] t`` — the alias strips
+      like a single-table alias (the derived relation is the only
+      FROM member); signature per :func:`_parse_derived_from`;
+    - join chain, after the comma-FROM normalization (which migrates
+      WHERE equi-conjuncts into ON and REPLACES the caller's where
+      text with the surviving conjuncts) — qualifiers are KEPT:
+      aliases resolve against the re-emitted chain verbatim, and
+      signature equality already requires identical aliasing (the
+      RIGHT→LEFT normalization preserves every alias)."""
+    m_tbl = _BARE_TABLE.fullmatch(from_text)
+    if m_tbl:
+        table_key = m_tbl.group(1).lower()
+        return (
+            [m_tbl.group(2), m_tbl.group(1)],
+            table_key,
+            table_key,
+            raw_where,
+        )
+    if (parsed_derived := _parse_derived_from(from_text)) is not None:
+        table_key, emit, d_alias = parsed_derived
+        return ([d_alias] if d_alias else []), table_key, emit, raw_where
+    comma = _normalize_comma_from(from_text, raw_where)
+    if comma is not None:
+        from_text, raw_where = comma
+    parsed_join = _parse_join_from(from_text, schema_fn=schema_fn)
+    if parsed_join is None:
+        return None
+    return [], parsed_join[0], parsed_join[1], raw_where
+
+
 def parse_agg_query(sql: str, schema_fn=None) -> Optional[ParsedAgg]:
     """Decompose a canonical single-table GROUP BY aggregation, or None.
 
@@ -1999,48 +2051,28 @@ def parse_agg_query(sql: str, schema_fn=None) -> Optional[ParsedAgg]:
         if not instr[m_j.start()] and depth[m_j.start()] == 0:
             if not (m_from.end() <= m_j.start() < ends["from"]):
                 return None
-    comma = None  # set by the join branch's comma-FROM rewrite
-    m_tbl = _BARE_TABLE.fullmatch(from_text)
-    if m_tbl:
-        table = m_tbl.group(1)
-        table_alias = m_tbl.group(2)
-        # re-emission is FROM <table> (no alias): strip alias/table
-        # qualifiers from every expression slice so references resolve
-        # there and differently-aliased members share one signature
-        quals = [table_alias, table]
-        table_key = table.lower()
-        from_raw = table_key
-    elif (parsed_derived := _parse_derived_from(from_text)) is not None:
-        # derived-table member (round 9): the alias is stripped from
-        # member expressions exactly like a single-table alias — the
-        # derived relation is the only FROM member, so unqualified
-        # references resolve uniquely against the merged emission
-        table_key, from_raw, d_alias = parsed_derived
-        quals = [d_alias] if d_alias else []
-    else:
-        comma = _normalize_comma_from(
-            from_text, s[m_where.end(): ends["where"]] if m_where else None
-        )
-        if comma is not None:
-            # comma-FROM member (round 12): implicit products become an
-            # explicit inner chain and WHERE equi-conjuncts migrate into
-            # the ON — the member then shares signatures (and a merged
-            # evaluation) with its explicit-JOIN spellings. The WHERE
-            # slice is replaced by the rewrite's surviving conjuncts.
-            from_text, raw_where = comma
-        parsed_join = _parse_join_from(from_text, schema_fn=schema_fn)
-        if parsed_join is None:
-            return None
-        # join members keep their qualifiers: aliases resolve against
-        # the re-emitted join chain verbatim, and signature equality
-        # already requires identical aliasing (the RIGHT→LEFT
-        # normalization preserves every alias, so qualified member
-        # expressions still resolve against the emitted chain)
-        quals = []
-        table_key, from_raw = parsed_join
-
-    if comma is None:
-        raw_where = s[m_where.end(): ends["where"]] if m_where else None
+    # a lambda parameter can SHADOW a stripped alias/table qualifier:
+    # `transform(arr, x -> x.f)` under `FROM t x` strips to
+    # `x -> f` — a DIFFERENT, still-valid expression (the outer
+    # column f) — wrong data through both the merge re-emission and
+    # the semantic cache key (round-12 review wave, confirmed repro).
+    # Higher-order-function members decline wholesale.
+    if any(not instr[m.start()] for m in re.finditer(r"->", s)):
+        return None
+    # _split_top silently drops empty segments, so a malformed list
+    # (`SELECT a, b, FROM t`) would key/merge equal to the valid
+    # spelling and mask the engine's ParseException (round-12 review).
+    # A literal containing `,,` only ever false-declines — safe.
+    if re.search(r",\s*(,|$)", select_list.strip()):
+        return None
+    classified = _classify_from(
+        from_text,
+        s[m_where.end(): ends["where"]] if m_where else None,
+        schema_fn=schema_fn,
+    )
+    if classified is None:
+        return None
+    quals, table_key, from_raw, raw_where = classified
     where = None
     if raw_where is not None:
         where = _strip_qualifiers(raw_where, quals).strip()
@@ -2054,6 +2086,8 @@ def parse_agg_query(sql: str, schema_fn=None) -> Optional[ParsedAgg]:
         group_text = _strip_qualifiers(group_text, quals)
         if re.match(r"(all|grouping|rollup|cube)\b", group_text.strip(), re.I):
             return None
+        if re.search(r",\s*(,|$)", group_text.strip()):
+            return None  # malformed list — same mask as the select list
         group_raw_list = _split_top(group_text)
         if not group_raw_list:
             return None
@@ -2071,6 +2105,8 @@ def parse_agg_query(sql: str, schema_fn=None) -> Optional[ParsedAgg]:
         order_text = re.sub(
             r"^order\s+by\s*", "", s[m_order.start(): ends["order"]], flags=re.I
         )
+        if re.search(r",\s*(,|$)", order_text.strip()):
+            return None  # malformed list — same mask as the select list
         order_items = _split_top(_strip_qualifiers(order_text, quals))
         if not order_items:
             return None
@@ -2081,6 +2117,18 @@ def parse_agg_query(sql: str, schema_fn=None) -> Optional[ParsedAgg]:
             return None  # LIMIT ALL / expression — decline
         limit_val = int(limit_text)
     select_list = _strip_qualifiers(select_list, quals)
+    # a subquery ANYWHERE in the select list or GROUP BY declines
+    # (round 12, wrong-merge repro): ``SELECT (SELECT max(x) FROM t)
+    # FROM t`` embeds an aggregate call that belongs to the SUBQUERY —
+    # classifying it as an outer aggregate merged an N-row projection
+    # into a 1-row global aggregation. Same bar as the WHERE/HAVING
+    # subquery declines above.
+    if re.search(r"\bselect\b", select_list, re.I):
+        return None
+    if group_raw and any(
+        re.search(r"\bselect\b", g, re.I) for g in group_raw.values()
+    ):
+        return None
     # no GROUP BY = global aggregation (GROUP BY ()): group_canon is
     # the empty tuple; the query must then be pure aggregates (checked
     # below — any non-agg item fails the key/agg classification)
@@ -2412,13 +2460,185 @@ def _split_members(
     return list(reversed(groups))
 
 
+def parse_select_query(sql: str) -> Optional[tuple]:
+    """Decompose a canonical projection/selection statement for the
+    result cache's semantic key (round 12): ``SELECT <items> FROM
+    <table [alias] | (SELECT …) t | join chain> [WHERE …]
+    [ORDER BY …] [LIMIT n]`` — the repeat-dashboard shape
+    :func:`parse_agg_query` declines (no aggregation to merge).
+    Returns ``(from_sig, items, where_tokens, order_canons, limit)``
+    or None. Every decline is safe, a false accept is not, so each
+    rule errs conservative:
+
+    - select items key IN ORDER (column order is observable). An
+      aliased item keys ``("expr", folded-canon, alias-VERBATIM)`` —
+      alias case is the client-visible column name. A bare identifier
+      keys case-preserving verbatim (probed: ``SELECT R_NAME`` names
+      the column ``R_NAME``). Anything else keys by the case-
+      PRESERVING whitespace-collapsed canon: Spark derives auto
+      names from the parse tree (whitespace-blind, case-faithful), so
+      whitespace-only respellings share a name while case respellings
+      key apart. ``*`` / ``t.*`` decline (expansion order is catalog
+      state, invisible to the key).
+    - WHERE keys as the sorted σ-conjunct token set — conjunction
+      commutes and each token is relation-faithful by the merge
+      path's leaf proofs (:func:`_cond_tokens`).
+    - single-table and derived members strip their alias qualifier
+      from every expression slice (alias spelling is unobservable:
+      the qualifier never reaches output names); join members keep
+      qualifiers and rely on the chain signature's alias-preserving
+      operand normalization, exactly like the merge path.
+      Analyzability caveat (round-12 review): when a qualified and a
+      bare reference are BOTH valid they resolve to the same column
+      (Spark prefers the alias-qualified column, falling back to
+      struct-field access only when no such column exists), so
+      key-equal VALID spellings always return identical data; a
+      spelling that would itself fail analysis (``address.city``
+      resolving a struct field where bare ``city`` resolves nothing)
+      can be served the valid spelling's cached rows instead of its
+      AnalysisException — an error-masking bound shared with the
+      merge path's re-emission, never wrong data.
+    - GROUP BY / HAVING (the aggregation path owns those shapes),
+      SELECT DISTINCT, set operators, OVER/QUALIFY/DISTRIBUTE/…,
+      OFFSET/FETCH, backticks, and subqueries in items/WHERE/ORDER
+      all decline.
+    - ORDER BY keys by per-item literal-safe folded canons in order
+      (a trailing ``asc`` drops — it is the grammar default). LIMIT
+      keys by value. LIMIT without a total order picks plan-dependent
+      rows, but any n rows of the identical relation is a valid
+      answer for every key-equal spelling — the same freedom Spark
+      exercises between two runs of the SAME text.
+    """
+    s = sql.strip().rstrip(";").strip()
+    low = s.lower()
+    if not low.startswith("select") or re.match(r"select\s+distinct\b", low):
+        return None
+    if "`" in s:
+        return None  # backticked identifiers — outside the canon model
+    depth, instr = _scan(s)
+    # lambda parameters can SHADOW stripped alias/table qualifiers —
+    # same wrong-data hazard and same wholesale decline as
+    # parse_agg_query (round-12 review wave, confirmed repro)
+    if any(not instr[m.start()] for m in re.finditer(r"->", s)):
+        return None
+    for word in _REJECT_TOP + ("group", "having", "offset", "fetch"):
+        if _find_top(s, word, depth, instr):
+            return None
+    m_from = _find_top(s, "from", depth, instr)
+    if m_from is None:
+        return None
+    m_where = _find_top(s, "where", depth, instr)
+    m_order = _find_top(s, "order", depth, instr)
+    if m_order is not None and not re.match(
+        r"order\s+by\b", low[m_order.start():]
+    ):
+        return None
+    m_limit = _find_top(s, "limit", depth, instr)
+    present = [
+        (name, m)
+        for name, m in (
+            ("from", m_from),
+            ("where", m_where),
+            ("order", m_order),
+            ("limit", m_limit),
+        )
+        if m is not None
+    ]
+    starts = [m.start() for _, m in present]
+    if starts != sorted(starts) or starts[0] <= len("select"):
+        return None
+    ends = {
+        name: (present[k + 1][1].start() if k + 1 < len(present) else len(s))
+        for k, (name, m) in enumerate(present)
+    }
+    select_list = s[len("select"): m_from.start()]
+    if re.search(r",\s*(,|$)", select_list.strip()):
+        return None  # malformed list — _split_top would drop the empty
+        # segment and the key would mask the engine's ParseException
+    from_text = s[m_from.end(): ends["from"]].strip()
+    # any top-level JOIN must sit inside the FROM slice (mirrors
+    # parse_agg_query: a stray match means the slicing is untrusted)
+    for m_j in re.finditer(r"\bjoin\b", s, re.I):
+        if not instr[m_j.start()] and depth[m_j.start()] == 0:
+            if not (m_from.end() <= m_j.start() < ends["from"]):
+                return None
+
+    classified = _classify_from(
+        from_text, s[m_where.end(): ends["where"]] if m_where else None
+    )
+    if classified is None:
+        return None
+    quals, from_sig, _, raw_where = classified
+    where_tokens: tuple = ()
+    if raw_where is not None:
+        w = _strip_qualifiers(raw_where, quals).strip()
+        if not w or re.search(r"\bselect\b", w, re.I):
+            return None  # subquery in predicate — decline
+        where_tokens = tuple(sorted(set(_cond_tokens(w, None))))
+
+    order_canons: tuple = ()
+    if m_order is not None:
+        order_text = re.sub(
+            r"^order\s+by\s*", "", s[m_order.start(): ends["order"]],
+            flags=re.I,
+        )
+        if re.search(r",\s*(,|$)", order_text.strip()):
+            return None  # malformed list — same mask as the select list
+        raw_items = _split_top(_strip_qualifiers(order_text, quals))
+        if not raw_items:
+            return None
+        canons = []
+        for o in raw_items:
+            if not o.strip() or re.search(r"\bselect\b", o, re.I):
+                return None
+            canons.append(re.sub(r" asc$", "", _canon(o)))
+        order_canons = tuple(canons)
+
+    limit_val = None
+    if m_limit is not None:
+        limit_text = s[m_limit.end():].strip()
+        if not re.fullmatch(r"\d+", limit_text):
+            return None  # LIMIT ALL / expression — decline
+        limit_val = int(limit_text)
+
+    items: list[tuple] = []
+    for item in _split_top(_strip_qualifiers(select_list, quals)):
+        item = item.strip()
+        if not item or re.search(r"\bselect\b", item, re.I):
+            return None
+        if item == "*" or re.fullmatch(
+            r"[A-Za-z_]\w*\s*\.\s*\*", item
+        ):
+            return None  # star projection — expansion is catalog state
+        idepth, iinstr = _scan(item)
+        m_as = None
+        for m in re.finditer(r"\s+as\s+([A-Za-z_]\w*)\s*$", item, re.I):
+            if not iinstr[m.start()] and idepth[m.start()] == 0:
+                m_as = m
+        if m_as:
+            expr = item[: m_as.start()].strip()
+            if not expr:
+                return None
+            items.append(("expr", _canon(expr), m_as.group(1)))
+        elif _SIMPLE_IDENT.match(item):
+            items.append(("col", item))
+        else:
+            items.append(("raw", _canon(item, fold=False)))
+    if not items:
+        return None
+    return (from_sig, tuple(items), where_tokens, order_canons, limit_val)
+
+
 def semantic_result_key(sql: str):
     """Spelling-insensitive result-cache key for a statement in the
-    canonical mergeable-aggregation shape, else None (round 12: the
-    work-sharing the merge path proves sound within a batch extends
-    ACROSS TIME — a dashboard re-issuing the same aggregation with
-    generator-permuted conjuncts, IN-list items, or join operand order
-    hits the result cache instead of re-executing).
+    canonical mergeable-aggregation shape OR the canonical
+    projection/selection shape (:func:`parse_select_query`), else None
+    (round 12: the work-sharing the merge path proves sound within a
+    batch extends ACROSS TIME — a dashboard re-issuing the same
+    aggregation or filtered scan with generator-permuted conjuncts,
+    IN-list items, or join operand order hits the result cache instead
+    of re-executing). The two shapes carry distinct tags (``"sem"`` /
+    ``"selp"``) so their key spaces never collide.
 
     The key captures everything that determines the result:
 
@@ -2453,7 +2673,11 @@ def semantic_result_key(sql: str):
     try:
         p = parse_agg_query(sql)
         if p is None:
-            return None
+            # no aggregation — try the canonical projection/selection
+            # shape (round 12): same leaf machinery, observables
+            # (item order, output-name spelling) keyed verbatim
+            sel = parse_select_query(sql)
+            return None if sel is None else ("selp",) + sel
         items = tuple(
             (it[0], it[1], it[2])
             if it[0] == "key"

@@ -138,6 +138,14 @@ def test_parse_expression_key_and_case_folding():
         "SELECT substr(l_shipmode,1,2), count(*) AS n FROM lineitem GROUP BY substr(l_shipmode,1,2)",
         # non-key non-agg select item
         "SELECT l_returnflag, l_tax, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+        # scalar subquery in a select item (round-12 wrong-merge repro:
+        # the embedded max() belongs to the SUBQUERY — classifying it
+        # as an outer aggregate merged this N-row projection into a
+        # 1-row global aggregation)
+        "SELECT (SELECT max(r_regionkey) FROM region) AS m FROM region",
+        "SELECT (SELECT max(r_regionkey) FROM nation) AS m, count(*) AS n FROM region",
+        # subquery as a grouping expression — same conservative bar
+        "SELECT (SELECT 1) AS g, count(*) AS n FROM region GROUP BY (SELECT 1)",
         # no GROUP BY and a bare (non-aggregate) column
         "SELECT l_returnflag FROM lineitem",
         # commands
@@ -2982,3 +2990,69 @@ def test_natural_join_declines_after_semi_anti():
     # NATURAL before the semi still resolves
     r = _parse_join_from("t1 NATURAL JOIN t2 SEMI JOIN b ON t1.k = b.id", schema_fn=fn)
     assert r is not None and "using (k)" in r[1]
+
+
+def test_scalar_subquery_member_never_merges():
+    """Round-12 wrong-merge regression: a member whose select item is a
+    scalar subquery ``(SELECT max(..) FROM t)`` returns one value PER
+    OUTER ROW (N rows), but classifying the embedded call as an outer
+    aggregate merged it with true aggregations on the same table — the
+    demux then read a 1-row global-agg view. The member must stay off
+    the merge path entirely."""
+    sub = "SELECT (SELECT max(r_regionkey) FROM region) AS m FROM region"
+    agg = "SELECT count(*) AS n FROM region"
+    jobs = [QueryJob(job_id=1, sql=sub), QueryJob(job_id=2, sql=agg)]
+    assert plan_merges(jobs) == []
+    # and the batch still merges once the offender is out
+    jobs = [
+        QueryJob(job_id=2, sql=agg),
+        QueryJob(job_id=3, sql="SELECT sum(r_regionkey) AS s FROM region"),
+    ]
+    plans = plan_merges(jobs)
+    assert len(plans) == 1 and len(plans[0].jobs) == 2
+
+
+def test_lambda_members_decline_everywhere():
+    """Round-12 review wave: a higher-order-function lambda parameter
+    can shadow the table alias — stripping the qualifier rewrites
+    ``x -> x.f`` to ``x -> f``, a DIFFERENT valid expression (the
+    outer column). Both parsers decline any statement with a lambda
+    arrow outside string literals."""
+    from sparksql_server_spark.server.mrshare import (
+        parse_select_query,
+        semantic_result_key,
+    )
+
+    agg = (
+        "SELECT sum(aggregate(arr, 0, (acc, x) -> acc + x.f)) AS s"
+        " FROM t x"
+    )
+    assert parse_agg_query(agg) is None
+    sel = "SELECT transform(arr, x -> x.f) AS r FROM t x"
+    assert parse_select_query(sel) is None
+    assert semantic_result_key(sel) is None
+    # an arrow INSIDE a string literal is data, not a lambda
+    ok = "SELECT count(*) AS n FROM t WHERE k <> 'a->b'"
+    assert parse_agg_query(ok) is not None
+
+
+def test_malformed_lists_decline():
+    """Round-12 review wave: _split_top drops empty segments, so
+    ``SELECT a, b, FROM t`` would key/merge equal to the valid
+    spelling and mask the engine's ParseException."""
+    from sparksql_server_spark.server.mrshare import (
+        parse_select_query,
+        semantic_result_key,
+    )
+
+    assert parse_agg_query(
+        "SELECT l_returnflag, count(*) AS n, FROM lineitem GROUP BY l_returnflag"
+    ) is None
+    assert parse_agg_query(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag,"
+    ) is None
+    assert parse_select_query("SELECT a, b, FROM t") is None
+    assert parse_select_query("SELECT a, , b FROM t") is None
+    assert parse_select_query("SELECT a FROM t ORDER BY a,") is None
+    k1 = semantic_result_key("SELECT a, b, FROM t")
+    assert k1 is None

@@ -678,3 +678,87 @@ def test_cache_vs_merge_interleaving_pool_was_not_vacuous():
     assert _EXERCISED["hits"] > 0, _EXERCISED
     assert _EXERCISED["merges"] > 0, _EXERCISED
     assert _EXERCISED["cmds"] > 0, _EXERCISED
+
+
+def test_select_shape_semantic_keys():
+    """Round 12: plain projection/selection statements (no aggregation)
+    key by the spelling-insensitive select shape — conjunct order,
+    IN-vs-OR, qualifier spelling, and join operand order hit ONE
+    entry; anything observable (item order, output-name case, LIMIT
+    value, ORDER BY direction) keys apart; DISTINCT / star / OFFSET /
+    window / subquery shapes keep the text key."""
+    K = lambda s: ResultCache.key(None, s)  # noqa: E731
+    assert K(
+        "SELECT r_regionkey, r_name FROM region"
+        " WHERE r_regionkey > 1 AND r_name <> 'ASIA' ORDER BY r_regionkey"
+    ) == K(
+        "select r_regionkey, r_name from region"
+        " where 'ASIA' <> r_name and 1 < r_regionkey order by r_regionkey ASC"
+    )
+    assert K(
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus IN ('O','F')"
+    ) == K(
+        "SELECT o_orderkey FROM orders"
+        " WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'"
+    )
+    # single-table alias qualifiers are unobservable
+    assert K("SELECT c.c_name AS n FROM customer c WHERE c.c_acctbal > 100") == K(
+        "SELECT c_name AS n FROM customer WHERE 100 < c_acctbal"
+    )
+    # join operand order with verbatim items
+    assert K(
+        "SELECT o_orderpriority AS p FROM orders JOIN lineitem"
+        " ON o_orderkey = l_orderkey WHERE l_tax < 0.05"
+    ) == K(
+        "SELECT o_orderpriority AS p FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey WHERE 0.05 > l_tax"
+    )
+    # observables key apart
+    assert K("SELECT r_name FROM region") != K("SELECT R_NAME FROM region")
+    assert K("SELECT r_name, r_regionkey FROM region") != K(
+        "SELECT r_regionkey, r_name FROM region"
+    )
+    assert K("SELECT r_name FROM region LIMIT 3") != K(
+        "SELECT r_name FROM region LIMIT 4"
+    )
+    assert K("SELECT r_name FROM region ORDER BY r_name") != K(
+        "SELECT r_name FROM region ORDER BY r_name DESC"
+    )
+    # unaliased expression names are case-faithful but whitespace-blind
+    assert K("SELECT r_regionkey+1 FROM region") == K(
+        "SELECT r_regionkey + 1 FROM region"
+    )
+    assert K("SELECT r_regionkey + 1 FROM region") != K(
+        "SELECT R_REGIONKEY + 1 FROM region"
+    )
+    # non-shape statements keep text keys (strings, not tuples)
+    for q in (
+        "SELECT * FROM region",
+        "SELECT DISTINCT r_name FROM region",
+        "SELECT r_name FROM region OFFSET 2",
+        "SELECT rank() OVER (ORDER BY r_name) AS r FROM region",
+        "SELECT (SELECT max(r_regionkey) FROM region) AS m FROM region",
+        "SELECT r_name FROM region"
+        " WHERE r_regionkey IN (SELECT n_regionkey FROM nation)",
+    ):
+        assert isinstance(K(q)[1], str), q
+
+
+def test_select_respelling_served_from_cache(server):
+    q1 = (
+        "SELECT o_orderkey, o_totalprice FROM orders"
+        " WHERE o_orderstatus IN ('O','F') AND o_totalprice > 1000"
+        " ORDER BY o_orderkey LIMIT 20"
+    )
+    q2 = (
+        "select o_orderkey, o_totalprice from orders"
+        " where 1000 < o_totalprice"
+        " and (o_orderstatus = 'F' or o_orderstatus = 'O')"
+        " order by o_orderkey ASC limit 20"
+    )
+    first = client_request(server.address, {"sql": q1})
+    assert first["status"] == "done" and "cached" not in first
+    second = client_request(server.address, {"sql": q2})
+    assert second["status"] == "done" and second.get("cached") is True
+    assert second["rows"] == first["rows"]
+    assert second["columns"] == first["columns"]
