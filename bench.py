@@ -1468,6 +1468,69 @@ def main() -> None:
         timings[f"mrshare_commajoin_{leg}"] = round(_median(xs), 3)
         timings[f"mrshare_commajoin_{leg}_min"] = round(min(xs), 3)
 
+    # --- MRShare CTE leg (round 12): single-CTE members inline to the
+    # derived-table form at parse time, so WITH spellings and derived
+    # respellings of one aggregation share a signature and the CTE
+    # body — the dashboard-favorite spelling — evaluates ONCE per
+    # batch instead of once per member. ---
+    cte_inner = (
+        "SELECT l_suppkey, l_quantity, l_extendedprice, l_discount,"
+        " l_shipdate FROM lineitem_big WHERE l_discount > 0.01"
+    )
+    cte_preds = [
+        "l_quantity >= 5",
+        "5 <= l_quantity",
+        "l_quantity >= 5",
+        "l_quantity >= 5",
+        "5 <= l_quantity",
+        "l_quantity >= 5",
+    ]
+    cte_queries = [
+        (
+            f"WITH x AS ({cte_inner}) SELECT l_suppkey, {join_aggs[i]}"
+            f" FROM x WHERE {cte_preds[i]} GROUP BY l_suppkey"
+            if i % 2 == 0
+            else f"SELECT l_suppkey, {join_aggs[i]} FROM ({cte_inner}) x"
+            f" WHERE {cte_preds[i]} GROUP BY l_suppkey"
+        )
+        for i in range(6)
+    ]
+
+    def _run_cte_leg(merged: bool, base_id: int) -> float:
+        ex = BatchExecutor(
+            spark,
+            cache=CacheManager(spark, budget_bytes=8 << 30, min_bytes=1 << 40),
+            source_views={big_src: "lineitem_big"},
+            enable_mrshare=merged,
+        )
+        jobs = [
+            QueryJob(job_id=base_id + i, sql=q)
+            for i, q in enumerate(cte_queries)
+        ]
+        t0 = time.monotonic()
+        bags = ex.run_batch(jobs)
+        dt = time.monotonic() - t0
+        if merged:
+            merged_jobs = sum(len(mp.jobs) for b in bags for mp in b.merges)
+            if merged_jobs != len(cte_queries):
+                print(
+                    "WARN: CTE merge did not cover the batch"
+                    f" ({merged_jobs}/{len(cte_queries)})",
+                    file=sys.stderr,
+                )
+        if any(j.status.value != "done" for j in jobs):
+            print("WARN: CTE leg had failed jobs", file=sys.stderr)
+        ex.cache.clear()
+        return dt
+
+    cte_trials: dict[str, list[float]] = {"concurrent": [], "merged": []}
+    for rep in range(CACHED_SCAN_TRIALS):
+        cte_trials["concurrent"].append(_run_cte_leg(False, 34000 + 100 * rep))
+        cte_trials["merged"].append(_run_cte_leg(True, 34500 + 100 * rep))
+    for leg, xs in cte_trials.items():
+        timings[f"mrshare_cte_{leg}"] = round(_median(xs), 3)
+        timings[f"mrshare_cte_{leg}_min"] = round(min(xs), 3)
+
     # --- gateway result cache: repeat deterministic query text served
     # from memory (server/results.py). Measured through the REAL TCP
     # server: cold = first submission (batch window + execution),
@@ -1666,6 +1729,9 @@ def main() -> None:
         },
         "mrshare_commajoin_trials": {
             leg: [round(x, 3) for x in xs] for leg, xs in comma_trials.items()
+        },
+        "mrshare_cte_trials": {
+            leg: [round(x, 3) for x in xs] for leg, xs in cte_trials.items()
         },
         # fixed machine-speed probes (scan/cpu/shuffle), compiled-once
         # then timed — divide per-query times by the probe-median ratio

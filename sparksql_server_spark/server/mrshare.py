@@ -1983,6 +1983,95 @@ def _classify_from(
     return [], parsed_join[0], parsed_join[1], raw_where
 
 
+_CTE_HEAD = re.compile(
+    r"^\s*with\s+(?!recursive\b)([A-Za-z_]\w*)\s+as\s*\(", re.I
+)
+
+
+def _inline_single_cte(s: str) -> Optional[str]:
+    """Rewrite a single-CTE statement ``WITH x AS (SELECT …) SELECT …
+    FROM x`` into its derived-table form ``SELECT … FROM (SELECT …) x``
+    (round 12) — the textbook equivalence for a non-recursive CTE
+    referenced once (Spark itself inlines such CTEs; they are not
+    materialization fences), after which the existing derived-table
+    machinery signatures/merges/keys the statement. Returns the
+    rewritten text, or None to leave the statement untouched.
+
+    Declines (None) on anything but the exact shape: WITH RECURSIVE, a
+    second CTE (comma tail), a non-SELECT body or tail, a
+    self-reference, or a CTE name that occurs anywhere except exactly
+    ONE depth-0 FROM/JOIN operand position plus any number of
+    ``name.`` qualifier uses (which stay valid — the derived alias IS
+    the name). A bare occurrence elsewhere (e.g. a depth-0 select-list
+    column that merely shares the name) declines rather than rewrites:
+    the inliner must never depend on downstream bars to catch a
+    semantics-changing rewrite."""
+    m = _CTE_HEAD.match(s)
+    if m is None:
+        return None
+    if "`" in s:
+        return None  # backtick-quoted identifiers — the alias scan
+        # below would misjudge them (round-12 review); both parsers
+        # decline backticks anyway
+    _, instr = _scan(s)
+    d = 0
+    close = -1
+    for i in range(m.end() - 1, len(s)):
+        if instr[i]:
+            continue
+        c = s[i]
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+            if d == 0:
+                close = i
+                break
+    if close < 0:
+        return None
+    name = m.group(1)
+    inner = s[m.end(): close].strip()
+    tail = s[close + 1:].strip()
+    if not re.match(r"select\b", tail, re.I) or not re.match(
+        r"select\b", inner, re.I
+    ):
+        return None  # second CTE (comma tail) / non-select shapes
+    if re.search(rf"\b{re.escape(name)}\b", inner, re.I):
+        return None  # self-reference (or a column coincidentally
+        # named like the CTE — false decline, safe)
+    tdepth, tinstr = _scan(tail)
+    operand_span = None
+    for mm in re.finditer(rf"\b{re.escape(name)}\b", tail, re.I):
+        i = mm.start()
+        if tinstr[i]:
+            continue
+        if tail[mm.end():].lstrip().startswith("."):
+            continue  # qualifier use — stays valid (alias == name)
+        before = tail[:i].rstrip()
+        is_operand = tdepth[i] == 0 and bool(
+            re.search(r"\b(from|join)$", before, re.I)
+        )
+        if not is_operand or operand_span is not None:
+            return None  # not exactly one relation use — decline
+        operand_span = (i, mm.end())
+    if operand_span is None:
+        return None
+    i0, i1 = operand_span
+    rest = tail[i1:].lstrip()
+    has_alias = bool(
+        re.match(r"(as\s+)?[A-Za-z_]\w*", rest, re.I)
+    ) and not re.match(
+        r"(on|using|where|group|having|order|limit|offset|fetch|join|inner|"
+        r"left|right|full|cross|natural|semi|anti|union|intersect|except|"
+        r"minus|tablesample|pivot|unpivot|lateral|distribute|sort|cluster|"
+        r"window|qualify)\b",
+        rest,
+        re.I,
+    )
+    repl = f"({inner})" if has_alias else f"({inner}) {name}"
+    return tail[:i0] + repl + tail[i1:]
+
+
 def parse_agg_query(sql: str, schema_fn=None) -> Optional[ParsedAgg]:
     """Decompose a canonical single-table GROUP BY aggregation, or None.
 
@@ -1995,6 +2084,9 @@ def parse_agg_query(sql: str, schema_fn=None) -> Optional[ParsedAgg]:
     not, so each rule here errs conservative.
     """
     s = sql.strip().rstrip(";").strip()
+    inlined = _inline_single_cte(s)
+    if inlined is not None:
+        s = inlined  # single-CTE spelling → derived-table form
     low = s.lower()
     if not low.startswith("select"):
         return None
@@ -2510,6 +2602,9 @@ def parse_select_query(sql: str) -> Optional[tuple]:
       exercises between two runs of the SAME text.
     """
     s = sql.strip().rstrip(";").strip()
+    inlined = _inline_single_cte(s)
+    if inlined is not None:
+        s = inlined  # single-CTE spelling → derived-table form
     low = s.lower()
     if not low.startswith("select") or re.match(r"select\s+distinct\b", low):
         return None

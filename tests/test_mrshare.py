@@ -3056,3 +3056,85 @@ def test_malformed_lists_decline():
     assert parse_select_query("SELECT a FROM t ORDER BY a,") is None
     k1 = semantic_result_key("SELECT a, b, FROM t")
     assert k1 is None
+
+
+def test_cte_inlines_to_derived_form():
+    """Round 12: a single non-recursive CTE referenced exactly once in
+    relation position inlines to the derived-table form, so the CTE
+    spelling shares signatures (and a merged evaluation) with the
+    derived-table spellings BI tools emit interchangeably."""
+    from sparksql_server_spark.server.mrshare import (
+        parse_select_query,
+        semantic_result_key,
+    )
+
+    cte = (
+        "WITH x AS (SELECT l_orderkey, l_quantity FROM lineitem"
+        " WHERE l_tax < 0.05)"
+        " SELECT l_orderkey, sum(l_quantity) AS s FROM x GROUP BY l_orderkey"
+    )
+    der = (
+        "SELECT l_orderkey, sum(l_quantity) AS s FROM"
+        " (SELECT l_orderkey, l_quantity FROM lineitem WHERE l_tax < 0.05) x"
+        " GROUP BY l_orderkey"
+    )
+    p1, p2 = parse_agg_query(cte), parse_agg_query(der)
+    assert p1 is not None and p2 is not None
+    assert p1.signature == p2.signature
+    # the select shape gains WITH through the same rewrite
+    cs = (
+        "WITH x AS (SELECT r_regionkey AS k, r_name AS n FROM region)"
+        " SELECT k, n FROM x WHERE k > 1"
+    )
+    ds = (
+        "SELECT k, n FROM"
+        " (SELECT r_regionkey AS k, r_name AS n FROM region) x WHERE 1 < k"
+    )
+    assert semantic_result_key(cs) is not None
+    assert semantic_result_key(cs) == semantic_result_key(ds)
+    # CTE as a JOIN operand admits via the derived-operand machinery
+    assert parse_agg_query(
+        "WITH x AS (SELECT o_orderkey AS k FROM orders)"
+        " SELECT count(*) AS c FROM lineitem JOIN x ON l_orderkey = x.k"
+    ) is not None
+
+
+def test_cte_declines():
+    """Anything but the exact once-referenced single-CTE shape leaves
+    the statement untouched (and the parsers then decline WITH)."""
+    for sql in (
+        "WITH RECURSIVE x AS (SELECT 1 AS n) SELECT count(*) AS c FROM x",
+        "WITH x AS (SELECT 1 AS n), y AS (SELECT 2 AS m)"
+        " SELECT count(*) AS c FROM x",
+        "WITH x AS (SELECT l_orderkey AS k FROM lineitem)"
+        " SELECT count(*) AS c FROM x JOIN x ON 1=1",
+        "WITH x AS (SELECT k FROM x) SELECT count(*) AS c FROM x",
+        # bare occurrence outside relation position (a select-list
+        # column sharing the CTE name) must decline, not rewrite
+        "WITH x AS (SELECT 1 AS n) SELECT x, count(*) AS c FROM x GROUP BY x",
+        # nondeterministic body — the derived gate's cacheable bar
+        "WITH x AS (SELECT rand() AS r FROM region)"
+        " SELECT count(*) AS c FROM x",
+    ):
+        assert parse_agg_query(sql) is None, sql
+
+
+def test_cte_members_merge_matches_independent(spark, executor):
+    """CTE, derived-table, and conjunct-respelled CTE spellings of one
+    aggregation land in ONE merged plan; every demux equals its
+    standalone run."""
+    inner = (
+        "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem"
+        " WHERE l_tax < 0.05"
+    )
+    sqls = [
+        f"WITH x AS ({inner}) SELECT l_orderkey, sum(l_quantity) AS sq"
+        " FROM x WHERE l_quantity >= 10 GROUP BY l_orderkey",
+        f"SELECT l_orderkey, count(*) AS n FROM ({inner}) x"
+        " WHERE l_quantity >= 10 GROUP BY l_orderkey",
+        f"WITH x AS ({inner}) SELECT l_orderkey, max(l_extendedprice) AS mx"
+        " FROM x WHERE 10 <= l_quantity GROUP BY l_orderkey",
+    ]
+    jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
+    (bag,) = [b for b in bags if b.merges]
+    assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
