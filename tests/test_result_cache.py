@@ -762,3 +762,67 @@ def test_select_respelling_served_from_cache(server):
     assert second["status"] == "done" and second.get("cached") is True
     assert second["rows"] == first["rows"]
     assert second["columns"] == first["columns"]
+
+
+def test_limit_subsumption_unit():
+    """Round 12: a semantic-key miss differing ONLY in a smaller LIMIT
+    serves the cached rows' prefix — an un-LIMITed source serves any
+    LIMIT, a LIMIT-m source serves n <= m, never the reverse; text
+    keys never subsume; namespaces stay disjoint."""
+    rc = ResultCache(max_entries=8, ttl_seconds=60)
+    base = "SELECT r_regionkey AS k FROM region ORDER BY r_regionkey"
+    rows20 = [[i] for i in range(20)]
+    rc.put(
+        ResultCache.key(None, base + " LIMIT 20"),
+        {"status": "done", "rows": rows20, "n_rows": 20, "columns": ["k"]},
+    )
+    out = rc.get(ResultCache.key(None, base + " LIMIT 5"))
+    assert out is not None and out["rows"] == rows20[:5] and out["n_rows"] == 5
+    assert rc.limit_subsumed_hits == 1
+    # a LARGER limit must miss (the source may have clipped rows 21+)
+    assert rc.get(ResultCache.key(None, base + " LIMIT 30")) is None
+    # an un-LIMITed source serves any limit, even above its row count
+    rc.put(
+        ResultCache.key(None, base),
+        {"status": "done", "rows": rows20, "n_rows": 20, "columns": ["k"]},
+    )
+    out = rc.get(ResultCache.key(None, base + " LIMIT 30"))
+    assert out is not None and out["rows"] == rows20 and out["n_rows"] == 20
+    # the cached source entry must not be mutated by slicing
+    full = rc.get(ResultCache.key(None, base + " LIMIT 20"))
+    assert full["rows"] == rows20 and full["n_rows"] == 20
+    # respelled smaller-limit spelling subsumes too (semantic base)
+    out = rc.get(
+        ResultCache.key(
+            None,
+            "select r_regionkey as k from region order by r_regionkey"
+            " ASC limit 3",
+        )
+    )
+    assert out is not None and out["rows"] == rows20[:3]
+    # namespaces stay disjoint
+    assert rc.get(ResultCache.key("s1", base + " LIMIT 5")) is None
+    # text keys never subsume
+    rc.put(("", "some text key"), {"status": "done", "rows": rows20})
+    assert rc.get(("", "some text key limit 5")) is None
+
+
+def test_limit_subsumption_served_from_server(server):
+    q_big = (
+        "SELECT o_orderkey, o_totalprice FROM orders"
+        " WHERE o_totalprice > 1000"
+        " ORDER BY o_orderkey LIMIT 20"
+    )
+    q_small = (
+        "select o_orderkey, o_totalprice from orders"
+        " where 1000 < o_totalprice"
+        " order by o_orderkey ASC limit 7"
+    )
+    first = client_request(server.address, {"sql": q_big})
+    assert first["status"] == "done" and "cached" not in first
+    second = client_request(server.address, {"sql": q_small})
+    assert second["status"] == "done" and second.get("cached") is True
+    assert second["rows"] == first["rows"][:7]
+    assert second["columns"] == first["columns"]
+    stats = client_request(server.address, {"server_stats": True})["stats"]
+    assert stats["result_cache_limit_subsumed_hits"] >= 1
