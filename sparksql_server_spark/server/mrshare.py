@@ -1983,71 +1983,29 @@ def _classify_from(
     return [], parsed_join[0], parsed_join[1], raw_where
 
 
-_CTE_HEAD = re.compile(
-    r"^\s*with\s+(?!recursive\b)([A-Za-z_]\w*)\s+as\s*\(", re.I
-)
+_CTE_START = re.compile(r"^\s*with\s+(?!recursive\b)", re.I)
+_CTE_ITEM = re.compile(r"\s*([A-Za-z_]\w*)\s+as\s*\(", re.I)
+_MAX_CTES = 8
 
 
-def _inline_single_cte(s: str) -> Optional[str]:
-    """Rewrite a single-CTE statement ``WITH x AS (SELECT …) SELECT …
-    FROM x`` into its derived-table form ``SELECT … FROM (SELECT …) x``
-    (round 12) — the textbook equivalence for a non-recursive CTE
-    referenced once (Spark itself inlines such CTEs; they are not
-    materialization fences), after which the existing derived-table
-    machinery signatures/merges/keys the statement. Returns the
-    rewritten text, or None to leave the statement untouched.
-
-    Declines (None) on anything but the exact shape: WITH RECURSIVE, a
-    second CTE (comma tail), a non-SELECT body or tail, a
-    self-reference, or a CTE name that occurs anywhere except exactly
-    ONE depth-0 FROM/JOIN operand position plus any number of
-    ``name.`` qualifier uses (which stay valid — the derived alias IS
-    the name). A bare occurrence elsewhere (e.g. a depth-0 select-list
-    column that merely shares the name) declines rather than rewrites:
-    the inliner must never depend on downstream bars to catch a
-    semantics-changing rewrite."""
-    m = _CTE_HEAD.match(s)
-    if m is None:
-        return None
-    if "`" in s:
-        return None  # backtick-quoted identifiers — the alias scan
-        # below would misjudge them (round-12 review); both parsers
-        # decline backticks anyway
-    _, instr = _scan(s)
-    d = 0
-    close = -1
-    for i in range(m.end() - 1, len(s)):
-        if instr[i]:
-            continue
-        c = s[i]
-        if c == "(":
-            d += 1
-        elif c == ")":
-            d -= 1
-            if d == 0:
-                close = i
-                break
-    if close < 0:
-        return None
-    name = m.group(1)
-    inner = s[m.end(): close].strip()
-    tail = s[close + 1:].strip()
-    if not re.match(r"select\b", tail, re.I) or not re.match(
-        r"select\b", inner, re.I
-    ):
-        return None  # second CTE (comma tail) / non-select shapes
-    if re.search(rf"\b{re.escape(name)}\b", inner, re.I):
-        return None  # self-reference (or a column coincidentally
-        # named like the CTE — false decline, safe)
-    tdepth, tinstr = _scan(tail)
+def _substitute_cte_once(text: str, name: str, body: str) -> Optional[str]:
+    """Replace the single relation use of CTE ``name`` in ``text``
+    with the derived table ``(body) name`` (alias kept if the use
+    already carries one), or None. The use must be the ONE depth-0
+    FROM/JOIN-preceded bare occurrence; ``name.`` qualifier uses stay
+    valid (the derived alias IS the name); any other bare occurrence
+    (e.g. a depth-0 select-list column that merely shares the name)
+    declines rather than rewrites — the inliner never relies on
+    downstream bars to catch a semantics-changing rewrite."""
+    tdepth, tinstr = _scan(text)
     operand_span = None
-    for mm in re.finditer(rf"\b{re.escape(name)}\b", tail, re.I):
+    for mm in re.finditer(rf"\b{re.escape(name)}\b", text, re.I):
         i = mm.start()
         if tinstr[i]:
             continue
-        if tail[mm.end():].lstrip().startswith("."):
+        if text[mm.end():].lstrip().startswith("."):
             continue  # qualifier use — stays valid (alias == name)
-        before = tail[:i].rstrip()
+        before = text[:i].rstrip()
         is_operand = tdepth[i] == 0 and bool(
             re.search(r"\b(from|join)$", before, re.I)
         )
@@ -2057,7 +2015,7 @@ def _inline_single_cte(s: str) -> Optional[str]:
     if operand_span is None:
         return None
     i0, i1 = operand_span
-    rest = tail[i1:].lstrip()
+    rest = text[i1:].lstrip()
     has_alias = bool(
         re.match(r"(as\s+)?[A-Za-z_]\w*", rest, re.I)
     ) and not re.match(
@@ -2068,8 +2026,103 @@ def _inline_single_cte(s: str) -> Optional[str]:
         rest,
         re.I,
     )
-    repl = f"({inner})" if has_alias else f"({inner}) {name}"
-    return tail[:i0] + repl + tail[i1:]
+    repl = f"({body})" if has_alias else f"({body}) {name}"
+    return text[:i0] + repl + text[i1:]
+
+
+def _inline_single_cte(s: str) -> Optional[str]:
+    """Rewrite a CTE statement into its derived-table form (round 12) —
+    ``WITH x AS (SELECT …) SELECT … FROM x`` becomes ``SELECT … FROM
+    (SELECT …) x``, the textbook equivalence for a non-recursive CTE
+    referenced once (Spark itself inlines such CTEs; they are not
+    materialization fences), after which the existing derived-table
+    machinery signatures/merges/keys the statement. Multiple CTEs
+    admit when EACH name has exactly one relation use in a strictly
+    later scope (a later CTE body or the tail) — that covers both the
+    staged-chain spelling (``b`` reads ``a``) and the join-of-CTEs
+    spelling; bodies resolve in definition order so chains nest.
+    Returns the rewritten text, or None to leave the statement
+    untouched.
+
+    Declines (None) on anything outside the shape: WITH RECURSIVE,
+    backticks, a column-list CTE head (``x (a, b) AS …``), a
+    non-SELECT body or tail, duplicate names, a self- or forward
+    reference, more than ``_MAX_CTES`` bodies, or any name-occurrence
+    pattern :func:`_substitute_cte_once` cannot prove is the single
+    relation use."""
+    m = _CTE_START.match(s)
+    if m is None:
+        return None
+    if "`" in s:
+        return None  # backtick-quoted identifiers — the alias scan
+        # below would misjudge them (round-12 review); both parsers
+        # decline backticks anyway
+    _, instr = _scan(s)
+    pos = m.end()
+    ctes: list[tuple[str, str]] = []
+    while True:
+        mh = _CTE_ITEM.match(s, pos)
+        if mh is None:
+            return None  # column-list head / malformed item
+        d = 0
+        close = -1
+        for i in range(mh.end() - 1, len(s)):
+            if instr[i]:
+                continue
+            c = s[i]
+            if c == "(":
+                d += 1
+            elif c == ")":
+                d -= 1
+                if d == 0:
+                    close = i
+                    break
+        if close < 0:
+            return None
+        ctes.append((mh.group(1), s[mh.end(): close].strip()))
+        if len(ctes) > _MAX_CTES:
+            return None
+        rest = s[close + 1:]
+        stripped = rest.lstrip()
+        if stripped.startswith(","):
+            pos = close + 1 + (len(rest) - len(stripped)) + 1
+            continue
+        tail = stripped.strip()
+        break
+    if not re.match(r"select\b", tail, re.I):
+        return None
+    names = [n.lower() for n, _ in ctes]
+    if len(set(names)) != len(names):
+        return None  # duplicate names — reference resolution ambiguous
+    for i, (_, body) in enumerate(ctes):
+        if not re.match(r"select\b", body, re.I):
+            return None
+        for later in names[i:]:
+            # self/forward references decline (a body may reference
+            # only names defined BEFORE it; a coincidental column name
+            # merely false-declines, the safe direction)
+            if re.search(rf"\b{re.escape(later)}\b", body, re.I):
+                return None
+    # scopes in definition order: each body, then the tail. Every name
+    # must be referenced in exactly ONE strictly later scope, where
+    # _substitute_cte_once proves the single relation use. Processing
+    # names in definition order resolves chains: by the time ``b``
+    # (which read ``a``) is substituted anywhere, its body already
+    # carries ``a``'s inline form.
+    texts = [b for _, b in ctes] + [tail]
+    for i, (name, _) in enumerate(ctes):
+        ref_scopes = [
+            j
+            for j in range(i + 1, len(texts))
+            if re.search(rf"\b{re.escape(name)}\b", texts[j], re.I)
+        ]
+        if len(ref_scopes) != 1:
+            return None
+        sub = _substitute_cte_once(texts[ref_scopes[0]], name, texts[i])
+        if sub is None:
+            return None
+        texts[ref_scopes[0]] = sub
+    return texts[-1]
 
 
 def parse_agg_query(sql: str, schema_fn=None) -> Optional[ParsedAgg]:

@@ -3138,3 +3138,46 @@ def test_cte_members_merge_matches_independent(spark, executor):
     jobs, bags = _run_and_compare(spark, executor, sqls, {0, 1, 2})
     (bag,) = [b for b in bags if b.merges]
     assert len(bag.merges) == 1 and bag.rewrite is RewriteKind.MRSHARE
+
+
+def test_multi_cte_inlines_chain_and_join():
+    """Round 12: multiple CTEs admit when each name has exactly one
+    relation use in a strictly later scope — the staged chain
+    (``b`` reads ``a``) nests derived tables, the join-of-CTEs
+    spelling becomes derived join operands, and both share signatures
+    with their fully-inlined spellings."""
+    from sparksql_server_spark.server.mrshare import _inline_single_cte
+
+    chain = (
+        "WITH a AS (SELECT l_orderkey AS k, l_quantity AS q FROM lineitem),"
+        " b AS (SELECT k, q * 2 AS w FROM a)"
+        " SELECT k, sum(w) AS s FROM b GROUP BY k"
+    )
+    inline = (
+        "SELECT k, sum(w) AS s FROM"
+        " (SELECT k, q * 2 AS w FROM"
+        " (SELECT l_orderkey AS k, l_quantity AS q FROM lineitem) a) b"
+        " GROUP BY k"
+    )
+    p1, p2 = parse_agg_query(chain), parse_agg_query(inline)
+    assert p1 is not None and p2 is not None
+    assert p1.signature == p2.signature
+    # join of two CTEs -> derived join operands
+    assert _inline_single_cte(
+        "WITH a AS (SELECT k FROM t1), b AS (SELECT k FROM t2)"
+        " SELECT count(*) AS c FROM a JOIN b ON a.k = b.k"
+    ) == (
+        "SELECT count(*) AS c FROM (SELECT k FROM t1) a"
+        " JOIN (SELECT k FROM t2) b ON a.k = b.k"
+    )
+    # declines: double reference, forward reference, column-list head,
+    # duplicate names, too many bodies
+    for sql in (
+        "WITH a AS (SELECT k FROM t), b AS (SELECT k FROM a)"
+        " SELECT a.k FROM a JOIN b ON a.k = b.k",
+        "WITH a AS (SELECT k FROM b), b AS (SELECT 1 AS k)"
+        " SELECT k FROM a",
+        "WITH a (c1) AS (SELECT 1) SELECT c1 FROM a",
+        "WITH a AS (SELECT 1 AS k), a AS (SELECT 2 AS k) SELECT k FROM a",
+    ):
+        assert _inline_single_cte(sql) is None, sql
