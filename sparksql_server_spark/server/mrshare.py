@@ -2006,8 +2006,18 @@ def _substitute_cte_once(text: str, name: str, body: str) -> Optional[str]:
         if text[mm.end():].lstrip().startswith("."):
             continue  # qualifier use — stays valid (alias == name)
         before = text[:i].rstrip()
-        is_operand = tdepth[i] == 0 and bool(
-            re.search(r"\b(from|join)$", before, re.I)
+        is_operand = (
+            tdepth[i] == 0
+            and bool(re.search(r"\b(from|join)$", before, re.I))
+            # the one depth-0 FROM that is NOT a relation introducer:
+            # `x IS [NOT] DISTINCT FROM a` compares against column a —
+            # substituting there rewrites a predicate into a scalar-
+            # subquery comparison, and inside a later CTE body nothing
+            # downstream would catch it (round-12 review, confirmed
+            # wrong-key repro)
+            and not re.search(
+                r"\bis\s+(not\s+)?distinct\s+from$", before, re.I
+            )
         )
         if not is_operand or operand_span is not None:
             return None  # not exactly one relation use — decline

@@ -290,9 +290,15 @@ class ResultCache:
                 return sliced
             stored_at, payload, _tables = hit
             if time.monotonic() - stored_at > self.ttl:
+                # reap, then fall through to subsumption: a fresh
+                # superset entry serves this request exactly as it
+                # would have with no stale exact entry present
+                # (round-12 review)
                 del self._entries[key]
-                self.misses += 1
-                return None
+                sliced = self._limit_subsumed(key)
+                if sliced is None:
+                    self.misses += 1
+                return sliced
             self._entries.move_to_end(key)
             self.hits += 1
             return dict(payload)

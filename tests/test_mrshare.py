@@ -3181,3 +3181,27 @@ def test_multi_cte_inlines_chain_and_join():
         "WITH a AS (SELECT 1 AS k), a AS (SELECT 2 AS k) SELECT k FROM a",
     ):
         assert _inline_single_cte(sql) is None, sql
+
+
+def test_is_distinct_from_never_misread_as_relation_use():
+    """Round-12 review: `x IS [NOT] DISTINCT FROM a` is the one
+    depth-0 FROM that introduces no relation — substituting there
+    would rewrite a column comparison into a scalar-subquery
+    comparison inside an opaque derived inner, where no downstream
+    bar catches it."""
+    from sparksql_server_spark.server.mrshare import (
+        _inline_single_cte,
+        semantic_result_key,
+    )
+
+    q = (
+        "WITH a AS (SELECT 1 AS k),"
+        " b AS (SELECT x FROM t WHERE x IS DISTINCT FROM a AND y = 1)"
+        " SELECT x, count(*) AS c FROM b GROUP BY x"
+    )
+    assert _inline_single_cte(q) is None
+    assert semantic_result_key(q) is None
+    assert _inline_single_cte(
+        "WITH a AS (SELECT 1 AS k) SELECT x, count(*) AS c FROM t"
+        " WHERE x IS NOT DISTINCT FROM a GROUP BY x"
+    ) is None

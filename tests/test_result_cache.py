@@ -826,3 +826,26 @@ def test_limit_subsumption_served_from_server(server):
     assert second["columns"] == first["columns"]
     stats = client_request(server.address, {"server_stats": True})["stats"]
     assert stats["result_cache_limit_subsumed_hits"] >= 1
+
+
+def test_limit_subsumption_after_exact_entry_expires():
+    """Round-12 review: a TTL-expired exact entry must fall through to
+    subsumption — the request is served exactly as it would be with no
+    stale entry present."""
+    import time as _time
+
+    rc = ResultCache(max_entries=8, ttl_seconds=0.2)
+    base = "SELECT r_regionkey AS k FROM region ORDER BY r_regionkey"
+    rows = [[i] for i in range(10)]
+    rc.put(
+        ResultCache.key(None, base + " LIMIT 5"),
+        {"status": "done", "rows": rows[:5], "n_rows": 5, "columns": ["k"]},
+    )
+    _time.sleep(0.25)  # exact entry expires
+    rc.put(
+        ResultCache.key(None, base),
+        {"status": "done", "rows": rows, "n_rows": 10, "columns": ["k"]},
+    )
+    out = rc.get(ResultCache.key(None, base + " LIMIT 5"))
+    assert out is not None and out["rows"] == rows[:5] and out["n_rows"] == 5
+    assert rc.limit_subsumed_hits == 1
