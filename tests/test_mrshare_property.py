@@ -1025,19 +1025,24 @@ def _sel_struct(draw):
             max_size=2,
         )
     )
-    return items, where, order
+    # wrap=True renders the FROM as a CTE or derived-table spelling of
+    # the same inner select — key-equal through the WITH->derived
+    # inlining, result-equal on DuckDB
+    wrap = draw(st.booleans())
+    return items, where, order, wrap
 
 
 def _sel_render(struct, respell, draw):
-    items, where, order = struct
+    items, where, order, wrap = struct
+    rel = "w" if wrap else "t1"
 
     def qual(col):
-        # t1.a and a resolve identically on the single-table shape;
+        # rel.a and a resolve identically on the single-relation shape;
         # the qualifier never reaches output names, so the key strips
         # it — but ONLY in WHERE/ORDER here (a qualified bare select
         # item stays observable-equal too, exercised via 'col' items
         # rendered verbatim both times)
-        return f"t1.{col}" if respell and draw(st.booleans()) else col
+        return f"{rel}.{col}" if respell and draw(st.booleans()) else col
 
     rendered = []
     for it in items:
@@ -1052,12 +1057,25 @@ def _sel_render(struct, respell, draw):
                     expr = expr.upper()  # folded canon: case-free
             kw_as = "AS" if not respell or draw(st.booleans()) else "as"
             rendered.append(f"{expr} {kw_as} {it[2]}")
-    sql = "SELECT " + ", ".join(rendered) + " FROM t1"
+    if wrap:
+        inner = "SELECT a, b FROM t1"
+        if draw(st.booleans()):
+            prefix, from_clause = f"WITH w AS ({inner}) ", "w"
+        else:
+            prefix, from_clause = "", f"({inner}) w"
+    else:
+        prefix, from_clause = "", "t1"
+    sql = prefix + "SELECT " + ", ".join(rendered) + " FROM " + from_clause
     if where is not None:
         # reuse the condition renderer; leaves are t1/t2-qualified in
         # _atom, so restrict to t1 by textual rewrite of t2 -> t1
         cond = draw(_render(where, respell)).replace("t2.", "t1.")
-        if not respell:
+        if wrap:
+            cond = cond.replace(
+                "t1.",
+                "w." if (respell and draw(st.booleans())) else "",
+            )
+        elif not respell:
             cond = cond.replace("t1.", "")
         sql += " WHERE " + cond
     if order:
