@@ -2679,7 +2679,19 @@ def parse_select_query(sql: str) -> Optional[tuple]:
     # parse_agg_query (round-12 review wave, confirmed repro)
     if any(not instr[m.start()] for m in re.finditer(r"->", s)):
         return None
-    for word in _REJECT_TOP + ("group", "having", "offset", "fetch"):
+    # `over` is admitted HERE but not in the merge path: a window item
+    # is a deterministic presentation of the same relation (ties
+    # resolve with exactly the freedom Spark has between two runs of
+    # one text, which the text-key cache already exercises), and the
+    # whole window spec rides the item canon — any spec difference
+    # keys apart. The MERGE path must keep declining OVER: merging
+    # changes row multiplicity, which changes window results.
+    for word in tuple(w for w in _REJECT_TOP if w != "over") + (
+        "group",
+        "having",
+        "offset",
+        "fetch",
+    ):
         if _find_top(s, word, depth, instr):
             return None
     m_from = _find_top(s, "from", depth, instr)

@@ -11,6 +11,8 @@ Spark-specific pin (tests/test_mrshare.py covers it end-to-end).
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 import pytest
 from hypothesis import given, settings
@@ -1008,6 +1010,9 @@ _SEL_ITEMS = [
     ("expr", "a + b", "s"),
     ("expr", "a * 2", "d2"),
     ("expr", "coalesce(b, 0)", "cb"),
+    # window item over a TOTAL order (t1's (a, b) pairs are unique), so
+    # both renderings are deterministic on DuckDB
+    ("expr", "row_number() over (order by a, b)", "rn"),
 ]
 
 
@@ -1052,7 +1057,10 @@ def _sel_render(struct, respell, draw):
             expr = it[1]
             if respell:
                 if draw(st.booleans()):
-                    expr = expr.replace(" ", "")
+                    # tighten whitespace around punctuation only — a
+                    # blanket strip would fuse keywords ("order by" ->
+                    # "orderby") in window items
+                    expr = re.sub(r"\s*([(),*+])\s*", r"\1", expr)
                 if draw(st.booleans()):
                     expr = expr.upper()  # folded canon: case-free
             kw_as = "AS" if not respell or draw(st.booleans()) else "as"

@@ -731,12 +731,12 @@ def test_select_shape_semantic_keys():
     assert K("SELECT r_regionkey + 1 FROM region") != K(
         "SELECT R_REGIONKEY + 1 FROM region"
     )
-    # non-shape statements keep text keys (strings, not tuples)
+    # non-shape statements keep text keys (strings, not tuples);
+    # window OVER items ADMIT (see test_window_items_key_semantically)
     for q in (
         "SELECT * FROM region",
         "SELECT DISTINCT r_name FROM region",
         "SELECT r_name FROM region OFFSET 2",
-        "SELECT rank() OVER (ORDER BY r_name) AS r FROM region",
         "SELECT (SELECT max(r_regionkey) FROM region) AS m FROM region",
         "SELECT r_name FROM region"
         " WHERE r_regionkey IN (SELECT n_regionkey FROM nation)",
@@ -849,3 +849,49 @@ def test_limit_subsumption_after_exact_entry_expires():
     out = rc.get(ResultCache.key(None, base + " LIMIT 5"))
     assert out is not None and out["rows"] == rows[:5] and out["n_rows"] == 5
     assert rc.limit_subsumed_hits == 1
+
+
+def test_window_items_key_semantically():
+    """Round 12: window (OVER) items admit to the SELECT shape — the
+    whole spec rides the item canon (any spec difference keys apart);
+    the merge path keeps declining OVER (merging changes row
+    multiplicity, which changes window results)."""
+    K = lambda s: ResultCache.key(None, s)  # noqa: E731
+    a = (
+        "SELECT o_orderkey, row_number() OVER (ORDER BY o_totalprice DESC)"
+        " AS rn FROM orders WHERE o_orderstatus IN ('O','F')"
+    )
+    b = (
+        "select o_orderkey, ROW_NUMBER() over ( order by o_totalprice DESC )"
+        " AS rn from orders where o_orderstatus = 'F' or o_orderstatus = 'O'"
+    )
+    assert K(a) == K(b) and not isinstance(K(a)[1], str)
+    assert K(a) != K(a.replace("DESC", "ASC"))
+    # windowed aggregations, QUALIFY, and named WINDOW stay on text keys
+    for q in (
+        "SELECT o_orderpriority, count(*) AS n,"
+        " rank() OVER (ORDER BY count(*)) AS r"
+        " FROM orders GROUP BY o_orderpriority",
+        "SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t"
+        " QUALIFY rn = 1",
+        "SELECT a, count(*) OVER w AS c FROM t WINDOW w AS (PARTITION BY a)",
+    ):
+        assert isinstance(K(q)[1], str), q
+
+
+def test_window_respelling_served_from_cache(server):
+    q1 = (
+        "SELECT o_orderkey,"
+        " rank() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk"
+        " FROM orders WHERE o_totalprice > 1000 ORDER BY rk LIMIT 10"
+    )
+    q2 = (
+        "select o_orderkey,"
+        " RANK() over (order by o_totalprice DESC, o_orderkey) as rk"
+        " from orders where 1000 < o_totalprice order by rk ASC limit 10"
+    )
+    first = client_request(server.address, {"sql": q1})
+    assert first["status"] == "done" and "cached" not in first
+    second = client_request(server.address, {"sql": q2})
+    assert second["status"] == "done" and second.get("cached") is True
+    assert second["rows"] == first["rows"]
