@@ -895,3 +895,28 @@ def test_window_respelling_served_from_cache(server):
     second = client_request(server.address, {"sql": q2})
     assert second["status"] == "done" and second.get("cached") is True
     assert second["rows"] == first["rows"]
+
+
+def test_limit_subsumption_on_aggregation_shape():
+    """The subsumption rule is shape-agnostic: "sem" keys also carry
+    LIMIT as the final element, so a cached un-LIMITed aggregation
+    serves its LIMITed respellings."""
+    rc = ResultCache(max_entries=8, ttl_seconds=60)
+    base = (
+        "SELECT l_returnflag, count(*) AS n FROM lineitem"
+        " GROUP BY l_returnflag ORDER BY n DESC"
+    )
+    rows = [["A", 30], ["B", 20], ["C", 10]]
+    rc.put(
+        ResultCache.key(None, base),
+        {"status": "done", "rows": rows, "n_rows": 3, "columns": ["l_returnflag", "n"]},
+    )
+    out = rc.get(
+        ResultCache.key(
+            None,
+            "select l_returnflag, COUNT( * ) as n from lineitem"
+            " group by l_returnflag order by n DESC limit 2",
+        )
+    )
+    assert out is not None and out["rows"] == rows[:2] and out["n_rows"] == 2
+    assert rc.limit_subsumed_hits == 1
