@@ -106,6 +106,21 @@ _REJECT_TOP = (
 
 _SIMPLE_IDENT = re.compile(r"^[A-Za-z_]\w*$")
 
+# comment markers are UNMODELED by the canon lexer: whitespace
+# collapsing can fuse `a - -1` toward `a --1`, whose `--…` Spark lexes
+# as a line comment — a genuinely different statement. Any statement
+# carrying a marker outside string literals declines semantic
+# parsing/keying entirely (text keys preserve the spelling byte-wise,
+# so comment-bearing spellings can never collide). Round-12 review,
+# confirmed wrong-serve repro.
+_COMMENT_MARKER = re.compile(r"--|/\*")
+
+
+def _has_comment_marker(s: str, instr: list[bool]) -> bool:
+    return any(
+        not instr[m.start()] for m in _COMMENT_MARKER.finditer(s)
+    )
+
 # bare identifiers that are SQL syntax, not column references, inside a
 # post-aggregation expression (HAVING predicate / ORDER BY item); any
 # bare identifier NOT in this set, not a group key, not a select alias,
@@ -1983,6 +1998,20 @@ def _classify_from(
     return [], parsed_join[0], parsed_join[1], raw_where
 
 
+# the select-shape reject set: `over` is admitted here but not in the
+# merge path — a window item is a deterministic presentation of the
+# same relation (ties resolve with exactly the freedom Spark has
+# between two runs of one text, which the text-key cache already
+# exercises), and the whole window spec rides the item canon, so any
+# spec difference keys apart. The MERGE path must keep declining OVER:
+# merging changes row multiplicity, which changes window results.
+_REJECT_SELECT = tuple(w for w in _REJECT_TOP if w != "over") + (
+    "group",
+    "having",
+    "offset",
+    "fetch",
+)
+
 _CTE_START = re.compile(r"^\s*with\s+(?!recursive\b)", re.I)
 _CTE_ITEM = re.compile(r"\s*([A-Za-z_]\w*)\s+as\s*\(", re.I)
 _MAX_CTES = 8
@@ -2068,6 +2097,9 @@ def _inline_single_cte(s: str) -> Optional[str]:
         # below would misjudge them (round-12 review); both parsers
         # decline backticks anyway
     _, instr = _scan(s)
+    if _has_comment_marker(s, instr):
+        return None  # comments are unmodeled — a `--` could swallow
+        # a paren and derail the body scan below
     pos = m.end()
     ctes: list[tuple[str, str]] = []
     while True:
@@ -2154,6 +2186,8 @@ def parse_agg_query(sql: str, schema_fn=None) -> Optional[ParsedAgg]:
     if not low.startswith("select"):
         return None
     depth, instr = _scan(s)
+    if _has_comment_marker(s, instr):
+        return None  # comments are unmodeled — decline to text keys
     for word in _REJECT_TOP:
         if _find_top(s, word, depth, instr):
             return None
@@ -2654,9 +2688,12 @@ def parse_select_query(sql: str) -> Optional[tuple]:
       AnalysisException — an error-masking bound shared with the
       merge path's re-emission, never wrong data.
     - GROUP BY / HAVING (the aggregation path owns those shapes),
-      SELECT DISTINCT, set operators, OVER/QUALIFY/DISTRIBUTE/…,
-      OFFSET/FETCH, backticks, and subqueries in items/WHERE/ORDER
-      all decline.
+      SELECT DISTINCT, set operators, QUALIFY/DISTRIBUTE/WINDOW/…,
+      OFFSET/FETCH, backticks, comments, and subqueries in
+      items/WHERE/ORDER all decline. Window OVER items ADMIT (see
+      ``_REJECT_SELECT``): the whole spec rides the item canon, and
+      tie resolution has exactly the freedom two runs of one text
+      already have under the text-key cache.
     - ORDER BY keys by per-item literal-safe folded canons in order
       (a trailing ``asc`` drops — it is the grammar default). LIMIT
       keys by value. LIMIT without a total order picks plan-dependent
@@ -2674,24 +2711,14 @@ def parse_select_query(sql: str) -> Optional[tuple]:
     if "`" in s:
         return None  # backticked identifiers — outside the canon model
     depth, instr = _scan(s)
+    if _has_comment_marker(s, instr):
+        return None  # comments are unmodeled — decline to text keys
     # lambda parameters can SHADOW stripped alias/table qualifiers —
     # same wrong-data hazard and same wholesale decline as
     # parse_agg_query (round-12 review wave, confirmed repro)
     if any(not instr[m.start()] for m in re.finditer(r"->", s)):
         return None
-    # `over` is admitted HERE but not in the merge path: a window item
-    # is a deterministic presentation of the same relation (ties
-    # resolve with exactly the freedom Spark has between two runs of
-    # one text, which the text-key cache already exercises), and the
-    # whole window spec rides the item canon — any spec difference
-    # keys apart. The MERGE path must keep declining OVER: merging
-    # changes row multiplicity, which changes window results.
-    for word in tuple(w for w in _REJECT_TOP if w != "over") + (
-        "group",
-        "having",
-        "offset",
-        "fetch",
-    ):
+    for word in _REJECT_SELECT:
         if _find_top(s, word, depth, instr):
             return None
     m_from = _find_top(s, "from", depth, instr)
@@ -2761,7 +2788,12 @@ def parse_select_query(sql: str) -> Optional[tuple]:
         for o in raw_items:
             if not o.strip() or re.search(r"\bselect\b", o, re.I):
                 return None
-            canons.append(re.sub(r" asc$", "", _canon(o)))
+            # strip the grammar-default trailing ASC from the RAW item
+            # (post-canon stripping missed items ending in a non-word
+            # char — `(a+b) ASC` canons to `(a+b)asc`; round-12
+            # review); never strip a bare `asc` identifier to empty
+            stripped = re.sub(r"\s+asc\s*$", "", o, flags=re.I)
+            canons.append(_canon(stripped if stripped.strip() else o))
         order_canons = tuple(canons)
 
     limit_val = None

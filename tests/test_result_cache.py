@@ -920,3 +920,32 @@ def test_limit_subsumption_on_aggregation_shape():
     )
     assert out is not None and out["rows"] == rows[:2] and out["n_rows"] == 2
     assert rc.limit_subsumed_hits == 1
+
+
+def test_comment_markers_decline_semantic_keys():
+    """Round-12 review: comment markers are unmodeled by the canon
+    lexer — whitespace collapse could fuse `a - -1` toward `a --1`,
+    whose `--…` Spark lexes as a line comment (a different statement).
+    Any marker outside string literals declines to text keys, where
+    byte-distinct spellings can never collide."""
+    K = lambda s: ResultCache.key(None, s)  # noqa: E731
+    assert not isinstance(K("SELECT a - -1 AS x FROM t")[1], str)
+    assert isinstance(K("SELECT a --1 AS x FROM t")[1], str)
+    assert K("SELECT a - -1 AS x FROM t") != K("SELECT a --1 AS x FROM t")
+    assert isinstance(K("SELECT a AS x /* c */ FROM t")[1], str)
+    # markers inside string literals are data, not comments
+    assert not isinstance(
+        K("SELECT o_orderkey FROM orders WHERE o_comment <> 'a--b'")[1], str
+    )
+
+
+def test_order_item_asc_parity_after_non_word_char():
+    """Round-12 review: the grammar-default trailing ASC strips from
+    the RAW order item, so parenthesized and window order items get
+    the same ASC-is-default parity as bare columns."""
+    K = lambda s: ResultCache.key(None, s)  # noqa: E731
+    assert K("SELECT o_orderkey FROM orders ORDER BY (o_orderkey + 1)") == K(
+        "SELECT o_orderkey FROM orders ORDER BY (o_orderkey + 1) ASC"
+    )
+    # a bare column named `asc` is not stripped to emptiness
+    assert K("SELECT o_orderkey FROM orders ORDER BY asc") is not None
