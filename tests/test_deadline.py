@@ -94,16 +94,22 @@ def test_slack_deadline_still_waits_for_the_window():
 
 def _heavy(jid: int, n: int, **props) -> QueryJob:
     # CPU-bound, scan-light: ~n rows exploded per lineitem row. The
-    # REPARTITION hint spreads the explode stage over 16 tasks —
-    # without it the tiny parquet is one partition, every job is ONE
-    # task, and with fewer tasks than cores FAIR weights never engage.
+    # REPARTITION hint spreads the INPUT keys over 16 tasks BEFORE the
+    # explode — without it the tiny parquet is one partition, every job
+    # is ONE task, and with fewer tasks than cores FAIR weights never
+    # engage. (The hint must sit below the explode: applied to the
+    # exploded output it round-robin-shuffles ~12M generated rows
+    # through a single-task local sort — the whole job serializes into
+    # one 15-30 s task and the 120 s deadline becomes machine-speed
+    # dependent, which is how this test went red on a slower box.)
     # The per-member bound varies so members never share a merge
     # signature.
     return QueryJob(
         job_id=jid,
         sql=(
-            "SELECT sum(x) AS s FROM (SELECT /*+ REPARTITION(16) */"
-            f" explode(sequence(1, {n})) AS x FROM lineitem) t"
+            "SELECT sum(x) AS s FROM ("
+            f" SELECT explode(sequence(1, {n})) AS x FROM"
+            " (SELECT /*+ REPARTITION(16) */ l_orderkey FROM lineitem) r) t"
         ),
         props=props,
     )
