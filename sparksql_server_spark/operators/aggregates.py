@@ -57,7 +57,8 @@ def agg_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the scan, two-phase hash aggregation, tiny result. The SQL is
     dialect-portable, so the oracle is the same text.
     """
-    register_tables(spark, sf_dir, ("lineitem",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.40/-0.55 s
+    register_tables(spark, sf_dir, ("lineitem",), spread=("lineitem",))
     return spark.sql(_Q1_SQL)
 
 
@@ -121,7 +122,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"{_GS_SELECT} GROUP BY CUBE (l_returnflag, l_linestatus) {_GS_ORDER}",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_tables(spark, sf_dir, ("lineitem",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.21/-0.22 s
+    register_tables(spark, sf_dir, ("lineitem",), spread=("lineitem",))
     return spark.sql(f"{_GS_SELECT} GROUP BY CUBE (l_returnflag, l_linestatus) {_GS_ORDER}")
 
 

@@ -422,7 +422,8 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded at ~nw/24 rows per doc — linear inflation, no shuffle
     keyed on anything coarser than doc_id.
     """
-    register_tables(spark, sf_dir, ("documents",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.38/-0.43 s
+    register_tables(spark, sf_dir, ("documents",), spread=("documents",))
     return spark.sql(_chunk_sql("spark"))
 
 

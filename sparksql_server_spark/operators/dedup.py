@@ -187,7 +187,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_lsh_eval_pr, whose four differently-keyed sh consumers
     defeat exchange reuse and do need the spill.
     """
-    register_tables(spark, sf_dir, ("documents",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.52/-0.63 s
+    register_tables(spark, sf_dir, ("documents",), spread=("documents",))
     return spark.sql(_minhash_spark())
 
 
@@ -551,7 +552,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor and stays for the 100 TB persistent-artifact plan. No plan
     change found that beats compile cost; floor documented.
     """
-    register_tables(spark, sf_dir, ("documents",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B +0.05/-0.36 s
+    register_tables(spark, sf_dir, ("documents",), spread=("documents",))
     kept = _shingle_kept_materialized(spark)
     counts = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = kept.alias("a"), kept.alias("b")
@@ -857,7 +859,8 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from sparksql_server_spark.operators.scratch import CacheScope
 
-    register_tables(spark, sf_dir, ("documents",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.05/-0.39 s
+    register_tables(spark, sf_dir, ("documents",), spread=("documents",))
     scope = CacheScope(spark)
     kept = _winnow_fp_frame(spark).cache()
     a, b = kept.alias("a"), kept.alias("b")
@@ -952,7 +955,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     _exact_dots = exact_numpy_dots  # the shared bit-exact fold kernel
 
     top = 500
-    salt = 8
+    # r12 (guide §2.5/§4): the slice-of-8 bucket split exists for the
+    # ×100 regime's fat LSH buckets; at a tiny corpus it only
+    # 8×-duplicates the embedding payload through the shuffle and
+    # turns 256 Arrow groups into 2048 (session-alternated A/B ×2 at
+    # sf0.1's 2k vectors / 0.8 MB: salt 8 → 1 is ~2.6-3.1 → 1.2-1.5 s
+    # steady, first-exec ~4.7-5.8 → 3.1-3.3 s). Sized from
+    # the input's on-disk bytes — free to read driver-side, and the
+    # ×100 rig (~80 MB) keeps the full split. The per-group top-500 +
+    # rounding-margin proof in the docstring is grouping-independent,
+    # so the result is bit-identical under any salt.
+    from sparksql_server_spark.catalog import _dir_bytes
+    import os as _os
+
+    emb_bytes = _dir_bytes(_os.path.join(sf_dir, "embeddings.parquet"))
+    salt = 8 if emb_bytes >= 16 * 1024 * 1024 else 1
     n = spark.sql(
         f"""SELECT vec_id, embedding, {spark_norm('embedding')} AS nrm,
                {spark_lsh_bucket('embedding')} AS bucket FROM embeddings"""
@@ -1092,7 +1109,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparksql_server_spark.operators.scratch import pin
 
-    register_tables(spark, sf_dir, ("documents",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.39/-0.57 s
+    register_tables(spark, sf_dir, ("documents",), spread=("documents",))
     scope = CacheScope(spark)
     # materialize the edge set ONCE — the loop must iterate over rows,
     # not re-run the MinHash pipeline every round; the band relation
@@ -1256,7 +1274,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sparksql_server_spark.operators.scratch import CacheScope
 
-    register_tables(spark, sf_dir, ("documents",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.08/-0.25 s
+    register_tables(spark, sf_dir, ("documents",), spread=("documents",))
     scope = CacheScope(spark)
     docs = spark.table("documents")
     w = docs.select("doc_id", F.expr(spark_words("text")).alias("w"))
@@ -1410,7 +1429,8 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact multiple of 1/16, exact_j one double division of exact
     BIGINTs; only the final avg is order-sensitive in its last ulps.
     """
-    register_tables(spark, sf_dir, ("documents",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.33/-0.37 s
+    register_tables(spark, sf_dir, ("documents",), spread=("documents",))
     return spark.sql(_mh_calibration_sql("spark"))
 
 
@@ -1468,7 +1488,8 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ per-bucket incoming x corpus, never all-pairs; the final rollup
     groups by incoming doc only.
     """
-    register_tables(spark, sf_dir, ("documents",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.44/-0.55 s
+    register_tables(spark, sf_dir, ("documents",), spread=("documents",))
     return spark.sql(_incremental_sql("spark"))
 
 
@@ -1681,7 +1702,16 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "semdedup_cell",
     )
 
-    salt = 8
+    # r12 (guide §2.5/§4): the slice-of-8 skew split exists for the
+    # ×100 regime's 26×-skewed hot cells (11,578 members); below ~50k
+    # vectors the hottest cell is a few hundred members, Σ|cell|² is
+    # trivial, and the split only 8×-duplicates the embedding payload
+    # through the shuffle and multiplies Arrow group overhead
+    # (session-alternated A/B ×2 at sf0.1's 2k vectors: salt 8 → 1 is
+    # ~3.3-4.3 → 2.6-3.2 s steady, first-exec ~6.2 → 4.7-5.3 s).
+    # Derived from the already-counted corpus size, so the ×100 sweep
+    # (200k vectors) keeps the full split.
+    salt = 8 if n_rows >= 50_000 else 1
 
     def _cell_best(key, pdf):
         sl = int(key[1])
@@ -1811,7 +1841,8 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-index artifact the pipeline persists and probes
     incrementally, the dedup_lsh_incremental shape.
     """
-    register_tables(spark, sf_dir, ("documents",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.36/-0.34 s
+    register_tables(spark, sf_dir, ("documents",), spread=("documents",))
     return spark.sql(_runs_sql("spark"))
 
 

@@ -442,7 +442,8 @@ def quality_boilerplate_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     it materializes once behind a CacheScope spill — the same
     pattern/artifact as the dedup shingle table.
     """
-    register_tables(spark, sf_dir, ("documents",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.20/-0.13 s
+    register_tables(spark, sf_dir, ("documents",), spread=("documents",))
     from sparksql_server_spark.operators.scratch import CacheScope
 
     words, shexpr = spark_words("text"), spark_shingles("w", _BOILER_N)

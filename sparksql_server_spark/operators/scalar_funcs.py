@@ -164,7 +164,8 @@ def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_funcs' path extraction), plus validity probing. At scale the
     struct parse is one pass per row and prunes to the referenced
     fields."""
-    ev = table(spark, sf_dir, "events")
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.27/-0.35 s
+    ev = table(spark, sf_dir, "events", spread=True)
     parsed = ev.select(
         "event_id", F.from_json("props", "k INT").alias("p"), "props"
     )
@@ -238,12 +239,29 @@ def sql_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile ask — the sort was 80% of the query's 2.8 s; the driver's
     comparison is order-insensitive, and per-row results have no
     inherent order).
+
+    Round 12 (optimization — guide §1.2 "per-task work"): a FAILING
+    string→int try_cast costs ~10 µs/row — Spark's UTF8String parse
+    throws and try_* catches per row, so a column that never parses
+    (o_orderstatus is 'F'/'O'/'P') paid 1.44 s of the query's 1.9 s
+    steady at sf0.1 (measured stand-alone; the three other columns
+    cost 0.08-0.17 s together). The digit guard short-circuits rows
+    that cannot possibly cast — a string with no ASCII digit is never
+    a valid integer, so ``CASE WHEN s RLIKE '[0-9]' THEN try_cast(s)
+    END`` is value-identical to ``try_cast(s)`` for EVERY input
+    (verified on a 45-string battery incl. unicode digits, signs,
+    overflow, whitespace, NULL: zero mismatches; Spark's parser is
+    ASCII-only, so unicode-digit strings fail both ways). Rows that do
+    carry digits still take the exception path only when malformed —
+    the guard is a fast-path, not a semantic change. Measured: query
+    steady 1.88 → ~0.5 s.
     """
     o = table(spark, sf_dir, "orders")
     return o.selectExpr(
         "o_orderkey",
         "try_divide(o_totalprice, o_custkey % 3)                     AS safe_ratio",
         "try_cast(substr(o_orderpriority, 1, 1) AS INTEGER)          AS prio_num",
-        "try_cast(o_orderstatus AS INTEGER)                          AS status_num",
+        "CASE WHEN o_orderstatus RLIKE '[0-9]'"
+        " THEN try_cast(o_orderstatus AS INTEGER) END                AS status_num",
         "try_cast(substr(CAST(o_orderdate AS STRING), 1, 10) AS DATE) AS od",
     )

@@ -207,7 +207,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed corpus vectors so the oracle reproduces them; a real build
     would k-means them offline and broadcast the table.
     """
-    register_tables(spark, sf_dir, ("embeddings",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.13 s
+    register_tables(spark, sf_dir, ("embeddings",), spread=("embeddings",))
     return spark.sql(_ivf_sql(spark_dot, spark_norm))
 
 
@@ -308,7 +309,8 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and multi-probe (sim_topk_lsh_multiprobe below) — both
     plan-shape preserving.
     """
-    register_tables(spark, sf_dir, ("embeddings",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.25/-0.18 s
+    register_tables(spark, sf_dir, ("embeddings",), spread=("embeddings",))
     return spark.sql(_lsh_spark())
 
 
@@ -351,7 +353,8 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode touches only the 8-row query side, the corpus is still
     scanned once and joined on bucket id.
     """
-    register_tables(spark, sf_dir, ("embeddings",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.20 s
+    register_tables(spark, sf_dir, ("embeddings",), spread=("embeddings",))
     return spark.sql(_lsh_multiprobe_sql(_lsh_spark(), _Q_MULTI_SPARK))
 
 
@@ -453,7 +456,8 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     |Q| grows. Thresholding on the ROUNDED cosine keeps the boundary
     decision identical in both engines.
     """
-    register_tables(spark, sf_dir, ("embeddings",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.18/-0.14 s
+    register_tables(spark, sf_dir, ("embeddings",), spread=("embeddings",))
     return spark.sql(_range_search_sql("spark"))
 
 
@@ -608,7 +612,8 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; at deployment the q8 column is the materialized index
     and the float column stays in cold storage for re-ranking only.
     """
-    register_tables(spark, sf_dir, ("embeddings",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.64/-0.51 s
+    register_tables(spark, sf_dir, ("embeddings",), spread=("embeddings",))
     return spark.sql(_quant_recall_sql("spark"))
 
 

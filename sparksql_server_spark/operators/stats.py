@@ -76,7 +76,8 @@ def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation + sample covariance of quantity vs extended
     price per return flag, from the five exact moment sums — one scan,
     one aggregation, all map-side combinable."""
-    register_tables(spark, sf_dir, ("lineitem",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.98/-1.07 s
+    register_tables(spark, sf_dir, ("lineitem",), spread=("lineitem",))
     return spark.sql(_CORR_SQL)
 
 
@@ -213,7 +214,8 @@ def stats_regr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan, one map-side-combinable aggregation — six moments
     per group; the regression solves in the projection.
     """
-    register_tables(spark, sf_dir, ("lineitem",))
+    # r12: small-input spread (guide §2.5) — interleaved steady A/B -1.03/-0.98 s
+    register_tables(spark, sf_dir, ("lineitem",), spread=("lineitem",))
     return spark.sql(_REGR_SQL)
 
 
