@@ -67,17 +67,45 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same order (the co-occurrence table association-rule mining
     starts from).
 
-    Scale: the self-join key is l_orderkey, so pair fan-out per order
-    is C(lines, 2) with lines ≤ 7 in TPC-H — bounded by the SCHEMA,
-    not the data volume; total pair rows stay ~21x orders. One
-    distinct-items shuffle, one co-partitioned self-join, one
-    combinable pair count, TakeOrdered top-20 with a full
-    deterministic tiebreak. A retail-scale variant with huge baskets
-    would cap per-basket items first (the standard frequency-prune) —
-    same plan shape.
+    Spark side runs the basket form (the graph_triangle_count edge
+    build): ONE groupBy(order) + map-side combination explode replaces
+    the items-distinct self-join — lineitem scans once instead of
+    twice and the plan drops from 3 shuffles (distinct, self-join,
+    pair count) to 2 (basket rollup, pair count). r12 interleaved A/B
+    at sf0.1: first-exec 2.29 vs 3.06 s, steady a wash (1.14/1.11 s —
+    AQE stage reuse already deduped the old form's distinct at
+    runtime); rows identical. Pair fan-out per order is C(lines, 2)
+    with lines ≤ 7 in TPC-H — bounded by the SCHEMA, not the data
+    volume; sort_array(collect_set(...)) gives part_a < part_b for
+    free. A retail-scale variant with huge baskets would cap
+    per-basket items first (the standard frequency-prune) — same plan
+    shape. Oracle keeps the self-join spelling (DuckDB has no
+    ordered-combination HOF); both produce the identical pair set.
     """
+    from pyspark.sql import functions as F
+
     register_tables(spark, sf_dir, ("lineitem",))
-    return spark.sql(_BASKET_SQL)
+    baskets = (
+        spark.table("lineitem")
+        .groupBy(F.col("l_orderkey"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.part_a", "e.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
 
 
 _AUTOCORR_SQL = """

@@ -449,7 +449,29 @@ def _hll_running_rest_sql(
             " FROM events"
         )
     )
-    active = f"""
+    if dialect == "spark":
+        # r12 (guide §2.4/§3): the as-of carry-forward as a RUNNING MAX
+        # window — O(|days| x 64) rows through one sort — instead of the
+        # r.g <= d.day inequality join, which Spark plans as a broadcast
+        # nested-loop doing O(|days|^2 x 64) comparisons AND compiles a
+        # far deeper operator tree. Interleaved A/B at sf0.1: first-exec
+        # 1.34 vs 4.58 s, steady 1.01 vs 1.07 s, rows identical. max()
+        # OVER ignores NULLs, so days with no register for a bucket
+        # inherit the last seen rank exactly like the join form; the
+        # oracle keeps the join spelling (same result by definition of
+        # running max).
+        active = f"""
+      SELECT g, bucket, m_j FROM (
+        SELECT d.day AS g, bk.bucket,
+               max(r.m_j) OVER (PARTITION BY bk.bucket ORDER BY d.day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS m_j
+        FROM ({days}) d
+        CROSS JOIN ({buckets}) bk
+        LEFT JOIN {regs_rel} r ON r.bucket = bk.bucket AND r.g = d.day
+      ) cum WHERE m_j IS NOT NULL"""
+    else:
+        active = f"""
       SELECT g, bucket, m_j FROM (
         SELECT d.day AS g, bk.bucket, max(r.m_j) AS m_j
         FROM ({days}) d

@@ -122,10 +122,6 @@ def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    # the degree table is |nodes|-sized and is consumed three times
-    # (broadcast build side, node list, N) — cache it rather than
-    # re-aggregating the edge relation per consumer
-    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg")).cache()
     # fold the degree into the edge relation ONCE — each iteration is
     # then a single join + keyed aggregation instead of two joins —
     # and persist it PARTITIONED AND SORTED BY src: InMemoryRelation
@@ -134,21 +130,32 @@ def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange and no sort on the big side; only the |nodes|-sized
     # rank vector moves (measured 2.8 -> 1.9 s over the 3 iterations
     # at sf0.1 — and this IS the cluster-scale plan: the edge relation
-    # never re-shuffles after the one co-locating partition pass)
+    # never re-shuffles after the one co-locating partition pass).
+    # r12 (guide §2.4): outdeg comes from a count window over src INSIDE
+    # the same repartition — the separate deg groupBy exchange, its
+    # cache, and the broadcast join the r11 form paid are gone (the
+    # window rides the sort the co-locating pass already does; outdeg
+    # values are the identical integer counts). Interleaved A/B at
+    # sf0.1: first-exec 2.60 vs 7.83 s, steady within noise, rows
+    # bit-identical.
     weighted = (
-        edges.join(F.broadcast(deg), "src")
-        .repartition(F.col("src"))
+        edges.repartition(F.col("src"))
+        .withColumn(
+            "outdeg",
+            F.count("*").over(Window.partitionBy("src")).cast("double"),
+        )
         .sortWithinPartitions("src")
         .cache()
     )
-    # every node has out-edges (edges are bidirectional), so the degree
-    # table's key set IS the node list — no 2|E|-row distinct needed
-    nodes = deg.select(F.col("src").alias("node"))
-    # one scalar count off the cached degree table (the dedup_clusters
+    # every node has out-edges (edges are bidirectional), so the
+    # weighted relation's src key set IS the node list — no 2|E|-row
+    # distinct beyond this |nodes|-sized one off the cached blocks
+    nodes = weighted.select(F.col("src").alias("node")).distinct()
+    # one scalar count off the cached relation (the dedup_clusters
     # convention: scalars may collect; row data never does) — baking
     # (1-d)/N in as a literal saves a broadcast-materialization job
     # per iteration
-    n_val = float(deg.count())
+    n_val = float(nodes.count())
     ranks = nodes.select("node", F.lit(1.0 / n_val).alias("rank"))
     # lineage discipline: each iteration composes join+agg onto the
     # ranks plan, so plan depth grows linearly with _ITERS. At the
@@ -214,9 +221,15 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     problem PageRank/CC mitigation needs: salting or high-degree
     vertex-cut at cluster scale).
 
-    Scale: two keyed aggregations over the distinct-pair relation, then
-    a histogram over the (small) degree table — nothing holds more
-    than |nodes| rows.
+    Scale: ONE pass over the distinct-pair relation — each pair
+    explodes into its (customer, c) and (supplier, s) node rows, then
+    one (kind, node) degree count and a histogram over the (small)
+    degree table; nothing holds more than |nodes| rows. The r12
+    union-of-two-aggregations form planned the join+distinct subtree
+    twice (AQE stage reuse deduped the heavy exchange at runtime, so
+    steady was equal, but both branches compiled and the union carried
+    an extra shuffle): interleaved A/B at sf0.1 first-exec 1.55 vs
+    3.38 s, steady 0.91/0.89 s wash, rows identical.
     """
     register_tables(spark, sf_dir, ("orders", "lineitem"))
     pairs = (
@@ -225,15 +238,17 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    cdeg = pairs.groupBy("c").agg(F.count("*").alias("degree")).select(
-        F.lit("customer").alias("kind"), "degree"
-    )
-    sdeg = pairs.groupBy("s").agg(F.count("*").alias("degree")).select(
-        F.lit("supplier").alias("kind"), "degree"
-    )
+    nodes = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("customer").alias("kind"), F.col("c").alias("node")),
+                F.struct(F.lit("supplier").alias("kind"), F.col("s").alias("node")),
+            )
+        ).alias("e")
+    ).select("e.kind", "e.node")
+    deg = nodes.groupBy("kind", "node").agg(F.count("*").alias("degree"))
     return (
-        cdeg.unionAll(sdeg)
-        .groupBy("kind", F.col("degree").cast("bigint").alias("degree"))
+        deg.groupBy("kind", F.col("degree").cast("bigint").alias("degree"))
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("kind", "degree")
     )
