@@ -1363,10 +1363,16 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _mh_calibration_sql(dialect: str) -> str:
+def _mh_calibration_sql(dialect: str, sh_from: str | None = None) -> str:
     """Sketch-quality audit: for every LSH candidate pair, the
     K=16-component MinHash Jaccard estimate vs the EXACT shingle-set
-    Jaccard — measure the sketch, don't trust it."""
+    Jaccard — measure the sketch, don't trust it.
+
+    ``sh_from``: as in _mh_candidate_ctes — the name of a relation
+    already holding the canonical (doc_id, shingle) rows; the sh CTE
+    here has FOUR consumers (hash chain, sizes, both inter sides), so
+    without a barrier Spark's CTE inlining re-runs the
+    explode+DISTINCT per consumer."""
     if dialect == "spark":
         words, shing, chash = spark_words("text"), spark_shingles("w"), spark_char_hash("shingle")
         explode = f"FROM w LATERAL VIEW explode({shing}) t AS shingle"
@@ -1378,9 +1384,14 @@ def _mh_calibration_sql(dialect: str) -> str:
     eq_terms = " + ".join(
         f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(_MH_K)
     )
+    sh_body = (
+        f"SELECT doc_id, shingle FROM {sh_from}"
+        if sh_from is not None
+        else f"SELECT DISTINCT doc_id, shingle {explode}"
+    )
     return f"""
 WITH w AS (SELECT doc_id, {words} AS w FROM documents),
-sh AS (SELECT DISTINCT doc_id, shingle {explode}),
+sh AS ({sh_body}),
 h AS (SELECT doc_id, {chash} AS h FROM sh),
 mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
 bs AS ({bands}),
@@ -1429,9 +1440,22 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact multiple of 1/16, exact_j one double division of exact
     BIGINTs; only the final avg is order-sensitive in its last ulps.
     """
+    from sparksql_server_spark.operators.scratch import pin_view
+
     # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.33/-0.37 s
     register_tables(spark, sf_dir, ("documents",), spread=("documents",))
-    return spark.sql(_mh_calibration_sql("spark"))
+    # r12: the sh CTE feeds FOUR consumers (hash chain, sizes, both
+    # inter sides) — the dedup_lsh_eval_pr shape — so materialize it
+    # once behind pin_view instead of letting CTE inlining re-run the
+    # explode+DISTINCT per consumer. Interleaved same-session A/B
+    # (tools/specs/mh_cal_pin.py, 2 rounds × 3 trials): first-exec
+    # 6.30 → 2.29 s (second full exec 8.7/2.8 → 2.0/1.4), steady-min
+    # 1.43 → 1.39 s (wash); values identical to the last ulp of the
+    # two order-sensitive avg() columns (diff ≤ 6e-16, comparator
+    # rounds at 6 dp).
+    w_body, ex = _sh_canonical_sql("spark")
+    pin_view(spark, spark.sql(f"WITH w AS ({w_body}) {ex}"), "mh_cal_sh_mat")
+    return spark.sql(_mh_calibration_sql("spark", sh_from="mh_cal_sh_mat"))
 
 
 # ---------------------------------------------------------------------------

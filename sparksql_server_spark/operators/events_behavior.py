@@ -187,6 +187,73 @@ ORDER BY l.event_type, gap_bucket
 """
 
 
+_ARRIVAL_ONEPASS_TAIL = """
+cells AS (
+  SELECT event_type,
+         CASE WHEN prev_sec IS NULL THEN NULL
+              WHEN ts_sec - prev_sec < 0 THEN -1
+              WHEN ts_sec - prev_sec <= 60 THEN 0
+              WHEN ts_sec - prev_sec <= 600 THEN 1
+              WHEN ts_sec - prev_sec <= 1800 THEN 2
+              WHEN ts_sec - prev_sec <= 3600 THEN 3
+              ELSE 4 END AS gap_bucket,
+         ts_sec - prev_sec AS gap,
+         CASE WHEN ts_sec < high_water THEN 1 ELSE 0 END AS late
+  FROM arr),
+agg AS (
+  SELECT event_type, gap_bucket,
+         CAST(count(gap) AS BIGINT) AS n_gaps,
+         max(gap) AS max_gap,
+         sum(late) AS n_late
+  FROM cells GROUP BY event_type, gap_bucket),
+fin AS (
+  SELECT event_type, gap_bucket, n_gaps, max_gap,
+         sum(n_late) OVER (PARTITION BY event_type) AS n_out_of_order,
+         count(gap_bucket) OVER (PARTITION BY event_type) AS n_buckets
+  FROM agg)
+SELECT event_type,
+       CAST(coalesce(gap_bucket, -2) AS INT) AS gap_bucket,
+       n_gaps,
+       CAST(coalesce(max_gap, 0) AS BIGINT) AS max_gap_sec,
+       CAST(n_out_of_order AS BIGINT) AS n_out_of_order
+FROM fin
+WHERE gap_bucket IS NOT NULL OR n_buckets = 0
+ORDER BY event_type, gap_bucket
+"""
+
+
+def _arrival_spark_onepass_sql(sec: str) -> str:
+    """Spark-side one-pass tail over the plain single-window ``arr``
+    (round 12, guide §2.4 "remove shuffles outright"): the oracle-shape
+    tail consumes ``arr`` TWICE (``late`` aggregates every row,
+    ``gaps`` re-reads it for the histogram), and Spark's CTE inlining
+    re-executes the window for each consumer (ReuseExchange dedups the
+    shuffle below it, not the window sort above it). One grouped pass
+    over ``arr`` keyed by (event_type, nullable gap_bucket) computes
+    per-bucket n_gaps/max_gap AND the per-row lateness sum; a
+    per-type window over those ≤7-row groups (window, not a
+    groupBy+self-join — a second consumer of agg would make CTE
+    inlining duplicate the whole subtree again) reconstructs
+    n_out_of_order and the -2 no-gaps row. Values are IDENTICAL to the
+    oracle tail: gap/bucket/lateness are per-row integer expressions,
+    counts/sums/maxes are grouping-order-free, and the -2 row fires
+    exactly when a type has zero non-NULL gaps (first-event rows carry
+    a NULL bucket, so every type has the NULL group; types with
+    buckets drop it, types without surface it as the oracle's
+    LEFT-JOIN miss)."""
+    return f"""
+WITH arr AS (
+  SELECT event_type,
+         {sec} AS ts_sec,
+         lag({sec}) OVER (PARTITION BY event_type ORDER BY event_id)
+           AS prev_sec,
+         max({sec}) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS high_water
+  FROM events),
+{_ARRIVAL_ONEPASS_TAIL}"""
+
+
 def _arrival_spark_banded_sql(sec: str, band: int) -> str:
     """Spark-side banded rewrite of :func:`_arrival_sql`'s ``arr`` CTE
     (round 11; the ×100 scale sweep measured exponent 0.749 and the
@@ -235,30 +302,7 @@ arr AS (
               WHEN b.prefix_hw IS NULL THEN w.hw_in
               ELSE greatest(w.hw_in, b.prefix_hw) END AS high_water
   FROM w JOIN bpre b ON w.event_type = b.event_type AND w.bkt = b.bkt),
-late AS (
-  SELECT event_type,
-         CAST(sum(CASE WHEN ts_sec < high_water THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_out_of_order
-  FROM arr GROUP BY event_type),
-gaps AS (
-  SELECT event_type,
-         ts_sec - prev_sec AS gap,
-         CASE WHEN ts_sec - prev_sec < 0 THEN -1
-              WHEN ts_sec - prev_sec <= 60 THEN 0
-              WHEN ts_sec - prev_sec <= 600 THEN 1
-              WHEN ts_sec - prev_sec <= 1800 THEN 2
-              WHEN ts_sec - prev_sec <= 3600 THEN 3
-              ELSE 4 END AS gap_bucket
-  FROM arr WHERE prev_sec IS NOT NULL)
-SELECT l.event_type,
-       CAST(coalesce(g.gap_bucket, -2) AS INT) AS gap_bucket,
-       CAST(count(g.gap_bucket) AS BIGINT) AS n_gaps,
-       CAST(coalesce(max(g.gap), 0) AS BIGINT) AS max_gap_sec,
-       CAST(min(l.n_out_of_order) AS BIGINT) AS n_out_of_order
-FROM late l LEFT JOIN gaps g ON g.event_type = l.event_type
-GROUP BY l.event_type, g.gap_bucket
-ORDER BY l.event_type, gap_bucket
-"""
+{_ARRIVAL_ONEPASS_TAIL}"""
 
 
 @query("events_arrival_profile", oracle=_arrival_sql(_DUCK_SEC))
@@ -299,9 +343,13 @@ def events_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir, ("events",))
     band = 65536
+    # r12: both Spark forms consume arr through the ONE-PASS tail
+    # (_ARRIVAL_ONEPASS_TAIL) — the oracle keeps the two-consumer
+    # LEFT-JOIN shape; see _arrival_spark_onepass_sql for the
+    # equivalence argument and OPTIMIZATION_r12.md for the A/B.
     if spark.table("events").count() > 4 * band:
         return spark.sql(_arrival_spark_banded_sql(_SPARK_SEC, band))
-    return spark.sql(_arrival_sql(_SPARK_SEC))
+    return spark.sql(_arrival_spark_onepass_sql(_SPARK_SEC))
 
 
 def _ltv_sql(sec: str) -> str:
