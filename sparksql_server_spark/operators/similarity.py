@@ -273,6 +273,66 @@ _REFINE_SEED_DUCK = """
                unnest(range(1, len(c_emb) + 1)) AS i FROM c)"""
 
 
+def _ivf_refine_spark_staged(spark: SparkSession) -> DataFrame:
+    """Spark execution of :func:`_ivf_refine_sql`, staged at the two
+    relations CTE inlining otherwise re-executes (round 12, guide
+    §2.4/§5): ``cell`` (the corpus→centroid assignment) feeds the
+    element sums, the member counts AND the final count join — three
+    full re-runs of the broadcast-assign window — and ``c`` (the 16
+    seed centroids) feeds both the assignment and the seed expansion.
+    Pinning c (16 rows) and cell (the assignment — exactly the IVF
+    index artifact a real build materializes) cuts the plan from 7
+    embeddings scans to 2, the floor (one to cut seeds, one to
+    assign). Values identical: the pin is a materialization barrier;
+    all reductions keep the exact-DECIMAL pattern."""
+    from sparksql_server_spark.operators.scratch import pin_view
+
+    n_body = f"SELECT vec_id, embedding, {spark_norm('embedding')} AS nrm FROM embeddings"
+    c = spark.sql(
+        f"SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm "
+        f"FROM ({n_body}) WHERE vec_id >= 100 AND vec_id < {100 + _N_CELLS}"
+    )
+    pin_view(spark, c, "ivf_c")
+    cell = spark.sql(
+        f"""
+WITH n AS ({n_body}),
+assign AS (
+  SELECT vec_id, embedding, c_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+  FROM (SELECT n.vec_id, n.embedding, c.c_id,
+               round({spark_dot('n.embedding', 'c_emb')} / (n.nrm * c_nrm), 6) AS cos
+        FROM n CROSS JOIN ivf_c c))
+SELECT vec_id, embedding, c_id FROM assign WHERE rn = 1"""
+    )
+    pin_view(spark, cell, "ivf_cell")
+    return spark.sql(
+        """
+WITH counts AS (SELECT c_id, count(*) AS n_members FROM ivf_cell GROUP BY c_id),
+elems AS (
+  SELECT c_id, i, CAST(element_at(embedding, i) AS DOUBLE) AS x
+  FROM ivf_cell LATERAL VIEW explode(sequence(1, size(embedding))) t AS i),
+sums AS (SELECT c_id, i, CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) AS sx
+         FROM elems GROUP BY c_id, i),
+means AS (SELECT s.c_id, s.i, s.sx / cnt.n_members AS mu
+          FROM sums s JOIN counts cnt ON s.c_id = cnt.c_id),
+seed AS (
+  SELECT c_id, c_nrm, i, CAST(element_at(c_emb, i) AS DOUBLE) AS sv
+  FROM ivf_c LATERAL VIEW explode(sequence(1, size(c_emb))) t AS i),
+refined AS (
+  SELECT m.c_id,
+         CAST(sum(CAST(m.mu * m.mu AS DECIMAL(18,12))) AS DOUBLE) AS mu_sq,
+         CAST(sum(CAST(m.mu * sd.sv AS DECIMAL(18,12))) AS DOUBLE) AS mu_dot_seed,
+         max(sd.c_nrm) AS c_nrm
+  FROM means m JOIN seed sd ON m.c_id = sd.c_id AND m.i = sd.i
+  GROUP BY m.c_id)
+SELECT r.c_id, cnt.n_members,
+       round(sqrt(r.mu_sq), 6) AS refined_norm,
+       round(r.mu_dot_seed / (sqrt(r.mu_sq) * r.c_nrm), 6) AS seed_cos
+FROM refined r JOIN counts cnt ON r.c_id = cnt.c_id
+ORDER BY r.c_id"""
+    )
+
+
 @query(
     "sim_ivf_kmeans_refine",
     oracle=_ivf_refine_sql(duck_dot, duck_norm, _REFINE_CELL_DUCK, _REFINE_SEED_DUCK),
@@ -292,11 +352,14 @@ def sim_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector. Iterating = re-running with the refined table as the new
     seed (same plan shape per round, like dedup's connected
     components).
+
+    Round 12: Spark executes the SAME algebra staged at the pinned
+    seed/assignment relations (:func:`_ivf_refine_spark_staged` — the
+    one-statement form re-inlined them into 7 embeddings scans; staged
+    is the 2-scan floor). The oracle keeps the one-statement text.
     """
     register_tables(spark, sf_dir, ("embeddings",))
-    return spark.sql(
-        _ivf_refine_sql(spark_dot, spark_norm, _REFINE_CELL_SPARK, _REFINE_SEED_SPARK)
-    )
+    return _ivf_refine_spark_staged(spark)
 
 
 @query("sim_topk_lsh", oracle=_lsh_duck())
@@ -503,9 +566,10 @@ def sim_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _trunc_recall_sql(dialect: str) -> str:
+def _trunc_recall_sql(dialect: str, fused: bool = False) -> str:
     """Per probe: how much of the exact full-dim (64) top-k survives
-    when cosine runs on the first 32 dimensions only."""
+    when cosine runs on the first 32 dimensions only. ``fused`` as in
+    :func:`_quant_recall_sql`."""
     if dialect == "spark":
         dot, norm = spark_dot, spark_norm
         half = "slice(embedding, 1, 32)"
@@ -526,17 +590,21 @@ scored AS (
          round({dot('q_emb', 'nh.embedding')} / (q_nrm * nh.nrm), 6) AS cos_full,
          round({dot('q_emb_h', 'nh.emb_h')} / (q_nrm_h * nh.nrm_h), 6) AS cos_half
   FROM q CROSS JOIN nh WHERE q_id <> nh.vec_id),
+{_recall_tail("cos_half") if fused else _RECALL_JOIN_TAIL.format(alt="cos_half")}"""
+
+
+_RECALL_JOIN_TAIL = f"""
 rf AS (SELECT q_id, neighbor_id,
               row_number() OVER (PARTITION BY q_id ORDER BY cos_full DESC, neighbor_id) AS r
        FROM scored),
-rh AS (SELECT q_id, neighbor_id,
-              row_number() OVER (PARTITION BY q_id ORDER BY cos_half DESC, neighbor_id) AS r
+rq AS (SELECT q_id, neighbor_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY {{alt}} DESC, neighbor_id) AS r
        FROM scored)
 SELECT f.q_id,
        CAST(count(h.neighbor_id) AS BIGINT) AS n_kept,
        CAST(count(h.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_{_TOP_K}
 FROM rf f
-LEFT JOIN rh h ON h.q_id = f.q_id AND h.neighbor_id = f.neighbor_id
+LEFT JOIN rq h ON h.q_id = f.q_id AND h.neighbor_id = f.neighbor_id
               AND h.r <= {_TOP_K}
 WHERE f.r <= {_TOP_K}
 GROUP BY f.q_id
@@ -544,10 +612,40 @@ ORDER BY f.q_id
 """
 
 
-def _quant_recall_sql(dialect: str) -> str:
+def _recall_tail(alt: str) -> str:
+    """Fused recall readout (round 12, guide §2.4): the two rankings
+    are per-row attributes of the SAME scored row, so one projection
+    with two row_numbers over the SAME partition key (one shuffle, two
+    sorts) replaces the rf/rq self-join — which, as two CTE consumers,
+    made Spark re-execute the whole scored cross-join for each side.
+    count(CASE WHEN r_alt <= k) over the r_full <= k rows is exactly
+    the old LEFT-JOIN match count: each (q_id, neighbor) pair has one
+    row, so the join matched 0 or 1 rows per f-row."""
+    return f"""
+ranked AS (
+  SELECT q_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_full DESC, neighbor_id)
+           AS r_full,
+         row_number() OVER (PARTITION BY q_id ORDER BY {alt} DESC, neighbor_id)
+           AS r_alt
+  FROM scored)
+SELECT q_id,
+       CAST(count(CASE WHEN r_alt <= {_TOP_K} THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(count(CASE WHEN r_alt <= {_TOP_K} THEN 1 END) AS DOUBLE) / {_TOP_K}
+         AS recall_at_{_TOP_K}
+FROM ranked
+WHERE r_full <= {_TOP_K}
+GROUP BY q_id
+ORDER BY q_id
+"""
+
+
+def _quant_recall_sql(dialect: str, fused: bool = False) -> str:
     """Per probe: how much of the exact float top-k survives when the
     index is int8 (normalize, scale by 127, round) and candidates rank
-    by the INTEGER dot product of the codes."""
+    by the INTEGER dot product of the codes. ``fused`` switches the
+    readout to :func:`_recall_tail` (Spark side only; the oracle keeps
+    the join form)."""
     if dialect == "spark":
         dot, norm = spark_dot, spark_norm
         q8 = "transform(embedding, v -> bigint(round(v * 127.0D / nrm)))"
@@ -574,22 +672,7 @@ scored AS (
          round({dot('q_emb', 'nh.embedding')} / (q_nrm * nh.nrm), 6) AS cos_full,
          {idot} AS dot_q8
   FROM q CROSS JOIN nh WHERE q_id <> nh.vec_id),
-rf AS (SELECT q_id, neighbor_id,
-              row_number() OVER (PARTITION BY q_id ORDER BY cos_full DESC, neighbor_id) AS r
-       FROM scored),
-rq AS (SELECT q_id, neighbor_id,
-              row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, neighbor_id) AS r
-       FROM scored)
-SELECT f.q_id,
-       CAST(count(h.neighbor_id) AS BIGINT) AS n_kept,
-       CAST(count(h.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_{_TOP_K}
-FROM rf f
-LEFT JOIN rq h ON h.q_id = f.q_id AND h.neighbor_id = f.neighbor_id
-              AND h.r <= {_TOP_K}
-WHERE f.r <= {_TOP_K}
-GROUP BY f.q_id
-ORDER BY f.q_id
-"""
+{_recall_tail("dot_q8") if fused else _RECALL_JOIN_TAIL.format(alt="dot_q8")}"""
 
 
 @query("sim_quantized_recall", oracle=_quant_recall_sql("duck"))
@@ -614,7 +697,9 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.64/-0.51 s
     register_tables(spark, sf_dir, ("embeddings",), spread=("embeddings",))
-    return spark.sql(_quant_recall_sql("spark"))
+    # r12: fused two-window readout — see _recall_tail (scored cross-
+    # join executes once instead of twice; rf/rq join removed)
+    return spark.sql(_quant_recall_sql("spark", fused=True))
 
 
 @query("sim_truncation_recall", oracle=_trunc_recall_sql("duck"))
@@ -631,7 +716,8 @@ def sim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both rankings, so the k-cut is engine-identical.
     """
     register_tables(spark, sf_dir, ("embeddings",))
-    return spark.sql(_trunc_recall_sql("spark"))
+    # r12: fused two-window readout — see _recall_tail
+    return spark.sql(_trunc_recall_sql("spark", fused=True))
 
 
 _PCA_ELEMS_SPARK = """
@@ -681,6 +767,60 @@ ORDER BY dim
 """
 
 
+def _pca_spark_staged(spark: SparkSession, elems: str) -> DataFrame:
+    """The Spark execution of :func:`_pca_sql`, staged at the two
+    64-row iterates (round 12, guide §2.4/§5). As ONE statement,
+    Spark's CTE inlining re-expands every reference, and the chain
+    v0→t1→v1→t2 makes that EXPONENTIAL: the final SELECT's two t2
+    references each inline s2, which inlines v1, which inlines t1
+    twice (t1 + n1), which inlines dims... — 12 scans of embeddings
+    and 12 explodes in the physical plan for a 2-iteration power
+    method whose floor is 4 passes (2 per iteration). Pinning each
+    iterate (64 rows — an instant eager localCheckpoint) cuts the
+    chain: dims is re-derived exactly twice per iteration and nothing
+    else re-executes. Values are bit-identical: every cross-row
+    reduction is the exact-DECIMAL pattern (order-free), and the pin
+    is a materialization barrier, not a semantic change. pin_view
+    releases the previous run's blocks (at most one live copy per
+    view; hygiene gated in tests/test_cache_hygiene.py)."""
+    from sparksql_server_spark.operators.scratch import pin_view
+
+    t1 = spark.sql(f"""
+WITH dims AS ({elems}),
+s1 AS (  -- per-row projection onto v0 = (0.125, ..., 0.125)
+  SELECT vec_id,
+         CAST(sum(CAST(x * 0.125 AS DECIMAL(28,18))) AS DOUBLE) AS s
+  FROM dims GROUP BY vec_id)
+SELECT d.i,
+       CAST(sum(CAST(d.x * s1.s AS DECIMAL(28,18))) AS DOUBLE) AS t
+FROM dims d JOIN s1 ON d.vec_id = s1.vec_id
+GROUP BY d.i""")
+    pin_view(spark, t1, "pca_t1")
+    t2 = spark.sql(f"""
+WITH n1 AS (SELECT CAST(sum(CAST(t * t AS DECIMAL(38,24))) AS DOUBLE) AS nsq
+            FROM pca_t1),
+v1 AS (SELECT i, t / sqrt(nsq) AS v FROM pca_t1 CROSS JOIN n1),
+dims AS ({elems}),
+s2 AS (  -- per-row projection onto v1
+  SELECT d.vec_id,
+         CAST(sum(CAST(d.x * v1.v AS DECIMAL(28,18))) AS DOUBLE) AS s
+  FROM dims d JOIN v1 ON d.i = v1.i
+  GROUP BY d.vec_id)
+SELECT d.i,
+       CAST(sum(CAST(d.x * s2.s AS DECIMAL(28,18))) AS DOUBLE) AS t
+FROM dims d JOIN s2 ON d.vec_id = s2.vec_id
+GROUP BY d.i""")
+    pin_view(spark, t2, "pca_t2")
+    return spark.sql("""
+WITH n2 AS (SELECT CAST(sum(CAST(t * t AS DECIMAL(38,24))) AS DOUBLE) AS nsq
+            FROM pca_t2)
+SELECT i AS dim,
+       CAST(round(t / sqrt(nsq), 6) AS DOUBLE) AS loading,
+       CAST(round(sqrt(nsq), 6) AS DOUBLE) AS rayleigh_norm
+FROM pca_t2 CROSS JOIN n2
+ORDER BY dim""")
+
+
 @query("emb_pca_power_iteration", oracle=_pca_sql(_PCA_ELEMS_DUCK))
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding cloud by TWO matrix-
@@ -708,6 +848,12 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan straight-line for the oracle (graph_pagerank_entities
     convention); a production loop adds localCheckpoint rounds, not a
     new shape.
+
+    Round 12: Spark executes the SAME algebra staged at the pinned
+    64-row iterates (:func:`_pca_spark_staged` — the one-statement
+    form re-inlined the chain exponentially into 12 embedding scans;
+    staged is the 4-pass floor). The oracle keeps the one-statement
+    text.
     """
     register_tables(spark, sf_dir, ("embeddings",))
-    return spark.sql(_pca_sql(_PCA_ELEMS_SPARK))
+    return _pca_spark_staged(spark, _PCA_ELEMS_SPARK)

@@ -635,12 +635,41 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     extendedprice). Keeps the canonical shape: group-sum filtered
     against a scalar-subquery fraction of the global sum.
 
-    Scale: the CTE aggregates once; the scalar global sum is a one-row
-    broadcast into the HAVING — no recomputation of the base join
-    (Spark CTE dedup), no per-group subquery execution.
+    Scale: the per-part aggregate runs ONCE and is pinned (round 12 —
+    the one-statement form's scalar subquery made Spark's CTE inlining
+    re-execute the whole 4-table join + aggregation for the global
+    sum: 8 scans in the plan, 2 of lineitem); the global fraction is
+    then a parallel one-row aggregate over the pinned |parts|-sized
+    relation, broadcast into the filter. Values identical: per-group
+    and global sums are exact DECIMAL (sum of per-group sums == direct
+    sum exactly), cast to DOUBLE only at the comparison, same as the
+    oracle text.
     """
+    from sparksql_server_spark.operators.scratch import pin_view
+
     register_tables(spark, sf_dir, ("lineitem", "supplier", "nation", "region"))
-    return spark.sql(_Q11_SQL)
+    grp = spark.sql(
+        """
+WITH supval AS (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(12,2)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+SELECT l_partkey, sum(val) AS sval
+FROM supval GROUP BY l_partkey"""
+    )
+    pin_view(spark, grp, "q11_grp")
+    return spark.sql(
+        """
+SELECT l_partkey AS ps_partkey,
+       CAST(sval AS DOUBLE) AS part_value
+FROM q11_grp
+WHERE CAST(sval AS DOUBLE) >
+      (SELECT CAST(sum(sval) AS DOUBLE) * 0.001 FROM q11_grp)
+ORDER BY part_value DESC, ps_partkey"""
+    )
 
 
 _Q12_SQL = """
