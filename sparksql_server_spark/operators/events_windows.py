@@ -234,8 +234,49 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each stage is one aggregation plus one equi-join on
     user_id, so the whole funnel shuffles on a single key; an N-stage
     funnel chains N-1 such joins with no blowup (each stage's output
-    is <= distinct users). The scalar subqueries in the final SELECT
-    aggregate single numbers — no driver loops.
+    is <= distinct users).
+
+    Round 12 (guide §2.4/§5): the oracle-shape readout takes the three
+    counts as FIVE scalar subqueries, and each one re-inlines its whole
+    stage chain (n_purchased alone re-runs view+click+purchase) — 15
+    events scans in the physical plan for a 3-pass algorithm. Spark
+    pins the per-user view/click stage tables (≤ |users| rows — the
+    user-stage table a production funnel materializes anyway) and reads
+    the counts off ONE left-join aggregate: count(*) over v ≡ |v|, and
+    count(c.user_id)/count(p.user_id) ≡ |c|/|p| because each stage is
+    GROUP BY user_id (unique keys, no fan-out) and c ⊆ v, p ⊆ c by
+    construction. A global aggregate emits exactly one row even on an
+    empty v, like the scalar-subquery form; the ratio expressions are
+    the same functions of the same counts. 3 events scans, one readout.
     """
+    from sparksql_server_spark.operators.scratch import pin_view
+
     register_tables(spark, sf_dir, ("events",))
-    return spark.sql(_funnel_sql("unix_timestamp(ts)"))
+    e_body = "SELECT user_id, event_type, unix_timestamp(ts) AS s FROM events"
+    v = spark.sql(
+        f"SELECT user_id, min(s) AS t0 FROM ({e_body}) e"
+        " WHERE event_type = 'view' GROUP BY user_id"
+    )
+    pin_view(spark, v, "funnel_v")
+    c = spark.sql(
+        f"""SELECT e.user_id, min(e.s) AS t1
+FROM ({e_body}) e JOIN funnel_v v ON e.user_id = v.user_id
+WHERE e.event_type = 'click' AND e.s > v.t0 GROUP BY e.user_id"""
+    )
+    pin_view(spark, c, "funnel_c")
+    return spark.sql(
+        f"""
+WITH p AS (
+  SELECT e.user_id, min(e.s) AS t2
+  FROM ({e_body}) e JOIN funnel_c c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.s > c.t1 GROUP BY e.user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+       CAST(count(c.user_id) AS BIGINT) AS n_clicked,
+       CAST(count(p.user_id) AS BIGINT) AS n_purchased,
+       round(CAST(count(c.user_id) AS DOUBLE) / count(*), 4) AS view_to_click,
+       round(CAST(count(p.user_id) AS DOUBLE) / count(c.user_id), 4)
+         AS click_to_purchase
+FROM funnel_v v
+LEFT JOIN funnel_c c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id"""
+    )
