@@ -66,10 +66,22 @@ def pipeline_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFra
 # --------------------------------------------------------------------------
 # categorical association: chi-square and mutual information
 
-_CHI2_SQL = """
-WITH obs AS (
+_OBS_BODY = """
   SELECT lang, source, CAST(count(*) AS BIGINT) AS o
-  FROM documents GROUP BY lang, source),
+  FROM documents GROUP BY lang, source"""
+
+# Round 12 (guide §2.4/§5): the obs contingency CTE has 4 consumers in
+# chi2 (rl, cs, tot, the LEFT JOIN) and — transitively — 8 in mutual
+# information, and Spark's CTE inlining re-runs the documents groupBy
+# for each. The Spark side pins the tiny |langs|×|sources| table once
+# (``obs_from``), so every consumer reads the materialized rows (4
+# resp. 8 documents scans → 1). The oracle texts keep the inline form.
+
+
+def _chi2_sql(obs_from: str | None = None) -> str:
+    obs = f"SELECT lang, source, o FROM {obs_from}" if obs_from else _OBS_BODY
+    return f"""
+WITH obs AS ({obs}),
 rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY lang),
 cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY source),
 tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
@@ -88,6 +100,9 @@ LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cs.source
 """
 
 
+_CHI2_SQL = _chi2_sql()
+
+
 @query("stats_chi2_independence", oracle=_CHI2_SQL)
 def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square test of independence between two categorical
@@ -101,16 +116,20 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     enter via the row-marginal x column-marginal cross join (tiny:
     |langs| x |sources|, both broadcast — bounded by column cardinality,
     not data volume); the only data-sized pass is the contingency
-    groupBy, one shuffle on (lang, source).
+    groupBy, one shuffle on (lang, source) — pinned once on the Spark
+    side (r12; 4 documents scans → 1, see the note above _chi2_sql).
     """
+    from sparksql_server_spark.operators.scratch import pin_view
+
     register_tables(spark, sf_dir, ("documents",))
-    return spark.sql(_CHI2_SQL)
+    pin_view(spark, spark.sql(_OBS_BODY), "assoc_obs")
+    return spark.sql(_chi2_sql(obs_from="assoc_obs"))
 
 
-_MI_SQL = """
-WITH obs AS (
-  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
-  FROM documents GROUP BY lang, source),
+def _mi_sql(obs_from: str | None = None) -> str:
+    obs = f"SELECT lang, source, o FROM {obs_from}" if obs_from else _OBS_BODY
+    return f"""
+WITH obs AS ({obs}),
 rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY lang),
 cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY source),
 tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
@@ -137,6 +156,9 @@ FROM mi CROSS JOIN hl CROSS JOIN hs
 """
 
 
+_MI_SQL = _mi_sql()
+
+
 @query("stats_mutual_info", oracle=_MI_SQL)
 def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information I(lang; source) in nats, plus both marginal
@@ -148,10 +170,14 @@ def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     MI/entropy sums run over marginal-cardinality-sized relations with
     broadcast joins; every per-cell term is a deterministic double
     expression over exact BIGINT counts (0*ln(0) cells are excluded by
-    construction — obs holds only nonzero counts).
+    construction — obs holds only nonzero counts). Pinned once on the
+    Spark side (r12; 8 documents scans → 1, see note above _chi2_sql).
     """
+    from sparksql_server_spark.operators.scratch import pin_view
+
     register_tables(spark, sf_dir, ("documents",))
-    return spark.sql(_MI_SQL)
+    pin_view(spark, spark.sql(_OBS_BODY), "assoc_obs")
+    return spark.sql(_mi_sql(obs_from="assoc_obs"))
 
 
 # --------------------------------------------------------------------------

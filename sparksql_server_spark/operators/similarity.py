@@ -193,6 +193,54 @@ ORDER BY q_id, rank
 """
 
 
+def _ivf_spark_staged(spark: SparkSession) -> DataFrame:
+    """Spark execution of :func:`_ivf_sql` staged at the assignment
+    (round 12, guide §2.4/§5): ``assign`` — the N×16 centroid
+    cross-join plus per-vector ranking window — feeds both ``cell``
+    (rn = 1, all vectors) and ``qprobe`` (rn ≤ nprobe, query vectors),
+    and CTE inlining executes it once per consumer. One pinned pass
+    keeps exactly the union of rows either consumer reads
+    (rn = 1 OR (query vector AND rn ≤ nprobe) — N + nprobe·|Q| rows,
+    the IVF index + probe lists a real build materializes); the tail
+    filters the pinned relation. Values identical — pure barrier."""
+    from sparksql_server_spark.operators.scratch import pin_view
+
+    asg = spark.sql(
+        f"""
+WITH n AS (SELECT vec_id, embedding, {spark_norm('embedding')} AS nrm FROM embeddings),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n
+      WHERE vec_id >= 100 AND vec_id < {100 + _N_CELLS}),
+assign AS (
+  SELECT vec_id, embedding, nrm, c_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+  FROM (SELECT n.vec_id, n.embedding, n.nrm, c.c_id,
+               round({spark_dot('n.embedding', 'c_emb')} / (n.nrm * c_nrm), 6) AS cos
+        FROM n CROSS JOIN c))
+SELECT vec_id, embedding, nrm, c_id, rn FROM assign
+WHERE rn = 1 OR (vec_id < {_N_QUERIES} AND rn <= {_N_PROBE})"""
+    )
+    pin_view(spark, asg, "ivf_asg")
+    return spark.sql(
+        f"""
+WITH cell AS (SELECT vec_id, embedding, nrm, c_id FROM ivf_asg WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, c_id
+  FROM ivf_asg WHERE vec_id < {_N_QUERIES} AND rn <= {_N_PROBE}),
+scored AS (
+  SELECT q_id, cell.vec_id AS neighbor_id,
+         round({spark_dot('q_emb', 'cell.embedding')} / (q_nrm * cell.nrm), 6) AS cos
+  FROM qprobe JOIN cell ON qprobe.c_id = cell.c_id AND q_id <> cell.vec_id),
+ranked AS (
+  SELECT q_id, neighbor_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored)
+SELECT q_id, neighbor_id, cos, rank FROM ranked
+WHERE rank <= {_TOP_K}
+ORDER BY q_id, rank"""
+    )
+
+
 @query("sim_topk_ivf", oracle=_ivf_sql(duck_dot, duck_norm))
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF-Flat: 16 coarse centroid vectors
@@ -209,7 +257,10 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # r12: small-input spread (guide §2.5) — interleaved steady A/B -0.13 s
     register_tables(spark, sf_dir, ("embeddings",), spread=("embeddings",))
-    return spark.sql(_ivf_sql(spark_dot, spark_norm))
+    # r12: staged at the pinned assignment — see _ivf_spark_staged
+    # (the one-statement form executed the N×16 ranking window once
+    # per consumer). Oracle keeps the one-statement text.
+    return _ivf_spark_staged(spark)
 
 
 def _ivf_refine_sql(dot, norm, cell_elems: str, seed_elems: str) -> str:

@@ -419,11 +419,22 @@ _CMS_PARAMS = ((1, 2654435761), (40503, 2246822519), (83117, 3266489917), (12661
 _CMS_TOP = 12
 
 
-def _cms_sql() -> str:
+_CMS_PER_KEY_BODY = """
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id"""
+
+
+def _cms_sql(per_key_from: str | None = None) -> str:
     """Dialect-neutral SQL: build the d x w counter matrix in ONE
     aggregation pass (explode each key into its d (row, bucket)
     cells), then estimate the hottest users' counts as min over rows
-    and audit against the exact count."""
+    and audit against the exact count.
+
+    ``per_key_from``: relation already holding the (user_id, n)
+    per-key counts. The per_key CTE is consumed by all 4 cell UNION
+    branches AND (through top_keys) all 4 probe branches, so the
+    inline form re-runs the events groupBy 8 times (round 12; the
+    Spark side pins it — 8 events scans → 1)."""
     cells = " UNION ALL ".join(
         f"SELECT {j} AS hrow, "
         + _CMS_HASH.format(a=a, k="user_id", m=m, w=_CMS_W)
@@ -436,10 +447,13 @@ def _cms_sql() -> str:
         + " AS bucket FROM top_keys"
         for j, (a, m) in enumerate(_CMS_PARAMS)
     )
+    per_key = (
+        f"SELECT user_id, n FROM {per_key_from}"
+        if per_key_from
+        else _CMS_PER_KEY_BODY
+    )
     return f"""
-WITH per_key AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY user_id),
+WITH per_key AS ({per_key}),
 cells AS ({cells}),
 sketch AS (
   SELECT hrow, bucket, CAST(sum(n) AS BIGINT) AS c
@@ -484,9 +498,16 @@ def stats_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     let partial aggregation collapse to 512 rows map-side). The probe
     side is a LIMIT-12 broadcast against a 512-row relation. The
     exact column is the audit-only branch production drops.
+
+    Round 12: the Spark side pins the per-key counts once — the 4+4
+    UNION branches each re-ran the events groupBy under CTE inlining
+    (8 events scans → 1; see _cms_sql). Values identical.
     """
+    from sparksql_server_spark.operators.scratch import pin_view
+
     register_tables(spark, sf_dir, ("events",))
-    return spark.sql(_cms_sql())
+    pin_view(spark, spark.sql(_CMS_PER_KEY_BODY), "cms_per_key")
+    return spark.sql(_cms_sql(per_key_from="cms_per_key"))
 
 
 _JK_B = 32  # jackknife blocks
