@@ -204,18 +204,28 @@ FROM ranked WHERE rnk <= {_TOP_TERMS}
 """
 
 
-def _surprisal_sql(dialect: str) -> str:
+def _surprisal_sql(dialect: str, tf_from: str | None = None) -> str:
+    """``tf_from`` as in :func:`_tfidf_sql` — tf feeds both the vocab
+    aggregation (twice, transitively, through tot) and the final join,
+    so the inline form re-runs the explode+groupBy per consumer (3
+    documents scans); the Spark side pins tf once (round 12,
+    interleaved A/B first-exec 5.0 → 2.3 s, steady a wash, 50 rows
+    equal)."""
     if dialect == "spark":
         words = spark_words("text")
         ex = "SELECT doc_id, term FROM w LATERAL VIEW explode(w) t AS term"
     else:
         words = duck_words("text")
         ex = "SELECT doc_id, unnest(w) AS term FROM w"
-    return f"""
-WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+    if tf_from is not None:
+        tf_ctes = f"tf AS (SELECT doc_id, term, n FROM {tf_from})"
+    else:
+        tf_ctes = f"""w AS (SELECT doc_id, {words} AS w FROM documents),
 terms AS ({ex}),
 tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n
-       FROM terms GROUP BY doc_id, term),
+       FROM terms GROUP BY doc_id, term)"""
+    return f"""
+WITH {tf_ctes},
 vocab AS (SELECT term, CAST(sum(n) AS BIGINT) AS cnt FROM tf GROUP BY term),
 tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_corpus FROM vocab)
 SELECT tf.doc_id,
@@ -249,9 +259,23 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab relation is the persisted LM — new batches score against
     it without re-counting the corpus (same incremental shape as
     dedup_lsh_incremental).
+
+    Round 12: the Spark side pins tf once (text_tfidf_topterms's
+    pattern) — CTE inlining re-ran the explode+groupBy for vocab, tot
+    and the final join (3 documents scans → 1; see _surprisal_sql).
     """
+    from sparksql_server_spark.operators.scratch import pin_view
+
     register_tables(spark, sf_dir, ("documents",))
-    return spark.sql(_surprisal_sql("spark"))
+    docs = spark.table("documents")
+    w = docs.select("doc_id", F.expr(spark_words("text")).alias("w"))
+    terms = w.select("doc_id", F.explode("w").alias("term"))
+    pin_view(
+        spark,
+        terms.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("n")),
+        "surprisal_tf_mat",
+    )
+    return spark.sql(_surprisal_sql("spark", tf_from="surprisal_tf_mat"))
 
 
 _BM25_TERMS = ("scan", "hash", "merge")

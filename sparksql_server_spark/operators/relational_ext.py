@@ -121,22 +121,39 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins use ``<=>`` (round-12 review wave): GROUP BY treats NULL as
     one ordinary group, so a NULL group KEY with non-NULL values must
     still find its distribution rows — a null-blind ``=`` would emit
-    NULL quartiles for it."""
+    NULL quartiles for it.
+
+    Round 12 (guide §2.4/§5): the cumulative distribution ``cum`` has
+    two consumers (the target-rank table and the order-stat join), so
+    the inline form ran the distribution aggregation + windows twice;
+    it is pinned once (compact: bounded by the value domain, 10×
+    smaller than the input here). Values bit-identical — the pin is a
+    barrier only, and the interpolation was already evaluation-order-
+    exact on integer values."""
+    from sparksql_server_spark.operators.scratch import pin_view
+
     register_tables(spark, sf_dir, ("orders",))
+    pin_view(
+        spark,
+        spark.sql(
+            """
+        WITH d AS (
+          SELECT o_orderpriority AS g, o_custkey AS v,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM orders WHERE o_custkey IS NOT NULL
+          GROUP BY o_orderpriority, o_custkey)
+        SELECT g, v,
+               sum(c) OVER (PARTITION BY g ORDER BY v) AS hi,
+               sum(c) OVER (PARTITION BY g) AS n
+        FROM d"""
+        ),
+        "pct_cum",
+    )
     return spark.sql(
         """
         WITH grp AS (
           SELECT DISTINCT o_orderpriority AS g FROM orders),
-        d AS (
-          SELECT o_orderpriority AS g, o_custkey AS v,
-                 CAST(count(*) AS BIGINT) AS c
-          FROM orders WHERE o_custkey IS NOT NULL
-          GROUP BY o_orderpriority, o_custkey),
-        cum AS (
-          SELECT g, v,
-                 sum(c) OVER (PARTITION BY g ORDER BY v) AS hi,
-                 sum(c) OVER (PARTITION BY g) AS n
-          FROM d),
+        cum AS (SELECT g, v, hi, n FROM pct_cum),
         t AS (
           SELECT g, p,
                  CAST(floor(p * (n - 1)) AS BIGINT) AS k1,

@@ -513,18 +513,28 @@ def stats_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JK_B = 32  # jackknife blocks
 
 
-def _jackknife_sql() -> str:
-    """Dialect-neutral SQL: hash rows into 32 blocks, one exact-decimal
-    aggregation per (group, block), leave-one-block-out means, and the
-    block-jackknife standard error of the per-priority mean price."""
+def _jk_blk_body() -> str:
     return f"""
-WITH blk AS (
   SELECT o_orderpriority AS grp,
          ({prime_mix('o_orderkey')}) % {_JK_B} AS b,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s
   FROM orders
-  GROUP BY o_orderpriority, ({prime_mix('o_orderkey')}) % {_JK_B}),
+  GROUP BY o_orderpriority, ({prime_mix('o_orderkey')}) % {_JK_B}"""
+
+
+def _jackknife_sql(blk_from: str | None = None) -> str:
+    """Dialect-neutral SQL: hash rows into 32 blocks, one exact-decimal
+    aggregation per (group, block), leave-one-block-out means, and the
+    block-jackknife standard error of the per-priority mean price.
+
+    ``blk_from``: relation already holding the tiny |groups|×32 block
+    table. Under CTE inlining blk re-runs the orders aggregation for
+    every transitive consumer (tot, loo, loo_mean, jk — 4 orders scans
+    in the plan); the Spark side pins it once (round 12)."""
+    blk = f"SELECT grp, b, n, s FROM {blk_from}" if blk_from else _jk_blk_body()
+    return f"""
+WITH blk AS ({blk}),
 tot AS (
   SELECT grp, CAST(sum(n) AS BIGINT) AS n_tot,
          CAST(sum(CAST(s AS DECIMAL(24,6))) AS DOUBLE) AS s_tot,
@@ -591,9 +601,16 @@ def stats_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group, block) sums fold across days by addition, so the CI of any
     window is computable from stored partials without re-scanning raw
     data (same storytelling as the sketch set, but for error bars).
+
+    Round 12: the Spark side pins the |groups|×32 block table once —
+    CTE inlining re-ran the orders aggregation per transitive consumer
+    (4 orders scans → 1; see _jackknife_sql). Values identical.
     """
+    from sparksql_server_spark.operators.scratch import pin_view
+
     register_tables(spark, sf_dir, ("orders",))
-    return spark.sql(_jackknife_sql())
+    pin_view(spark, spark.sql(_jk_blk_body()), "jk_blk")
+    return spark.sql(_jackknife_sql(blk_from="jk_blk"))
 
 
 _AB_SQL = f"""
