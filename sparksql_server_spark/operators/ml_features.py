@@ -122,8 +122,8 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparksql_server_spark.operators.scratch import pin_view
 
     register_tables(spark, sf_dir, ("documents",))
-    pin_view(spark, spark.sql(_OBS_BODY), "assoc_obs")
-    return spark.sql(_chi2_sql(obs_from="assoc_obs"))
+    pin_view(spark, spark.sql(_OBS_BODY), "chi2_obs")
+    return spark.sql(_chi2_sql(obs_from="chi2_obs"))
 
 
 def _mi_sql(obs_from: str | None = None) -> str:
@@ -176,8 +176,8 @@ def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparksql_server_spark.operators.scratch import pin_view
 
     register_tables(spark, sf_dir, ("documents",))
-    pin_view(spark, spark.sql(_OBS_BODY), "assoc_obs")
-    return spark.sql(_mi_sql(obs_from="assoc_obs"))
+    pin_view(spark, spark.sql(_OBS_BODY), "mi_obs")
+    return spark.sql(_mi_sql(obs_from="mi_obs"))
 
 
 # --------------------------------------------------------------------------

@@ -184,22 +184,27 @@ def test_tfidf_single_explode_and_window_group_limit(spark):
     assert plan.count("Generate explode") <= 1, plan
 
 
-def test_q2_supply_cte_scans_lineitem_exactly_twice(spark):
-    """Q2's correlated-min decorrelates into two aggregate branches
-    over the supply CTE — lineitem must be scanned exactly twice (once
-    per branch), never once-per-part (correlated re-execution) nor a
-    third time."""
+def test_q2_supply_cte_scans_lineitem_exactly_once(spark):
+    """Round 12: Q2's correlated min is computed as a window over the
+    SINGLE European supply chain — lineitem must be scanned exactly
+    once (the r11 two-branch decorrelation scanned it twice; the
+    correlated re-execution shape would be once-per-part)."""
     plan = plan_of(spark, "tpch_q2_min_cost_supplier")
     n = sum("lineitem.parquet" in line for line in plan.splitlines()
             if line.strip().startswith("Location:"))
-    assert n == 2, f"expected 2 lineitem scans, saw {n}"
+    assert n == 1, f"expected 1 lineitem scan, saw {n}"
 
 
-def test_q21_double_correlation_decorrelates_to_semi_anti(spark):
-    """Q21's EXISTS/NOT EXISTS pair must plan as one LeftSemi and one
-    LeftAnti join (no correlated re-execution, no cartesian)."""
+def test_q21_stats_form_scans_lineitem_exactly_twice(spark):
+    """Round 12: Q21's EXISTS/NOT EXISTS pair is expressed as
+    per-(order, supplier) stats joined back — lineitem is scanned
+    exactly twice (stats build + l1 rows) with no anti join (the r11
+    semi/anti decorrelation scanned it three times)."""
     plan = plan_of(spark, "tpch_q21_suppliers_kept_waiting")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    n = sum("lineitem.parquet" in line for line in plan.splitlines()
+            if line.strip().startswith("Location:"))
+    assert n == 2, f"expected 2 lineitem scans, saw {n}"
+    assert "LeftAnti" not in plan
 
 
 def test_q16_not_in_plans_as_anti_join(spark):
