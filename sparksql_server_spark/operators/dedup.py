@@ -450,16 +450,31 @@ def _doc_shingle_sets(it):
         yield pd.DataFrame({"doc_id": rows_doc, "shingle": rows_sh})
 
 
-def _shingle_kept_materialized(spark: SparkSession) -> DataFrame:
-    """Build the DF-cutoff shingle table once and spill it to scratch
-    parquet; return a scan over the spill. Three consumers (per-doc
-    counts + both pair-join sides) read the compact columnar spill
-    instead of re-running the text pipeline, the final orderBy+limit
-    stays a TakeOrderedAndProject (no full-result materialization),
-    and no block-manager cache outlives the call. At 100 TB the spill
-    target is the checkpoint dir on object store and the file IS the
-    persistent dedup artifact (incremental screening joins new batches
-    against it).
+def _shingle_kept_materialized(spark: SparkSession, view: str) -> DataFrame:
+    """Build the DF-cutoff shingle table once and pin it (eager
+    localCheckpoint via scratch.pin_view under ``view``). Three
+    consumers (per-doc counts + both pair-join sides) read the pinned
+    rows instead of re-running the text pipeline, and the final
+    orderBy+limit stays a TakeOrderedAndProject (no full-result
+    materialization).
+
+    Round 13 (guide §5): the r9 parquet spill became a pin — the pin
+    skips the parquet encode+listing+decode round trip every call (the
+    lsh_eval r7 pin-vs-spill result, reproduced here; the r10 note
+    above measured spill-vs-CACHE as a wash, but the eager-checkpoint
+    pin is the variant that wins). Plan delta: Scan parquet (spill) →
+    Scan ExistingRDD at all three consumers; join strategy and
+    exchange count unchanged (plans/r13/dedup_ngram_jaccard_*.txt).
+    Interleaved same-JVM A/B at sf0.1, both arm orders
+    (tools/specs/shingle_pin.py): ngram_jaccard steady-min 1.76/1.90 →
+    1.48/1.88 s, first(2nd-position) 3.06 → 2.27 s;
+    shingle_containment steady-min 1.62/2.10 → 1.45/1.77 s, first
+    3.84 → 2.15 s; 500 rows bit-equal in all four runs. Block
+    hygiene: one live pin per view via pin_view's deterministic
+    predecessor release (gated in tests/test_cache_hygiene.py). At
+    100 TB the same relation is written once to the object-store
+    checkpoint dir (df.checkpoint()) and IS the persistent dedup
+    artifact — the pin is the single-node bench-regime analogue.
 
     The shingle rows come from ONE Arrow mapInPandas pass
     (_doc_shingle_sets) instead of the SQL HOF pipeline
@@ -480,7 +495,7 @@ def _shingle_kept_materialized(spark: SparkSession) -> DataFrame:
     byte-identical (oracle-green for jaccard + containment)."""
     from pyspark.sql.window import Window
 
-    from sparksql_server_spark.operators.scratch import CacheScope
+    from sparksql_server_spark.operators.scratch import pin_view
 
     docs = spark.table("documents").select("doc_id", "text")
     # doc_id keeps the SOURCE dtype (bigint in the driver corpus, but
@@ -493,7 +508,7 @@ def _shingle_kept_materialized(spark: SparkSession) -> DataFrame:
         .filter(F.col("c") <= _SHINGLE_MAX_DF)
         .select("doc_id", "shingle")
     )
-    return CacheScope(spark).finish(kept, "shingle_kept")
+    return pin_view(spark, kept, view)
 
 
 def _jaccard_duck() -> str:
@@ -536,7 +551,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle to an 8-byte key inside this single statement is a net
     loss: the CTE inlines and the hash evaluates once per reference;
     the kept-shingle table is therefore materialized once behind a
-    CacheScope — counts and both join sides consume it — and at 100 TB
+    pin_view — counts and both join sides consume it — and at 100 TB
     the same table is the persistent artifact, checkpointed to object
     store and reused for incremental screening.)
 
@@ -554,7 +569,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # r12: small-input spread (guide §2.5) — interleaved steady A/B +0.05/-0.36 s
     register_tables(spark, sf_dir, ("documents",), spread=("documents",))
-    kept = _shingle_kept_materialized(spark)
+    kept = _shingle_kept_materialized(spark, "jacc_kept_mat")
     counts = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
@@ -636,12 +651,12 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated pair explodes into its two directed rows against the
     broadcast size table — half the join output and half the
     pair-shuffle of the ordered (<>) formulation for the identical
-    result set. The kept-shingle table builds once behind a
-    CacheScope (counts + both join sides consume it), same as
+    result set. The kept-shingle table builds once behind a pin_view
+    (counts + both join sides consume it), same as
     dedup_ngram_jaccard.
     """
     register_tables(spark, sf_dir, ("documents",))
-    kept = _shingle_kept_materialized(spark)
+    kept = _shingle_kept_materialized(spark, "cont_kept_mat")
     counts = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = kept.alias("a"), kept.alias("b")
     # UNORDERED pair aggregation (doc_id <), then both directed rows

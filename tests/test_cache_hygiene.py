@@ -68,6 +68,11 @@ def test_cache_scope_releases_only_its_own(spark):
 PIN_VIEW_QUERIES = [
     ("dedup_lsh_eval_pr", "lsh_eval_sh_mat"),
     ("text_tfidf_topterms", "tfidf_tf_mat"),
+    # r13: the shared kept-shingle relation moved from a parquet spill
+    # to a pin (measured faster in both regimes; see
+    # _shingle_kept_materialized) — same one-live-copy bound
+    ("dedup_ngram_jaccard", "jacc_kept_mat"),
+    ("dedup_shingle_containment", "cont_kept_mat"),
 ]
 
 
