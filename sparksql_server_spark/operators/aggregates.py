@@ -568,11 +568,11 @@ def agg_hll_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # convention; an orphaned InMemoryRelation would both compete with
     # the server's cache budget and silently serve stale registers if
     # the parquet underneath were rewritten)
-    out = scope.finish(
+    out = scope.finish_pin(
         spark.sql(
             _hll_running_rest_sql("spark", "hll_daily_regs", days_from_regs=True)
         ),
-        "hll_running",
+        "hll_running_mat",
     )
     spark.catalog.dropTempView("hll_daily_regs")
     return out

@@ -886,7 +886,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= _WIN_MIN_SHARED)
     )
     return (
-        scope.finish(pairs, "winnowing")
+        scope.finish_pin(pairs, "winnowing_mat")
         .orderBy(F.desc("shared"), "d1", "d2")
         .limit(300)
     )
@@ -1187,7 +1187,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = labels.unionByName(singletons)
     # spill the |documents|-sized label table, release edges + the last
     # labels generation — no scoped block survives the return
-    return scope.finish(result, "dedup_clusters")
+    return scope.finish_pin(result, "dedup_clusters_mat")
 
 
 def _prefix_filter_sql() -> str:
@@ -1370,7 +1370,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the (matched-pairs-sized) result while sh/pref are
     # cached, then drop both — no scoped block survives the return
-    return scope.finish(result, "dedup_ppjoin").orderBy("doc_a", "doc_b")
+    return scope.finish_pin(result, "dedup_ppjoin_mat").orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1733,12 +1733,12 @@ def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     id_type = emb.schema["vec_id"].dataType.simpleString()
-    cell = CacheScope(spark).finish(
+    cell = CacheScope(spark).finish_pin(
         emb.select("vec_id", "embedding").mapInPandas(
             _assign,
             f"vec_id {id_type}, embedding array<float>, nrm double, c_id bigint",
         ),
-        "semdedup_cell",
+        "semdedup_cell_mat",
     )
 
     # r12 (guide §2.5/§4): the slice-of-8 skew split exists for the

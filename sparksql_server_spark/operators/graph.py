@@ -194,7 +194,7 @@ def graph_pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # block (no presentation sort: the result is |nodes|-sized —
     # corpus-proportional — and the driver's comparator is
     # order-insensitive)
-    return scope.finish(result, "graph_pagerank")
+    return scope.finish_pin(result, "graph_pagerank_mat")
 
 
 @query(
@@ -422,7 +422,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_triangles").over(Window.partitionBy()) / 3).cast("long"),
     ).select(F.col("node").alias("part_id"), "n_triangles", "total_triangles")
     return (
-        scope.finish(result, "graph_triangles")
+        scope.finish_pin(result, "graph_triangles_mat")
         .orderBy(F.desc("n_triangles"), "part_id")
         .limit(_TRI_TOP)
     )

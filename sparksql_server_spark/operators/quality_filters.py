@@ -471,12 +471,12 @@ def quality_boilerplate_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparksql_server_spark.operators.scratch import CacheScope
 
     words, shexpr = spark_words("text"), spark_shingles("w", _BOILER_N)
-    sh = CacheScope(spark).finish(
+    sh = CacheScope(spark).finish_pin(
         spark.sql(
             f"WITH w AS (SELECT doc_id, {words} AS w FROM documents) "
             f"SELECT DISTINCT doc_id, s FROM w LATERAL VIEW explode({shexpr}) t AS s"
         ),
-        "boiler_sh",
+        "boiler_sh_mat",
     )
     df = sh.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
     perdoc = (

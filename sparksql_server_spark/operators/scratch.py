@@ -196,3 +196,30 @@ class CacheScope:
         result.write.mode("overwrite").parquet(path)
         self.release()
         return self.spark.read.parquet(path)
+
+    def finish_pin(self, result: DataFrame, view: str) -> DataFrame:
+        """:func:`finish` with the parquet round trip replaced by an
+        eager pin (r13, guide §5): materialize `result` as a
+        localCheckpoint via :func:`pin_view`, release every OTHER RDD
+        persisted since the scope opened, return the pinned relation.
+
+        The pinned result deliberately outlives the call — the same
+        bounded posture as the pin_view operators (one live copy per
+        `view`, predecessor released deterministically on the next
+        run; gated in tests/test_cache_hygiene.py). Trade measured on
+        the shingle family and re-measured per adopting operator: the
+        pin skips the spill's parquet encode+listing+decode every
+        call. Row order is NOT preserved (localCheckpoint scans blocks
+        partition-wise) — same caller contract as :func:`finish`. At
+        100 TB the spill target for anything that must survive
+        executor loss stays ``df.checkpoint()`` to reliable storage;
+        results here are result-sized (ranks, labels, audit series),
+        not inputs.
+        """
+        out = pin_view(self.spark, result, view)  # eager; consumes the caches
+        # the release set is read AFTER the eager pin: SQL caches only
+        # register their RDD when they materialize, which for lazily
+        # .cache()d build relations happens during the pin action
+        pin_rid = int(out._jdf.queryExecution().analyzed().rdd().id())
+        unpersist_ids(self.spark, self.new_ids() - {pin_rid})
+        return out
