@@ -316,8 +316,17 @@ def _emit_once(block_expr_fmt: str) -> str:
 _MASK = (1 << _SH_BLOCK_BITS) - 1
 
 
-def _simhash_pairs_spark() -> str:
-    sig = _simhash_spark()
+def _simhash_pairs_spark(sig_from: str | None = None) -> str:
+    """``sig_from``: relation already holding the (doc_id, simhash)
+    signatures. The blocks CTE feeds BOTH pair-join sides, and Spark's
+    CTE inlining re-executes the whole signature pipeline (token
+    explode + two keyed aggregations, with CodegenFallback HOF lambdas
+    in the scan filter) once per side — the r13 pin halves that."""
+    sig = (
+        f"SELECT doc_id, simhash FROM {sig_from}"
+        if sig_from
+        else _simhash_spark()
+    )
     return f"""
 WITH sig AS ({sig}),
 blocks AS (
@@ -374,9 +383,23 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort (a global sort would re-execute the plan for range sampling).
     After the (broadcastable) block join the query is one codegen map:
     xor → bit_count → filter.
+
+    Round 13 (guide §2.4/§5): the signature relation is pinned once —
+    as inline CTE text both block-join sides re-executed the full
+    signature pipeline (2 documents scans, 4 shuffles; the scan filter
+    carries interpreted HOF lambdas, so the duplication was doubly
+    expensive). Plan: 2 scans → 1 RDD scan + its build
+    (plans/r13/dedup_simhash_pairs_*.txt). Interleaved same-JVM A/B at
+    sf0.1, both arm orders (tools/specs/simhash_lsheval.py): steady-min
+    1.58/1.64 → 1.27/1.27 s, first(2nd position) 2.64 → 2.60 s;
+    194,580 rows bit-equal in all runs. Same one-live-pin hygiene as
+    the other pin_view operators.
     """
+    from sparksql_server_spark.operators.scratch import pin_view
+
     register_tables(spark, sf_dir, ("documents",))
-    return spark.sql(_simhash_pairs_spark())
+    pin_view(spark, spark.sql(_simhash_spark()), "simhash_sig_mat")
+    return spark.sql(_simhash_pairs_spark(sig_from="simhash_sig_mat"))
 
 
 # ---------------------------------------------------------------------------
