@@ -470,11 +470,40 @@ ORDER BY s_suppkey
 
 @query("tpch_q15_top_supplier", oracle=_Q15_SQL)
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15: supplier(s) with the quarter's max revenue — CTE reused
-    twice (Spark plans it once under CTE dedup when beneficial); the
-    max is a one-row broadcast back against the same aggregate."""
+    """Q15: supplier(s) with the quarter's max revenue.
+
+    Round 13 (guide §2.4, the q11 pattern per VERDICT r12 #5): the
+    revenue CTE has two consumers (the supplier join and the scalar
+    max subquery) and Spark's CTE inlining re-ran the date-banded
+    lineitem aggregation for each — 2 lineitem scans. The Spark side
+    pins the |suppliers|-sized aggregate once; both consumers read the
+    pinned rows (plans/r13/tpch_q15_top_supplier_*.txt: lineitem
+    scans 2 → 1). Interleaved same-JVM A/B at sf0.1, both arm orders
+    (tools/specs/tpch_q15_q17.py): steady-min 0.51/0.53 → 0.42/0.39 s,
+    first(2nd position) 1.00 → 0.79 s, 1 row bit-equal. The oracle
+    keeps the single-statement CTE text."""
+    from sparksql_server_spark.operators.scratch import pin_view
+
     register_tables(spark, sf_dir, ("supplier", "lineitem"))
-    return spark.sql(_Q15_SQL)
+    pin_view(
+        spark,
+        spark.sql(
+            f"""
+  SELECT l_suppkey AS supplier_no, CAST(sum({_REV}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey"""
+        ),
+        "q15_revenue",
+    )
+    return spark.sql(
+        """
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN q15_revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM q15_revenue)
+ORDER BY s_suppkey"""
+    )
 
 
 _Q17_SQL = """
@@ -496,9 +525,37 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The correlated per-part average decorrelates into an aggregate
     join on l_partkey; the brand filter prunes part before the join.
     The average uses the exact-decimal mean so both engines compare
-    l_quantity against the identical double threshold."""
+    l_quantity against the identical double threshold.
+
+    Round 13 (guide §2.4, VERDICT r12 #5): Spark's decorrelation
+    scanned lineitem twice (once for the brand join, once for the
+    per-part aggregate, joined back on l_partkey). The Spark side
+    instead computes the threshold as a window over the SAME
+    brand-joined rows — the per-part mean over the join output equals
+    the correlated mean because p_partkey is the join key (duplicate
+    part rows would scale sum and count equally), and the threshold
+    arithmetic is written exactly as the oracle text
+    (0.2 * (CAST(sum(DECIMAL(18,6)) AS DOUBLE) / count)). One lineitem
+    scan, one l_partkey shuffle
+    (plans/r13/tpch_q17_small_quantity_*.txt). Interleaved same-JVM
+    A/B at sf0.1, both arm orders (tools/specs/tpch_q15_q17.py):
+    steady-min 0.66/0.59 → 0.38/0.33 s, 1 row BIT-equal (the double
+    sums associate identically: same rows, same per-part grouping).
+    The oracle keeps the canonical correlated text."""
     register_tables(spark, sf_dir, ("lineitem", "part"))
-    return spark.sql(_Q17_SQL)
+    return spark.sql(
+        """
+WITH j AS (
+  SELECT l_quantity, l_extendedprice,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                       OVER (PARTITION BY l_partkey) AS DOUBLE)
+                / count(l_quantity) OVER (PARTITION BY l_partkey)) AS thr
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#11')
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM j WHERE l_quantity < thr"""
+    )
 
 
 _Q22_SQL = f"""

@@ -81,6 +81,7 @@ PIN_VIEW_QUERIES = [
     # interleaved A/Bs in OPTIMIZATION_r13.md)
     ("agg_hll_running_distinct", "hll_running_mat"),
     ("dedup_simhash_pairs", "simhash_sig_mat"),
+    ("tpch_q15_top_supplier", "q15_revenue"),
     ("dedup_winnowing", "winnowing_mat"),
     ("dedup_prefix_filter_join", "dedup_ppjoin_mat"),
     ("dedup_semdedup_cells", "semdedup_cell_mat"),
