@@ -143,10 +143,13 @@ def _mh_candidate_ctes(dialect: str, sh_from: str | None = None) -> str:
     else:
         hash_ = duck_char_hash("shingle")
         bands = _DUCK_BANDS
+    # only emit the `w` CTE when sh is built inline — with sh_from set
+    # nothing references it (ADVICE r12 on the calibration twin)
+    w_cte = f"w AS ({w_body}),\n"
     if sh_from is not None:
         ex = f"SELECT doc_id, shingle FROM {sh_from}"
-    return f"""w AS ({w_body}),
-sh AS ({ex}),
+        w_cte = ""
+    return f"""{w_cte}sh AS ({ex}),
 h AS (SELECT doc_id, {hash_} AS h FROM sh),
 mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
 bs AS ({bands}),
@@ -1422,14 +1425,17 @@ def _mh_calibration_sql(dialect: str, sh_from: str | None = None) -> str:
     eq_terms = " + ".join(
         f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(_MH_K)
     )
-    sh_body = (
-        f"SELECT doc_id, shingle FROM {sh_from}"
-        if sh_from is not None
-        else f"SELECT DISTINCT doc_id, shingle {explode}"
-    )
+    # ADVICE r12: only emit the `w` CTE in the inline branch — with
+    # sh_from set, nothing references it (dead SQL in every plan and a
+    # drift trap if it ever diverged from _sh_canonical_sql's text)
+    if sh_from is not None:
+        w_cte = ""
+        sh_body = f"SELECT doc_id, shingle FROM {sh_from}"
+    else:
+        w_cte = f"w AS (SELECT doc_id, {words} AS w FROM documents),\n"
+        sh_body = f"SELECT DISTINCT doc_id, shingle {explode}"
     return f"""
-WITH w AS (SELECT doc_id, {words} AS w FROM documents),
-sh AS ({sh_body}),
+WITH {w_cte}sh AS ({sh_body}),
 h AS (SELECT doc_id, {chash} AS h FROM sh),
 mh AS (SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id),
 bs AS ({bands}),
